@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Distance kernels over `ARRAY<FLOAT>` columns, as pure Catalyst column
+  * expressions (whole-stage-codegen'd higher-order functions — no UDFs).
+  *
+  * Mirrors the reference's kernel surface (`src/simd/hook.cc`,
+  * `src/common/comp/brute_force.cc:104-265`): L2, IP, COSINE (norm-cached),
+  * HAMMING, JACCARD, SUB/SUPERSTRUCTURE over sign-bit-packed vectors, and the
+  * sorted sparse dot product. The reference's runtime SIMD dispatch
+  * (`hook.cc:1-392`) maps to Tungsten codegen here.
+  *
+  * Determinism contract: every kernel casts elements to DOUBLE and folds
+  * left-to-right, so results are bit-reproducible across runs and engines —
+  * required by the DuckDB correctness oracle.
+  */
+object VectorFunctions {
+
+  /** Sum of f(a_i, b_i) folded left-to-right in DOUBLE. */
+  private def zipSum(a: Column, b: Column, f: (Column, Column) => Column): Column =
+    aggregate(zip_with(a, b, f), lit(0.0d), (acc, x) => acc + x)
+
+  /** Squared L2 distance (reference `fvec_L2sqr`, distances_ref.cc). */
+  def l2Sq(a: Column, b: Column): Column =
+    zipSum(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    })
+
+  /** L2 distance. Knowhere's L2 metric returns *squared* distance
+    * (faiss convention); we expose both. */
+  def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
+
+  /** Inner product (reference `fvec_inner_product`). */
+  def dot(a: Column, b: Column): Column =
+    zipSum(a, b, (x, y) => x.cast("double") * y.cast("double"))
+
+  /** L2 norm (reference `fvec_norm_L2sqr`, GetVecNorms
+    * `brute_force.cc:66-101`). */
+  def normL2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine *similarity* (higher = closer), as in Knowhere's COSINE metric:
+    * ip / (|a|·|b|) with norms precomputable (`brute_force.cc:183-197`). */
+  def cosineSim(a: Column, b: Column): Column =
+    dot(a, b) / (normL2(a) * normL2(b))
+
+  /** Cosine similarity with precomputed norms (index-side `norm` column —
+    * the "cached norms" optimization, SURVEY.md §4). */
+  def cosineSimPre(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  // ----- binary (sign-bit) vectors ------------------------------------------
+  // Reference bin1 vectors pack 8 dims/byte (operands.h:48-147); we derive a
+  // binary view of a float vector by its sign bits, packed 32 dims per BIGINT
+  // word (no 1<<63 sign-overflow issues, safe in both Spark and DuckDB).
+
+  /** Pack sign bits (elem > 0) into `ceil(dim/32)` BIGINT words. */
+  def signBits(v: Column): Column =
+    transform(
+      sequence(lit(0), (size(v) + 31) / 32 - 1),
+      w =>
+        aggregate(
+          sequence(lit(0), lit(31)),
+          lit(0L),
+          (acc, j) =>
+            acc + when(
+              w * 32 + j < size(v) && element_at(v, (w * 32 + j + 1).cast("int")) > 0,
+              pow(lit(2.0d), j).cast("long") // exact for j ≤ 31
+            ).otherwise(lit(0L))
+        )
+    )
+
+  private def popcount(words: Column): Column =
+    aggregate(words, lit(0), (acc, w) => acc + bit_count(w))
+
+  /** Hamming distance between two packed signatures
+    * (reference HAMMING metric, `brute_force.cc:212-236`). */
+  def hamming(a: Column, b: Column): Column =
+    popcount(zip_with(a, b, (x, y) => x.bitwiseXOR(y)))
+
+  /** Jaccard distance 1 - |and|/|or| (reference JACCARD). */
+  def jaccardDist(a: Column, b: Column): Column = {
+    val inter = popcount(zip_with(a, b, (x, y) => x.bitwiseAND(y)))
+    val uni = popcount(zip_with(a, b, (x, y) => x.bitwiseOR(y)))
+    when(uni === 0, lit(0.0d)).otherwise(lit(1.0d) - inter.cast("double") / uni.cast("double"))
+  }
+
+  /** Substructure containment: every bit of a ⊆ b (reference
+    * SUBSTRUCTURE metric via binary_knn_mc, `brute_force.cc:229-236`). */
+  def substructure(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x.bitwiseAND(y) === x, lit(0)).otherwise(lit(1))),
+      lit(0), (acc, x) => acc + x) === 0
+
+  /** Superstructure containment: every bit of b ⊆ a. */
+  def superstructure(a: Column, b: Column): Column = substructure(b, a)
+
+  // ----- sparse vectors -----------------------------------------------------
+  // SparseRow = (indices sorted asc, values) pairs (sparse_utils.h:96-254).
+  // The reference dot is a sorted merge-join (sparse_utils.h:203-225); the
+  // relational equivalent is explode → join on dim → sum, implemented in
+  // operators.SparseSearch. Here: a direct two-array kernel for small rows.
+
+  /** Sparse dot product over (indices, values) arrays via map lookup. */
+  def sparseDot(aIdx: Column, aVal: Column, bIdx: Column, bVal: Column): Column = {
+    val bMap = map_from_arrays(bIdx, bVal)
+    aggregate(
+      zip_with(aIdx, aVal, (i, v) => coalesce(element_at(bMap, i), lit(0.0f)).cast("double") * v.cast("double")),
+      lit(0.0d),
+      (acc, x) => acc + x
+    )
+  }
+
+  /** BM25 term weight tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * (reference `sparse_utils.h:62-66`). */
+  def bm25TermWeight(tf: Column, docLen: Column, k1: Double, b: Double, avgdl: Double): Column =
+    tf.cast("double") * (k1 + 1.0) /
+      (tf.cast("double") + lit(k1) * (lit(1.0 - b) + lit(b / avgdl) * docLen.cast("double")))
+}

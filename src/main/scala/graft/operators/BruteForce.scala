@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Distance metrics, mirroring the reference metric set
+  * (`src/common/comp/brute_force.cc:104-265`). `ascending` = smaller is
+  * closer (true for distances, false for similarities — IP/COSINE results
+  * are ordered descending in Knowhere, and range-search bound direction
+  * flips, `include/knowhere/range_util.h:22-25`).
+  */
+sealed abstract class Metric(val name: String, val ascending: Boolean) {
+  def dist(q: Column, b: Column): Column
+}
+object Metric {
+  case object L2 extends Metric("l2", true) {
+    def dist(q: Column, b: Column): Column = l2(q, b)
+  }
+  /** faiss/Knowhere L2 returns squared distance; exposed separately. */
+  case object L2Sq extends Metric("l2sq", true) {
+    def dist(q: Column, b: Column): Column = l2Sq(q, b)
+  }
+  case object IP extends Metric("ip", false) {
+    def dist(q: Column, b: Column): Column = dot(q, b)
+  }
+  case object Cosine extends Metric("cosine", false) {
+    def dist(q: Column, b: Column): Column = cosineSim(q, b)
+  }
+  /** Over packed sign-bit signatures (ARRAY<BIGINT>). */
+  case object Hamming extends Metric("hamming", true) {
+    def dist(q: Column, b: Column): Column = hamming(q, b).cast("double")
+  }
+  case object Jaccard extends Metric("jaccard", true) {
+    def dist(q: Column, b: Column): Column = jaccardDist(q, b)
+  }
+
+  def apply(s: String): Metric = s.toLowerCase match {
+    case "l2"      => L2
+    case "l2sq"    => L2Sq
+    case "ip"      => IP
+    case "cosine"  => Cosine
+    case "hamming" => Hamming
+    case "jaccard" => Jaccard
+    case other     => throw new IllegalArgumentException(s"unknown metric $other")
+  }
+}
+
+/** Exact (index-free) search — the reference's `BruteForce::Search` facade
+  * (`include/knowhere/comp/brute_force.h:26-55`) and its FLAT index (which
+  * stores nothing beyond the raw vectors, `src/index/flat/flat.cc:30-415`).
+  *
+  * Spark shape: broadcast the (small) query side, nested-loop join against
+  * the (huge) base side — so the base table never shuffles; distance is a
+  * codegen'd expression; per-query top-k is a partial-aggregable group-by
+  * (window row_number for the v0 slice; see graft.functions TopK plan).
+  *
+  * At 100 TB the base side is the scan: queries are broadcast (nq is small),
+  * distances are computed map-side, and only nq×k candidate rows per
+  * partition survive to the final per-query reduction — no base-table
+  * shuffle. The reference's per-query thread-pool fan-out
+  * (`flat.cc:93-100`) becomes partition-parallelism here.
+  */
+object BruteForce {
+
+  /** Top-k per query over candidate pairs: rank by (dist, id), ties broken
+    * by id — result compared as sets at equal distance, like the reference's
+    * recall metric (`tests/ut/utils.h:110-134`).
+    *
+    * `roundDist`: round distances *before* ranking — used by the oracle
+    * queries so Spark and DuckDB rank identically despite last-ulp fp noise.
+    */
+  def topK(
+      pairs: DataFrame,
+      k: Int,
+      ascending: Boolean,
+      qidCol: String = "qid",
+      idCol: String = "nid",
+      distCol: String = "dist"
+  ): DataFrame = {
+    val ord =
+      if (ascending) Seq(col(distCol).asc, col(idCol).asc)
+      else Seq(col(distCol).desc, col(idCol).asc)
+    val w = Window.partitionBy(col(qidCol)).orderBy(ord: _*)
+    pairs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** All (query, base) candidate pairs with distances.
+    * `filter` is the BitsetView analog (`bitsetview.h:21-147`): a predicate
+    * over base rows, pushed into the scan *before* the join.
+    */
+  def pairs(
+      queries: DataFrame, // (qid, qvec)
+      base: DataFrame, // (id, vec, ...)
+      metric: Metric,
+      baseFilter: Option[Column] = None,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val filtered = baseFilter.map(base.filter).getOrElse(base)
+    val raw = metric.dist(col("qvec"), col("vec"))
+    val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
+    broadcast(queries)
+      .crossJoin(filtered)
+      .select(col("qid"), col("id").as("nid"), d.as("dist"))
+  }
+
+  /** Batched exact kNN: nq queries → nq×k (qid, nid, dist, rnk).
+    * Reference: `BruteForce::Search` (`brute_force.cc:104-265`). */
+  def knn(
+      queries: DataFrame,
+      base: DataFrame,
+      k: Int,
+      metric: Metric,
+      baseFilter: Option[Column] = None,
+      roundDist: Option[Int] = None
+  ): DataFrame =
+    topK(pairs(queries, base, metric, baseFilter, roundDist), k, metric.ascending)
+
+  /** Exact range search: all neighbors with distance inside the two-sided
+    * bound. L2-like (ascending): rangeFilter <= d < radius; similarity
+    * metrics invert: radius < d <= rangeFilter
+    * (`include/knowhere/range_util.h:22-25`). Output is the exploded CSR:
+    * variable rows per qid (`lims` = count group by qid). */
+  def rangeSearch(
+      queries: DataFrame,
+      base: DataFrame,
+      metric: Metric,
+      radius: Double,
+      rangeFilter: Double,
+      baseFilter: Option[Column] = None,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val p = pairs(queries, base, metric, baseFilter, roundDist)
+    val keep =
+      if (metric.ascending) col("dist") >= rangeFilter && col("dist") < radius
+      else col("dist") > radius && col("dist") <= rangeFilter
+    p.filter(keep)
+  }
+
+  /** Fetch raw vectors for ids — `GetVectorByIds` (`flat.cc:222-256`).
+    * Broadcast the id list; base-side stays a pruned scan. */
+  def getVectorByIds(ids: DataFrame, base: DataFrame, idCol: String = "id"): DataFrame =
+    base.join(broadcast(ids), Seq(idCol), "left_semi")
+}
