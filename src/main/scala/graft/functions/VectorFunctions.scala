@@ -59,7 +59,7 @@ object VectorFunctions {
   /** Pack sign bits (elem > 0) into `ceil(dim/32)` BIGINT words. */
   def signBits(v: Column): Column =
     transform(
-      sequence(lit(0), (size(v) + 31) / 32 - 1),
+      sequence(lit(0), floor((size(v) + 31) / 32).cast("int") - 1),
       w =>
         aggregate(
           sequence(lit(0), lit(31)),

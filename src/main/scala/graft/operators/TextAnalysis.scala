@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: tokenization,
+  * token statistics, quality scoring, language-ID heuristic, and document
+  * fingerprinting (rolling hash). All pure codegen'd column expressions —
+  * deterministic in DOUBLE/LONG so the DuckDB oracle matches bit-for-bit.
+  */
+object TextAnalysis {
+
+  val HashP = 1000000007L // fold modulus (fits 63-bit intermediate)
+  val TokenB = 1000003L // token-level fold base
+
+  /** Whitespace tokenization (corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Polynomial character hash: fold (h·31 + ascii) mod P. The engine-side
+    * analog of a BPE-ish stable token id — no global vocabulary join needed
+    * (scale: per-row arithmetic only). */
+  def tokenHash(tok: Column): Column =
+    aggregate(
+      sequence(lit(1), length(tok)),
+      lit(0L),
+      (h, i) => (h * 31L + ascii(tok.substr(i, lit(1)))) % HashP
+    )
+
+  /** Rolling document fingerprint: fold (h·B + tokenHash) mod P over tokens
+    * in order. Equal texts ⇒ equal fingerprints. */
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, tokenHash(_)),
+      lit(0L),
+      (h, th) => (h * TokenB + th) % HashP
+    )
+
+  /** Token n-gram shingles as strings ("a b c"). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Per-doc token statistics (token counting operator). */
+  def tokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_uniq"),
+      round(
+        aggregate(t, lit(0.0d), (a, x) => a + length(x).cast("double")) / size(t).cast("double"),
+        4).as("avg_token_len")
+    )
+  }
+
+  /** Quality score: linear combination of type-token ratio, stopword ratio,
+    * and mean token length (length/punct/stopword-ratio heuristics; the
+    * corpus is already lowercase and unpunctuated). */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val n = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / n
+    val stop = size(filter(t, x => x === "a" || x === "the")).cast("double") / n
+    val avgLen = aggregate(t, lit(0.0d), (a, x) => a + length(x).cast("double")) / n
+    df.select(
+      col("doc_id"),
+      round(lit(2.0d) * ttr - lit(3.0d) * stop + lit(0.05d) * avgLen, 4).as("quality")
+    )
+  }
+
+  /** Language-ID n-gram heuristic: score per language = fraction of tokens
+    * hitting that language's stop list; argmax with deterministic tie order
+    * (en > de > fr > es > zh). (The synthetic corpus draws all languages
+    * from one vocabulary, so this demonstrates the operator shape — the
+    * scoring, not the corpus, is what the oracle checks.) */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val n = size(t).cast("double")
+    def ratio(words: Seq[String]): Column =
+      size(filter(t, x => words.map(x === _).reduce(_ || _))).cast("double") / n
+    val en = ratio(Seq("the", "a", "of"))
+    val de = ratio(Seq("der", "die", "das"))
+    val fr = ratio(Seq("le", "la", "les"))
+    val es = ratio(Seq("el", "los", "una"))
+    val zh = ratio(Seq("de", "shi", "le"))
+    val best = greatest(en, de, fr, es, zh)
+    df.select(
+      col("doc_id"),
+      when(en === best, "en")
+        .when(de === best, "de")
+        .when(fr === best, "fr")
+        .when(es === best, "es")
+        .otherwise("zh")
+        .as("pred_lang"),
+      round(best, 4).as("lang_score")
+    )
+  }
+}

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+
+/** Text-analysis pipeline operators over `documents`: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  */
+object TextQueries {
+
+  /** DuckDB fragment: char-fold polynomial hash of a token expression. */
+  private def sqlTokenHash(tok: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, len($tok)+1), i -> CAST(ascii(substr($tok, CAST(i AS INT), 1)) AS BIGINT))), " +
+      s"(h, c) -> (h * 31 + c) % ${TextAnalysis.HashP})"
+
+  def all: Seq[GraftQuery] = Seq(
+    // token counting (whitespace tokenizer + distinct + mean length)
+    GraftQuery(
+      "doc_token_stats",
+      (s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir)),
+      Some("""SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+CAST(len(list_distinct(t)) AS INT) AS n_uniq,
+round(list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE))) / len(t), 4) AS avg_token_len
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""")),
+    // quality scoring (type-token ratio, stopword ratio, mean token length)
+    GraftQuery(
+      "doc_quality",
+      (s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir)),
+      Some("""SELECT doc_id,
+round(2.0 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+    - 3.0 * (CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t))
+    + 0.05 * (list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE))) / len(t)), 4) AS quality
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""")),
+    // language-ID heuristic (stop-list hit ratios, deterministic tie order)
+    GraftQuery(
+      "doc_lang_id",
+      (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)),
+      Some("""WITH r AS (
+  SELECT doc_id,
+    CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t) AS en,
+    CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t) AS de,
+    CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t) AS fr,
+    CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t) AS es,
+    CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t) AS zh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+SELECT doc_id,
+  CASE WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
+       WHEN de = greatest(en, de, fr, es, zh) THEN 'de'
+       WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+       WHEN es = greatest(en, de, fr, es, zh) THEN 'es'
+       ELSE 'zh' END AS pred_lang,
+  round(greatest(en, de, fr, es, zh), 4) AS lang_score
+FROM r""")),
+    // document fingerprint (rolling polynomial hash over ordered tokens)
+    GraftQuery(
+      "doc_fingerprint",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))).as("fp")),
+      Some(s"""SELECT doc_id,
+list_reduce(list_prepend(CAST(0 AS BIGINT),
+  list_transform(string_split(text, ' '), tok -> ${sqlTokenHash("tok")})),
+  (h, th) -> (h * ${TextAnalysis.TokenB} + th) % ${TextAnalysis.HashP}) AS fp
+FROM documents"""))
+  )
+}

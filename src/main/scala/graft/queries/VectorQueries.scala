@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators._
+import graft.sources.Tables
+
+/** Vector-search operator queries (SURVEY.md §2.2) with DuckDB oracles.
+  *
+  * Determinism contract shared with the oracles: distances in DOUBLE with a
+  * left-to-right element fold, rounded to 4dp BEFORE ranking, ties broken by
+  * neighbor id — the reference compares result sets at equal distance
+  * (`tests/ut/utils.h:110-134`), so tie ORDER is ours to pin down.
+  */
+object VectorQueries {
+
+  private[queries] val QMOD = 100 // every 100th vector is a query
+  private[queries] val K = 10
+  private[queries] val ROUND: Option[Int] = Some(4)
+
+  private[queries] def queryVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .filter(col("vec_id") % QMOD === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private[queries] def baseVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+
+  // ---------------------------------------------------------------- oracle SQL
+  private[queries] object Sql {
+    val qView =
+      s"q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % $QMOD = 0)"
+    val l2 =
+      "round(sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> " +
+        "(CAST(q.qv[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) * " +
+        "(CAST(q.qv[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 4)"
+    val ip =
+      "round(list_sum(list_transform(range(1, len(q.qv)+1), i -> " +
+        "CAST(q.qv[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4)"
+    def norm(v: String): String =
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val cosine =
+      "round(list_sum(list_transform(range(1, len(q.qv)+1), i -> " +
+        "CAST(q.qv[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (" +
+        norm("q.qv") + " * " + norm("b.embedding") + "), 4)"
+    val hamming =
+      "CAST(list_sum(list_transform(range(1, len(q.qv)+1), i -> " +
+        "CASE WHEN (q.qv[i] > 0) <> (b.embedding[i] > 0) THEN 1 ELSE 0 END)) AS DOUBLE)"
+    val jaccard =
+      "round(CASE WHEN list_sum(list_transform(range(1, len(q.qv)+1), i -> " +
+        "CASE WHEN (q.qv[i] > 0) OR (b.embedding[i] > 0) THEN 1 ELSE 0 END)) = 0 THEN 0.0 " +
+        "ELSE 1.0 - CAST(list_sum(list_transform(range(1, len(q.qv)+1), i -> " +
+        "CASE WHEN (q.qv[i] > 0) AND (b.embedding[i] > 0) THEN 1 ELSE 0 END)) AS DOUBLE) / " +
+        "list_sum(list_transform(range(1, len(q.qv)+1), i -> " +
+        "CASE WHEN (q.qv[i] > 0) OR (b.embedding[i] > 0) THEN 1 ELSE 0 END)) END, 4)"
+
+    def knn(distExpr: String, desc: Boolean, k: Int = K, where: String = ""): String = {
+      val ord = if (desc) "dist DESC, nid ASC" else "dist ASC, nid ASC"
+      s"""WITH $qView,
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, $distExpr AS dist
+  FROM q CROSS JOIN embeddings b $where
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY $ord) AS INT) AS rnk
+  FROM pairs
+) WHERE rnk <= $k"""
+    }
+  }
+
+  // --------------------------------------------------------------- queries
+  def all: Seq[GraftQuery] = Seq(
+    // S1 — brute-force exact kNN (brute_force.cc:104-265): L2 / IP / COSINE
+    GraftQuery(
+      "bf_knn_l2",
+      (s, dir) => BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.L2, roundDist = ROUND),
+      Some(Sql.knn(Sql.l2, desc = false))),
+    GraftQuery(
+      "bf_knn_ip",
+      (s, dir) => BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.IP, roundDist = ROUND),
+      Some(Sql.knn(Sql.ip, desc = true))),
+    GraftQuery(
+      "bf_knn_cosine",
+      (s, dir) => BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.Cosine, roundDist = ROUND),
+      Some(Sql.knn(Sql.cosine, desc = true))),
+    // S1 + BitsetView — filtered search: predicate over base rows pushed
+    // into the scan (bitsetview.h:21-147 ⇒ WHERE label <> 1)
+    GraftQuery(
+      "bf_knn_l2_filtered",
+      (s, dir) =>
+        BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.L2,
+          baseFilter = Some(col("label") =!= 1), roundDist = ROUND),
+      Some(Sql.knn(Sql.l2, desc = false, where = "WHERE b.label <> 1"))),
+    // S2 — range search, two-sided L2 bound (range_util.h:22-25)
+    GraftQuery(
+      "bf_range_l2",
+      (s, dir) =>
+        BruteForce
+          .rangeSearch(queryVecs(s, dir), baseVecs(s, dir), Metric.L2, radius = 1.3,
+            rangeFilter = 0.5, roundDist = ROUND)
+          .select(col("qid"), col("nid"), col("dist")),
+      Some(s"""WITH ${Sql.qView},
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.l2} AS dist
+  FROM q CROSS JOIN embeddings b
+)
+SELECT qid, nid, dist FROM pairs WHERE dist >= 0.5 AND dist < 1.3""")),
+    // S19 — binary metrics over sign-bit-packed vectors (brute_force.cc:212-236):
+    // Spark side packs 32 dims/BIGINT and uses bit_count(xor/and/or); the
+    // oracle states the same quantity as per-dim sign comparisons.
+    GraftQuery(
+      "bin_knn_hamming",
+      (s, dir) => {
+        val q = queryVecs(s, dir).select(col("qid"), signBits(col("qvec")).as("qvec"))
+        val b = baseVecs(s, dir).select(col("id"), signBits(col("vec")).as("vec"))
+        BruteForce.knn(q, b, K, Metric.Hamming)
+      },
+      Some(Sql.knn(Sql.hamming, desc = false))),
+    GraftQuery(
+      "bin_knn_jaccard",
+      (s, dir) => {
+        val q = queryVecs(s, dir).select(col("qid"), signBits(col("qvec")).as("qvec"))
+        val b = baseVecs(s, dir).select(col("id"), signBits(col("vec")).as("vec"))
+        BruteForce.knn(q, b, K, Metric.Jaccard, roundDist = ROUND)
+      },
+      Some(Sql.knn(Sql.jaccard, desc = false))),
+    // S19 — substructure containment count (binary_knn_mc analog): for each
+    // query, how many base vectors' sign-sets contain the query's.
+    GraftQuery(
+      "bin_substructure",
+      (s, dir) => {
+        val q = queryVecs(s, dir).select(col("qid"), signBits(col("qvec")).as("qsig"))
+        val b = baseVecs(s, dir).select(col("id"), signBits(col("vec")).as("bsig"))
+        broadcast(q)
+          .crossJoin(b)
+          .filter(substructure(col("qsig"), col("bsig")))
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_contained"))
+      },
+      Some(s"""WITH ${Sql.qView}
+SELECT q.qid AS qid, count(*) AS n_contained
+FROM q CROSS JOIN embeddings b
+WHERE list_sum(list_transform(range(1, len(q.qv)+1), i ->
+  CASE WHEN (q.qv[i] > 0) AND NOT (b.embedding[i] > 0) THEN 1 ELSE 0 END)) = 0
+GROUP BY q.qid""")),
+    // S12 — norm precompute (brute_force.cc:66-101)
+    GraftQuery(
+      "vec_norms",
+      (s, dir) =>
+        Tables
+          .embeddings(s, dir)
+          .select(col("vec_id"), round(normL2(col("embedding")), 4).as("norm")),
+      Some(s"SELECT vec_id, round(${Sql.norm("embedding")}, 4) AS norm FROM embeddings")),
+    // V7 — GetVectorByIds (flat.cc:222-256), summarized hash-safely
+    GraftQuery(
+      "get_vector_by_ids",
+      (s, dir) => {
+        val ids = Tables.embeddings(s, dir).filter(col("vec_id") % 97 === 0).select(col("vec_id").as("id"))
+        BruteForce
+          .getVectorByIds(ids, baseVecs(s, dir))
+          .select(
+            col("id").as("vec_id"),
+            size(col("vec")).as("dim"),
+            round(aggregate(col("vec"), lit(0.0d), (a, x) => a + x.cast("double")), 4).as("checksum"))
+      },
+      Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS checksum
+FROM embeddings WHERE vec_id % 97 = 0""")),
+    // S6/S15 — SQ8 quantization + SCANN-style reorder_k rerank
+    // (ivf.cc:774-788, index_node.h:538-567)
+    GraftQuery(
+      "sq8_knn_rerank",
+      (s, dir) =>
+        Quantization.sq8Knn(
+          queryVecs(s, dir),
+          baseVecs(s, dir).select(col("id"), col("vec")),
+          K,
+          reorderK = 50,
+          roundDist = ROUND),
+      Some(s"""WITH ${Sql.qView},
+stats AS (
+  SELECT CAST(r.range AS INT) AS i,
+         min(CAST(b.embedding[CAST(r.range AS INT)] AS DOUBLE)) AS mn,
+         max(CAST(b.embedding[CAST(r.range AS INT)] AS DOUBLE)) AS mx
+  FROM embeddings b CROSS JOIN range(1, 65) r GROUP BY 1
+),
+sv AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM stats),
+recon AS (
+  SELECT b.vec_id, b.embedding,
+    list_transform(range(1, len(b.embedding)+1), i ->
+      s.mn[i] + (LEAST(255.0, GREATEST(0.0,
+        CASE WHEN s.mx[i] = s.mn[i] THEN 0.0
+             ELSE floor((CAST(b.embedding[i] AS DOUBLE) - s.mn[i]) / (s.mx[i] - s.mn[i]) * 255.0) END
+      )) + 0.5) * (s.mx[i] - s.mn[i]) / 255.0) AS rv
+  FROM embeddings b CROSS JOIN sv s
+),
+cand AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS crnk FROM (
+    SELECT q.qid AS qid, r.vec_id AS nid,
+      round(sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i ->
+        (CAST(q.qv[i] AS DOUBLE) - r.rv[i]) * (CAST(q.qv[i] AS DOUBLE) - r.rv[i])))), 4) AS dist
+    FROM q CROSS JOIN recon r)
+),
+rer AS (
+  SELECT c.qid AS qid, c.nid AS nid, ${Sql.l2} AS dist
+  FROM cand c JOIN q ON q.qid = c.qid JOIN embeddings b ON b.vec_id = c.nid
+  WHERE c.crnk <= 50
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist, CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+  FROM rer
+) WHERE rnk <= $K""")),
+    // V15 — Cluster::Assign over an explicit centroid table (relational
+    // argmin; Train via MLlib KMeans is covered in ScalaTest)
+    GraftQuery(
+      "cluster_assign",
+      (s, dir) => {
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        Cluster
+          .assignToCentroids(
+            baseVecs(s, dir).select(col("id"), col("vec")),
+            cents,
+            roundDist = ROUND)
+      },
+      Some("""WITH c AS (SELECT vec_id AS cluster_id, embedding AS centroid FROM embeddings WHERE vec_id % 250 = 0),
+pairs AS (
+  SELECT b.vec_id AS id, c.cluster_id AS cluster_id,
+    round(sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i ->
+      (CAST(b.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) *
+      (CAST(b.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))))), 4) AS dist
+  FROM embeddings b CROSS JOIN c
+)
+SELECT id, cluster_id, dist FROM (
+  SELECT id, cluster_id, dist, row_number() OVER (PARTITION BY id ORDER BY dist ASC, cluster_id ASC) AS rn
+  FROM pairs
+) WHERE rn = 1"""))
+  )
+}

@@ -18,7 +18,18 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
-  def events(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "events")
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark 4 only reads as
+    * LONG (spark.sql.legacy.parquet.nanosAsLong=true, set by Verify/Bench
+    * sessions); normalize back to a microsecond TIMESTAMP column here. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ => raw
+    }
+  }
   def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def supplier(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "supplier")
