@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF index family (`src/index/ivf/ivf.cc:66-1276`), Spark-first:
+  *
+  *   - Train (`ivf.cc:440-654`): k-means over a sample → centroid table
+  *     (MLlib KMeans, or any explicit codebook DataFrame);
+  *   - Add (`ivf.cc:656-689`): assign every base vector to its nearest
+  *     centroid → index table `(id, vec, cluster_id)`; at scale this table
+  *     is written `partitionBy("cluster_id")` so probing prunes files;
+  *   - Search (`ivf.cc:691-810`): per query, pick the `nprobe` nearest
+  *     centroids (broadcast centroids — tiny), then scan ONLY the probed
+  *     partitions (Catalyst partition pruning does the mechanics; choosing
+  *     the list set is this code). `nprobe = nlist` recovers exact search
+  *     (the oracle-checked configuration); smaller nprobe trades recall for
+  *     a 1/nlist-scaled scan, verified by recall tests.
+  */
+object IvfIndex {
+
+  /** Add phase: nearest-centroid assignment, keeping the vector column. */
+  def build(
+      base: DataFrame, // (id, vec)
+      centroids: DataFrame, // (cluster_id, centroid)
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val assigned = Cluster.assignToCentroids(base, centroids, roundDist)
+    base.join(assigned.select(col("id"), col("cluster_id")), "id")
+  }
+
+  /** Per-query probe list: the nprobe nearest centroids. */
+  def probe(
+      queries: DataFrame, // (qid, qvec)
+      centroids: DataFrame,
+      nprobe: Int,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val d = {
+      val raw = graft.functions.VectorFunctions.l2(col("qvec"), col("centroid"))
+      roundDist.map(n => round(raw, n)).getOrElse(raw)
+    }
+    val pairs = queries
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cluster_id"), d.as("dist"))
+    BruteForce
+      .topK(pairs, nprobe, ascending = true, idCol = "cluster_id")
+      .select(col("qid"), col("cluster_id"))
+  }
+
+  /** Search: probe → scan only probed lists → exact distance → top-k. */
+  def search(
+      queries: DataFrame, // (qid, qvec)
+      index: DataFrame, // (id, vec, cluster_id) from build()
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int,
+      metric: Metric = Metric.L2,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val probes = probe(queries, centroids, nprobe, roundDist)
+    val raw = metric.dist(col("qvec"), col("vec"))
+    val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
+    val pairs = broadcast(probes.join(queries, "qid"))
+      .join(index, "cluster_id")
+      .select(col("qid"), col("id").as("nid"), d.as("dist"))
+    BruteForce.topK(pairs, k, metric.ascending)
+  }
+
+  /** Train via MLlib KMeans → centroid table (cluster_id, centroid). */
+  def trainKMeans(spark: SparkSession, base: DataFrame, nlist: Int, seed: Long = 42L): DataFrame = {
+    val model = Cluster.train(base, nlist, seed)
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
+      .toSeq
+      .toDF("cluster_id", "centroid")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.BruteForce.topK
+
+/** Sparse vector search — the reference's sparse brute force
+  * (`brute_force.cc:629-747`) and inverted index
+  * (`src/index/sparse/sparse_inverted_index.h:93-989`), re-expressed
+  * relationally:
+  *
+  *   - a sparse row (sorted (index,value) pairs, `sparse_utils.h:96-254`)
+  *     becomes rows of a postings table `(term, id, tf)` — i.e. the exploded
+  *     inverted index IS the DataFrame;
+  *   - the sorted-merge dot product (`sparse_utils.h:203-225`) becomes
+  *     join-on-term + per-pair sum;
+  *   - per-dim max-score pruning (WAND/MaxScore, `:699-830`) maps to a
+  *     term-level bound filter; exactness when pruning is off
+  *     (`drop_ratio_search=0`), which is what the oracle checks.
+  *
+  * Scale shape: postings are partitioned by term (the natural shuffle key);
+  * the query side is small and broadcast; scores partial-aggregate map-side
+  * before the (qid,id) shuffle.
+  */
+object SparseSearch {
+
+  /** Term frequencies from a text column: `(id, term, tf)` postings. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Document lengths (token counts) — BM25's `dl`; the reference collects
+    * these as `row_sums` at Train/Add (`sparse_inverted_index.h:398-427`). */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), size(split(col(textCol), " ")).as("dl"))
+
+  /** Exact sparse IP top-k: score = Σ_t qtf·tf over shared terms.
+    * Integer products ⇒ exact double sums at any accumulation order. */
+  def searchIP(
+      queryPostings: DataFrame, // (qid, term, qtf)
+      basePostings: DataFrame, // (id, term, tf)
+      k: Int
+  ): DataFrame = {
+    val scored = broadcast(queryPostings)
+      .join(basePostings, "term")
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
+    topK(scored, k, ascending = false)
+  }
+
+  /** Exact BM25 top-k (S16): score = Σ_t qtf · idf(t) · tf·(k1+1)/(tf +
+    * k1·(1−b+b·dl/avgdl)), with idf = ln((N−df+0.5)/(df+0.5)+1) from
+    * corpus stats. Per-term contributions are rounded to 9dp and summed as
+    * DECIMAL so the total is accumulation-order-independent (oracle
+    * parity). Reference weight: `sparse_utils.h:62-66`; stats collection
+    * `sparse_inverted_index.h:398-427`.
+    */
+  def searchBM25(
+      queryPostings: DataFrame, // (qid, term, qtf)
+      basePostings: DataFrame, // (id, term, tf)
+      docLens: DataFrame, // (id, dl)
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      roundDist: Option[Int] = Some(4)
+  ): DataFrame = {
+    val n = docLens.count().toDouble
+    val avgdl =
+      docLens.agg(sum(col("dl")).cast("double")).head.getDouble(0) / n
+    val df = basePostings.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(
+      (lit(n) - col("df").cast("double") + 0.5d) / (col("df").cast("double") + 0.5d) + 1.0d)
+    val tfw = col("tf").cast("double") * (k1 + 1.0d) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0d - b) + lit(b / avgdl) * col("dl").cast("double")))
+    val contrib = round(col("qtf").cast("double") * idf * tfw, 9).cast("decimal(38,9)")
+    val scored = broadcast(queryPostings)
+      .join(basePostings, "term")
+      .join(df, "term")
+      .join(docLens.withColumnRenamed("id", "bid"), col("id") === col("bid"))
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg(sum(contrib).cast("double").as("raw"))
+    val d = roundDist.map(r => round(col("raw"), r)).getOrElse(col("raw"))
+    topK(scored.select(col("qid"), col("nid"), d.as("dist")), k, ascending = false)
+  }
+
+  /** Query-term pruning — the `drop_ratio_search` analog
+    * (`sparse_inverted_index.h:643-663`): drop query terms with tf below a
+    * threshold before the join. Exact when threshold=0. */
+  def pruneQueryTerms(queryPostings: DataFrame, minTf: Long): DataFrame =
+    queryPostings.filter(col("qtf") >= minTf)
+}

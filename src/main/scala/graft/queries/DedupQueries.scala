@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.{Dedup, TextAnalysis}
 import graft.sources.Tables
 
 /** Deduplication operators over `documents` (training-data pipeline):
@@ -10,6 +11,25 @@ import graft.sources.Tables
   * embedding-cosine variants in graft.operators.Dedup.
   */
 object DedupQueries {
+
+  private val P = TextAnalysis.HashP
+
+  /** DuckDB: char-fold polynomial hash of expression `tok`. */
+  private def sqlTokenHash(tok: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, len($tok)+1), i -> CAST(ascii(substr($tok, CAST(i AS INT), 1)) AS BIGINT))), " +
+      s"(h, c) -> (h * 31 + c) % $P)"
+
+  /** DuckDB CTE `sh(doc_id, sh)`: distinct token-3-gram shingle hashes. */
+  private val shCte =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END,
+    s -> ${sqlTokenHash("s")})) AS sh
+  FROM toks
+)"""
 
   def all: Seq[GraftQuery] = Seq(
     // exact dedup: md5 content grouping, keep = lowest doc_id per group.
@@ -28,6 +48,91 @@ object DedupQueries {
       Some("""SELECT doc_id,
 CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS keep,
 CAST(count(*) OVER (PARTITION BY md5(text)) AS INT) AS n_copies
-FROM documents"""))
+FROM documents""")),
+    // MinHash (16 perms) + LSH (4 bands × 4) candidate pairs, exact-Jaccard
+    // verified at ≥ 0.5 — the standard near-dup pipeline at corpus scale
+    GraftQuery(
+      "dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.5),
+      Some(s"""WITH $shCte,
+sig AS (
+  SELECT doc_id, sh, list_transform(range(0, 16), i ->
+    list_min(list_transform(sh, x -> ((2*i + 3) * x + (97 + 31*i)) % $P))) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, sh, b.range AS band,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      sig[CAST(b.range*4 + 1 AS INT):CAST(b.range*4 + 4 AS INT)]),
+      (h, x) -> (h * 31 + x) % $P) AS bh
+  FROM sig CROSS JOIN range(0, 4) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""")),
+    // n-gram Jaccard with 1-permutation (min shingle hash) blocking
+    GraftQuery(
+      "dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.6),
+      Some(s"""WITH $shCte,
+blk AS (SELECT doc_id, sh, list_min(sh) AS blk FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+  FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT DISTINCT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6""")),
+    // 32-bit SimHash, byte-banded, hamming ≤ 3
+    GraftQuery(
+      "dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3),
+      Some(s"""WITH $shCte,
+sig AS (
+  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(0, 32), b ->
+      CASE WHEN list_sum(list_transform(sh, x ->
+        (CASE WHEN CAST(floor(x / (2.0 ** b)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END))) > 0
+      THEN CAST(2.0 ** b AS BIGINT) ELSE 0 END)),
+    (h, v) -> h + v) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, sig, b.range AS b, (sig >> CAST(b.range * 8 AS INT)) & 255 AS bv
+  FROM sig CROSS JOIN range(0, 4) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+    CAST(bit_count(xor(a.sig, c.sig)) AS INT) AS hamming
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3""")),
+    // embedding-cosine nearest neighbor per vector (near-dup scan shape)
+    GraftQuery(
+      "embed_nn_cosine",
+      (s, dir) => Dedup.cosineTop1(Tables.embeddings(s, dir)),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+    round(list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+      CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+      (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS dist
+  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id
+)
+SELECT qid, nid, dist FROM (
+  SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS rn
+  FROM pairs
+) WHERE rn = 1"""))
   )
 }

@@ -15,7 +15,8 @@ final case class GraftQuery(
 
 object Registry {
   def all: Seq[GraftQuery] =
-    VectorQueries.all ++ TextQueries.all ++ DedupQueries.all ++ RelationalQueries.all
+    VectorQueries.all ++ SparseQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ RelationalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

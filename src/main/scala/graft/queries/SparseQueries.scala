@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SparseSearch
+import graft.sources.Tables
+
+/** Sparse vector search over the documents corpus: term-frequency postings
+  * as the sparse representation (S3 brute-force sparse, S9 inverted index,
+  * S16 BM25). Query rows = every 100th document's tf vector.
+  */
+object SparseQueries {
+
+  private val QMOD = 100
+  private val K = 10
+
+  private def basePostings(s: org.apache.spark.sql.SparkSession, dir: String) =
+    SparseSearch.postings(Tables.documents(s, dir), "doc_id", "text")
+
+  private def queryPostings(s: org.apache.spark.sql.SparkSession, dir: String) =
+    SparseSearch
+      .postings(
+        Tables.documents(s, dir).filter(col("doc_id") % QMOD === 0),
+        "doc_id",
+        "text")
+      .select(col("id").as("qid"), col("term"), col("tf").as("qtf"))
+
+  private val tfCte =
+    """tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY 1, 2
+),
+q AS (SELECT doc_id AS qid, term, tf AS qtf FROM tf WHERE doc_id % 100 = 0)"""
+
+  def all: Seq[GraftQuery] = Seq(
+    // S3/S9 — exact sparse IP top-k via postings join (integer products ⇒
+    // order-independent exact sums)
+    GraftQuery(
+      "sparse_ip_knn",
+      (s, dir) => SparseSearch.searchIP(queryPostings(s, dir), basePostings(s, dir), K),
+      Some(s"""WITH $tfCte,
+scored AS (
+  SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
+  FROM q JOIN tf t ON q.term = t.term GROUP BY 1, 2
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= $K""")),
+    // S16 — BM25 top-k with idf and length normalization; per-term
+    // contributions rounded to 9dp and summed as DECIMAL for
+    // accumulation-order independence
+    GraftQuery(
+      "sparse_bm25_knn",
+      (s, dir) =>
+        SparseSearch.searchBM25(
+          queryPostings(s, dir),
+          basePostings(s, dir),
+          SparseSearch.docLengths(Tables.documents(s, dir), "doc_id", "text"),
+          K),
+      Some(s"""WITH $tfCte,
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.qid AS qid, t.doc_id AS nid,
+    round(CAST(sum(CAST(round(
+      (q.qtf * ln(((s.n - df.df) + 0.5) / (df.df + 0.5) + 1.0)) *
+      ((t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * ((1.0 - 0.75) + (0.75 / s.avgdl) * dl.dl)))
+    , 9) AS DECIMAL(38,9))) AS DOUBLE), 4) AS dist
+  FROM q
+  JOIN tf t ON q.term = t.term
+  JOIN df ON df.term = t.term
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN s
+  GROUP BY 1, 2
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= $K"""))
+  )
+}

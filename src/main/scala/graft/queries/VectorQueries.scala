@@ -242,6 +242,85 @@ pairs AS (
 SELECT id, cluster_id, dist FROM (
   SELECT id, cluster_id, dist, row_number() OVER (PARTITION BY id ORDER BY dist ASC, cluster_id ASC) AS rn
   FROM pairs
-) WHERE rn = 1"""))
+) WHERE rn = 1""")),
+    // S6 — IVF search mechanics with an explicit codebook: assign (Add),
+    // probe nprobe=2 nearest centroids, scan only probed lists, exact
+    // distance, top-k (ivf.cc:691-810). KMeans-trained centroids are
+    // exercised in ScalaTest (recall-gated, not hash-gated).
+    GraftQuery(
+      "ivf_knn_probe",
+      (s, dir) => {
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val index = IvfIndex.build(base, cents, ROUND)
+        IvfIndex.search(queryVecs(s, dir), index, cents, K, nprobe = 2, Metric.L2, ROUND)
+      },
+      Some(s"""WITH ${Sql.qView},
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 250 = 0),
+asn AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT b.vec_id, b.embedding, c.cid,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i ->
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))), 4) ASC, c.cid ASC) AS rn
+    FROM embeddings b CROSS JOIN c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i ->
+          (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+          (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))), 4) ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 2
+),
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.l2} AS dist
+  FROM q JOIN probes p ON p.qid = q.qid JOIN asn b ON b.cid = p.cid
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+  FROM pairs
+) WHERE rnk <= $K""")),
+    // S4/V6 — AnnIterator analog: the sorted neighbor stream consumed as
+    // pages; page 2 (ranks 11..20) of the exact L2 stream
+    GraftQuery(
+      "iter_page2",
+      (s, dir) =>
+        BruteForce
+          .knn(queryVecs(s, dir), baseVecs(s, dir), 20, Metric.L2, roundDist = ROUND)
+          .filter(col("rnk") > 10),
+      Some(Sql.knn(Sql.l2, desc = false, k = 20).replace("WHERE rnk <= 20", "WHERE rnk <= 20 AND rnk > 10"))),
+    // V10/V11 — Count/Dim/meta: index metadata describe
+    GraftQuery(
+      "index_meta",
+      (s, dir) =>
+        Tables
+          .embeddings(s, dir)
+          .agg(
+            count(lit(1)).as("cnt"),
+            max(size(col("embedding"))).as("dim"),
+            min(col("vec_id")).as("min_id"),
+            max(col("vec_id")).as("max_id")),
+      Some("""SELECT count(*) AS cnt, CAST(max(len(embedding)) AS INT) AS dim,
+min(vec_id) AS min_id, max(vec_id) AS max_id FROM embeddings""")),
+    // S6 via MLlib KMeans train (no SQL oracle — rows-only check here;
+    // recall + centroid invariants are ScalaTest-gated)
+    GraftQuery(
+      "ivf_kmeans_knn",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val cents = IvfIndex.trainKMeans(s, base, nlist = 8)
+        val index = IvfIndex.build(base, cents, ROUND)
+        IvfIndex.search(queryVecs(s, dir), index, cents, K, nprobe = 4, Metric.L2, ROUND)
+      },
+      None)
   )
 }
