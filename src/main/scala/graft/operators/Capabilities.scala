@@ -1,0 +1,38 @@
+package graft.operators
+
+/** Static capability surface — the reference's index↔metric/datatype tables
+  * and feature bits (`include/knowhere/comp/knowhere_check.h:22-41`,
+  * `feature.h:21-56`, `index_factory.cc:118-128`) plus the per-index
+  * `HasRawData` probe (`index_node.h:349-350`).
+  */
+object Capabilities {
+
+  val IndexTypes: Set[String] =
+    Set("FLAT", "BIN_FLAT", "IVF_FLAT", "IVF_SQ8", "SPARSE_INVERTED_INDEX", "SPARSE_WAND")
+
+  private val metricTable: Map[String, Set[String]] = Map(
+    "FLAT" -> Set("l2", "l2sq", "ip", "cosine"),
+    "BIN_FLAT" -> Set("hamming", "jaccard"),
+    "IVF_FLAT" -> Set("l2", "l2sq", "ip", "cosine"),
+    "IVF_SQ8" -> Set("l2", "l2sq"),
+    "SPARSE_INVERTED_INDEX" -> Set("ip", "bm25"),
+    "SPARSE_WAND" -> Set("ip", "bm25")
+  )
+
+  def supportsMetric(indexType: String, metric: String): Boolean =
+    metricTable.getOrElse(indexType, Set.empty).contains(metric.toLowerCase)
+
+  /** Raw vectors retained? FLAT/IVF_FLAT keep them (GetVectorByIds works);
+    * SQ8 retains only codes unless built with raw data (SCANN-style). */
+  def hasRawData(indexType: String): Boolean = indexType match {
+    case "FLAT" | "BIN_FLAT" | "IVF_FLAT" => true
+    case _ => false
+  }
+
+  /** Concurrent-append (CC) support — the streaming growing-segment path. */
+  def supportsConcurrentAppend(indexType: String): Boolean =
+    indexType match {
+      case "IVF_FLAT" | "FLAT" | "SPARSE_INVERTED_INDEX" => true
+      case _ => false
+    }
+}

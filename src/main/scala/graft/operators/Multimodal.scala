@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing for the training-data pipeline: image/audio/
+  * video payloads as opaque BINARY columns with typed metadata, processed in
+  * partition-batched imperative code (the Scala analog of `mapInPandas`
+  * batch UDFs).
+  *
+  * The decode step is a DETERMINISTIC FAKE — real image/audio codecs are not
+  * in this container. What is real and tested: the schema, the binary
+  * payload handling, frame sampling, the partition-batched execution shape,
+  * and the feature checksum arithmetic (which the DuckDB oracle reproduces
+  * byte-for-byte).
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, media: Array[Byte], kind: String)
+  final case class MediaFeatures(media_id: Long, n_frames: Int, checksum: Long)
+
+  /** Derive a deterministic media table from documents: payload = UTF-8
+    * bytes of the text (stands in for image/audio bytes). */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("media"),
+      lit("fake/blob").as("kind"))
+
+  /** Frame metadata (pure SQL — pushed-down, no decode): byte length and
+    * fixed-stride frame count. */
+  def mediaMeta(media: DataFrame, frameSize: Int = 64): DataFrame =
+    media.select(
+      col("media_id"),
+      length(col("media")).as("n_bytes"),
+      ceil(length(col("media")) / lit(frameSize.toDouble)).cast("int").as("n_frames"))
+
+  /** STUB DECODER (deterministic fake): split payload into fixed-size
+    * frames; per-frame "feature" = byte sum mod 997; checksum = Σ features.
+    * A real decoder (JPEG → pixels, PCM → spectrogram) would replace the
+    * body of the map; the partition-batched shape stays identical. */
+  def decodeFeatures(ds: Dataset[MediaRow], frameSize: Int = 64)(
+      implicit enc: org.apache.spark.sql.Encoder[MediaFeatures]): Dataset[MediaFeatures] =
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val frames = r.media.grouped(frameSize).toArray
+        val feats = frames.map(f => f.foldLeft(0L)((a, b) => (a + (b & 0xff)) % 997L))
+        MediaFeatures(r.media_id, frames.length, feats.sum)
+      }
+    }
+
+  /** End-to-end query path: documents → media table → batched decode. */
+  def featuresFromDocuments(spark: SparkSession, docs: DataFrame, frameSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val media = mediaFromDocuments(docs).as[MediaRow]
+    decodeFeatures(media, frameSize).toDF()
+  }
+}

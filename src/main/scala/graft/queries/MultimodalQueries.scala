@@ -1,0 +1,29 @@
+package graft.queries
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+/** Multimodal-column plumbing over a deterministic fake payload (text
+  * bytes): metadata without decode (pure pushed-down SQL) and the
+  * partition-batched stub decoder whose checksum arithmetic the oracle
+  * reproduces from character codes (payload is ASCII).
+  */
+object MultimodalQueries {
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "media_meta",
+      (s, dir) => Multimodal.mediaMeta(Multimodal.mediaFromDocuments(Tables.documents(s, dir))),
+      Some("""SELECT doc_id AS media_id, CAST(strlen(text) AS INT) AS n_bytes,
+CAST(ceil(strlen(text) / 64.0) AS INT) AS n_frames
+FROM documents""")),
+    GraftQuery(
+      "media_features",
+      (s, dir) => Multimodal.featuresFromDocuments(s, Tables.documents(s, dir)),
+      Some("""SELECT doc_id AS media_id, CAST(ceil(strlen(text) / 64.0) AS INT) AS n_frames,
+CAST(list_sum(list_transform(range(0, CAST(ceil(strlen(text) / 64.0) AS BIGINT)), j ->
+  list_sum(list_transform(range(1, least(64, strlen(text) - j*64) + 1), i ->
+    ascii(substr(text, CAST(j*64 + i AS INT), 1)))) % 997)) AS BIGINT) AS checksum
+FROM documents"""))
+  )
+}

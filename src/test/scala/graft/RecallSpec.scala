@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Reference-style quality gates (`tests/ut/test_search.cc:28-30`):
+  * recall ≥ 0.6 for ANN paths, ≥ 0.95 for brute-force-class paths, vs the
+  * exact search as ground truth — computed as sorted-id set intersection.
+  */
+class RecallSpec extends SparkSpec {
+
+  private val K = 10
+
+  private lazy val queries = Tables
+    .embeddings(spark, sf0001)
+    .filter(col("vec_id") % 50 === 0)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private lazy val base = Tables
+    .embeddings(spark, sf0001)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private lazy val truth = BruteForce.knn(queries, base, K, Metric.L2).cache()
+
+  test("IVF with KMeans centroids, nprobe=2 of 8: recall >= 0.6 (ANN floor)") {
+    val cents = IvfIndex.trainKMeans(spark, base, nlist = 8)
+    val index = IvfIndex.build(base, cents)
+    val got = IvfIndex.search(queries, index, cents, K, nprobe = 2)
+    assert(recall(got, truth) >= 0.6)
+  }
+
+  test("IVF nprobe=nlist is exact (recall 1.0)") {
+    val cents = IvfIndex.trainKMeans(spark, base, nlist = 8)
+    val index = IvfIndex.build(base, cents)
+    val got = IvfIndex.search(queries, index, cents, K, nprobe = 8)
+    assert(recall(got, truth) == 1.0)
+  }
+
+  test("SQ8 + rerank: recall >= 0.95 (brute-force-class floor)") {
+    val got = Quantization.sq8Knn(queries, base, K, reorderK = 50)
+    assert(recall(got, truth) >= 0.95)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+import graft.streaming.StreamingIndex
+
+/** CC-index analog: search concurrent with streaming ingest
+  * (`tests/ut/test_ivfflat_cc.cc` shape). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming append grows the snapshot; search sees new vectors") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val srcDir = s"$tmp/src"
+    val growDir = s"$tmp/grow"
+    val ckptDir = s"$tmp/ckpt"
+
+    val sealedDf = Seq((0L, Array(0f, 0f)), (1L, Array(1f, 0f))).toDF("id", "vec")
+    val queries = Seq((9L, Array(0f, 0f))).toDF("qid", "qvec")
+
+    // batch 1 arrives
+    Seq((2L, Array(0.1f, 0f))).toDF("id", "vec").write.parquet(s"$srcDir/b1")
+    val q1 = StreamingIndex.startAppend(spark, s"$srcDir/*", sealedDf.schema, growDir, ckptDir)
+    q1.awaitTermination()
+
+    val r1 = StreamingIndex
+      .searchSnapshot(spark, queries, sealedDf, growDir, k = 3)
+      .collect()
+      .map(_.getAs[Long]("nid"))
+      .toSet
+    assert(r1 == Set(0L, 1L, 2L))
+
+    // batch 2 arrives; restart the AvailableNow stream (same checkpoint →
+    // exactly-once append of only the new files)
+    Seq((3L, Array(0.05f, 0f))).toDF("id", "vec").write.parquet(s"$srcDir/b2")
+    val q2 = StreamingIndex.startAppend(spark, s"$srcDir/*", sealedDf.schema, growDir, ckptDir)
+    q2.awaitTermination()
+
+    val r2 = StreamingIndex
+      .searchSnapshot(spark, queries, sealedDf, growDir, k = 3)
+      .collect()
+      .map(_.getAs[Long]("nid"))
+      .toSet
+    assert(r2 == Set(0L, 2L, 3L)) // id 3 closer than id 1 now
+  }
+}
+
+/** V9 Serialize/Deserialize: the index ↔ storage round-trip is a parquet
+  * write partitioned by cluster_id (partition pruning at probe time) and a
+  * read back — results must be identical. */
+class IndexPersistenceSpec extends SparkSpec {
+
+  test("IVF index parquet round-trip (partitioned by cluster_id) is lossless") {
+    val base = Tables
+      .embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables
+      .embeddings(spark, sf0001)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = IvfIndex.trainKMeans(spark, base, nlist = 4)
+    val index = IvfIndex.build(base, cents)
+
+    val dir = Files.createTempDirectory("graft-index").toString
+    index.write.partitionBy("cluster_id").parquet(s"$dir/ivf")
+    cents.write.parquet(s"$dir/centroids")
+
+    val index2 = spark.read.parquet(s"$dir/ivf")
+    val cents2 = spark.read.parquet(s"$dir/centroids")
+
+    val before = IvfIndex.search(queries, index, cents, 5, nprobe = 2, roundDist = Some(4))
+    val after = IvfIndex.search(queries, index2, cents2, 5, nprobe = 2, roundDist = Some(4))
+    val a = before.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = after.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+}
+
+class CapabilitiesSpec extends SparkSpec {
+  test("capability tables mirror the reference semantics") {
+    assert(Capabilities.supportsMetric("FLAT", "cosine"))
+    assert(!Capabilities.supportsMetric("BIN_FLAT", "l2"))
+    assert(Capabilities.supportsMetric("SPARSE_WAND", "bm25"))
+    assert(Capabilities.hasRawData("IVF_FLAT"))
+    assert(!Capabilities.hasRawData("IVF_SQ8"))
+    assert(Capabilities.supportsConcurrentAppend("IVF_FLAT"))
+    assert(!Capabilities.supportsConcurrentAppend("IVF_SQ8"))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stub decoder: frame count and checksum are deterministic") {
+    val docs = Seq((1L, "a" * 100), (2L, "bc")).toDF("doc_id", "text")
+    val m = operators.Multimodal
+      .featuresFromDocuments(spark, docs)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), (r.getAs[Int]("n_frames"), r.getAs[Long]("checksum"))))
+      .toMap
+    // 'a'=97: frame1 = 64*97 mod 997, frame2 = 36*97 mod 997
+    assert(m(1L) == ((2, (64 * 97 % 997) + (36 * 97 % 997))))
+    assert(m(2L) == ((1, ('b'.toInt + 'c'.toInt) % 997)))
+  }
+
+  test("media meta computes byte counts without decoding") {
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val got = operators.Multimodal.mediaMeta(operators.Multimodal.mediaFromDocuments(docs)).head
+    assert(got.getAs[Int]("n_bytes") == 11)
+    assert(got.getAs[Int]("n_frames") == 1)
+  }
+}
