@@ -18,12 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  import org.apache.spark.sql.GraftExpr
+
   /** Sum of f(a_i, b_i) folded left-to-right in DOUBLE. */
   private def zipSum(a: Column, b: Column, f: (Column, Column) => Column): Column =
     aggregate(zip_with(a, b, f), lit(0.0d), (acc, x) => acc + x)
 
-  /** Squared L2 distance (reference `fvec_L2sqr`, distances_ref.cc). */
+  /** Squared L2 distance (reference `fvec_L2sqr`, distances_ref.cc) as a
+    * codegen'd native expression (the SIMD-kernel analog — see
+    * graft.plans.VecL2Sq). Bit-identical to [[l2SqHof]]. */
   def l2Sq(a: Column, b: Column): Column =
+    GraftExpr.column(
+      graft.plans.VecL2Sq(GraftExpr.expression(a), GraftExpr.expression(b)))
+
+  /** Interpreted higher-order-function formulation (kept as the
+    * cross-check reference for the codegen kernel). */
+  def l2SqHof(a: Column, b: Column): Column =
     zipSum(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double")
       d * d
@@ -33,8 +43,13 @@ object VectorFunctions {
     * (faiss convention); we expose both. */
   def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
 
-  /** Inner product (reference `fvec_inner_product`). */
+  /** Inner product (reference `fvec_inner_product`), codegen'd. */
   def dot(a: Column, b: Column): Column =
+    GraftExpr.column(
+      graft.plans.VecDot(GraftExpr.expression(a), GraftExpr.expression(b)))
+
+  /** Interpreted HOF inner product (cross-check reference). */
+  def dotHof(a: Column, b: Column): Column =
     zipSum(a, b, (x, y) => x.cast("double") * y.cast("double"))
 
   /** L2 norm (reference `fvec_norm_L2sqr`, GetVecNorms

@@ -80,6 +80,39 @@ object BruteForce {
       idCol: String = "nid",
       distCol: String = "dist"
   ): DataFrame = {
+    // bounded-heap aggregate (graft.plans.TopKAgg): map-side partial top-k,
+    // shuffle carries ≤ k rows per (query, partition) instead of the whole
+    // candidate set. Output (cols, order, ties) identical to topKWindow.
+    import org.apache.spark.sql.GraftExpr
+    val agg = GraftExpr.column(
+      graft.plans
+        .TopKAgg(
+          GraftExpr.expression(col(distCol)),
+          GraftExpr.expression(col(idCol).cast("long")),
+          k,
+          ascending)
+        .toAggregateExpression())
+    pairs
+      .groupBy(col(qidCol))
+      .agg(agg.as("_topk"))
+      .select(col(qidCol), posexplode(col("_topk")).as(Seq("_pos", "_e")))
+      .select(
+        col(qidCol),
+        col("_e.id").as(idCol),
+        col("_e.dist").as(distCol),
+        (col("_pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** Window-ranking formulation (kept as the cross-check reference for
+    * TopKAgg; preserves all input columns). */
+  def topKWindow(
+      pairs: DataFrame,
+      k: Int,
+      ascending: Boolean,
+      qidCol: String = "qid",
+      idCol: String = "nid",
+      distCol: String = "dist"
+  ): DataFrame = {
     val ord =
       if (ascending) Seq(col(distCol).asc, col(idCol).asc)
       else Seq(col(distCol).desc, col(idCol).asc)
@@ -101,10 +134,20 @@ object BruteForce {
       roundDist: Option[Int] = None
   ): DataFrame = {
     val filtered = baseFilter.map(base.filter).getOrElse(base)
-    val raw = metric.dist(col("qvec"), col("vec"))
+    // Cached-norms optimization for COSINE (`brute_force.cc:66-101`,
+    // SURVEY.md §4): norms are computed once per side below the join, not
+    // per pair — same arithmetic (dot/(|a|·|b|)), identical values.
+    val (q, b, raw) = metric match {
+      case Metric.Cosine =>
+        (
+          queries.withColumn("_qn", normL2(col("qvec"))),
+          filtered.withColumn("_bn", normL2(col("vec"))),
+          cosineSimPre(col("qvec"), col("vec"), col("_qn"), col("_bn")))
+      case m => (queries, filtered, m.dist(col("qvec"), col("vec")))
+    }
     val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
-    broadcast(queries)
-      .crossJoin(filtered)
+    broadcast(q)
+      .crossJoin(b)
       .select(col("qid"), col("id").as("nid"), d.as("dist"))
   }
 

@@ -31,7 +31,8 @@ object Dedup {
     array_distinct(transform(shingles(tokens(text), n), tokenHash(_)))
 
   /** MinHash signature: sig[i] = min over shingles of perm_i(shingleHash).
-    * Pure per-row array arithmetic — the Train phase of dedup. */
+    * Pure per-row array arithmetic — the Train phase of dedup. (Interpreted
+    * HOF form; the hot path uses [[minhashSignatureDf]].) */
   def minhashSignature(text: Column, numPerm: Int = NumPerm): Column = {
     val sh = shingleHashes(text)
     transform(
@@ -39,6 +40,25 @@ object Dedup {
       i => array_min(transform(sh, x => perm(i, x)))
     )
   }
+
+  /** Exploded distinct shingle hashes (doc_id, sh) — the shingling HOF runs
+    * exactly once per doc; everything downstream is codegen'd integer
+    * arithmetic with map-side partial aggregation. */
+  def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingleHashes(col("text"))).as("sh"))
+
+  /** MinHash signatures relationally: one groupBy with 16 static min
+    * columns (m0..m15) — same values as [[minhashSignature]]. */
+  def minhashSignatureDf(docs: DataFrame, numPerm: Int = NumPerm): DataFrame = {
+    val mcols = (0 until numPerm).map(i =>
+      min((lit(2L * i + 3L) * col("sh") + lit(97L + 31L * i)) % HashP).as(s"m$i"))
+    shingleRows(docs).groupBy("doc_id").agg(mcols.head, mcols.tail: _*)
+  }
+
+  /** Static band-key fold over signature columns m{4b}..m{4b+3}. */
+  private def bandCol(b: Int, rowsPerBand: Int = RowsPerBand): Column =
+    (0 until rowsPerBand).foldLeft(lit(0L))((h, r) =>
+      (h * 31L + col(s"m${b * rowsPerBand + r}")) % HashP)
 
   /** Band key: fold of the band's signature slice, (h·31+x) mod P. */
   def bandHash(sig: Column, band: Int, rowsPerBand: Int = RowsPerBand): Column =
@@ -57,22 +77,23 @@ object Dedup {
       numPerm: Int = NumPerm,
       bands: Int = Bands
   ): DataFrame = {
-    val withSig = docs.select(
-      col("doc_id"),
-      shingleHashes(col("text")).as("sh"),
-      minhashSignature(col("text"), numPerm).as("sig"))
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"), bandHash(col("sig"), b).as("bh")))
-    val banded2 = withSig
-      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("x"))
-      .select(col("doc_id"), col("sh"), col("x.band").as("band"), col("x.bh").as("bh"))
-    val a = banded2.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("band"), col("bh"))
-    val b = banded2.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("band"), col("bh"))
-    val pairs = a
+    // the LSH band join carries only (doc_id, band, key); the shingle
+    // arrays rejoin only for the (candidate pairs) verify stage
+    val shDf = docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"), bandCol(b).as("bh")))
+    val banded = minhashSignatureDf(docs, numPerm)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+    val cand = a
       .join(b, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sha"), col("shb"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val pairs = cand
+      .join(shDf.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(shDf.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     val jac = inter / (size(col("sha")) + size(col("shb")) - inter).cast("double")
     pairs
@@ -84,10 +105,11 @@ object Dedup {
     * the global minimum shingle hash (cheap, catches near-dups whose edit
     * doesn't remove the min shingle), verify exact Jaccard. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val withMin = docs.select(
-      col("doc_id"),
-      shingleHashes(col("text")).as("sh"),
-      array_min(shingleHashes(col("text"))).as("blk"))
+    // block key from the exploded rows (min per doc) so the shingling HOF
+    // runs once; rejoin the arrays for the verify stage
+    val shDf = docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+    val blkDf = shingleRows(docs).groupBy("doc_id").agg(min(col("sh")).as("blk"))
+    val withMin = shDf.join(blkDf, "doc_id")
     val a = withMin.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("blk"))
     val b = withMin.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("blk"))
     val pairs = a.join(b, "blk").filter(col("doc_a") < col("doc_b"))
@@ -99,33 +121,26 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  /** 32-bit SimHash over distinct shingle hashes: bit b set iff
-    * Σ_sh (±1 by bit b of sh) > 0. Shingle features (not tokens) so small
-    * vocabularies still produce near-uniform signatures for unrelated docs.
-    * Takes a precomputed distinct-shingle-hash array column. */
-  def simhash(shingleHashCol: Column): Column =
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, bcol) => {
-        val wsum = aggregate(
-          shingleHashCol,
-          lit(0L),
-          (a2, sh) => {
-            val bit = floor(sh.cast("double") / pow(lit(2.0d), bcol)).cast("long") % 2L
-            a2 + when(bit === 1L, 1L).otherwise(-1L)
-          }
-        )
-        acc + when(wsum > 0L, pow(lit(2.0d), bcol).cast("long")).otherwise(0L)
-      }
-    )
+  /** 32-bit SimHash signatures, relationally: explode shingle hashes, one
+    * groupBy with 32 static ±1 bit-sum columns (all codegen'd, map-side
+    * partial aggregation), then a static fold into the signature long.
+    * Bit b set iff Σ_sh (±1 by bit b of sh) > 0; shingle features (not
+    * tokens) so small vocabularies still yield near-uniform signatures. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val wcols = (0 until 32).map(b =>
+      sum(when(shiftright(col("sh"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"w$b"))
+    val sig = (0 until 32).foldLeft(lit(0L))((acc, b) =>
+      acc + when(col(s"w$b") > 0L, lit(1L << b)).otherwise(0L))
+    shingleRows(docs)
+      .groupBy("doc_id")
+      .agg(wcols.head, wcols.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+  }
 
   /** SimHash near-dup pairs: block on any equal 8-bit byte of the
     * signature, keep pairs with bit-hamming ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val withSig = docs
-      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-      .select(col("doc_id"), simhash(col("sh")).as("sig"))
+    val withSig = simhashSignatures(docs)
     val byteCols = (0 until 4).map(i =>
       struct(lit(i).as("b"), (shiftright(col("sig"), i * 8).bitwiseAND(255L)).as("bv")))
     val banded = withSig

@@ -77,13 +77,17 @@ object Quantization {
       .select(col("id"), col("vec"), sq8Recon(sq8Code(col("vec"), col("mn"), col("mx")), col("mn"), col("mx")).as("recon"))
     val rawA = VectorFunctions.l2(col("qvec"), col("recon"))
     val adist = roundDist.map(n => round(rawA, n)).getOrElse(rawA)
-    val cand = BruteForce.topK(
-      broadcast(queries)
-        .crossJoin(coded)
-        .select(col("qid"), col("qvec"), col("id").as("nid"), col("vec"), adist.as("dist")),
-      reorderK,
-      ascending = true
-    )
+    // rank on (qid, nid, dist) only; raw vectors rejoin for the rerank so
+    // they never ride through the top-k shuffle
+    val cand = BruteForce
+      .topK(
+        broadcast(queries)
+          .crossJoin(coded)
+          .select(col("qid"), col("id").as("nid"), adist.as("dist")),
+        reorderK,
+        ascending = true)
+      .join(broadcast(queries), "qid")
+      .join(base.select(col("id").as("nid"), col("vec")), "nid")
     val rawE = VectorFunctions.l2(col("qvec"), col("vec"))
     val edist = roundDist.map(n => round(rawE, n)).getOrElse(rawE)
     BruteForce.topK(

@@ -67,9 +67,11 @@ object SparseSearch {
       b: Double = 0.75,
       roundDist: Option[Int] = Some(4)
   ): DataFrame = {
-    val n = docLens.count().toDouble
-    val avgdl =
-      docLens.agg(sum(col("dl")).cast("double")).head.getDouble(0) / n
+    // one stats job: N and Σdl together (corpus stats = the reference's
+    // row_sums collection at Train, sparse_inverted_index.h:398-427)
+    val statsRow = docLens.agg(count(lit(1)).as("n"), sum(col("dl")).cast("double").as("s")).head
+    val n = statsRow.getLong(0).toDouble
+    val avgdl = statsRow.getDouble(1) / n
     val df = basePostings.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(
       (lit(n) - col("df").cast("double") + 0.5d) / (col("df").cast("double") + 0.5d) + 1.0d)

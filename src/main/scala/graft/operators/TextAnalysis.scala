@@ -18,8 +18,15 @@ object TextAnalysis {
 
   /** Polynomial character hash: fold (h·31 + ascii) mod P. The engine-side
     * analog of a BPE-ish stable token id — no global vocabulary join needed
-    * (scale: per-row arithmetic only). */
-  def tokenHash(tok: Column): Column =
+    * (scale: per-row arithmetic only). Codegen'd (graft.plans.StrPolyHash);
+    * byte≡char for the ASCII corpus, matching the oracle's char fold. */
+  def tokenHash(tok: Column): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(graft.plans.StrPolyHash(GraftExpr.expression(tok), HashP))
+  }
+
+  /** Interpreted per-character formulation (cross-check reference). */
+  def tokenHashHof(tok: Column): Column =
     aggregate(
       sequence(lit(1), length(tok)),
       lit(0L),

@@ -66,6 +66,21 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(d == 3.0 * 10 + 4.0 * 1) // shared dims 5 and 9
   }
 
+  test("codegen kernels are bit-identical to the interpreted HOF fold") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001).limit(200)
+    val pairs = e
+      .select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") % 20 === 0)
+    val mism = pairs
+      .select(
+        (l2Sq(col("a"), col("b")) =!= l2SqHof(col("a"), col("b"))).as("m1"),
+        (dot(col("a"), col("b")) =!= dotHof(col("a"), col("b"))).as("m2"))
+      .filter(col("m1") || col("m2"))
+      .count()
+    assert(mism == 0L)
+  }
+
   test("bm25 term weight matches the reference formula") {
     // tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), sparse_utils.h:62-66
     val got = one(bm25TermWeight(lit(3), lit(100), 1.2, 0.75, 80.0)).asInstanceOf[Double]
