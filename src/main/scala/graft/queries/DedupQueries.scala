@@ -31,30 +31,9 @@ sh AS (
   FROM toks
 )"""
 
-  def all: Seq[GraftQuery] = Seq(
-    // exact dedup: md5 content grouping, keep = lowest doc_id per group.
-    // At scale this is one shuffle on the 16-byte digest, never on the text.
-    GraftQuery(
-      "dedup_exact",
-      (s, dir) => {
-        val w = Window.partitionBy(md5(col("text").cast("binary")))
-        Tables
-          .documents(s, dir)
-          .select(
-            col("doc_id"),
-            when(col("doc_id") === min(col("doc_id")).over(w), 1).otherwise(0).as("keep"),
-            count(lit(1)).over(w).cast("int").as("n_copies"))
-      },
-      Some("""SELECT doc_id,
-CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS keep,
-CAST(count(*) OVER (PARTITION BY md5(text)) AS INT) AS n_copies
-FROM documents""")),
-    // MinHash (16 perms) + LSH (4 bands × 4) candidate pairs, exact-Jaccard
-    // verified at ≥ 0.5 — the standard near-dup pipeline at corpus scale
-    GraftQuery(
-      "dedup_minhash_lsh",
-      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.5),
-      Some(s"""WITH $shCte,
+  /** Full MinHash-LSH pair SQL (reused by dedup_minhash_keep). */
+  private[queries] def minhashPairsSql: String =
+    s"""WITH $shCte,
 sig AS (
   SELECT doc_id, sh, list_transform(range(0, 16), i ->
     list_min(list_transform(sh, x -> ((2*i + 3) * x + (97 + 31*i)) % $P))) AS sig
@@ -78,8 +57,50 @@ j AS (
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b
-)
+)"""
+
+  def all: Seq[GraftQuery] = Seq(
+    // exact dedup: md5 content grouping, keep = lowest doc_id per group.
+    // At scale this is one shuffle on the 16-byte digest, never on the text.
+    GraftQuery(
+      "dedup_exact",
+      (s, dir) => {
+        val w = Window.partitionBy(md5(col("text").cast("binary")))
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            when(col("doc_id") === min(col("doc_id")).over(w), 1).otherwise(0).as("keep"),
+            count(lit(1)).over(w).cast("int").as("n_copies"))
+      },
+      Some("""SELECT doc_id,
+CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS keep,
+CAST(count(*) OVER (PARTITION BY md5(text)) AS INT) AS n_copies
+FROM documents""")),
+    // MinHash (16 perms) + LSH (4 bands × 4) candidate pairs, exact-Jaccard
+    // verified at ≥ 0.5 — the standard near-dup pipeline at corpus scale
+    GraftQuery(
+      "dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.5),
+      Some(s"""$minhashPairsSql
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""")),
+    // dedup materialization: documents surviving greedy near-dup removal
+    // (drop every doc that appears as the higher id of a confirmed pair)
+    GraftQuery(
+      "dedup_minhash_keep",
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.5)
+        Tables
+          .documents(s, dir)
+          .join(
+            pairs.select(col("doc_b").as("doc_id")).distinct(),
+            Seq("doc_id"),
+            "left_anti")
+          .select(col("doc_id"))
+      },
+      Some(s"""$minhashPairsSql
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_b FROM j WHERE jaccard >= 0.5)""")),
     // n-gram Jaccard with 1-permutation (min shingle hash) blocking
     GraftQuery(
       "dedup_ngram_jaccard",

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.SparseSearch
+import graft.sources.Tables
+
+/** Training-data pipeline analytics: vocabulary building, event
+  * sessionization, distribution statistics — all over the scale tables.
+  */
+object PipelineQueries {
+
+  def all: Seq[GraftQuery] = Seq(
+    // vocabulary building: document frequency + total tf, top 20 terms
+    GraftQuery(
+      "vocab_top_terms",
+      (s, dir) => {
+        val stats = SparseSearch
+          .postings(Tables.documents(s, dir), "doc_id", "text")
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+        val w = Window.orderBy(col("total_tf").desc, col("term").asc)
+        stats
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 20)
+      },
+      Some("""WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY 1, 2
+),
+stats AS (SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY 1)
+SELECT term, df, CAST(total_tf AS BIGINT) AS total_tf, rnk FROM (
+  SELECT term, df, total_tf,
+         CAST(row_number() OVER (ORDER BY total_tf DESC, term ASC) AS INT) AS rnk
+  FROM stats
+) WHERE rnk <= 20""")),
+    // gap-based sessionization (30-min gap), deterministic order (ts, id);
+    // timestamps compared in integral microseconds
+    GraftQuery(
+      "events_sessions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val prev = lag(col("ts"), 1).over(w)
+        val newSess = when(prev.isNull, 0L)
+          .otherwise(when(unix_micros(col("ts")) - unix_micros(prev) > 1800000000L, 1L).otherwise(0L))
+        Tables
+          .events(s, dir)
+          .withColumn("ns", newSess)
+          .groupBy(col("user_id"))
+          .agg((sum(col("ns")) + 1L).cast("int").as("n_sessions"), count(lit(1)).as("n_events"))
+      },
+      Some("""WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id,
+  CAST(sum(CASE WHEN prev IS NULL THEN 0
+                WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(prev AS TIMESTAMP)) > 1800000000 THEN 1
+                ELSE 0 END) + 1 AS INT) AS n_sessions,
+  count(*) AS n_events
+FROM o GROUP BY 1""")),
+    // exact interpolated percentiles per event type
+    GraftQuery(
+      "events_quantiles",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.95)"), 4).as("p95")),
+      Some("""SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+round(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY 1"""))
+  )
+}

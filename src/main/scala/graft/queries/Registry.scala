@@ -16,7 +16,8 @@ final case class GraftQuery(
 object Registry {
   def all: Seq[GraftQuery] =
     VectorQueries.all ++ SparseQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ RelationalQueries.all ++ MultimodalQueries.all
+      DedupQueries.all ++ RelationalQueries.all ++ MultimodalQueries.all ++
+      PipelineQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

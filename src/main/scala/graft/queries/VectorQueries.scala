@@ -97,6 +97,21 @@ SELECT qid, nid, dist, rnk FROM (
         BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.L2,
           baseFilter = Some(col("label") =!= 1), roundDist = ROUND),
       Some(Sql.knn(Sql.l2, desc = false, where = "WHERE b.label <> 1"))),
+    // S20 — DocIdFilterByVector: sorted-docid exclusion as an anti-join on
+    // the id list (sparse_utils.h:70-93)
+    GraftQuery(
+      "bf_knn_l2_exclude_ids",
+      (s, dir) => {
+        val excluded = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id").as("id"))
+        val filteredBase =
+          baseVecs(s, dir).join(broadcast(excluded), Seq("id"), "left_anti")
+        BruteForce.knn(queryVecs(s, dir), filteredBase, K, Metric.L2, roundDist = ROUND)
+      },
+      Some(Sql.knn(Sql.l2, desc = false,
+        where = "WHERE b.vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 0)"))),
     // S2 — range search, two-sided L2 bound (range_util.h:22-25)
     GraftQuery(
       "bf_range_l2",
