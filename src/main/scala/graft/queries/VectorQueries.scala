@@ -304,6 +304,84 @@ SELECT qid, nid, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
   FROM pairs
 ) WHERE rnk <= $K""")),
+    // S13 — range-result CSR assembly: `lims` = per-query result counts
+    // (range_util.h:27-40; lims article of the result DataSet)
+    GraftQuery(
+      "bf_range_lims",
+      (s, dir) =>
+        BruteForce
+          .rangeSearch(queryVecs(s, dir), baseVecs(s, dir), Metric.L2, radius = 1.3,
+            rangeFilter = 0.5, roundDist = ROUND)
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("lim")),
+      Some(s"""WITH ${Sql.qView},
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.l2} AS dist
+  FROM q CROSS JOIN embeddings b
+)
+SELECT qid, count(*) AS lim FROM pairs WHERE dist >= 0.5 AND dist < 1.3 GROUP BY qid""")),
+    // S18/V10 — index introspection (Feder-style describe): per-list
+    // population and mean distance-to-centroid of the IVF structure
+    GraftQuery(
+      "ivf_describe",
+      (s, dir) => {
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        Cluster
+          .assignToCentroids(baseVecs(s, dir).select(col("id"), col("vec")), cents, ROUND)
+          .groupBy(col("cluster_id"))
+          .agg(
+            count(lit(1)).as("n_vectors"),
+            round(sum(round(col("dist"), 4).cast("decimal(28,4)")).cast("double") / count(lit(1)), 4)
+              .as("mean_dist"))
+      },
+      Some("""WITH c AS (SELECT vec_id AS cluster_id, embedding AS centroid FROM embeddings WHERE vec_id % 250 = 0),
+pairs AS (
+  SELECT b.vec_id AS id, c.cluster_id AS cluster_id,
+    round(sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i ->
+      (CAST(b.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) *
+      (CAST(b.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))))), 4) AS dist
+  FROM embeddings b CROSS JOIN c
+),
+asn AS (
+  SELECT id, cluster_id, dist FROM (
+    SELECT id, cluster_id, dist, row_number() OVER (PARTITION BY id ORDER BY dist ASC, cluster_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT cluster_id, count(*) AS n_vectors,
+round(CAST(sum(CAST(round(dist, 4) AS DECIMAL(28,4))) AS DOUBLE) / count(*), 4) AS mean_dist
+FROM asn GROUP BY 1""")),
+    // S7 capability analog — k-NN graph construction as a DataFrame
+    // (src, dst, dist): the Add/Build phase of a graph index expressed as
+    // an all-pairs self-join top-k (batch NN-descent seed)
+    GraftQuery(
+      "knn_graph_build",
+      (s, dir) => {
+        val q = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val p = BruteForce
+          .pairs(q, baseVecs(s, dir), Metric.L2, roundDist = ROUND)
+          .filter(col("qid") =!= col("nid"))
+        BruteForce
+          .topK(p, 5, ascending = true)
+          .select(col("qid").as("src"), col("nid").as("dst"), col("dist"), col("rnk"))
+      },
+      Some("""WITH pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+    round(sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+      (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+      (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 4) AS dist
+  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id
+)
+SELECT src, dst, dist, rnk FROM (
+  SELECT src, dst, dist,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS INT) AS rnk
+  FROM pairs
+) WHERE rnk <= 5""")),
     // S4/V6 — AnnIterator analog: the sorted neighbor stream consumed as
     // pages; page 2 (ranks 11..20) of the exact L2 stream
     GraftQuery(
