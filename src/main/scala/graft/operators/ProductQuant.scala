@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Product quantization — the quantizer of IVF_PQ (`src/index/ivf/ivf.cc`,
+  * PQ params m/nbits in `benchmark_float_qps.cpp:400-401`): split each
+  * vector into `m` subspaces, k-means each subspace into `ksub` codewords,
+  * store one code per subspace, search with an asymmetric-distance LUT
+  * (per-query distances to every codeword, summed by code lookup).
+  *
+  * Spark shape: the codebook is a tiny driver-side model (m×ksub×dsub
+  * floats) embedded as literals into static, codegen'd expression trees —
+  * encode and LUT are pure map-side projections; no join or shuffle touches
+  * the codebook. This build uses nbits=4 (ksub=16) so the per-row
+  * expression tree stays compact; the structure is identical for nbits=8.
+  *
+  * Training is k-means (seeded, but not SQL-reproducible), so PQ is
+  * recall-gated in ScalaTest rather than oracle-hash-gated — mirroring the
+  * reference, whose PQ is tested by recall thresholds, not exact match
+  * (`tests/ut/test_search.cc:28`).
+  */
+object ProductQuant {
+
+  final case class PQModel(m: Int, ksub: Int, dsub: Int, codebooks: Array[Array[Array[Float]]])
+
+  /** Train: per-subspace KMeans over `(id, vec)`. */
+  def train(spark: SparkSession, base: DataFrame, m: Int = 8, ksub: Int = 16, seed: Long = 42L): PQModel = {
+    val dim = base.select(max(size(col("vec")))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    // codebooks converge in few iterations; cache the projected subvectors
+    // so the m sub-trainings don't re-scan the base table
+    val subs = base.select((0 until m).map(s =>
+      slice(col("vec"), s * dsub + 1, dsub).as(s"sub$s")): _*)
+    subs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codebooks = (0 until m).map { s =>
+      val sub = subs.select(col(s"sub$s").as("vec")).withColumn("id", monotonically_increasing_id())
+      val model = Cluster.train(sub, ksub, seed + s, maxIter = 5)
+      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    }.toArray
+    subs.unpersist()
+    PQModel(m, ksub, dsub, codebooks)
+  }
+
+  /** Codes column: for each subspace, the index of the nearest codeword
+    * (first-minimum ⇒ deterministic tie-break). */
+  def encodeExpr(vec: Column, model: PQModel): Column = {
+    val codeCols = (0 until model.m).map { s =>
+      val sub = slice(vec, s * model.dsub + 1, model.dsub)
+      val dists = array((0 until model.ksub).map(c =>
+        VectorFunctions.l2Sq(sub, typedlit(model.codebooks(s)(c).toSeq))): _*)
+      (array_position(dists, array_min(dists)) - 1L).cast("int")
+    }
+    array(codeCols: _*)
+  }
+
+  /** Per-query LUT for subspace s: distances to all ksub codewords. */
+  private def lutExpr(qvec: Column, model: PQModel, s: Int): Column = {
+    val sub = slice(qvec, s * model.dsub + 1, model.dsub)
+    array((0 until model.ksub).map(c =>
+      VectorFunctions.l2Sq(sub, typedlit(model.codebooks(s)(c).toSeq))): _*)
+  }
+
+  /** ADC kNN with exact rerank: approx dist = sqrt(Σ_s lut_s[code_s]),
+    * top-reorderK, then exact L2 on rejoined raw vectors, top-k. */
+  def pqKnn(
+      queries: DataFrame, // (qid, qvec)
+      base: DataFrame, // (id, vec)
+      model: PQModel,
+      k: Int,
+      reorderK: Int,
+      roundDist: Option[Int] = Some(4)
+  ): DataFrame = {
+    val coded = base.select(col("id"), encodeExpr(col("vec"), model).as("codes"))
+    val qWithLut = (0 until model.m).foldLeft(queries)((df, s) =>
+      df.withColumn(s"_lut$s", lutExpr(col("qvec"), model, s)))
+    val adistSq = (0 until model.m)
+      .map(s => element_at(col(s"_lut$s"), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val rawA = sqrt(adistSq)
+    val adist = roundDist.map(n => round(rawA, n)).getOrElse(rawA)
+    val cand = BruteForce
+      .topK(
+        broadcast(qWithLut)
+          .crossJoin(coded)
+          .select(col("qid"), col("id").as("nid"), adist.as("dist")),
+        reorderK,
+        ascending = true)
+      .join(broadcast(queries), "qid")
+      .join(base.select(col("id").as("nid"), col("vec")), "nid")
+    val rawE = VectorFunctions.l2(col("qvec"), col("vec"))
+    val edist = roundDist.map(n => round(rawE, n)).getOrElse(rawE)
+    BruteForce.topK(cand.select(col("qid"), col("nid"), edist.as("dist")), k, ascending = true)
+  }
+}

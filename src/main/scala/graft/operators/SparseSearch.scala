@@ -67,6 +67,10 @@ object SparseSearch {
       b: Double = 0.75,
       roundDist: Option[Int] = Some(4)
   ): DataFrame = {
+    // postings feed both the score join and the df stats — cache so the
+    // tokenize+groupBy pass runs once (the reference caches row_sums and
+    // max-score stats at Train the same way)
+    basePostings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one stats job: N and Σdl together (corpus stats = the reference's
     // row_sums collection at Train, sparse_inverted_index.h:398-427)
     val statsRow = docLens.agg(count(lit(1)).as("n"), sum(col("dl")).cast("double").as("s")).head

@@ -11,27 +11,62 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
+  /** Tumbling-hour aggregation shared by the batch and streaming paths.
+    * Hour emitted as a string so Spark/DuckDB timestamp internals never
+    * touch the hash compare; exact-arithmetic sum (per-row round → decimal
+    * → exact sum → double) so accumulation order cannot matter. */
+  private[queries] def hourlyAgg(events: org.apache.spark.sql.DataFrame) =
+    events
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(round(col("value"), 6).cast("decimal(28,6)")).cast("double"), 4).as("total"))
+
+  private val hourlySql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+count(*) AS n, round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS total
+FROM events GROUP BY 1, 2"""
+
   def all: Seq[GraftQuery] = Seq(
-    // tumbling-window event aggregation (streaming CC analog, batch view).
-    // Hour emitted as a string so Spark/DuckDB timestamp internals never
-    // touch the hash compare.
+    // tumbling-window event aggregation (streaming CC analog, batch view)
     GraftQuery(
       "events_hourly",
-      (s, dir) =>
-        Tables
-          .events(s, dir)
-          .groupBy(
-            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
-            col("event_type"))
-          // exact-arithmetic sum: per-row round → decimal → exact sum →
-          // double. A raw sum(double) is accumulation-order-dependent and
-          // would flake the cross-engine hash compare.
-          .agg(
-            count(lit(1)).as("n"),
-            round(sum(round(col("value"), 6).cast("decimal(28,6)")).cast("double"), 4).as("total")),
-      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
-count(*) AS n, round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS total
-FROM events GROUP BY 1, 2""")),
+      (s, dir) => hourlyAgg(Tables.events(s, dir)),
+      Some(hourlySql)),
+    // the SAME aggregation executed through Structured Streaming
+    // (readStream → complete-mode memory sink, AvailableNow trigger) —
+    // the growing-segment CC path under the driver's oracle gate: the
+    // streaming result must hash-match the batch oracle exactly
+    GraftQuery(
+      "events_hourly_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        // the file-stream source requires a directory; stage the single
+        // parquet file into one (read-only testdata must not be touched)
+        val stage = java.nio.file.Files.createTempDirectory("graft-events-stream")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"))
+        val raw = s.readStream.schema(schema).parquet(stage.toString)
+        val ev = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          case _ => raw
+        }
+        val sink = s"events_hourly_stream_${System.nanoTime()}"
+        val q = hourlyAgg(ev).writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      },
+      Some(hourlySql)),
     // classic aggregation over the largest table (map-side partial agg +
     // single shuffle on the group keys)
     GraftQuery(

@@ -414,6 +414,16 @@ min(vec_id) AS min_id, max(vec_id) AS max_id FROM embeddings""")),
         val index = IvfIndex.build(base, cents, ROUND)
         IvfIndex.search(queryVecs(s, dir), index, cents, K, nprobe = 4, Metric.L2, ROUND)
       },
+      None),
+    // S6 IVF_PQ quantizer — product quantization with ADC + exact rerank
+    // (kmeans codebooks ⇒ recall-gated in ScalaTest, rows-only here)
+    GraftQuery(
+      "pq_knn_rerank",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val model = ProductQuant.train(s, base, m = 8, ksub = 16)
+        ProductQuant.pqKnn(queryVecs(s, dir), base, model, K, reorderK = 50, ROUND)
+      },
       None)
   )
 }

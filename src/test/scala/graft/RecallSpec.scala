@@ -42,4 +42,10 @@ class RecallSpec extends SparkSpec {
     val got = Quantization.sq8Knn(queries, base, K, reorderK = 50)
     assert(recall(got, truth) >= 0.95)
   }
+
+  test("PQ (m=8, ksub=16) ADC + rerank: recall >= 0.6 (ANN floor)") {
+    val model = ProductQuant.train(spark, base, m = 8, ksub = 16)
+    val got = ProductQuant.pqKnn(queries, base, model, K, reorderK = 50)
+    assert(recall(got, truth) >= 0.6)
+  }
 }
