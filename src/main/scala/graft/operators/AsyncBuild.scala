@@ -1,0 +1,61 @@
+package graft.operators
+
+import scala.concurrent.{ExecutionContext, Future}
+
+import org.apache.spark.sql.SparkSession
+
+/** Async build with cancellation — `BuildAsync` + `Interrupt`
+  * (`src/index/index.cc:42-64`, `include/knowhere/index/interrupt.h`):
+  * the build runs as a Spark job group; `cancel` maps to
+  * `SparkContext.cancelJobGroup`.
+  */
+object AsyncBuild {
+
+  final case class Handle[T](future: Future[T], jobGroup: String, spark: SparkSession) {
+    /** Interrupt: cancel every job launched by the build. */
+    def cancel(reason: String = "cancelled"): Unit =
+      spark.sparkContext.cancelJobGroup(jobGroup)
+  }
+
+  /** Run `body` (a Spark action pipeline) asynchronously under a job group. */
+  def run[T](spark: SparkSession, name: String)(body: => T)(
+      implicit ec: ExecutionContext): Handle[T] = {
+    val group = s"graft-build-$name-${java.util.UUID.randomUUID()}"
+    val future = Future {
+      spark.sparkContext.setJobGroup(group, s"graft async build: $name", interruptOnCancel = true)
+      try body
+      finally spark.sparkContext.clearJobGroup()
+    }
+    Handle(future, group, spark)
+  }
+}
+
+/** Static facade — `IndexStaticFaced::CreateConfig/ConfigCheck/
+  * EstimateLoadResource` (`include/knowhere/index/index_static.h:52-140`):
+  * capability and resource answers without building an index.
+  */
+object IndexStatic {
+
+  /** Estimated in-memory load size in bytes for an index over
+    * (count, dim) fp32 vectors — mirrors the reference's per-type resource
+    * estimation (vectors + ids + structure overhead). */
+  def estimateLoadResourceBytes(indexType: String, count: Long, dim: Int): Long = {
+    val vecBytes = count * dim * 4L
+    val idBytes = count * 8L
+    indexType match {
+      case "FLAT" => vecBytes + idBytes
+      case "BIN_FLAT" => count * ((dim + 7) / 8).toLong + idBytes
+      case "IVF_FLAT" => vecBytes + idBytes + (vecBytes / 10) // lists + centroids overhead
+      case "IVF_SQ8" => count * dim.toLong + idBytes // 1 byte/dim codes
+      case "SPARSE_INVERTED_INDEX" | "SPARSE_WAND" => count * 12L * 32 // ~32 nnz × (idx,val)
+      case other => throw new IllegalArgumentException(s"unknown index type $other")
+    }
+  }
+
+  /** ConfigCheck without an instance (V13): validate search params for an
+    * index type. */
+  def configCheck(indexType: String, params: Params.KnnParams): Boolean = {
+    params.validated
+    Capabilities.supportsMetric(indexType, params.metric)
+  }
+}

@@ -188,4 +188,21 @@ object BruteForce {
     * Broadcast the id list; base-side stays a pruned scan. */
   def getVectorByIds(ids: DataFrame, base: DataFrame, idCol: String = "id"): DataFrame =
     base.join(broadcast(ids), Seq(idCol), "left_semi")
+
+  /** AnnIterator analog (V6/S4, `index_node.h:451-679`): the per-query
+    * neighbor stream in increasing-distance order, consumed as pages —
+    * page p (1-based) of size pageSize is ranks ((p−1)·pageSize, p·pageSize].
+    * The reference's lazy `Next()` becomes resumable pagination over the
+    * deterministic ranking. */
+  def annIteratorPage(
+      queries: DataFrame,
+      base: DataFrame,
+      metric: Metric,
+      page: Int,
+      pageSize: Int,
+      baseFilter: Option[Column] = None,
+      roundDist: Option[Int] = None
+  ): DataFrame =
+    knn(queries, base, page * pageSize, metric, baseFilter, roundDist)
+      .filter(col("rnk") > (page - 1) * pageSize)
 }

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BruteForce, Metric}
+import graft.operators.{AsyncBuild, BruteForce, IndexStatic, Metric}
 import graft.sources.Tables
 
 /** V12 factory + V16 Index handle semantics. */
@@ -46,5 +46,34 @@ class FacadeSpec extends SparkSpec {
       IndexFactory.build(spark, "BIN_FLAT", base, Metric.L2))
     assertThrows[IllegalArgumentException](
       IndexFactory.build(spark, "NOT_AN_INDEX", base, Metric.L2))
+  }
+
+  test("static facade: resource estimates and config check without an instance") {
+    assert(IndexStatic.estimateLoadResourceBytes("FLAT", 1000, 64) == 1000L * 64 * 4 + 8000L)
+    assert(IndexStatic.estimateLoadResourceBytes("IVF_SQ8", 1000, 64) == 64000L + 8000L)
+    assert(IndexStatic.configCheck("FLAT", operators.Params.KnnParams(k = 10, metric = "cosine")))
+    assert(!IndexStatic.configCheck("IVF_SQ8", operators.Params.KnnParams(k = 10, metric = "cosine")))
+  }
+
+  test("async build runs under a cancellable job group") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val h = AsyncBuild.run(spark, "flat-count") { base.count() }
+    val n = scala.concurrent.Await.result(h.future, 60.seconds)
+    assert(n == 500L)
+    h.cancel() // no-op after completion; must not throw
+  }
+
+  test("annIteratorPage pages are disjoint and ordered") {
+    val p1 = BruteForce.annIteratorPage(queries, base, Metric.L2, page = 1, pageSize = 5)
+    val p2 = BruteForce.annIteratorPage(queries, base, Metric.L2, page = 2, pageSize = 5)
+    val q0 = queries.head.getLong(0)
+    val r1 = p1.filter(col("qid") === q0).orderBy("rnk").collect().map(_.getAs[Long]("nid"))
+    val r2 = p2.filter(col("qid") === q0).orderBy("rnk").collect().map(_.getAs[Long]("nid"))
+    assert(r1.length == 5 && r2.length == 5)
+    assert(r1.toSet.intersect(r2.toSet).isEmpty)
+    val full = BruteForce.knn(queries, base, 10, Metric.L2)
+      .filter(col("qid") === q0).orderBy("rnk").collect().map(_.getAs[Long]("nid"))
+    assert((r1 ++ r2).toSeq == full.toSeq)
   }
 }
