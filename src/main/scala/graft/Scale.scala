@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Scale stress: synthesize nb random vectors (seeded, distributed
+  * generation — no driver-side data), then time exact kNN vs IVF probing.
+  * Usage: runMain graft.Scale [nb] [nq] [dim] [nlist] [nprobe]
+  */
+object Scale {
+  def main(args: Array[String]): Unit = {
+    val nb = if (args.length > 0) args(0).toInt else 200000
+    val nq = if (args.length > 1) args(1).toInt else 100
+    val dim = if (args.length > 2) args(2).toInt else 64
+    val nlist = if (args.length > 3) args(3).toInt else 64
+    val nprobe = if (args.length > 4) args(4).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // deterministic per-row vectors: rand(seed) is partition-deterministic
+    def gen(n: Int, idCol: String, vecCol: String): DataFrame =
+      spark.range(n.toLong).toDF(idCol)
+        .withColumn(vecCol, transform(sequence(lit(1), lit(dim)),
+          i => (pmod(xxhash64(col(idCol) * 1000 + i), lit(2000)).cast("float") - 1000f) / 1000f))
+
+    val base = gen(nb, "id", "vec").persist()
+    val queries = gen(nq, "qid", "qvec")
+    println(s"base=${base.count()} rows, dim=$dim")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    time("bf_knn k=10")(BruteForce.knn(queries, base, 10, Metric.L2).count())
+    val cents = time("ivf train")(IvfIndex.trainKMeans(spark, base.sample(0.1, 42), nlist))
+    val index = time("ivf build (assign)")(IvfIndex.build(base, cents).persist())
+    index.count()
+    time(s"ivf search nprobe=$nprobe")(
+      IvfIndex.search(queries, index, cents, 10, nprobe).count())
+    val truth = BruteForce.knn(queries, base, 10, Metric.L2)
+    val got = IvfIndex.search(queries, index, cents, 10, nprobe)
+    val t = truth.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = got.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(f"ivf recall@10: ${g.intersect(t).size.toDouble / t.size}%.3f")
+    spark.stop()
+  }
+}
