@@ -33,7 +33,7 @@ final class FlatIndex(
   override def indexType: String = "FLAT"
   override lazy val count: Long = base.count()
   override lazy val dim: Int =
-    base.select(max(size(col("vec")))).head.getInt(0)
+    base.select(max(size(col("vec")))).head().getInt(0)
 
   override def search(queries: DataFrame, k: Int, filter: Option[Column]): DataFrame =
     BruteForce.knn(queries, base, k, metric, filter, roundDist)
@@ -59,7 +59,7 @@ final class IvfFlatIndex(
 ) extends VectorIndex {
   override def indexType: String = "IVF_FLAT"
   override lazy val count: Long = index.count()
-  override lazy val dim: Int = index.select(max(size(col("vec")))).head.getInt(0)
+  override lazy val dim: Int = index.select(max(size(col("vec")))).head().getInt(0)
 
   override def search(queries: DataFrame, k: Int, filter: Option[Column]): DataFrame = {
     val filtered = filter.map(index.filter).getOrElse(index)

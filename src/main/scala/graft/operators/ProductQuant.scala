@@ -28,7 +28,7 @@ object ProductQuant {
 
   /** Train: per-subspace KMeans over `(id, vec)`. */
   def train(spark: SparkSession, base: DataFrame, m: Int = 8, ksub: Int = 16, seed: Long = 42L): PQModel = {
-    val dim = base.select(max(size(col("vec")))).head.getInt(0)
+    val dim = base.select(max(size(col("vec")))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     // codebooks converge in few iterations; cache the projected subvectors

@@ -73,7 +73,7 @@ object SparseSearch {
     basePostings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one stats job: N and Σdl together (corpus stats = the reference's
     // row_sums collection at Train, sparse_inverted_index.h:398-427)
-    val statsRow = docLens.agg(count(lit(1)).as("n"), sum(col("dl")).cast("double").as("s")).head
+    val statsRow = docLens.agg(count(lit(1)).as("n"), sum(col("dl")).cast("double").as("s")).head()
     val n = statsRow.getLong(0).toDouble
     val avgdl = statsRow.getDouble(1) / n
     val df = basePostings.groupBy("term").agg(count(lit(1)).as("df"))
