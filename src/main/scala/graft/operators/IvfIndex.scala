@@ -67,6 +67,49 @@ object IvfIndex {
     BruteForce.topK(pairs, k, metric.ascending)
   }
 
+  /** IVF_SQ8 search: probe lists, rank candidates by SQ8 approx distance
+    * (reconstructed codes), exact rerank on raw vectors — the composition
+    * the reference registers as IVF_SQ8 (`ivf.cc:1244-1276`; SQ quantizer +
+    * coarse lists). Global per-dim bounds (the reference's SQ trains bounds
+    * over the whole input, not per list). */
+  def searchSq8(
+      queries: DataFrame, // (qid, qvec)
+      index: DataFrame, // (id, vec, cluster_id)
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int,
+      reorderK: Int,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val stats = Quantization.sq8Train(index.select(col("id"), col("vec")))
+    val coded = index
+      .crossJoin(broadcast(stats))
+      .select(
+        col("id"),
+        col("cluster_id"),
+        Quantization
+          .sq8Recon(
+            Quantization.sq8Code(col("vec"), col("mn"), col("mx")),
+            col("mn"),
+            col("mx"))
+          .as("recon"))
+    val probes = probe(queries, centroids, nprobe, roundDist)
+    val rawA = graft.functions.VectorFunctions.l2(col("qvec"), col("recon"))
+    val adist = roundDist.map(n => round(rawA, n)).getOrElse(rawA)
+    val cand = BruteForce
+      .topK(
+        broadcast(probes.join(queries, "qid"))
+          .join(coded, "cluster_id")
+          .select(col("qid"), col("id").as("nid"), adist.as("dist")),
+        reorderK,
+        ascending = true)
+      .join(broadcast(queries), "qid")
+      .join(index.select(col("id").as("nid"), col("vec")), "nid")
+    val rawE = graft.functions.VectorFunctions.l2(col("qvec"), col("vec"))
+    val edist = roundDist.map(n => round(rawE, n)).getOrElse(rawE)
+    BruteForce.topK(cand.select(col("qid"), col("nid"), edist.as("dist")), k, ascending = true)
+  }
+
   /** Train via MLlib KMeans → centroid table (cluster_id, centroid). */
   def trainKMeans(spark: SparkSession, base: DataFrame, nlist: Int, seed: Long = 42L): DataFrame = {
     val model = Cluster.train(base, nlist, seed)

@@ -49,7 +49,7 @@ object Quantization {
     )
 
   /** Reconstructed value: mn + (code+0.5)·(mx−mn)/255 (faiss SQ midpoint). */
-  private def sq8Recon(code: Column, mn: Column, mx: Column): Column =
+  def sq8Recon(code: Column, mn: Column, mx: Column): Column =
     zip_with(
       code,
       zip_with(mn, mx, (a, b) => struct(a.as("mn"), b.as("mx"))),

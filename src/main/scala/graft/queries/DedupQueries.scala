@@ -138,6 +138,53 @@ cand AS (
   FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
 )
 SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3""")),
+    // end-to-end corpus cleaning: exact dedup → near-dup removal → quality
+    // filter, reported as per-stage survivor counts (the composed training
+    // -data pipeline over the dedup + text-analysis operators)
+    GraftQuery(
+      "pipeline_clean_corpus",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val w = Window.partitionBy(md5(col("text").cast("binary")))
+        val exactKeep = docs
+          .withColumn("_mn", min(col("doc_id")).over(w))
+          .filter(col("doc_id") === col("_mn"))
+          .select(col("doc_id"), col("text"))
+        val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5)
+        val nearKeep = exactKeep.join(
+          pairs.select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"),
+          "left_anti")
+        val clean = TextAnalysis
+          .qualityScore(nearKeep)
+          .filter(col("quality") > 0.5)
+        docs
+          .agg(count(lit(1)).as("n_in"))
+          .crossJoin(exactKeep.agg(count(lit(1)).as("n_exact")))
+          .crossJoin(nearKeep.agg(count(lit(1)).as("n_neardup")))
+          .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+      },
+      Some(s"""$minhashPairsSql,
+exact_keep AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM documents
+  ) WHERE doc_id = mn
+),
+near_keep AS (
+  SELECT doc_id, text FROM exact_keep
+  WHERE doc_id NOT IN (SELECT doc_b FROM j WHERE jaccard >= 0.5)
+),
+qual AS (
+  SELECT doc_id,
+    round(2.0 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+        - 3.0 * (CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t))
+        + 0.05 * (list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE))) / len(t)), 4) AS quality
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM near_keep)
+)
+SELECT (SELECT count(*) FROM documents) AS n_in,
+       (SELECT count(*) FROM exact_keep) AS n_exact,
+       (SELECT count(*) FROM near_keep) AS n_neardup,
+       (SELECT count(*) FROM qual WHERE quality > 0.5) AS n_clean""")),
     // embedding-cosine nearest neighbor per vector (near-dup scan shape)
     GraftQuery(
       "embed_nn_cosine",

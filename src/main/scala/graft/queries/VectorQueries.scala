@@ -382,6 +382,76 @@ SELECT src, dst, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS INT) AS rnk
   FROM pairs
 ) WHERE rnk <= 5""")),
+    // S6 IVF_SQ8 — SQ8 codes inside probed IVF lists + exact rerank
+    // (ivf.cc:1244-1276): the quantizer rides the coarse index
+    GraftQuery(
+      "ivf_sq8_knn",
+      (s, dir) => {
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val index = IvfIndex.build(base, cents, ROUND)
+        IvfIndex.searchSq8(queryVecs(s, dir), index, cents, K, nprobe = 2, reorderK = 30, ROUND)
+      },
+      Some(s"""WITH ${Sql.qView},
+cc AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 250 = 0),
+asn AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, cc.cid,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i ->
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(cc.cv[i] AS DOUBLE)) *
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(cc.cv[i] AS DOUBLE))))), 4) ASC, cc.cid ASC) AS rn
+    FROM embeddings b CROSS JOIN cc
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, cc.cid,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i ->
+          (CAST(q.qv[i] AS DOUBLE) - CAST(cc.cv[i] AS DOUBLE)) *
+          (CAST(q.qv[i] AS DOUBLE) - CAST(cc.cv[i] AS DOUBLE))))), 4) ASC, cc.cid ASC) AS rn
+    FROM q CROSS JOIN cc
+  ) WHERE rn <= 2
+),
+stats AS (
+  SELECT CAST(r.range AS INT) AS i,
+         min(CAST(b.embedding[CAST(r.range AS INT)] AS DOUBLE)) AS mn,
+         max(CAST(b.embedding[CAST(r.range AS INT)] AS DOUBLE)) AS mx
+  FROM embeddings b CROSS JOIN range(1, 65) r GROUP BY 1
+),
+sv AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM stats),
+recon AS (
+  SELECT b.vec_id, list_transform(range(1, len(b.embedding)+1), i ->
+    s.mn[i] + (LEAST(255.0, GREATEST(0.0,
+      CASE WHEN s.mx[i] = s.mn[i] THEN 0.0
+           ELSE floor((CAST(b.embedding[i] AS DOUBLE) - s.mn[i]) / (s.mx[i] - s.mn[i]) * 255.0) END
+    )) + 0.5) * (s.mx[i] - s.mn[i]) / 255.0) AS rv
+  FROM embeddings b CROSS JOIN sv s
+),
+cand AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS crnk FROM (
+    SELECT q.qid AS qid, a.vec_id AS nid,
+      round(sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i ->
+        (CAST(q.qv[i] AS DOUBLE) - r.rv[i]) * (CAST(q.qv[i] AS DOUBLE) - r.rv[i])))), 4) AS dist
+    FROM q
+    JOIN probes p ON p.qid = q.qid
+    JOIN asn a ON a.cid = p.cid
+    JOIN recon r ON r.vec_id = a.vec_id)
+),
+rer AS (
+  SELECT c2.qid AS qid, c2.nid AS nid, ${Sql.l2} AS dist
+  FROM cand c2 JOIN q ON q.qid = c2.qid JOIN embeddings b ON b.vec_id = c2.nid
+  WHERE c2.crnk <= 30
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+  FROM rer
+) WHERE rnk <= $K""")),
     // S4/V6 — AnnIterator analog: the sorted neighbor stream consumed as
     // pages; page 2 (ranks 11..20) of the exact L2 stream
     GraftQuery(
