@@ -97,4 +97,62 @@ object SparseSearch {
     * threshold before the join. Exact when threshold=0. */
   def pruneQueryTerms(queryPostings: DataFrame, minTf: Long): DataFrame =
     queryPostings.filter(col("qtf") >= minTf)
+
+  /** Exact top-k IP with WAND-style upper-bound pruning
+    * (`sparse_inverted_index.h:699-757`): the reference prunes per-doc with
+    * a pivot threshold from the running heap; the batch rendering is
+    * two-phase —
+    *
+    *   1. seed: the top-k docs per query by any *single* posting
+    *      contribution; their exact scores give threshold θ = k-th best;
+    *   2. prune: per-term max-contribution bounds give UB(doc) = Σ_t
+    *      max-contrib(t); docs with UB < θ cannot reach the top-k and are
+    *      never fully scored; survivors are scored exactly.
+    *
+    * Admissible (UB ≥ exact score, seeds always survive), so the result is
+    * IDENTICAL to [[searchIP]] — gated by the same oracle. At scale the win
+    * is skipping the full (qid,doc) score aggregation for the long tail of
+    * weak-overlap docs.
+    */
+  def searchIPWandExact(
+      queryPostings: DataFrame, // (qid, term, qtf)
+      basePostings: DataFrame, // (id, term, tf)
+      k: Int
+  ): DataFrame = {
+    val contribs = broadcast(queryPostings)
+      .join(basePostings, "term")
+      .select(col("qid"), col("id"), col("term"), (col("qtf") * col("tf")).cast("double").as("contrib"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // phase 1: seeds and threshold θ(qid) = k-th best exact seed score
+    val seedDocs = BruteForce
+      .topK(contribs.select(col("qid"), col("id").as("nid"), col("contrib").as("dist")),
+        k, ascending = false)
+      .select(col("qid"), col("nid").as("id"))
+    val seedScores = seedDocs
+      .join(contribs, Seq("qid", "id"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("contrib")).as("score"))
+    val theta = BruteForce
+      .topK(seedScores.select(col("qid"), col("id").as("nid"), col("score").as("dist")),
+        k, ascending = false)
+      .groupBy(col("qid"))
+      .agg(min(col("dist")).as("theta"))
+
+    // phase 2: per-(qid,term) max contribution → UB per doc → prune → exact
+    val ubt = contribs.groupBy(col("qid"), col("term")).agg(max(col("contrib")).as("ub"))
+    val ub = contribs
+      .join(ubt, Seq("qid", "term"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("ub")).as("ub"))
+    val survivors = ub
+      .join(broadcast(theta), "qid")
+      .filter(col("ub") >= col("theta"))
+      .select(col("qid"), col("id"))
+    val exact = survivors
+      .join(contribs, Seq("qid", "id"))
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg(sum(col("contrib")).as("dist"))
+    BruteForce.topK(exact, k, ascending = false)
+  }
 }

@@ -49,6 +49,23 @@ SELECT qid, nid, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
   FROM scored
 ) WHERE rnk <= $K""")),
+    // S9 — WAND/MaxScore upper-bound pruning, exact mode: provably
+    // identical output to the naive score-all path, so it shares
+    // sparse_ip_knn's oracle verbatim — the hash match IS the exactness
+    // proof (sparse_inverted_index.h:699-757)
+    GraftQuery(
+      "sparse_ip_wand_knn",
+      (s, dir) => SparseSearch.searchIPWandExact(queryPostings(s, dir), basePostings(s, dir), K),
+      Some(s"""WITH $tfCte,
+scored AS (
+  SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
+  FROM q JOIN tf t ON q.term = t.term GROUP BY 1, 2
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= $K""")),
     // S16 — BM25 top-k with idf and length normalization; per-term
     // contributions rounded to 9dp and summed as DECIMAL for
     // accumulation-order independence

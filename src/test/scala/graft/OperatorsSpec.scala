@@ -100,6 +100,19 @@ class SparseSearchSpec extends SparkSpec {
     assert(got.head.getAs[Double]("dist") == 2.0)
   }
 
+  test("WAND exact pruning returns the identical top-k as score-all") {
+    val corpus = graft.sources.Tables.documents(spark, sf0001)
+    val base = SparseSearch.postings(corpus, "doc_id", "text")
+    val q = SparseSearch
+      .postings(corpus.filter(col("doc_id") % 100 === 0), "doc_id", "text")
+      .select(col("id").as("qid"), col("term"), col("tf").as("qtf"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("dist"), r.getAs[Int]("rnk"))).toSet
+    assert(rows(SparseSearch.searchIPWandExact(q, base, 10)) ==
+      rows(SparseSearch.searchIP(q, base, 10)))
+  }
+
   test("BM25 favors rarer terms") {
     val corpus = (0L to 9L)
       .map(i => (i, if (i == 0) "rare common" else "common common filler" + i))
