@@ -304,6 +304,37 @@ SELECT qid, nid, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
   FROM pairs
 ) WHERE rnk <= $K""")),
+    // S2 with a similarity metric — bound direction inverts:
+    // radius < sim <= rangeFilter (range_util.h:22-25)
+    GraftQuery(
+      "bf_range_cosine",
+      (s, dir) =>
+        BruteForce
+          .rangeSearch(queryVecs(s, dir), baseVecs(s, dir), Metric.Cosine, radius = 0.3,
+            rangeFilter = 1.01, roundDist = ROUND)
+          .select(col("qid"), col("nid"), col("dist")),
+      Some(s"""WITH ${Sql.qView},
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.cosine} AS dist
+  FROM q CROSS JOIN embeddings b
+)
+SELECT qid, nid, dist FROM pairs WHERE dist > 0.3 AND dist <= 1.01""")),
+    // S2 × S19 — range search over a binary metric (hamming < radius)
+    GraftQuery(
+      "bin_range_hamming",
+      (s, dir) => {
+        val q = queryVecs(s, dir).select(col("qid"), signBits(col("qvec")).as("qvec"))
+        val b = baseVecs(s, dir).select(col("id"), signBits(col("vec")).as("vec"))
+        BruteForce
+          .rangeSearch(q, b, Metric.Hamming, radius = 22.0, rangeFilter = 0.0)
+          .select(col("qid"), col("nid"), col("dist"))
+      },
+      Some(s"""WITH ${Sql.qView},
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.hamming} AS dist
+  FROM q CROSS JOIN embeddings b
+)
+SELECT qid, nid, dist FROM pairs WHERE dist >= 0.0 AND dist < 22.0""")),
     // S13 — range-result CSR assembly: `lims` = per-query result counts
     // (range_util.h:27-40; lims article of the result DataSet)
     GraftQuery(
