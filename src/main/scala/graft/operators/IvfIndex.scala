@@ -110,12 +110,17 @@ object IvfIndex {
     BruteForce.topK(cand.select(col("qid"), col("nid"), edist.as("dist")), k, ascending = true)
   }
 
-  /** Train via MLlib KMeans → centroid table (cluster_id, centroid). */
+  /** Train → centroid table (cluster_id, centroid): sample-bounded local
+    * k-means (`LocalKMeans` — the faiss-Clustering subsample contract the
+    * reference Train rides, `ivf.cc:440-654`). Training reads a bounded
+    * sample however large the table; only Add/assign is distributed. The
+    * MLlib path remains available as `Cluster.train` (V15). */
   def trainKMeans(spark: SparkSession, base: DataFrame, nlist: Int, seed: Long = 42L): DataFrame = {
-    val model = Cluster.train(base, nlist, seed)
+    val sample = LocalKMeans.sampleVectors(base, cap = nlist * 256)
+    val cents = LocalKMeans.fit(sample, nlist, maxIter = 15, seed = seed)
     import spark.implicits._
-    model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
+    cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
       .toSeq
       .toDF("cluster_id", "centroid")
   }

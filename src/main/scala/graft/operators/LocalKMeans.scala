@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sample-bounded, deterministic k-means for quantizer training.
+  *
+  * The reference never trains its coarse/PQ quantizers on the full input:
+  * faiss clustering subsamples to `max_points_per_centroid` (256) points per
+  * centroid before running Lloyd (the IVF Train path, `ivf.cc:440-654`,
+  * delegates to faiss `Clustering`). The Spark rendering of that contract is
+  * a bounded id-stride sample collected to the driver + a local Lloyd fit —
+  * one Spark job regardless of table size, which is exactly what keeps
+  * Train viable at 100 TB (training cost is O(sample), not O(table); only
+  * the Add/assign phase is distributed).
+  *
+  * Determinism: id-stride sampling (not RNG partition sampling) and an LCG
+  * seeded k-means++ init make the codebook a pure function of (data, seed),
+  * mirroring the reference's seeded trainings (`tests/ut/utils.h:40-108`).
+  * MLlib KMeans remains the public V15 `Cluster.train` verb; this trainer is
+  * the internal quantizer path (IVF/PQ codebooks).
+  */
+object LocalKMeans {
+
+  /** Deterministic bounded sample of a vector column: every ceil(n/cap)-th
+    * row by id order. One count (parquet metadata) + one collect. */
+  def sampleVectors(
+      base: DataFrame, // (id, vec ARRAY<FLOAT>)
+      cap: Int,
+      idCol: String = "id",
+      vecCol: String = "vec"
+  ): Array[Array[Float]] = {
+    val n = base.count()
+    val stride = math.max(1L, (n + cap - 1) / cap)
+    base
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+  }
+
+  /** Best-of-`restarts` Lloyd (by total within-cluster SSE) — the sample is
+    * driver-local, so restarts cost milliseconds and recover the quality of
+    * MLlib's k-means|| init. Deterministic: seeds are seed, seed+1, …. */
+  def fit(points: Array[Array[Float]], k: Int, maxIter: Int = 15, seed: Long = 42L, restarts: Int = 4): Array[Array[Float]] = {
+    var best: Array[Array[Float]] = null
+    var bestSse = Double.MaxValue
+    for (r <- 0 until restarts) {
+      val c = fitOnce(points, k, maxIter, seed + r)
+      val sse = points.map { p =>
+        var m = Double.MaxValue
+        var ci = 0
+        while (ci < c.length) {
+          var s = 0.0; var j = 0
+          while (j < p.length) { val d = p(j) - c(ci)(j); s += d * d; j += 1 }
+          if (s < m) m = s
+          ci += 1
+        }
+        m
+      }.sum
+      if (sse < bestSse) { bestSse = sse; best = c }
+    }
+    best
+  }
+
+  /** Lloyd with k-means++ init over local points; returns k centroids.
+    * Empty clusters are reseeded to the point farthest from its centroid
+    * (the reference's faiss clustering does the same split-reassign). */
+  private def fitOnce(points: Array[Array[Float]], k: Int, maxIter: Int, seed: Long): Array[Array[Float]] = {
+    require(points.nonEmpty, "k-means on empty sample")
+    val n = points.length
+    val dim = points(0).length
+    var rng = seed
+
+    def nextDouble(): Double = { // LCG (Numerical Recipes) — deterministic
+      rng = rng * 6364136223846793005L + 1442695040888963407L
+      ((rng >>> 11).toDouble) / (1L << 53).toDouble
+    }
+
+    def d2(a: Array[Float], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    // k-means++ seeding
+    val centers = Array.ofDim[Double](k, dim)
+    val first = points((nextDouble() * n).toInt.min(n - 1))
+    for (j <- 0 until dim) centers(0)(j) = first(j)
+    val minD = Array.fill(n)(Double.MaxValue)
+    for (c <- 1 until k) {
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        val d = d2(points(i), centers(c - 1))
+        if (d < minD(i)) minD(i) = d
+        total += minD(i)
+        i += 1
+      }
+      var target = nextDouble() * total
+      var pick = 0
+      i = 0
+      while (i < n && target > 0) { target -= minD(i); if (target > 0) pick = (i + 1).min(n - 1); i += 1 }
+      for (j <- 0 until dim) centers(c)(j) = points(pick)(j)
+    }
+
+    // Lloyd
+    val assign = Array.fill(n)(-1)
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      changed = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val d = d2(points(i), centers(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (best != assign(i)) { assign(i) = best; changed = true }
+        i += 1
+      }
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = Array.fill(k)(0)
+      i = 0
+      while (i < n) {
+        val c = assign(i); counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += points(i)(j); j += 1 }
+        i += 1
+      }
+      for (c <- 0 until k) {
+        if (counts(c) > 0) {
+          for (j <- 0 until dim) centers(c)(j) = sums(c)(j) / counts(c)
+        } else {
+          // reseed empty cluster at the point farthest from its center
+          var far = 0; var farD = -1.0
+          var p = 0
+          while (p < n) {
+            val d = d2(points(p), centers(assign(p)))
+            if (d > farD) { farD = d; far = p }
+            p += 1
+          }
+          for (j <- 0 until dim) centers(c)(j) = points(far)(j)
+          changed = true
+        }
+      }
+      iter += 1
+    }
+    centers.map(_.map(_.toFloat))
+  }
+}

@@ -26,22 +26,19 @@ object ProductQuant {
 
   final case class PQModel(m: Int, ksub: Int, dsub: Int, codebooks: Array[Array[Array[Float]]])
 
-  /** Train: per-subspace KMeans over `(id, vec)`. */
+  /** Train: per-subspace k-means over a bounded sample (`LocalKMeans` —
+    * faiss trains PQ codebooks the same way, on a subsample, never the full
+    * input). ONE collect feeds all m subspace fits: training cost is
+    * O(sample·m·ksub), independent of table size. */
   def train(spark: SparkSession, base: DataFrame, m: Int = 8, ksub: Int = 16, seed: Long = 42L): PQModel = {
-    val dim = base.select(max(size(col("vec")))).head().getInt(0)
+    val sample = LocalKMeans.sampleVectors(base, cap = ksub * 256)
+    val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    // codebooks converge in few iterations; cache the projected subvectors
-    // so the m sub-trainings don't re-scan the base table
-    val subs = base.select((0 until m).map(s =>
-      slice(col("vec"), s * dsub + 1, dsub).as(s"sub$s")): _*)
-    subs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codebooks = (0 until m).map { s =>
-      val sub = subs.select(col(s"sub$s").as("vec")).withColumn("id", monotonically_increasing_id())
-      val model = Cluster.train(sub, ksub, seed + s, maxIter = 5)
-      model.clusterCenters.map(_.toArray.map(_.toFloat))
+      val subPoints = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      LocalKMeans.fit(subPoints, ksub, maxIter = 15, seed = seed + s)
     }.toArray
-    subs.unpersist()
     PQModel(m, ksub, dsub, codebooks)
   }
 

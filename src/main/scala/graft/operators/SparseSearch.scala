@@ -98,6 +98,109 @@ object SparseSearch {
   def pruneQueryTerms(queryPostings: DataFrame, minTf: Long): DataFrame =
     queryPostings.filter(col("qtf") >= minTf)
 
+  /** Exact sparse IP range search (S2 over sparse rows): all docs with
+    * score inside the similarity-direction bound radius < score <=
+    * rangeFilter (`range_util.h:22-25` — IP/BM25 invert the L2 direction).
+    * Output is the exploded CSR (variable rows per qid). */
+  def rangeIP(
+      queryPostings: DataFrame, // (qid, term, qtf)
+      basePostings: DataFrame, // (id, term, tf)
+      radius: Double,
+      rangeFilter: Double
+  ): DataFrame =
+    broadcast(queryPostings)
+      .join(basePostings, "term")
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
+      .filter(col("dist") > radius && col("dist") <= rangeFilter)
+
+  /** Exact top-k IP with MaxScore-style essential-list pruning
+    * (`sparse_inverted_index.h:759-830`): the reference splits the query's
+    * posting lists into essential / non-essential by cumulative per-dim
+    * max-score against the running heap threshold, and only walks essential
+    * lists. The batch rendering keeps that structure — and, unlike the WAND
+    * rendering, never materializes the full postings join:
+    *
+    *   1. per-term `max_tf` comes from index-time stats (the reference's
+    *      max-score upkeep, `:384-392`), so per-(qid,term) upper bounds
+    *      UB(t) = qtf·max_tf(t) need NO join with the postings;
+    *   2. seed θ: the top-UB term's posting list alone yields k candidate
+    *      docs; their EXACT scores (postings restricted to those docs) give
+    *      θ = k-th best. If that list holds < k docs, θ = −∞ (no pruning);
+    *   3. essential split: terms sorted by UB ascending; the maximal prefix
+    *      with running ΣUB < θ is non-essential — a doc containing ONLY
+    *      those terms scores ≤ ΣUB < θ and cannot enter the top-k;
+    *   4. candidates = docs holding ≥ 1 essential term; only THEIR postings
+    *      are joined and exactly scored.
+    *
+    * Admissible (strict < in step 3; every doc scoring ≥ θ holds an
+    * essential term), so the output is IDENTICAL to [[searchIP]] — gated by
+    * the same oracle. At scale the postings join touches only essential
+    * lists ∪ candidate docs instead of every (query-term, doc) pair.
+    */
+  def searchIPMaxScoreExact(
+      queryPostings: DataFrame, // (qid, term, qtf)
+      basePostings: DataFrame, // (id, term, tf)
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    // index-time per-term stats (max-score array analog)
+    val termStats = basePostings.groupBy(col("term")).agg(max(col("tf")).as("max_tf"))
+    val ubt = queryPostings
+      .join(termStats, "term") // query side is tiny — broadcast either way
+      .select(col("qid"), col("term"), col("qtf"),
+        (col("qtf") * col("max_tf")).cast("double").as("ub"))
+
+    // 2: θ from the single top-UB term's list, exactly scored
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("ub").desc, col("term").asc)
+    val topTerm = ubt
+      .withColumn("_rn", row_number().over(wTop))
+      .filter(col("_rn") === 1)
+      .select(col("qid"), col("term"), col("qtf"))
+    val seedPairs = basePostings
+      .join(broadcast(topTerm), "term")
+      .select(col("qid"), col("id").as("nid"), (col("qtf") * col("tf")).cast("double").as("dist"))
+    val seeds = topK(seedPairs, k, ascending = false).select(col("qid"), col("nid").as("id"))
+    val seedScores = basePostings
+      .join(broadcast(seeds.select(col("id")).distinct()), "id")
+      .join(broadcast(queryPostings), "term")
+      .join(broadcast(seeds), Seq("qid", "id"), "left_semi")
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("qtf") * col("tf")).cast("double").as("score"))
+    val theta = topK(
+      seedScores.select(col("qid"), col("id").as("nid"), col("score").as("dist")),
+      k, ascending = false)
+      .groupBy(col("qid"))
+      .agg(min(col("dist")).as("_kth"), count(lit(1)).as("_c"))
+      .select(col("qid"),
+        when(col("_c") >= k, col("_kth")).otherwise(lit(Double.MinValue)).as("theta"))
+
+    // 3: essential terms = suffix (by ascending UB) whose running ΣUB ≥ θ
+    val wCum = Window
+      .partitionBy(col("qid"))
+      .orderBy(col("ub").asc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val essential = ubt
+      .withColumn("cum", sum(col("ub")).over(wCum))
+      .join(broadcast(theta), "qid")
+      .filter(col("cum") >= col("theta"))
+      .select(col("qid"), col("term"))
+
+    // 4: candidates and their exact scores — the only postings join
+    val candidates = basePostings
+      .join(broadcast(essential), "term")
+      .select(col("qid"), col("id"))
+      .dropDuplicates("qid", "id")
+    val exact = basePostings
+      .join(candidates.select(col("id")).distinct(), "id")
+      .join(broadcast(queryPostings), "term")
+      .join(candidates, Seq("qid", "id"), "left_semi")
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
+    topK(exact, k, ascending = false)
+  }
+
   /** Exact top-k IP with WAND-style upper-bound pruning
     * (`sparse_inverted_index.h:699-757`): the reference prunes per-doc with
     * a pivot threshold from the running heap; the batch rendering is

@@ -66,6 +66,36 @@ SELECT qid, nid, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
   FROM scored
 ) WHERE rnk <= $K""")),
+    // S9 — DAAT_MAXSCORE, exact mode: the essential-list split prunes the
+    // postings join itself (index-time max_tf stats → term bounds → only
+    // essential lists ∪ candidate docs are scored). Output identical to the
+    // naive path ⇒ shares its oracle; the hash match is the exactness proof
+    // (sparse_inverted_index.h:759-830)
+    GraftQuery(
+      "sparse_ip_maxscore_knn",
+      (s, dir) => SparseSearch.searchIPMaxScoreExact(queryPostings(s, dir), basePostings(s, dir), K),
+      Some(s"""WITH $tfCte,
+scored AS (
+  SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
+  FROM q JOIN tf t ON q.term = t.term GROUP BY 1, 2
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= $K""")),
+    // S2 × S9 — sparse range search: similarity-direction two-sided bound
+    // radius < score <= rangeFilter (range_util.h:22-25); exploded CSR out
+    GraftQuery(
+      "sparse_ip_range",
+      (s, dir) =>
+        SparseSearch.rangeIP(queryPostings(s, dir), basePostings(s, dir),
+          radius = 220.0, rangeFilter = 1e9),
+      Some(s"""WITH $tfCte
+SELECT qid, nid, dist FROM (
+  SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
+  FROM q JOIN tf t ON q.term = t.term GROUP BY 1, 2
+) WHERE dist > 220.0 AND dist <= 1000000000.0""")),
     // S16 — BM25 top-k with idf and length normalization; per-term
     // contributions rounded to 9dp and summed as DECIMAL for
     // accumulation-order independence
