@@ -110,6 +110,42 @@ object IvfIndex {
     BruteForce.topK(cand.select(col("qid"), col("nid"), edist.as("dist")), k, ascending = true)
   }
 
+  /** IVF_PQ search: probe lists, rank candidates inside probed lists by
+    * PQ asymmetric distance (ADC), exact rerank on raw vectors — the
+    * composition the reference registers as IVF_PQ (`ivf.cc:1244-1276`;
+    * PQ params m/nbits per `benchmark_float_qps.cpp:400-401`). Codes are
+    * map-side projections against a broadcast-literal codebook; the probed
+    * scan is the only data touched. */
+  def searchPq(
+      queries: DataFrame, // (qid, qvec)
+      index: DataFrame, // (id, vec, cluster_id)
+      centroids: DataFrame,
+      model: ProductQuant.PQModel,
+      k: Int,
+      nprobe: Int,
+      reorderK: Int,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val coded = index.select(
+      col("id"),
+      col("cluster_id"),
+      ProductQuant.encodeExpr(col("vec"), model).as("codes"))
+    val probes = probe(queries, centroids, nprobe, roundDist)
+    val cand = ProductQuant
+      .adcTopK(
+        broadcast(probes.join(queries, "qid")),
+        coded,
+        model,
+        reorderK,
+        joinKey = Some("cluster_id"),
+        roundDist = roundDist)
+      .join(broadcast(queries), "qid")
+      .join(index.select(col("id").as("nid"), col("vec")), "nid")
+    val rawE = graft.functions.VectorFunctions.l2(col("qvec"), col("vec"))
+    val edist = roundDist.map(n => round(rawE, n)).getOrElse(rawE)
+    BruteForce.topK(cand.select(col("qid"), col("nid"), edist.as("dist")), k, ascending = true)
+  }
+
   /** Train → centroid table (cluster_id, centroid): sample-bounded local
     * k-means (`LocalKMeans` — the faiss-Clustering subsample contract the
     * reference Train rides, `ivf.cc:440-654`). Training reads a bounded

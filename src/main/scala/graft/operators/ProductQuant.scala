@@ -61,8 +61,37 @@ object ProductQuant {
       VectorFunctions.l2Sq(sub, typedlit(model.codebooks(s)(c).toSeq))): _*)
   }
 
-  /** ADC kNN with exact rerank: approx dist = sqrt(Σ_s lut_s[code_s]),
-    * top-reorderK, then exact L2 on rejoined raw vectors, top-k. */
+  /** ADC candidate ranking: attach per-subspace LUTs to the query side,
+    * join to coded rows (crossJoin, or equi-join on `joinKey` for the
+    * IVF_PQ probed variant), top-reorderK by approx dist =
+    * sqrt(Σ_s lut_s[code_s]). Query side must carry (qid, qvec[, key]). */
+  def adcTopK(
+      querySide: DataFrame,
+      coded: DataFrame, // (id[, key], codes)
+      model: PQModel,
+      reorderK: Int,
+      joinKey: Option[String] = None,
+      roundDist: Option[Int] = Some(4)
+  ): DataFrame = {
+    val qWithLut = (0 until model.m).foldLeft(querySide)((df, s) =>
+      df.withColumn(s"_lut$s", lutExpr(col("qvec"), model, s)))
+    val adistSq = (0 until model.m)
+      .map(s => element_at(col(s"_lut$s"), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val rawA = sqrt(adistSq)
+    val adist = roundDist.map(n => round(rawA, n)).getOrElse(rawA)
+    val joined = joinKey match {
+      case Some(key) => broadcast(qWithLut).join(coded, key)
+      case None => broadcast(qWithLut).crossJoin(coded)
+    }
+    BruteForce.topK(
+      joined.select(col("qid"), col("id").as("nid"), adist.as("dist")),
+      reorderK,
+      ascending = true)
+  }
+
+  /** ADC kNN with exact rerank: approx top-reorderK, then exact L2 on
+    * rejoined raw vectors, top-k. */
   def pqKnn(
       queries: DataFrame, // (qid, qvec)
       base: DataFrame, // (id, vec)
@@ -72,20 +101,7 @@ object ProductQuant {
       roundDist: Option[Int] = Some(4)
   ): DataFrame = {
     val coded = base.select(col("id"), encodeExpr(col("vec"), model).as("codes"))
-    val qWithLut = (0 until model.m).foldLeft(queries)((df, s) =>
-      df.withColumn(s"_lut$s", lutExpr(col("qvec"), model, s)))
-    val adistSq = (0 until model.m)
-      .map(s => element_at(col(s"_lut$s"), element_at(col("codes"), s + 1) + 1))
-      .reduce(_ + _)
-    val rawA = sqrt(adistSq)
-    val adist = roundDist.map(n => round(rawA, n)).getOrElse(rawA)
-    val cand = BruteForce
-      .topK(
-        broadcast(qWithLut)
-          .crossJoin(coded)
-          .select(col("qid"), col("id").as("nid"), adist.as("dist")),
-        reorderK,
-        ascending = true)
+    val cand = adcTopK(queries, coded, model, reorderK, None, roundDist)
       .join(broadcast(queries), "qid")
       .join(base.select(col("id").as("nid"), col("vec")), "nid")
     val rawE = VectorFunctions.l2(col("qvec"), col("vec"))

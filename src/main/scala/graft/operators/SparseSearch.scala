@@ -145,6 +145,11 @@ object SparseSearch {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
+    // every phase walks the postings — cache them once (the reference's
+    // inverted index is equally a built artifact, not recomputed per phase)
+    basePostings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    queryPostings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // index-time per-term stats (max-score array analog)
     val termStats = basePostings.groupBy(col("term")).agg(max(col("tf")).as("max_tf"))
     val ubt = queryPostings

@@ -96,6 +96,27 @@ SELECT qid, nid, dist FROM (
   SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
   FROM q JOIN tf t ON q.term = t.term GROUP BY 1, 2
 ) WHERE dist > 220.0 AND dist <= 1000000000.0""")),
+    // S9 drop_ratio_search analog — query-term pruning before the join
+    // (sparse_inverted_index.h:643-663): terms with qtf below the threshold
+    // are dropped from the QUERY (not the index); the oracle applies the
+    // same deterministic filter, so the pruned semantics are hash-gated
+    GraftQuery(
+      "sparse_ip_drop_knn",
+      (s, dir) =>
+        SparseSearch.searchIP(
+          SparseSearch.pruneQueryTerms(queryPostings(s, dir), minTf = 3L),
+          basePostings(s, dir),
+          K),
+      Some(s"""WITH $tfCte,
+scored AS (
+  SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
+  FROM q JOIN tf t ON q.term = t.term AND q.qtf >= 3 GROUP BY 1, 2
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= $K""")),
     // S16 — BM25 top-k with idf and length normalization; per-term
     // contributions rounded to 9dp and summed as DECIMAL for
     // accumulation-order independence

@@ -89,6 +89,16 @@ SELECT qid, nid, dist, rnk FROM (
       "bf_knn_cosine",
       (s, dir) => BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.Cosine, roundDist = ROUND),
       Some(Sql.knn(Sql.cosine, desc = true))),
+    // S1 in the reference's native convention — Knowhere/faiss L2 returns
+    // SQUARED distance (no sqrt); pins the L2Sq metric surface
+    GraftQuery(
+      "bf_knn_l2sq",
+      (s, dir) => BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.L2Sq, roundDist = ROUND),
+      Some(Sql.knn(
+        "round(list_sum(list_transform(range(1, len(q.qv)+1), i -> " +
+          "(CAST(q.qv[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) * " +
+          "(CAST(q.qv[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))), 4)",
+        desc = false))),
     // S1 + BitsetView — filtered search: predicate over base rows pushed
     // into the scan (bitsetview.h:21-147 ⇒ WHERE label <> 1)
     GraftQuery(
@@ -163,6 +173,25 @@ SELECT q.qid AS qid, count(*) AS n_contained
 FROM q CROSS JOIN embeddings b
 WHERE list_sum(list_transform(range(1, len(q.qv)+1), i ->
   CASE WHEN (q.qv[i] > 0) AND NOT (b.embedding[i] > 0) THEN 1 ELSE 0 END)) = 0
+GROUP BY q.qid""")),
+    // S19 — superstructure containment count (flip of substructure): for
+    // each query, how many base sign-sets are contained BY the query's
+    GraftQuery(
+      "bin_superstructure",
+      (s, dir) => {
+        val q = queryVecs(s, dir).select(col("qid"), signBits(col("qvec")).as("qsig"))
+        val b = baseVecs(s, dir).select(col("id"), signBits(col("vec")).as("bsig"))
+        broadcast(q)
+          .crossJoin(b)
+          .filter(superstructure(col("qsig"), col("bsig")))
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_contained"))
+      },
+      Some(s"""WITH ${Sql.qView}
+SELECT q.qid AS qid, count(*) AS n_contained
+FROM q CROSS JOIN embeddings b
+WHERE list_sum(list_transform(range(1, len(q.qv)+1), i ->
+  CASE WHEN (b.embedding[i] > 0) AND NOT (q.qv[i] > 0) THEN 1 ELSE 0 END)) = 0
 GROUP BY q.qid""")),
     // S12 — norm precompute (brute_force.cc:66-101)
     GraftQuery(
@@ -524,6 +553,21 @@ min(vec_id) AS min_id, max(vec_id) AS max_id FROM embeddings""")),
         val base = baseVecs(s, dir).select(col("id"), col("vec"))
         val model = ProductQuant.train(s, base, m = 8, ksub = 16)
         ProductQuant.pqKnn(queryVecs(s, dir), base, model, K, reorderK = 50, ROUND)
+      },
+      None),
+    // S6 IVF_PQ composed — PQ ADC inside probed IVF lists + exact rerank
+    // (ivf.cc:1244-1276; m/nbits per benchmark_float_qps.cpp:400-401).
+    // kmeans-trained coarse + PQ codebooks ⇒ rows-only here, recall-gated
+    // in ScalaTest
+    GraftQuery(
+      "ivf_pq_knn",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val cents = IvfIndex.trainKMeans(s, base, nlist = 8)
+        val index = IvfIndex.build(base, cents, ROUND)
+        val model = ProductQuant.train(s, base, m = 8, ksub = 16)
+        IvfIndex.searchPq(queryVecs(s, dir), index, cents, model, K,
+          nprobe = 4, reorderK = 50, ROUND)
       },
       None)
   )

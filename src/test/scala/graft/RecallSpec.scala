@@ -48,4 +48,12 @@ class RecallSpec extends SparkSpec {
     val got = ProductQuant.pqKnn(queries, base, model, K, reorderK = 50)
     assert(recall(got, truth) >= 0.6)
   }
+
+  test("IVF_PQ composed (nprobe=4/8, m=8) ADC-in-lists + rerank: recall >= 0.6") {
+    val cents = IvfIndex.trainKMeans(spark, base, nlist = 8)
+    val index = IvfIndex.build(base, cents)
+    val model = ProductQuant.train(spark, base, m = 8, ksub = 16)
+    val got = IvfIndex.searchPq(queries, index, cents, model, K, nprobe = 4, reorderK = 50)
+    assert(recall(got, truth) >= 0.6)
+  }
 }
