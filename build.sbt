@@ -28,4 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // dozens of queries × whole-stage codegen ⇒ far more JIT'd classes than
+  // the 240m default code cache holds; exhaustion silently de-optimizes
+  // hot loops mid-run (the observed random 5-10x per-query slowdowns)
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
+  "-XX:MaxMetaspaceSize=2g",
 )

@@ -157,15 +157,14 @@ object Dedup {
   }
 
   /** Embedding-cosine nearest neighbor per vector (near-dup scan over an
-    * embedding column): top-1 excluding self. */
+    * embedding column): top-1 excluding self. All-pairs shape (nq = nb) ⇒
+    * rides the fused per-partition scan (`BruteForce.knnFused`) — identical
+    * output to the declarative pairs+topK formulation, oracle-gated. */
   def cosineTop1(embeddings: DataFrame, roundDist: Option[Int] = Some(4)): DataFrame = {
     val q = embeddings.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val b = embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val pairs = BruteForce
-      .pairs(q, b, Metric.Cosine, baseFilter = None, roundDist = roundDist)
-      .filter(col("qid") =!= col("nid")) // exclude self BEFORE ranking
     BruteForce
-      .topK(pairs, 1, ascending = false)
+      .knnFused(q, b, 1, Metric.Cosine, roundDist = roundDist, excludeSelf = true)
       .select(col("qid"), col("nid"), col("dist"))
   }
 }

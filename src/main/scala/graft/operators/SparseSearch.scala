@@ -53,9 +53,13 @@ object SparseSearch {
 
   /** Exact BM25 top-k (S16): score = Σ_t qtf · idf(t) · tf·(k1+1)/(tf +
     * k1·(1−b+b·dl/avgdl)), with idf = ln((N−df+0.5)/(df+0.5)+1) from
-    * corpus stats. Per-term contributions are rounded to 9dp and summed as
-    * DECIMAL so the total is accumulation-order-independent (oracle
-    * parity). Reference weight: `sparse_utils.h:62-66`; stats collection
+    * corpus stats. Per-term contributions are scaled by 1e9, rounded to
+    * integers, and summed as LONG — an exact integer sum, so the total is
+    * accumulation-order-independent (oracle parity) with no per-row
+    * BigDecimal on the hot path. Overflow headroom: contributions are
+    * O(qtf·idf·(k1+1)) ≲ 1e3 → ≲ 1e12 scaled; 9.2e18 Long capacity allows
+    * millions of shared terms per (query, doc) pair. Reference weight:
+    * `sparse_utils.h:62-66`; stats collection
     * `sparse_inverted_index.h:398-427`.
     */
   def searchBM25(
@@ -81,13 +85,13 @@ object SparseSearch {
       (lit(n) - col("df").cast("double") + 0.5d) / (col("df").cast("double") + 0.5d) + 1.0d)
     val tfw = col("tf").cast("double") * (k1 + 1.0d) /
       (col("tf").cast("double") + lit(k1) * (lit(1.0d - b) + lit(b / avgdl) * col("dl").cast("double")))
-    val contrib = round(col("qtf").cast("double") * idf * tfw, 9).cast("decimal(38,9)")
+    val contrib = round(col("qtf").cast("double") * idf * tfw * 1e9d, 0).cast("long")
     val scored = broadcast(queryPostings)
       .join(basePostings, "term")
       .join(df, "term")
       .join(docLens.withColumnRenamed("id", "bid"), col("id") === col("bid"))
       .groupBy(col("qid"), col("id").as("nid"))
-      .agg(sum(contrib).cast("double").as("raw"))
+      .agg((sum(contrib).cast("double") / 1e9d).as("raw"))
     val d = roundDist.map(r => round(col("raw"), r)).getOrElse(col("raw"))
     topK(scored.select(col("qid"), col("nid"), d.as("dist")), k, ascending = false)
   }

@@ -138,7 +138,7 @@ scored AS (
     round(CAST(sum(CAST(round(
       (q.qtf * ln(((s.n - df.df) + 0.5) / (df.df + 0.5) + 1.0)) *
       ((t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * ((1.0 - 0.75) + (0.75 / s.avgdl) * dl.dl)))
-    , 9) AS DECIMAL(38,9))) AS DOUBLE), 4) AS dist
+      * 1000000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000000.0, 4) AS dist
   FROM q
   JOIN tf t ON q.term = t.term
   JOIN df ON df.term = t.term

@@ -416,18 +416,17 @@ round(CAST(sum(CAST(round(dist, 4) AS DECIMAL(28,4))) AS DOUBLE) / count(*), 4) 
 FROM asn GROUP BY 1""")),
     // S7 capability analog — k-NN graph construction as a DataFrame
     // (src, dst, dist): the Add/Build phase of a graph index expressed as
-    // an all-pairs self-join top-k (batch NN-descent seed)
+    // an all-pairs top-k (batch NN-descent seed). All-pairs shape ⇒ fused
+    // per-partition scan (BruteForce.knnFused), same output as pairs+topK
     GraftQuery(
       "knn_graph_build",
       (s, dir) => {
         val q = Tables
           .embeddings(s, dir)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val p = BruteForce
-          .pairs(q, baseVecs(s, dir), Metric.L2, roundDist = ROUND)
-          .filter(col("qid") =!= col("nid"))
         BruteForce
-          .topK(p, 5, ascending = true)
+          .knnFused(q, baseVecs(s, dir).select(col("id"), col("vec")), 5, Metric.L2,
+            roundDist = ROUND, excludeSelf = true)
           .select(col("qid").as("src"), col("nid").as("dst"), col("dist"), col("rnk"))
       },
       Some("""WITH pairs AS (

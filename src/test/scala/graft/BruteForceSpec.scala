@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BruteForce, Metric}
+import graft.sources.Tables
 
 class BruteForceSpec extends SparkSpec {
   import spark.implicits._
@@ -41,6 +42,26 @@ class BruteForceSpec extends SparkSpec {
       .collect()
       .map(_.getAs[Long]("nid"))
     assert(!got.contains(0L))
+  }
+
+  test("knnFused is row-identical to declarative knn (all metrics, ties, rounding)") {
+    val q = Tables
+      .embeddings(spark, sf0001)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val b = Tables
+      .embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    for (m <- Seq(Metric.L2, Metric.L2Sq, Metric.IP, Metric.Cosine)) {
+      val slow = BruteForce
+        .topK(
+          BruteForce.pairs(q, b, m, roundDist = Some(4)).filter(col("qid") =!= col("nid")),
+          5, m.ascending)
+        .orderBy("qid", "rnk").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      val fast = BruteForce
+        .knnFused(q, b, 5, m, roundDist = Some(4), excludeSelf = true)
+        .orderBy("qid", "rnk").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      assert(fast.toSeq == slow.toSeq, s"metric ${m.name}")
+    }
   }
 
   test("range search respects two-sided bound [rangeFilter, radius)") {
