@@ -197,10 +197,17 @@ object BruteForce {
     * HALF_UP — same (dist, id) tie-break); a spec asserts equality and the
     * driver oracle gates the queries that ride it.
     *
-    * Scale shape: queries broadcast (one copy per executor via the closure),
-    * base never shuffles; each partition emits ≤ nq×k candidate rows; the
-    * final merge aggregates nq×k×partitions rows with the same bounded
-    * heap. Supports the dense float metrics (L2/L2Sq/IP/Cosine).
+    * Scale shape: queries ship in BOUNDED chunks via
+    * `sparkContext.broadcast` (one torrent copy per executor, spillable —
+    * never a closure capture re-serialized into every task, and never the
+    * whole query table resident at once when nq ≈ nb): the query side is
+    * hash-split into ceil(nq·rowBytes / chunkBytes) chunks, each chunk is
+    * collected, broadcast, and fused against one pass over the base scan;
+    * per-chunk candidate sets union into the final bounded-heap merge.
+    * Each qid lives in exactly one chunk, so the union is disjoint by
+    * query and the merge is exact. The base never shuffles and each
+    * partition emits ≤ nq×k candidate rows. Supports the dense float
+    * metrics (L2/L2Sq/IP/Cosine).
     */
   def knnFused(
       queries: DataFrame, // (qid, qvec)
@@ -208,54 +215,66 @@ object BruteForce {
       k: Int,
       metric: Metric,
       roundDist: Option[Int] = None,
-      excludeSelf: Boolean = false
+      excludeSelf: Boolean = false,
+      chunkBytes: Long = 256L << 20
   ): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    val qRows: Array[(Long, Array[Float])] = queries
-      .select(col("qid").cast("long"), col("qvec"))
-      .as[(Long, Array[Float])]
-      .collect()
-    val qIds = qRows.map(_._1)
-    val qVecs = qRows.map(_._2)
-    val qNorms: Array[Double] = metric match {
-      case Metric.Cosine => qVecs.map(v => math.sqrt(selfDot(v)))
-      case _ => null
-    }
-    val nq = qIds.length
+    val sc = spark.sparkContext
+    val qSide = queries.select(col("qid").cast("long"), col("qvec"))
+    val nq0 = qSide.count()
+    require(nq0 > 0, "knnFused: empty query set")
+    val dim = qSide.select(size(col("qvec"))).head().getInt(0)
+    val rowBytes = 4L * dim + 32L
+    val numChunks = math.max(1L, (nq0 * rowBytes + chunkBytes - 1) / chunkBytes).toInt
     val rDigits = roundDist.getOrElse(-1)
     val asc = metric.ascending
     val m = metric // avoid closing over the DataFrame-bound Column factory
 
-    val candidates = base
-      .select(col("id").cast("long"), col("vec"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val heaps = Array.fill(nq)(new graft.plans.TopKBuffer(k, asc))
-        while (it.hasNext) {
-          val (id, vec) = it.next()
-          var q = 0
-          while (q < nq) {
-            if (!(excludeSelf && qIds(q) == id)) {
-              val qv = qVecs(q)
-              var d = m match {
-                case Metric.L2 => math.sqrt(l2SqLocal(qv, vec))
-                case Metric.L2Sq => l2SqLocal(qv, vec)
-                case Metric.IP => dotLocal(qv, vec)
-                case Metric.Cosine => dotLocal(qv, vec) / (qNorms(q) * math.sqrt(selfDot(vec)))
-                case other => throw new IllegalArgumentException(s"knnFused: unsupported metric $other")
+    val chunkDfs = (0 until numChunks).map { chunk =>
+      val qRows: Array[(Long, Array[Float])] = qSide
+        .filter(pmod(xxhash64(col("qid")), lit(numChunks)) === chunk)
+        .as[(Long, Array[Float])]
+        .collect()
+      val qNorms: Array[Double] = metric match {
+        case Metric.Cosine => qRows.map(r => math.sqrt(selfDot(r._2)))
+        case _ => null
+      }
+      val bc = sc.broadcast((qRows, qNorms))
+      base
+        .select(col("id").cast("long"), col("vec"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val (qr, qn) = bc.value
+          val nq = qr.length
+          val heaps = Array.fill(nq)(new graft.plans.TopKBuffer(k, asc))
+          while (it.hasNext) {
+            val (id, vec) = it.next()
+            // base-row norm hoisted out of the query loop
+            val bNorm = if (qn != null) math.sqrt(selfDot(vec)) else 0.0
+            var q = 0
+            while (q < nq) {
+              if (!(excludeSelf && qr(q)._1 == id)) {
+                val qv = qr(q)._2
+                var d = m match {
+                  case Metric.L2 => math.sqrt(l2SqLocal(qv, vec))
+                  case Metric.L2Sq => l2SqLocal(qv, vec)
+                  case Metric.IP => dotLocal(qv, vec)
+                  case Metric.Cosine => dotLocal(qv, vec) / (qn(q) * bNorm)
+                  case other => throw new IllegalArgumentException(s"knnFused: unsupported metric $other")
+                }
+                if (rDigits >= 0) d = roundHalfUp(d, rDigits)
+                heaps(q).insert(d, id)
               }
-              if (rDigits >= 0) d = roundHalfUp(d, rDigits)
-              heaps(q).insert(d, id)
+              q += 1
             }
-            q += 1
+          }
+          (0 until nq).iterator.flatMap { q =>
+            heaps(q).sorted.iterator.map { case (d, id) => (qr(q)._1, id, d) }
           }
         }
-        (0 until nq).iterator.flatMap { q =>
-          heaps(q).sorted.iterator.map { case (d, id) => (qIds(q), id, d) }
-        }
-      }
-      .toDF("qid", "nid", "dist")
+    }
+    val candidates = chunkDfs.reduce(_ union _).toDF("qid", "nid", "dist")
     topK(candidates, k, asc)
   }
 

@@ -153,7 +153,10 @@ object IvfIndex {
     * MLlib path remains available as `Cluster.train` (V15). */
   def trainKMeans(spark: SparkSession, base: DataFrame, nlist: Int, seed: Long = 42L): DataFrame = {
     val sample = LocalKMeans.sampleVectors(base, cap = nlist * 256)
-    val cents = LocalKMeans.fit(sample, nlist, maxIter = 15, seed = seed)
+    // nlist is an upper bound: degenerate samples (fewer distinct points
+    // than lists) would otherwise yield duplicate centroids and dead lists
+    val cents = LocalKMeans.distinctCentroids(
+      LocalKMeans.fit(sample, math.min(nlist, sample.length), maxIter = 15, seed = seed))
     import spark.implicits._
     cents.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }

@@ -22,8 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object LocalKMeans {
 
-  /** Deterministic bounded sample of a vector column: every ceil(n/cap)-th
-    * row by id order. One count (parquet metadata) + one collect. */
+  /** Deterministic bounded sample of a vector column: rows whose id HASH
+    * lands on the stride — row-uniform for any id distribution (sparse,
+    * skewed, or `monotonically_increasing_id`-style ids, where a raw
+    * `id % stride` filter can return far fewer rows than cap or none at
+    * all; the faiss subsample contract samples ROWS, not id values). One
+    * count + one collect; falls back to `limit(cap)` if the hash-stride
+    * sample comes back empty. */
   def sampleVectors(
       base: DataFrame, // (id, vec ARRAY<FLOAT>)
       cap: Int,
@@ -32,11 +37,22 @@ object LocalKMeans {
   ): Array[Array[Float]] = {
     val n = base.count()
     val stride = math.max(1L, (n + cap - 1) / cap)
-    base
-      .filter(pmod(col(idCol), lit(stride)) === 0)
+    val sampled = base
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Float](0).toArray)
+    if (sampled.nonEmpty) sampled
+    else base.select(col(vecCol)).limit(cap).collect().map(_.getSeq[Float](0).toArray)
+  }
+
+  /** Exact-duplicate centroid removal (first occurrence kept). With few
+    * distinct sample points, k-means++ and the empty-cluster reseed can
+    * both emit duplicate centroids — `k` is an upper bound, as in faiss
+    * clustering when `n < k`. */
+  def distinctCentroids(centroids: Array[Array[Float]]): Array[Array[Float]] = {
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Float]]
+    centroids.filter(c => seen.add(c.toSeq))
   }
 
   /** Best-of-`restarts` Lloyd (by total within-cluster SSE) — the sample is

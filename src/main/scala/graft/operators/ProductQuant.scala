@@ -35,11 +35,16 @@ object ProductQuant {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val codebooks = (0 until m).map { s =>
+    // ksub is an upper bound: a degenerate sample (fewer distinct sub-
+    // vectors than ksub) is clamped so every subspace codebook stays
+    // rectangular and code values stay in [0, ksub)
+    val kEff = math.min(ksub, sample.length)
+    val raw = (0 until m).map { s =>
       val subPoints = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
-      LocalKMeans.fit(subPoints, ksub, maxIter = 15, seed = seed + s)
+      LocalKMeans.fit(subPoints, kEff, maxIter = 15, seed = seed + s)
     }.toArray
-    PQModel(m, ksub, dsub, codebooks)
+    val kMin = raw.map(_.length).min
+    PQModel(m, kMin, dsub, raw.map(_.take(kMin)))
   }
 
   /** Codes column: for each subspace, the index of the nearest codeword

@@ -20,10 +20,21 @@ object PipelineQueries {
           .postings(Tables.documents(s, dir), "doc_id", "text")
           .groupBy(col("term"))
           .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
-        val w = Window.orderBy(col("total_tf").desc, col("term").asc)
-        stats
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 20)
+        // orderBy().limit() → TakeOrderedAndProject: per-partition top-20 +
+        // driver merge, never a single-partition sort of the whole
+        // vocabulary (a global Window.orderBy here would be exactly that).
+        // Rank is recovered over the 20 survivors with a broadcast
+        // precedence self-join — no window at any scale.
+        val top = stats.orderBy(col("total_tf").desc, col("term").asc).limit(20)
+        val prior = top.select(col("term").as("t2"), col("total_tf").as("tt2"))
+        top
+          .join(
+            broadcast(prior),
+            col("tt2") > col("total_tf") ||
+              (col("tt2") === col("total_tf") && col("t2") < col("term")),
+            "left")
+          .groupBy(col("term"), col("df"), col("total_tf"))
+          .agg((count(col("t2")) + 1).cast("int").as("rnk"))
       },
       Some("""WITH tf AS (
   SELECT doc_id, term, count(*) AS tf
