@@ -16,7 +16,11 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/embeddings.parquet").limit(1).count()
     spark.read.parquet(s"$sfDir/documents.parquet").limit(1).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional local-iteration filter: comma-separated query names
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

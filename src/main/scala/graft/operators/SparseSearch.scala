@@ -1,9 +1,123 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.operators.BruteForce.topK
+
+/** Built sparse inverted index — the reference's
+  * `sparse::InvertedIndex` artifact (`src/index/sparse/
+  * sparse_inverted_index.h:93-989`): posting lists plus the per-dim
+  * max-score stats that WAND/MaxScore pruning rides (`:384-392`), and the
+  * BM25 corpus stats collected at Train/Add (`:398-427`).
+  *
+  * Relational rendering: `postings (term, id, tf, dl)` — doc length folded
+  * in at build so BM25 scoring needs NO per-doc join at search time — and
+  * `termStats (term, df, max_tf, min_tf)`. BM25's corpus stats (N, avgdl)
+  * and per-term max BM25 weight are LAZY: IP searches never pay for them.
+  * All index tables persist; `drop()` releases the cache — callers own
+  * the lifecycle, nothing is left silently cached.
+  */
+final class SparseIndexModel(
+    val postings: DataFrame, // (term, id, tf, dl)
+    val termStats: DataFrame, // (term, df, max_tf, min_tf)
+    corpusStats: => (Long, Double), // (N, avgdl) — forced by BM25 paths only
+    val k1: Double,
+    val b: Double,
+    bm25Stats: Option[DataFrame] = None
+) {
+  private lazy val cs = corpusStats
+  def n: Long = cs._1
+  def avgdl: Double = cs._2
+
+  /** Per-term max BM25 tf-weight (max-score upkeep with BM25 weighting,
+    * `sparse_inverted_index.h:384-392`) — computed on first BM25-pruned
+    * search, cached. */
+  lazy val bm25TermStats: DataFrame = bm25Stats.getOrElse {
+    val tfw = col("tf").cast("double") * (k1 + 1.0d) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0d - b) + lit(b / avgdl) * col("dl").cast("double")))
+    postings
+      .groupBy(col("term"))
+      .agg(max(tfw).as("max_w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Release the cached index tables (Serialize-free teardown). */
+  def drop(): Unit = {
+    postings.unpersist()
+    termStats.unpersist()
+    bm25Stats.foreach(_.unpersist())
+  }
+
+  /** Serialize (BinarySet analog, `index_node.h:371-401`): parquet tables
+    * plus a one-row meta table. Forces the lazy BM25 stats so the saved
+    * artifact is complete. */
+  def save(dir: String): Unit = {
+    postings.write.mode("overwrite").parquet(s"$dir/postings")
+    termStats.join(bm25TermStats, Seq("term"), "left")
+      .na.fill(0.0, Seq("max_w"))
+      .write.mode("overwrite").parquet(s"$dir/term_stats")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    Seq((n, avgdl, k1, b)).toDF("n", "avgdl", "k1", "b")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+}
+
+object SparseIndexModel {
+
+  /** Build (Train+Add, `sparse_inverted_index.h:398-427`): tokenize,
+    * postings with folded doc lengths, per-term stats. No job runs until
+    * the first search; the postings scan is cached for every subsequent
+    * search phase. */
+  def build(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): SparseIndexModel = {
+    val postings = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("_toks"))
+      .select(col("id"), size(col("_toks")).as("dl"), explode(col("_toks")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("id"), col("tf"), col("dl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-term stats: df (postings are one row per (id,term)), max_tf for
+    // IP bounds, min_tf for the nonnegativity guard
+    val termStats = postings
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        max(col("tf")).as("max_tf"),
+        min(col("tf")).as("min_tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def corpus: (Long, Double) = {
+      val Row(nDocs: Long, sumDl: Double) = postings
+        .groupBy(col("id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)), sum(col("dl")).cast("double"))
+        .head()
+      (nDocs, sumDl / nDocs)
+    }
+    new SparseIndexModel(postings, termStats, corpus, k1, b)
+  }
+
+  /** Deserialize a model written by [[SparseIndexModel#save]]. */
+  def load(spark: SparkSession, dir: String): SparseIndexModel = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val stats = spark.read.parquet(s"$dir/term_stats").persist(StorageLevel.MEMORY_AND_DISK)
+    new SparseIndexModel(
+      spark.read.parquet(s"$dir/postings").persist(StorageLevel.MEMORY_AND_DISK),
+      stats.select(col("term"), col("df"), col("max_tf"), col("min_tf")),
+      (meta.getAs[Long]("n"), meta.getAs[Double]("avgdl")),
+      meta.getAs[Double]("k1"),
+      meta.getAs[Double]("b"),
+      Some(stats.select(col("term"), col("max_w"))))
+  }
+}
 
 /** Sparse vector search — the reference's sparse brute force
   * (`brute_force.cc:629-747`) and inverted index
@@ -11,17 +125,24 @@ import graft.operators.BruteForce.topK
   * relationally:
   *
   *   - a sparse row (sorted (index,value) pairs, `sparse_utils.h:96-254`)
-  *     becomes rows of a postings table `(term, id, tf)` — i.e. the exploded
+  *     becomes rows of a postings table `(term, id, tf)` — the exploded
   *     inverted index IS the DataFrame;
   *   - the sorted-merge dot product (`sparse_utils.h:203-225`) becomes
   *     join-on-term + per-pair sum;
-  *   - per-dim max-score pruning (WAND/MaxScore, `:699-830`) maps to a
-  *     term-level bound filter; exactness when pruning is off
-  *     (`drop_ratio_search=0`), which is what the oracle checks.
+  *   - WAND/MaxScore pruning (`:699-830`) becomes driver-coordinated
+  *     candidate generation from index-time term stats: only essential
+  *     posting lists and candidate docs are ever joined — the full
+  *     (query-term × postings) join of the naive path never materializes.
   *
-  * Scale shape: postings are partitioned by term (the natural shuffle key);
-  * the query side is small and broadcast; scores partial-aggregate map-side
-  * before the (qid,id) shuffle.
+  * Filtering: `filter` is the BitsetView analog (`bitsetview.h:21-147`,
+  * sparse node `sparse_index_node.cc:39-595`): a predicate over doc rows
+  * applied to the postings scan before scoring. Corpus-level stats
+  * (df/avgdl/max scores) stay index-time global under a filter, exactly as
+  * the reference's bitset search keeps its built stats.
+  *
+  * Scale shape: postings are partitioned by term (the natural shuffle
+  * key); the query side is small and broadcast; pruned phases reach the
+  * scan as `term IN (...)` / `id IN (...)` pushed filters.
   */
 object SparseSearch {
 
@@ -38,69 +159,21 @@ object SparseSearch {
     docs.select(col(idCol).as("id"), size(split(col(textCol), " ")).as("dl"))
 
   /** Exact sparse IP top-k: score = Σ_t qtf·tf over shared terms.
-    * Integer products ⇒ exact double sums at any accumulation order. */
+    * Integer products ⇒ exact double sums at any accumulation order.
+    * `filter` restricts base docs (bitset analog). */
   def searchIP(
       queryPostings: DataFrame, // (qid, term, qtf)
       basePostings: DataFrame, // (id, term, tf)
-      k: Int
+      k: Int,
+      filter: Option[Column] = None
   ): DataFrame = {
+    val bp = filter.map(basePostings.filter).getOrElse(basePostings)
     val scored = broadcast(queryPostings)
-      .join(basePostings, "term")
+      .join(bp, "term")
       .groupBy(col("qid"), col("id").as("nid"))
       .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
     topK(scored, k, ascending = false)
   }
-
-  /** Exact BM25 top-k (S16): score = Σ_t qtf · idf(t) · tf·(k1+1)/(tf +
-    * k1·(1−b+b·dl/avgdl)), with idf = ln((N−df+0.5)/(df+0.5)+1) from
-    * corpus stats. Per-term contributions are scaled by 1e9, rounded to
-    * integers, and summed as LONG — an exact integer sum, so the total is
-    * accumulation-order-independent (oracle parity) with no per-row
-    * BigDecimal on the hot path. Overflow headroom: contributions are
-    * O(qtf·idf·(k1+1)) ≲ 1e3 → ≲ 1e12 scaled; 9.2e18 Long capacity allows
-    * millions of shared terms per (query, doc) pair. Reference weight:
-    * `sparse_utils.h:62-66`; stats collection
-    * `sparse_inverted_index.h:398-427`.
-    */
-  def searchBM25(
-      queryPostings: DataFrame, // (qid, term, qtf)
-      basePostings: DataFrame, // (id, term, tf)
-      docLens: DataFrame, // (id, dl)
-      k: Int,
-      k1: Double = 1.2,
-      b: Double = 0.75,
-      roundDist: Option[Int] = Some(4)
-  ): DataFrame = {
-    // postings feed both the score join and the df stats — cache so the
-    // tokenize+groupBy pass runs once (the reference caches row_sums and
-    // max-score stats at Train the same way)
-    basePostings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one stats job: N and Σdl together (corpus stats = the reference's
-    // row_sums collection at Train, sparse_inverted_index.h:398-427)
-    val statsRow = docLens.agg(count(lit(1)).as("n"), sum(col("dl")).cast("double").as("s")).head()
-    val n = statsRow.getLong(0).toDouble
-    val avgdl = statsRow.getDouble(1) / n
-    val df = basePostings.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = log(
-      (lit(n) - col("df").cast("double") + 0.5d) / (col("df").cast("double") + 0.5d) + 1.0d)
-    val tfw = col("tf").cast("double") * (k1 + 1.0d) /
-      (col("tf").cast("double") + lit(k1) * (lit(1.0d - b) + lit(b / avgdl) * col("dl").cast("double")))
-    val contrib = round(col("qtf").cast("double") * idf * tfw * 1e9d, 0).cast("long")
-    val scored = broadcast(queryPostings)
-      .join(basePostings, "term")
-      .join(df, "term")
-      .join(docLens.withColumnRenamed("id", "bid"), col("id") === col("bid"))
-      .groupBy(col("qid"), col("id").as("nid"))
-      .agg((sum(contrib).cast("double") / 1e9d).as("raw"))
-    val d = roundDist.map(r => round(col("raw"), r)).getOrElse(col("raw"))
-    topK(scored.select(col("qid"), col("nid"), d.as("dist")), k, ascending = false)
-  }
-
-  /** Query-term pruning — the `drop_ratio_search` analog
-    * (`sparse_inverted_index.h:643-663`): drop query terms with tf below a
-    * threshold before the join. Exact when threshold=0. */
-  def pruneQueryTerms(queryPostings: DataFrame, minTf: Long): DataFrame =
-    queryPostings.filter(col("qtf") >= minTf)
 
   /** Exact sparse IP range search (S2 over sparse rows): all docs with
     * score inside the similarity-direction bound radius < score <=
@@ -110,161 +183,436 @@ object SparseSearch {
       queryPostings: DataFrame, // (qid, term, qtf)
       basePostings: DataFrame, // (id, term, tf)
       radius: Double,
-      rangeFilter: Double
-  ): DataFrame =
+      rangeFilter: Double,
+      filter: Option[Column] = None
+  ): DataFrame = {
+    val bp = filter.map(basePostings.filter).getOrElse(basePostings)
     broadcast(queryPostings)
-      .join(basePostings, "term")
+      .join(bp, "term")
       .groupBy(col("qid"), col("id").as("nid"))
       .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
       .filter(col("dist") > radius && col("dist") <= rangeFilter)
+  }
 
-  /** Exact top-k IP with MaxScore-style essential-list pruning
-    * (`sparse_inverted_index.h:759-830`): the reference splits the query's
-    * posting lists into essential / non-essential by cumulative per-dim
-    * max-score against the running heap threshold, and only walks essential
-    * lists. The batch rendering keeps that structure — and, unlike the WAND
-    * rendering, never materializes the full postings join:
+  /** Query-term pruning by absolute threshold: drop query terms with tf
+    * below `minTf` before the join. Exact when threshold=0. */
+  def pruneQueryTerms(queryPostings: DataFrame, minTf: Long): DataFrame =
+    queryPostings.filter(col("qtf") >= minTf)
+
+  /** `drop_ratio_search` quantile semantics
+    * (`sparse_inverted_index.h:643-663`): per query, drop the LOWEST
+    * floor(dropRatio·n_terms) terms by (value asc, term asc) — i.e. terms
+    * below the drop-ratio quantile of that query's own values, the
+    * reference's knob (not an absolute threshold). Exact when ratio=0. */
+  def pruneQueryTermsQuantile(queryPostings: DataFrame, dropRatio: Double): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("qtf").asc, col("term").asc)
+    val wc = Window.partitionBy(col("qid"))
+    queryPostings
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wc))
+      .filter(col("_rn") > floor(lit(dropRatio) * col("_n").cast("double")))
+      .drop("_rn", "_n")
+  }
+
+  /** BM25 exact top-k over a built index (S16): score = Σ_t qtf · idf(t) ·
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), idf = ln((N−df+0.5)/(df+0.5)+1).
+    * Per-term contributions are scaled by 1e9, rounded, and summed as LONG
+    * — an exact integer sum, accumulation-order-independent (oracle
+    * parity). Overflow headroom: contributions ≲ 1e3 → ≲ 1e12 scaled;
+    * 9.2e18 Long capacity allows millions of shared terms per pair.
     *
-    *   1. per-term `max_tf` comes from index-time stats (the reference's
-    *      max-score upkeep, `:384-392`), so per-(qid,term) upper bounds
-    *      UB(t) = qtf·max_tf(t) need NO join with the postings;
-    *   2. seed θ: the top-UB term's posting list alone yields k candidate
-    *      docs; their EXACT scores (postings restricted to those docs) give
-    *      θ = k-th best. If that list holds < k docs, θ = −∞ (no pruning);
-    *   3. essential split: terms sorted by UB ascending; the maximal prefix
-    *      with running ΣUB < θ is non-essential — a doc containing ONLY
-    *      those terms scores ≤ ΣUB < θ and cannot enter the top-k;
-    *   4. candidates = docs holding ≥ 1 essential term; only THEIR postings
-    *      are joined and exactly scored.
-    *
-    * Admissible (strict < in step 3; every doc scoring ≥ θ holds an
-    * essential term), so the output is IDENTICAL to [[searchIP]] — gated by
-    * the same oracle. At scale the postings join touches only essential
-    * lists ∪ candidate docs instead of every (query-term, doc) pair.
-    */
-  def searchIPMaxScoreExact(
+    * One pass: postings already carry `dl`; df arrives via the
+    * query-term-restricted slice of termStats (tiny, broadcast) — no
+    * corpus-wide df or doc-length join at search time. */
+  def searchBM25(
       queryPostings: DataFrame, // (qid, term, qtf)
-      basePostings: DataFrame, // (id, term, tf)
+      model: SparseIndexModel,
+      k: Int,
+      roundDist: Option[Int] = Some(4),
+      filter: Option[Column] = None
+  ): DataFrame = {
+    val bp = filter.map(model.postings.filter).getOrElse(model.postings)
+    val statsQ = model.termStats
+      .join(broadcast(queryPostings.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .select(col("term"), col("df"))
+    val scored = broadcast(queryPostings)
+      .join(bp, "term")
+      .join(broadcast(statsQ), "term")
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg((sum(bm25ContribScaled(model.n, model.avgdl, model.k1, model.b)).cast("double") / 1e9d).as("raw"))
+    val d = roundDist.map(r => round(col("raw"), r)).getOrElse(col("raw"))
+    topK(scored.select(col("qid"), col("nid"), d.as("dist")), k, ascending = false)
+  }
+
+  /** Back-compat facade over raw postings + doc lengths. */
+  def searchBM25(
+      queryPostings: DataFrame,
+      basePostings: DataFrame,
+      docLens: DataFrame,
       k: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val joined = basePostings.join(docLens.withColumnRenamed("id", "_did"),
+      col("id") === col("_did")).select(col("term"), col("id"), col("tf"), col("dl"))
+    val stats = joined.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"), min(col("tf")).as("min_tf"))
+    def corpus: (Long, Double) = {
+      val Row(nDocs: Long, sumDl: Double) =
+        docLens.agg(count(lit(1)), sum(col("dl")).cast("double")).head()
+      (nDocs, sumDl / nDocs)
+    }
+    searchBM25(queryPostings, new SparseIndexModel(joined, stats, corpus, 1.2, 0.75), k)
+  }
 
-    // every phase walks the postings — cache them once (the reference's
-    // inverted index is equally a built artifact, not recomputed per phase)
-    basePostings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    queryPostings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Scaled-integer BM25 contribution of one (query-term, posting) row. */
+  private def bm25ContribScaled(n: Long, avgdl: Double, k1: Double, b: Double): Column = {
+    val idf = log((lit(n.toDouble) - col("df").cast("double") + 0.5d) /
+      (col("df").cast("double") + 0.5d) + 1.0d)
+    val tfw = col("tf").cast("double") * (k1 + 1.0d) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0d - b) + lit(b / avgdl) * col("dl").cast("double")))
+    round(col("qtf").cast("double") * idf * tfw * 1e9d, 0).cast("long")
+  }
 
-    // index-time per-term stats (max-score array analog)
-    val termStats = basePostings.groupBy(col("term")).agg(max(col("tf")).as("max_tf"))
-    val ubt = queryPostings
-      .join(termStats, "term") // query side is tiny — broadcast either way
-      .select(col("qid"), col("term"), col("qtf"),
-        (col("qtf") * col("max_tf")).cast("double").as("ub"))
+  // ------------------------------------------------------------------
+  // Driver-coordinated pruned search (DAAT_WAND / DAAT_MAXSCORE, exact).
+  //
+  // The reference walks posting-list cursors per doc with a pivot
+  // threshold (`sparse_inverted_index.h:699-830`). The batch rendering
+  // keeps the same three ingredients — index-time per-term upper bounds,
+  // a seed threshold θ from one posting list, the essential/non-essential
+  // split — but coordinates them from the driver so each phase reaches
+  // the postings scan as a pushed `term IN (...)` / `id IN (...)` filter:
+  //
+  //   1. UB(q,t) = qtf·max(t) from termStats — tiny, collected once;
+  //      the query's (qid, term, qtf) triples and their term stats then
+  //      live on the driver, so later phases broadcast LOCAL frames and
+  //      never re-derive the query side from its source scan;
+  //   2. θ(q)    = k-th best EXACT score among the top-UB term's top-k
+  //                postings (−∞ if that list holds < k docs);
+  //   3. essential terms = the suffix (by ascending UB) whose running
+  //                ΣUB ≥ θ — a doc holding only prefix terms scores
+  //                ≤ Σ prefix UB < θ and cannot enter the top-k;
+  //   4. candidates = docs holding ≥1 essential term; only THEIR
+  //                postings are joined and exactly scored.
+  //
+  // Admissible at every step, so the output is IDENTICAL to the naive
+  // path — gated by the same oracle. The naive path's full
+  // (query-term × postings) join never materializes: phases touch one
+  // posting list, ≤ nq·k doc ids, then essential lists ∪ candidates.
+  // ------------------------------------------------------------------
 
-    // 2: θ from the single top-UB term's list, exactly scored
-    val wTop = Window.partitionBy(col("qid")).orderBy(col("ub").desc, col("term").asc)
-    val topTerm = ubt
-      .withColumn("_rn", row_number().over(wTop))
-      .filter(col("_rn") === 1)
-      .select(col("qid"), col("term"), col("qtf"))
-    val seedPairs = basePostings
-      .join(broadcast(topTerm), "term")
-      .select(col("qid"), col("id").as("nid"), (col("qtf") * col("tf")).cast("double").as("dist"))
-    val seeds = topK(seedPairs, k, ascending = false).select(col("qid"), col("nid").as("id"))
-    val seedScores = basePostings
-      .join(broadcast(seeds.select(col("id")).distinct()), "id")
+  /** Per-query term metadata assembled driver-side. Scoring sums treat
+    * qtf as DOUBLE (exact for integer-valued weights ≲ 2^53, which is
+    * also what the naive path's long sums produce). */
+  private final case class QTerm(term: String, qtf: Double, ub: Double, df: Long)
+
+  private final case class QueryPlan(
+      byQid: Map[Long, Array[QTerm]],
+      localQp: Seq[(Long, String, Double)], // (qid, term, qtf)
+      localStats: Seq[(String, Long)] // (term, df)
+  )
+
+  /** One job: restrict termStats to the query's terms, compute UBs, pull
+    * the (tiny) result to the driver. */
+  private def planQueries(
+      queryPostings: DataFrame,
+      termStats: DataFrame,
+      ubCol: Column
+  ): QueryPlan = {
+    val rows = termStats
       .join(broadcast(queryPostings), "term")
-      .join(broadcast(seeds), Seq("qid", "id"), "left_semi")
-      .groupBy(col("qid"), col("id"))
-      .agg(sum(col("qtf") * col("tf")).cast("double").as("score"))
-    val theta = topK(
-      seedScores.select(col("qid"), col("id").as("nid"), col("score").as("dist")),
-      k, ascending = false)
-      .groupBy(col("qid"))
-      .agg(min(col("dist")).as("_kth"), count(lit(1)).as("_c"))
-      .select(col("qid"),
-        when(col("_c") >= k, col("_kth")).otherwise(lit(Double.MinValue)).as("theta"))
+      .select(col("qid").cast("long"), col("term"), col("qtf").cast("double"),
+        ubCol.cast("double").as("ub"), col("min_tf").cast("double"), col("df").cast("long"))
+      .collect()
+    require(rows.length <= 4000000,
+      "pruned sparse search: query side too large for driver coordination")
+    rows.foreach { r =>
+      // admissibility precondition (UB(t)=qtf·max is only an upper bound
+      // for NONNEGATIVE weights) — fail loudly instead of silently
+      // pruning true results
+      require(r.getDouble(2) >= 0 && r.getDouble(4) >= 0,
+        "WAND/MaxScore pruning requires nonnegative qtf and tf")
+    }
+    val byQid = rows
+      .groupBy(_.getLong(0))
+      .map { case (qid, rs) =>
+        qid -> rs.map(r => QTerm(r.getString(1), r.getDouble(2), r.getDouble(3), r.getLong(5)))
+      }
+    val localQp = byQid.toSeq.flatMap { case (qid, ts) => ts.map(t => (qid, t.term, t.qtf)) }
+    val localStats = byQid.valuesIterator.flatten
+      .map(t => (t.term, t.df)).toSeq.distinct
+    QueryPlan(byQid, localQp, localStats)
+  }
 
-    // 3: essential terms = suffix (by ascending UB) whose running ΣUB ≥ θ
-    val wCum = Window
-      .partitionBy(col("qid"))
-      .orderBy(col("ub").asc, col("term").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val essential = ubt
-      .withColumn("cum", sum(col("ub")).over(wCum))
-      .join(broadcast(theta), "qid")
-      .filter(col("cum") >= col("theta"))
-      .select(col("qid"), col("term"))
+  /** Seed θ per query: exact scores of the top-UB term's top-k postings.
+    * ONE job: the seed top-k feeds the exact-score join as a broadcast
+    * (≤ nq·k rows) instead of a collect+`id IN` round-trip — restriction
+    * without a driver hop. `exactOf(bpRestricted, seedDocs)` → (qid, id,
+    * dist). */
+  private def seedThetas(
+      spark: SparkSession,
+      bp: DataFrame,
+      plan: QueryPlan,
+      k: Int,
+      exactOf: (DataFrame, DataFrame) => DataFrame
+  ): Map[Long, Double] = {
+    import spark.implicits._
+    // top-UB term per query (ties by term asc, like the cursor ordering)
+    val topTerms = plan.byQid.toSeq.map { case (qid, ts) =>
+      val best = ts.minBy(t => (-t.ub, t.term))
+      (qid, best.term, best.qtf)
+    }
+    val topTermList = topTerms.map(_._2).distinct
+    val seedPairs = bp
+      .filter(col("term").isin(topTermList: _*))
+      .join(broadcast(topTerms.toDF("qid", "term", "qtf")), "term")
+      .select(col("qid"), col("id").as("nid"),
+        (col("qtf") * col("tf")).cast("double").as("dist"))
+    val seeds = topK(seedPairs, k, ascending = false)
+      .select(col("qid"), col("nid").as("id"))
+    val exact = exactOf(
+      bp.join(broadcast(seeds.select(col("id")).distinct()), Seq("id"), "left_semi"),
+      broadcast(seeds))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val scoresByQid = exact.groupBy(_._1)
+    plan.byQid.map { case (qid, _) =>
+      val ss = scoresByQid.getOrElse(qid, Array.empty).map(_._2).sortBy(-_)
+      qid -> (if (ss.length >= k) ss(k - 1) else Double.MinValue)
+    }
+  }
 
-    // 4: candidates and their exact scores — the only postings join
-    val candidates = basePostings
-      .join(broadcast(essential), "term")
+  /** Essential (qid, term, qtf, ub) rows: suffix by ascending UB whose
+    * running ΣUB ≥ θ − slack. */
+  private def essentialTerms(
+      plan: QueryPlan,
+      thetas: Map[Long, Double],
+      slack: Double
+  ): Seq[(Long, String, Double, Double)] =
+    plan.byQid.toSeq.flatMap { case (qid, ts) =>
+      val theta = thetas(qid)
+      val sorted = ts.sortBy(t => (t.ub, t.term))
+      var cum = 0.0
+      sorted.flatMap { t =>
+        cum += t.ub
+        if (cum >= theta - slack) Some((qid, t.term, t.qtf, t.ub)) else None
+      }
+    }
+
+  /** Candidate (qid, id) pairs: docs holding ≥1 essential term, from a
+    * scan pruned to the essential posting lists. */
+  private def candidatesOf(
+      spark: SparkSession,
+      bp: DataFrame,
+      essential: Seq[(Long, String, Double, Double)]
+  ): DataFrame = {
+    import spark.implicits._
+    val essTermList = essential.map(_._2).distinct
+    val essDf = broadcast(essential.map(e => (e._1, e._2)).toDF("qid", "term"))
+    bp.filter(col("term").isin(essTermList: _*))
+      .join(essDf, "term")
       .select(col("qid"), col("id"))
       .dropDuplicates("qid", "id")
-    val exact = basePostings
-      .join(candidates.select(col("id")).distinct(), "id")
-      .join(broadcast(queryPostings), "term")
-      .join(candidates, Seq("qid", "id"), "left_semi")
-      .groupBy(col("qid"), col("id").as("nid"))
+  }
+
+  /** Cost-based fallback (the reference's conditional-wrapper pattern,
+    * `IndexConditionalWrapper.cc:34-95`, applied to DAAT pruning): when
+    * the essential posting lists cover most of the query's postings —
+    * degenerate vocabularies, weak bounds — the candidate machinery
+    * cannot pay for itself; score-all is exact and cheaper. Decided
+    * driver-side from the already-collected per-term df stats, no extra
+    * job. Either branch returns the identical exact result. */
+  private def pruneWontPay(
+      plan: QueryPlan,
+      essential: Seq[(Long, String, Double, Double)],
+      fallbackRatio: Double = 0.1
+  ): Boolean = {
+    val dfByTerm = plan.localStats.toMap
+    val essDf = essential.iterator.map(e => dfByTerm(e._2).toDouble).sum
+    val allDf = plan.byQid.valuesIterator.flatten.map(_.df.toDouble).sum
+    essDf >= fallbackRatio * allDf
+  }
+
+  /** Exact IP top-k with MaxScore essential-list pruning
+    * (`sparse_inverted_index.h:759-830`), driver-coordinated — see the
+    * block comment above. Output identical to [[searchIP]]. */
+  def searchIPMaxScore(
+      queryPostings: DataFrame, // (qid, term, qtf)
+      model: SparseIndexModel,
+      k: Int,
+      filter: Option[Column] = None
+  ): DataFrame = {
+    val spark = model.postings.sparkSession
+    import spark.implicits._
+    val bp = filter.map(model.postings.filter).getOrElse(model.postings)
+
+    val plan = planQueries(queryPostings, model.termStats, col("qtf") * col("max_tf"))
+    if (plan.byQid.isEmpty)
+      return topK(spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "dist"),
+        k, ascending = false)
+    val qpDf = broadcast(plan.localQp.toDF("qid", "term", "qtf"))
+
+    def ipExact(bpR: DataFrame, docs: DataFrame): DataFrame = bpR
+      .join(qpDf, "term")
+      .join(docs, Seq("qid", "id"), "left_semi")
+      .groupBy(col("qid").cast("long").as("qid"), col("id").cast("long").as("id"))
       .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
+
+    val thetas = seedThetas(spark, bp, plan, k, ipExact)
+    val essential = essentialTerms(plan, thetas, slack = 0.0)
+    val qTermList = plan.localQp.map(_._2).distinct
+    val qScan = bp.filter(col("term").isin(qTermList: _*))
+    val exact =
+      if (pruneWontPay(plan, essential)) {
+        // degenerate bounds: score-all restricted to query terms (exact)
+        qScan
+          .join(qpDf, "term")
+          .groupBy(col("qid"), col("id").as("nid"))
+          .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
+      } else {
+        // exact scores over candidate docs only; AQE broadcasts the
+        // candidate id list when small, shuffle-joins when not
+        val candidates = candidatesOf(spark, bp, essential)
+        qScan
+          .join(candidates.select(col("id")).distinct(), "id")
+          .join(qpDf, "term")
+          .join(candidates, Seq("qid", "id"), "left_semi")
+          .groupBy(col("qid"), col("id").as("nid"))
+          .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
+      }
     topK(exact, k, ascending = false)
   }
 
-  /** Exact top-k IP with WAND-style upper-bound pruning
-    * (`sparse_inverted_index.h:699-757`): the reference prunes per-doc with
-    * a pivot threshold from the running heap; the batch rendering is
-    * two-phase —
-    *
-    *   1. seed: the top-k docs per query by any *single* posting
-    *      contribution; their exact scores give threshold θ = k-th best;
-    *   2. prune: per-term max-contribution bounds give UB(doc) = Σ_t
-    *      max-contrib(t); docs with UB < θ cannot reach the top-k and are
-    *      never fully scored; survivors are scored exactly.
-    *
-    * Admissible (UB ≥ exact score, seeds always survive), so the result is
-    * IDENTICAL to [[searchIP]] — gated by the same oracle. At scale the win
-    * is skipping the full (qid,doc) score aggregation for the long tail of
-    * weak-overlap docs.
-    */
-  def searchIPWandExact(
+  /** Exact IP top-k with WAND-style pruning
+    * (`sparse_inverted_index.h:699-757`): same stats-seeded candidate
+    * generation as MaxScore, then the pivot test — per-doc UB(d) =
+    * Σ_{t∈d∩Q} qtf·max_tf(t); docs with UB < θ are discarded BEFORE
+    * ranking (the reference's per-posting cursor pivoting collapses to
+    * this doc-level admissible bound in batch). UB ≥ exact score always,
+    * and seeds survive, so output is identical to [[searchIP]]. */
+  def searchIPWand(
       queryPostings: DataFrame, // (qid, term, qtf)
-      basePostings: DataFrame, // (id, term, tf)
-      k: Int
+      model: SparseIndexModel,
+      k: Int,
+      filter: Option[Column] = None
   ): DataFrame = {
-    val contribs = broadcast(queryPostings)
-      .join(basePostings, "term")
-      .select(col("qid"), col("id"), col("term"), (col("qtf") * col("tf")).cast("double").as("contrib"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = model.postings.sparkSession
+    import spark.implicits._
+    val bp = filter.map(model.postings.filter).getOrElse(model.postings)
 
-    // phase 1: seeds and threshold θ(qid) = k-th best exact seed score
-    val seedDocs = BruteForce
-      .topK(contribs.select(col("qid"), col("id").as("nid"), col("contrib").as("dist")),
+    val plan = planQueries(queryPostings, model.termStats, col("qtf") * col("max_tf"))
+    if (plan.byQid.isEmpty)
+      return topK(spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "dist"),
         k, ascending = false)
-      .select(col("qid"), col("nid").as("id"))
-    val seedScores = seedDocs
-      .join(contribs, Seq("qid", "id"))
-      .groupBy(col("qid"), col("id"))
-      .agg(sum(col("contrib")).as("score"))
-    val theta = BruteForce
-      .topK(seedScores.select(col("qid"), col("id").as("nid"), col("score").as("dist")),
-        k, ascending = false)
-      .groupBy(col("qid"))
-      .agg(min(col("dist")).as("theta"))
+    val qpDf = broadcast(plan.localQp.toDF("qid", "term", "qtf"))
 
-    // phase 2: per-(qid,term) max contribution → UB per doc → prune → exact
-    val ubt = contribs.groupBy(col("qid"), col("term")).agg(max(col("contrib")).as("ub"))
-    val ub = contribs
-      .join(ubt, Seq("qid", "term"))
-      .groupBy(col("qid"), col("id"))
-      .agg(sum(col("ub")).as("ub"))
-    val survivors = ub
-      .join(broadcast(theta), "qid")
-      .filter(col("ub") >= col("theta"))
-      .select(col("qid"), col("id"))
-    val exact = survivors
-      .join(contribs, Seq("qid", "id"))
+    def ipExact(bpR: DataFrame, docs: DataFrame): DataFrame = bpR
+      .join(qpDf, "term")
+      .join(docs, Seq("qid", "id"), "left_semi")
+      .groupBy(col("qid").cast("long").as("qid"), col("id").cast("long").as("id"))
+      .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
+
+    val thetas = seedThetas(spark, bp, plan, k, ipExact)
+    val essential = essentialTerms(plan, thetas, slack = 0.0)
+    val qTermList = plan.localQp.map(_._2).distinct
+    val qScan = bp.filter(col("term").isin(qTermList: _*))
+    if (pruneWontPay(plan, essential)) {
+      // degenerate bounds: score-all restricted to query terms (exact)
+      val exact = qScan
+        .join(qpDf, "term")
+        .groupBy(col("qid"), col("id").as("nid"))
+        .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
+      return topK(exact, k, ascending = false)
+    }
+    val candidates = candidatesOf(spark, bp, essential)
+
+    // one aggregation computes exact score AND the WAND doc bound; the
+    // pivot test filters on the bound before ranking
+    val qWithUb = broadcast(plan.byQid.toSeq
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t.term, t.qtf, t.ub)) }
+      .toDF("qid", "term", "qtf", "ub"))
+    val thetaDf = broadcast(thetas.toSeq.toDF("qid", "theta"))
+    val scored = qScan
+      .join(candidates.select(col("id")).distinct(), "id")
+      .join(qWithUb, "term")
+      .join(candidates, Seq("qid", "id"), "left_semi")
       .groupBy(col("qid"), col("id").as("nid"))
-      .agg(sum(col("contrib")).as("dist"))
-    BruteForce.topK(exact, k, ascending = false)
+      .agg(
+        sum(col("qtf") * col("tf")).cast("double").as("dist"),
+        sum(col("ub")).as("_ubsum"))
+    val survivors = scored
+      .join(thetaDf, "qid")
+      .filter(col("_ubsum") >= col("theta"))
+      .select(col("qid"), col("nid"), col("dist"))
+    topK(survivors, k, ascending = false)
+  }
+
+  /** BM25 under MaxScore pruning (`sparse_inverted_index.h:384-392` —
+    * max-score upkeep with the BM25 ratio; `:759-830`): UB(q,t) =
+    * qtf·idf(t)·max_w(t)·maxScoreRatio, where max_w is the index-time
+    * max BM25 tf-weight of the term's posting list. Our avgdl is exact at
+    * build (no growing-segment drift), so ratio=1.0 stays admissible; the
+    * reference's `dim_max_score_ratio` (default 1.05 for BM25) is exposed
+    * for parity. A 1e−3 slack on θ absorbs both the 0.5e−9-per-term
+    * rounding of the scaled-integer exact scores and the final 4dp
+    * round-before-rank (which moves scores by ≤ 5e−5): an excluded doc's
+    * rounded score stays STRICTLY below the rounded k-th, so ties at the
+    * boundary are preserved. Output identical to [[searchBM25]] — gated
+    * by the same oracle. */
+  def searchBM25MaxScore(
+      queryPostings: DataFrame, // (qid, term, qtf)
+      model: SparseIndexModel,
+      k: Int,
+      maxScoreRatio: Double = 1.0,
+      roundDist: Option[Int] = Some(4),
+      filter: Option[Column] = None
+  ): DataFrame = {
+    require(maxScoreRatio >= 1.0, "maxScoreRatio < 1 would break admissibility")
+    val spark = model.postings.sparkSession
+    import spark.implicits._
+    val bp = filter.map(model.postings.filter).getOrElse(model.postings)
+
+    val idf = log((lit(model.n.toDouble) - col("df").cast("double") + 0.5d) /
+      (col("df").cast("double") + 0.5d) + 1.0d)
+    val plan = planQueries(queryPostings,
+      model.termStats.join(model.bm25TermStats, "term"),
+      col("qtf") * idf * col("max_w") * maxScoreRatio)
+    if (plan.byQid.isEmpty)
+      return topK(spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "dist"),
+        k, ascending = false)
+    val qpDf = broadcast(plan.localQp.toDF("qid", "term", "qtf"))
+    val statsDf = broadcast(plan.localStats.toDF("term", "df"))
+
+    def bm25Exact(bpR: DataFrame, docs: DataFrame): DataFrame = bpR
+      .join(qpDf, "term")
+      .join(statsDf, "term")
+      .join(docs, Seq("qid", "id"), "left_semi")
+      .groupBy(col("qid").cast("long").as("qid"), col("id").cast("long").as("id"))
+      .agg((sum(bm25ContribScaled(model.n, model.avgdl, model.k1, model.b)).cast("double") / 1e9d).as("dist"))
+
+    val thetas = seedThetas(spark, bp, plan, k, bm25Exact)
+    val essential = essentialTerms(plan, thetas, slack = 1e-3)
+    val qTermList = plan.localQp.map(_._2).distinct
+    val qScan = bp.filter(col("term").isin(qTermList: _*))
+    val scored =
+      if (pruneWontPay(plan, essential)) {
+        // degenerate bounds: score-all restricted to query terms (exact)
+        qScan
+          .join(qpDf, "term")
+          .join(statsDf, "term")
+          .groupBy(col("qid"), col("id").as("nid"))
+          .agg((sum(bm25ContribScaled(model.n, model.avgdl, model.k1, model.b)).cast("double") / 1e9d).as("raw"))
+      } else {
+        val candidates = candidatesOf(spark, bp, essential)
+        qScan
+          .join(candidates.select(col("id")).distinct(), "id")
+          .join(qpDf, "term")
+          .join(statsDf, "term")
+          .join(candidates, Seq("qid", "id"), "left_semi")
+          .groupBy(col("qid"), col("id").as("nid"))
+          .agg((sum(bm25ContribScaled(model.n, model.avgdl, model.k1, model.b)).cast("double") / 1e9d).as("raw"))
+      }
+    val d = roundDist.map(r => round(col("raw"), r)).getOrElse(col("raw"))
+    topK(scored.select(col("qid"), col("nid"), d.as("dist")), k, ascending = false)
   }
 }

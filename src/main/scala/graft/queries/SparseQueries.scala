@@ -2,12 +2,16 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.SparseSearch
+import graft.operators.{SparseIndexModel, SparseSearch}
 import graft.sources.Tables
 
 /** Sparse vector search over the documents corpus: term-frequency postings
   * as the sparse representation (S3 brute-force sparse, S9 inverted index,
   * S16 BM25). Query rows = every 100th document's tf vector.
+  *
+  * The pruned paths (WAND / MaxScore, IP and BM25) are exact — provably
+  * identical output to the score-all path — so they share the naive
+  * oracle verbatim: the hash match IS the exactness proof.
   */
 object SparseQueries {
 
@@ -16,6 +20,9 @@ object SparseQueries {
 
   private def basePostings(s: org.apache.spark.sql.SparkSession, dir: String) =
     SparseSearch.postings(Tables.documents(s, dir), "doc_id", "text")
+
+  private def model(s: org.apache.spark.sql.SparkSession, dir: String) =
+    SparseIndexModel.build(Tables.documents(s, dir), "doc_id", "text")
 
   private def queryPostings(s: org.apache.spark.sql.SparkSession, dir: String) =
     SparseSearch
@@ -33,102 +40,22 @@ object SparseQueries {
 ),
 q AS (SELECT doc_id AS qid, term, tf AS qtf FROM tf WHERE doc_id % 100 = 0)"""
 
-  def all: Seq[GraftQuery] = Seq(
-    // S3/S9 — exact sparse IP top-k via postings join (integer products ⇒
-    // order-independent exact sums)
-    GraftQuery(
-      "sparse_ip_knn",
-      (s, dir) => SparseSearch.searchIP(queryPostings(s, dir), basePostings(s, dir), K),
-      Some(s"""WITH $tfCte,
+  /** Naive sparse-IP top-k oracle, with an optional base-side predicate. */
+  private def ipOracle(where: String = ""): String =
+    s"""WITH $tfCte,
 scored AS (
   SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
-  FROM q JOIN tf t ON q.term = t.term GROUP BY 1, 2
+  FROM q JOIN tf t ON q.term = t.term $where GROUP BY 1, 2
 )
 SELECT qid, nid, dist, rnk FROM (
   SELECT qid, nid, dist,
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
   FROM scored
-) WHERE rnk <= $K""")),
-    // S9 — WAND/MaxScore upper-bound pruning, exact mode: provably
-    // identical output to the naive score-all path, so it shares
-    // sparse_ip_knn's oracle verbatim — the hash match IS the exactness
-    // proof (sparse_inverted_index.h:699-757)
-    GraftQuery(
-      "sparse_ip_wand_knn",
-      (s, dir) => SparseSearch.searchIPWandExact(queryPostings(s, dir), basePostings(s, dir), K),
-      Some(s"""WITH $tfCte,
-scored AS (
-  SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
-  FROM q JOIN tf t ON q.term = t.term GROUP BY 1, 2
-)
-SELECT qid, nid, dist, rnk FROM (
-  SELECT qid, nid, dist,
-         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
-  FROM scored
-) WHERE rnk <= $K""")),
-    // S9 — DAAT_MAXSCORE, exact mode: the essential-list split prunes the
-    // postings join itself (index-time max_tf stats → term bounds → only
-    // essential lists ∪ candidate docs are scored). Output identical to the
-    // naive path ⇒ shares its oracle; the hash match is the exactness proof
-    // (sparse_inverted_index.h:759-830)
-    GraftQuery(
-      "sparse_ip_maxscore_knn",
-      (s, dir) => SparseSearch.searchIPMaxScoreExact(queryPostings(s, dir), basePostings(s, dir), K),
-      Some(s"""WITH $tfCte,
-scored AS (
-  SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
-  FROM q JOIN tf t ON q.term = t.term GROUP BY 1, 2
-)
-SELECT qid, nid, dist, rnk FROM (
-  SELECT qid, nid, dist,
-         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
-  FROM scored
-) WHERE rnk <= $K""")),
-    // S2 × S9 — sparse range search: similarity-direction two-sided bound
-    // radius < score <= rangeFilter (range_util.h:22-25); exploded CSR out
-    GraftQuery(
-      "sparse_ip_range",
-      (s, dir) =>
-        SparseSearch.rangeIP(queryPostings(s, dir), basePostings(s, dir),
-          radius = 220.0, rangeFilter = 1e9),
-      Some(s"""WITH $tfCte
-SELECT qid, nid, dist FROM (
-  SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
-  FROM q JOIN tf t ON q.term = t.term GROUP BY 1, 2
-) WHERE dist > 220.0 AND dist <= 1000000000.0""")),
-    // S9 drop_ratio_search analog — query-term pruning before the join
-    // (sparse_inverted_index.h:643-663): terms with qtf below the threshold
-    // are dropped from the QUERY (not the index); the oracle applies the
-    // same deterministic filter, so the pruned semantics are hash-gated
-    GraftQuery(
-      "sparse_ip_drop_knn",
-      (s, dir) =>
-        SparseSearch.searchIP(
-          SparseSearch.pruneQueryTerms(queryPostings(s, dir), minTf = 3L),
-          basePostings(s, dir),
-          K),
-      Some(s"""WITH $tfCte,
-scored AS (
-  SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
-  FROM q JOIN tf t ON q.term = t.term AND q.qtf >= 3 GROUP BY 1, 2
-)
-SELECT qid, nid, dist, rnk FROM (
-  SELECT qid, nid, dist,
-         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
-  FROM scored
-) WHERE rnk <= $K""")),
-    // S16 — BM25 top-k with idf and length normalization; per-term
-    // contributions rounded to 9dp and summed as DECIMAL for
-    // accumulation-order independence
-    GraftQuery(
-      "sparse_bm25_knn",
-      (s, dir) =>
-        SparseSearch.searchBM25(
-          queryPostings(s, dir),
-          basePostings(s, dir),
-          SparseSearch.docLengths(Tables.documents(s, dir), "doc_id", "text"),
-          K),
-      Some(s"""WITH $tfCte,
+) WHERE rnk <= $K"""
+
+  /** Plain BM25 top-k oracle (shared by the pruned BM25 path). */
+  private val bm25Oracle =
+    s"""WITH $tfCte,
 dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
 s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
              CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
@@ -150,6 +77,117 @@ SELECT qid, nid, dist, rnk FROM (
   SELECT qid, nid, dist,
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
   FROM scored
-) WHERE rnk <= $K"""))
+) WHERE rnk <= $K"""
+
+  def all: Seq[GraftQuery] = Seq(
+    // S3/S9 — exact sparse IP top-k via postings join (integer products ⇒
+    // order-independent exact sums)
+    GraftQuery(
+      "sparse_ip_knn",
+      (s, dir) => SparseSearch.searchIP(queryPostings(s, dir), basePostings(s, dir), K),
+      Some(ipOracle())),
+    // S9 + BitsetView — sparse FILTERED search (sparse_index_node.cc:39-595,
+    // tests/ut/test_sparse.cc:36-577): predicate over base docs applied to
+    // the postings scan before scoring
+    GraftQuery(
+      "sparse_ip_knn_filtered",
+      (s, dir) =>
+        SparseSearch.searchIP(queryPostings(s, dir), basePostings(s, dir), K,
+          filter = Some(col("id") % 3 =!= 0)),
+      Some(ipOracle(where = "AND t.doc_id % 3 <> 0"))),
+    // S9 — DAAT_WAND, exact mode: stats-seeded candidates + doc-level
+    // pivot bound (sparse_inverted_index.h:699-757)
+    GraftQuery(
+      "sparse_ip_wand_knn",
+      (s, dir) => {
+        val m = model(s, dir)
+        SparseSearch.searchIPWand(queryPostings(s, dir), m, K)
+      },
+      Some(ipOracle())),
+    // S9 — DAAT_MAXSCORE, exact mode: essential-list split prunes the
+    // postings join itself (sparse_inverted_index.h:759-830)
+    GraftQuery(
+      "sparse_ip_maxscore_knn",
+      (s, dir) => {
+        val m = model(s, dir)
+        SparseSearch.searchIPMaxScore(queryPostings(s, dir), m, K)
+      },
+      Some(ipOracle())),
+    // S2 × S9 — sparse range search: similarity-direction two-sided bound
+    // radius < score <= rangeFilter (range_util.h:22-25); exploded CSR out
+    GraftQuery(
+      "sparse_ip_range",
+      (s, dir) =>
+        SparseSearch.rangeIP(queryPostings(s, dir), basePostings(s, dir),
+          radius = 220.0, rangeFilter = 1e9),
+      Some(s"""WITH $tfCte
+SELECT qid, nid, dist FROM (
+  SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
+  FROM q JOIN tf t ON q.term = t.term GROUP BY 1, 2
+) WHERE dist > 220.0 AND dist <= 1000000000.0""")),
+    // S9 drop_ratio_search, absolute-threshold analog: terms with qtf below
+    // a fixed threshold are dropped from the QUERY (not the index)
+    GraftQuery(
+      "sparse_ip_drop_knn",
+      (s, dir) =>
+        SparseSearch.searchIP(
+          SparseSearch.pruneQueryTerms(queryPostings(s, dir), minTf = 3L),
+          basePostings(s, dir),
+          K),
+      Some(s"""WITH $tfCte,
+scored AS (
+  SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
+  FROM q JOIN tf t ON q.term = t.term AND q.qtf >= 3 GROUP BY 1, 2
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= $K""")),
+    // S9 drop_ratio_search QUANTILE semantics (sparse_inverted_index.h:
+    // 643-663): drop the lowest floor(ratio·n_terms) of each query's own
+    // values — the reference's actual knob, deterministic in both engines
+    GraftQuery(
+      "sparse_ip_dropq_knn",
+      (s, dir) =>
+        SparseSearch.searchIP(
+          SparseSearch.pruneQueryTermsQuantile(queryPostings(s, dir), dropRatio = 0.3),
+          basePostings(s, dir),
+          K),
+      Some(s"""WITH $tfCte,
+qr AS (
+  SELECT qid, term, qtf,
+         row_number() OVER (PARTITION BY qid ORDER BY qtf ASC, term ASC) AS rn,
+         count(*) OVER (PARTITION BY qid) AS nt
+  FROM q
+),
+qd AS (SELECT qid, term, qtf FROM qr WHERE rn > floor(CAST(0.3 AS DOUBLE) * CAST(nt AS DOUBLE))),
+scored AS (
+  SELECT qd.qid AS qid, t.doc_id AS nid, CAST(sum(qd.qtf * t.tf) AS DOUBLE) AS dist
+  FROM qd JOIN tf t ON qd.term = t.term GROUP BY 1, 2
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= $K""")),
+    // S16 — BM25 top-k: one pass over dl-folded postings, query-term-
+    // restricted broadcast stats; scaled-integer exact sums
+    GraftQuery(
+      "sparse_bm25_knn",
+      (s, dir) => {
+        val m = model(s, dir)
+        SparseSearch.searchBM25(queryPostings(s, dir), m, K)
+      },
+      Some(bm25Oracle)),
+    // S16 × S9 — BM25 under MaxScore pruning with max-score-ratio bounds
+    // (sparse_inverted_index.h:384-392): identical output to plain BM25
+    GraftQuery(
+      "sparse_bm25_maxscore_knn",
+      (s, dir) => {
+        val m = model(s, dir)
+        SparseSearch.searchBM25MaxScore(queryPostings(s, dir), m, K, maxScoreRatio = 1.05)
+      },
+      Some(bm25Oracle))
   )
 }

@@ -100,17 +100,53 @@ class SparseSearchSpec extends SparkSpec {
     assert(got.head.getAs[Double]("dist") == 2.0)
   }
 
-  test("WAND exact pruning returns the identical top-k as score-all") {
+  test("WAND/MaxScore exact pruning returns the identical top-k as score-all") {
     val corpus = graft.sources.Tables.documents(spark, sf0001)
     val base = SparseSearch.postings(corpus, "doc_id", "text")
+    val model = graft.operators.SparseIndexModel.build(corpus, "doc_id", "text")
     val q = SparseSearch
       .postings(corpus.filter(col("doc_id") % 100 === 0), "doc_id", "text")
       .select(col("id").as("qid"), col("term"), col("tf").as("qtf"))
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
         r.getAs[Double]("dist"), r.getAs[Int]("rnk"))).toSet
-    assert(rows(SparseSearch.searchIPWandExact(q, base, 10)) ==
-      rows(SparseSearch.searchIP(q, base, 10)))
+    val naive = rows(SparseSearch.searchIP(q, base, 10))
+    assert(rows(SparseSearch.searchIPWand(q, model, 10)) == naive)
+    assert(rows(SparseSearch.searchIPMaxScore(q, model, 10)) == naive)
+    // filtered search: pruned and naive agree under a bitset-style predicate
+    val f = Some(col("id") % 2 === 0)
+    assert(rows(SparseSearch.searchIPMaxScore(q, model, 10, filter = f)) ==
+      rows(SparseSearch.searchIP(q, base, 10, filter = f)))
+    model.drop()
+  }
+
+  test("BM25 MaxScore pruning matches plain BM25; model round-trips via save/load") {
+    val corpus = graft.sources.Tables.documents(spark, sf0001)
+    val model = graft.operators.SparseIndexModel.build(corpus, "doc_id", "text")
+    val q = SparseSearch
+      .postings(corpus.filter(col("doc_id") % 100 === 0), "doc_id", "text")
+      .select(col("id").as("qid"), col("term"), col("tf").as("qtf"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("dist"), r.getAs[Int]("rnk"))).toSet
+    val plain = rows(SparseSearch.searchBM25(q, model, 10))
+    assert(rows(SparseSearch.searchBM25MaxScore(q, model, 10, maxScoreRatio = 1.05)) == plain)
+    val dir = java.nio.file.Files.createTempDirectory("sparse_idx").toString
+    model.save(dir)
+    val loaded = graft.operators.SparseIndexModel.load(spark, dir)
+    assert(rows(SparseSearch.searchBM25(q, loaded, 10)) == plain)
+    model.drop(); loaded.drop()
+  }
+
+  test("quantile query-term pruning drops the lowest drop_ratio fraction per query") {
+    val q = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L), (1L, "d", 4L),
+      (2L, "x", 5L)
+    ).toDF("qid", "term", "qtf")
+    val kept = SparseSearch.pruneQueryTermsQuantile(q, 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // qid 1: floor(0.5·4)=2 dropped → c,d kept; qid 2: floor(0.5)=0 dropped
+    assert(kept == Set((1L, "c"), (1L, "d"), (2L, "x")))
   }
 
   test("BM25 favors rarer terms") {
