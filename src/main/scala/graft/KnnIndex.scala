@@ -82,6 +82,81 @@ final class IvfFlatIndex(
   }
 }
 
+/** IVF_SQ8: coarse lists + 8-bit scalar-quantized codes, SCANN-style exact
+  * rerank (`ivf.cc:1244-1276`). The quantizer model (per-dim min/max) is a
+  * build-time artifact persisted alongside the lists — search never
+  * retrains. Reference IVF_SQ8 retains no raw data (`flat.cc:258-283`
+  * capability table), so GetVectorByIds refuses. */
+final class IvfSq8Index(
+    val index: DataFrame, // (id, vec, cluster_id)
+    val centroids: DataFrame,
+    val sq8Stats: DataFrame, // one row (mn ARRAY, mx ARRAY)
+    val nprobe: Int,
+    val reorderK: Int,
+    roundDist: Option[Int] = None
+) extends VectorIndex {
+  override def indexType: String = "IVF_SQ8"
+  override lazy val count: Long = index.count()
+  override lazy val dim: Int = index.select(max(size(col("vec")))).head().getInt(0)
+
+  override def search(queries: DataFrame, k: Int, filter: Option[Column]): DataFrame = {
+    val filtered = filter.map(index.filter).getOrElse(index)
+    IvfIndex.searchSq8(queries, filtered, centroids, k, nprobe, reorderK,
+      roundDist, stats = Some(sq8Stats))
+  }
+
+  override def rangeSearch(queries: DataFrame, radius: Double, rangeFilter: Double,
+      filter: Option[Column]): DataFrame =
+    BruteForce.rangeSearch(
+      queries, index.select(col("id"), col("vec")), Metric.L2, radius, rangeFilter,
+      filter, roundDist)
+
+  override def getVectorByIds(ids: DataFrame): DataFrame =
+    throw new UnsupportedOperationException("IVF_SQ8 retains no raw data")
+
+  override def save(dir: String): Unit = {
+    index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/lists")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    sq8Stats.write.mode("overwrite").parquet(s"$dir/sq8_stats")
+  }
+}
+
+/** IVF_PQ: coarse lists + product-quantization codes with ADC + exact
+  * rerank (`ivf.cc:1244-1276`; m/nbits per `benchmark_float_qps.cpp:
+  * 400-401`). Codebooks persist with the lists. */
+final class IvfPqIndex(
+    val index: DataFrame, // (id, vec, cluster_id)
+    val centroids: DataFrame,
+    val model: ProductQuant.PQModel,
+    val nprobe: Int,
+    val reorderK: Int,
+    roundDist: Option[Int] = None
+) extends VectorIndex {
+  override def indexType: String = "IVF_PQ"
+  override lazy val count: Long = index.count()
+  override lazy val dim: Int = index.select(max(size(col("vec")))).head().getInt(0)
+
+  override def search(queries: DataFrame, k: Int, filter: Option[Column]): DataFrame = {
+    val filtered = filter.map(index.filter).getOrElse(index)
+    IvfIndex.searchPq(queries, filtered, centroids, model, k, nprobe, reorderK, roundDist)
+  }
+
+  override def rangeSearch(queries: DataFrame, radius: Double, rangeFilter: Double,
+      filter: Option[Column]): DataFrame =
+    BruteForce.rangeSearch(
+      queries, index.select(col("id"), col("vec")), Metric.L2, radius, rangeFilter,
+      filter, roundDist)
+
+  override def getVectorByIds(ids: DataFrame): DataFrame =
+    throw new UnsupportedOperationException("IVF_PQ retains no raw data")
+
+  override def save(dir: String): Unit = {
+    index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/lists")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    ProductQuant.saveModel(index.sparkSession, model, s"$dir/pq")
+  }
+}
+
 /** Factory — `(index_type, params) → index`, `index_factory.cc:45-70`. */
 object IndexFactory {
 
@@ -93,20 +168,46 @@ object IndexFactory {
       nlist: Int = 16,
       nprobe: Int = 4,
       seed: Long = 42L,
-      roundDist: Option[Int] = None
+      roundDist: Option[Int] = None,
+      reorderK: Int = 50,
+      pqM: Int = 8,
+      pqKsub: Int = 16
   ): VectorIndex = {
     require(Capabilities.IndexTypes.contains(indexType), s"unknown index type $indexType")
     require(Capabilities.supportsMetric(indexType, metric.name),
       s"index $indexType does not support metric ${metric.name}")
+    def cents = IvfIndex.trainKMeans(spark, base, nlist, seed)
     indexType match {
       case "FLAT" | "BIN_FLAT" => new FlatIndex(base, metric, roundDist)
       case "IVF_FLAT" =>
-        val cents = IvfIndex.trainKMeans(spark, base, nlist, seed)
-        new IvfFlatIndex(IvfIndex.build(base, cents, roundDist), cents, metric, nprobe, roundDist)
+        val c = cents
+        new IvfFlatIndex(IvfIndex.build(base, c, roundDist), c, metric, nprobe, roundDist)
+      case "IVF_SQ8" =>
+        val c = cents
+        new IvfSq8Index(IvfIndex.build(base, c, roundDist), c,
+          Quantization.sq8Train(base), nprobe, reorderK, roundDist)
+      case "IVF_PQ" =>
+        val c = cents
+        new IvfPqIndex(IvfIndex.build(base, c, roundDist), c,
+          ProductQuant.train(spark, base, pqM, pqKsub, seed), nprobe, reorderK, roundDist)
       case other =>
         throw new IllegalArgumentException(s"index type $other not yet constructible via factory")
     }
   }
+
+  /** Sparse factory arm: SPARSE_INVERTED_INDEX / SPARSE_WAND build the same
+    * artifact (`sparse_index_node.cc:431-470`); the variant selects the
+    * query algorithm at search time. */
+  def buildSparse(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): SparseIndexModel = SparseIndexModel.build(docs, idCol, textCol, k1, b)
+
+  def loadSparse(spark: SparkSession, dir: String): SparseIndexModel =
+    SparseIndexModel.load(spark, dir)
 
   /** Deserialize an IVF index saved by IvfFlatIndex.save. */
   def loadIvf(
@@ -121,5 +222,37 @@ object IndexFactory {
       spark.read.parquet(s"$dir/centroids"),
       metric,
       nprobe,
+      roundDist)
+
+  /** Deserialize an IVF_SQ8 index saved by IvfSq8Index.save. */
+  def loadIvfSq8(
+      spark: SparkSession,
+      dir: String,
+      nprobe: Int = 4,
+      reorderK: Int = 50,
+      roundDist: Option[Int] = None
+  ): IvfSq8Index =
+    new IvfSq8Index(
+      spark.read.parquet(s"$dir/lists"),
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/sq8_stats"),
+      nprobe,
+      reorderK,
+      roundDist)
+
+  /** Deserialize an IVF_PQ index saved by IvfPqIndex.save. */
+  def loadIvfPq(
+      spark: SparkSession,
+      dir: String,
+      nprobe: Int = 4,
+      reorderK: Int = 50,
+      roundDist: Option[Int] = None
+  ): IvfPqIndex =
+    new IvfPqIndex(
+      spark.read.parquet(s"$dir/lists"),
+      spark.read.parquet(s"$dir/centroids"),
+      ProductQuant.loadModel(spark, s"$dir/pq"),
+      nprobe,
+      reorderK,
       roundDist)
 }

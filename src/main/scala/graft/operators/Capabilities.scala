@@ -8,13 +8,15 @@ package graft.operators
 object Capabilities {
 
   val IndexTypes: Set[String] =
-    Set("FLAT", "BIN_FLAT", "IVF_FLAT", "IVF_SQ8", "SPARSE_INVERTED_INDEX", "SPARSE_WAND")
+    Set("FLAT", "BIN_FLAT", "IVF_FLAT", "IVF_SQ8", "IVF_PQ",
+      "SPARSE_INVERTED_INDEX", "SPARSE_WAND")
 
   private val metricTable: Map[String, Set[String]] = Map(
     "FLAT" -> Set("l2", "l2sq", "ip", "cosine"),
     "BIN_FLAT" -> Set("hamming", "jaccard"),
     "IVF_FLAT" -> Set("l2", "l2sq", "ip", "cosine"),
     "IVF_SQ8" -> Set("l2", "l2sq"),
+    "IVF_PQ" -> Set("l2", "l2sq"),
     "SPARSE_INVERTED_INDEX" -> Set("ip", "bm25"),
     "SPARSE_WAND" -> Set("ip", "bm25")
   )

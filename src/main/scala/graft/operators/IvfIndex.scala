@@ -48,7 +48,34 @@ object IvfIndex {
       .select(col("qid"), col("cluster_id"))
   }
 
-  /** Search: probe → scan only probed lists → exact distance → top-k. */
+  /** Probe, then PRUNE THE SCAN: the probe result (nq×nprobe pairs) is
+    * collected — it is tiny by construction — and the probed list ids are
+    * pushed into the index scan as a `cluster_id IN (...)` filter. Over a
+    * `partitionBy("cluster_id")` parquet index this is Catalyst PARTITION
+    * PRUNING (PartitionFilters in the plan — only probed list files are
+    * read); over a cached frame it is a pushed scan filter. This is the
+    * reference's nprobe contract (`ivf.cc:691-810`): search cost scales
+    * with nprobe/nlist, NOT with the table.
+    *
+    * Returns (probes as a rebuilt local frame — no recompute on reuse —
+    * and the pruned index). */
+  def probeAndPrune(
+      queries: DataFrame,
+      index: DataFrame,
+      centroids: DataFrame,
+      nprobe: Int,
+      roundDist: Option[Int]
+  ): (DataFrame, DataFrame) = {
+    val spark = index.sparkSession
+    val probeDf = probe(queries, centroids, nprobe, roundDist)
+    val probeRows = probeDf.collect()
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeDf.schema)
+    val probedIds = probeRows.map(_.get(1)).distinct.toSeq
+    (probesLocal, index.filter(col("cluster_id").isInCollection(probedIds)))
+  }
+
+  /** Search: probe → scan ONLY probed lists → exact distance → top-k. */
   def search(
       queries: DataFrame, // (qid, qvec)
       index: DataFrame, // (id, vec, cluster_id) from build()
@@ -58,11 +85,11 @@ object IvfIndex {
       metric: Metric = Metric.L2,
       roundDist: Option[Int] = None
   ): DataFrame = {
-    val probes = probe(queries, centroids, nprobe, roundDist)
+    val (probes, pruned) = probeAndPrune(queries, index, centroids, nprobe, roundDist)
     val raw = metric.dist(col("qvec"), col("vec"))
     val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
     val pairs = broadcast(probes.join(queries, "qid"))
-      .join(index, "cluster_id")
+      .join(pruned, "cluster_id")
       .select(col("qid"), col("id").as("nid"), d.as("dist"))
     BruteForce.topK(pairs, k, metric.ascending)
   }
@@ -79,11 +106,18 @@ object IvfIndex {
       k: Int,
       nprobe: Int,
       reorderK: Int,
-      roundDist: Option[Int] = None
+      roundDist: Option[Int] = None,
+      stats: Option[DataFrame] = None // prebuilt quantizer model (Train once)
   ): DataFrame = {
-    val stats = Quantization.sq8Train(index.select(col("id"), col("vec")))
-    val coded = index
-      .crossJoin(broadcast(stats))
+    // quantizer bounds are GLOBAL (trained over the whole input, as the
+    // reference's SQ does) — a build-time artifact; pass `stats` in a real
+    // deployment so search never retrains
+    val st = stats.getOrElse(Quantization.sq8Train(index.select(col("id"), col("vec"))))
+    val (probes, pruned) = probeAndPrune(queries, index, centroids, nprobe, roundDist)
+    // codes are computed over the PRUNED scan only — the probed lists are
+    // the only data touched
+    val coded = pruned
+      .crossJoin(broadcast(st))
       .select(
         col("id"),
         col("cluster_id"),
@@ -93,7 +127,6 @@ object IvfIndex {
             col("mn"),
             col("mx"))
           .as("recon"))
-    val probes = probe(queries, centroids, nprobe, roundDist)
     val rawA = graft.functions.VectorFunctions.l2(col("qvec"), col("recon"))
     val adist = roundDist.map(n => round(rawA, n)).getOrElse(rawA)
     val cand = BruteForce
@@ -104,7 +137,7 @@ object IvfIndex {
         reorderK,
         ascending = true)
       .join(broadcast(queries), "qid")
-      .join(index.select(col("id").as("nid"), col("vec")), "nid")
+      .join(pruned.select(col("id").as("nid"), col("vec")), "nid")
     val rawE = graft.functions.VectorFunctions.l2(col("qvec"), col("vec"))
     val edist = roundDist.map(n => round(rawE, n)).getOrElse(rawE)
     BruteForce.topK(cand.select(col("qid"), col("nid"), edist.as("dist")), k, ascending = true)
@@ -126,11 +159,12 @@ object IvfIndex {
       reorderK: Int,
       roundDist: Option[Int] = None
   ): DataFrame = {
-    val coded = index.select(
+    val (probes, pruned) = probeAndPrune(queries, index, centroids, nprobe, roundDist)
+    // ADC codes are map-side projections over the PRUNED scan only
+    val coded = pruned.select(
       col("id"),
       col("cluster_id"),
       ProductQuant.encodeExpr(col("vec"), model).as("codes"))
-    val probes = probe(queries, centroids, nprobe, roundDist)
     val cand = ProductQuant
       .adcTopK(
         broadcast(probes.join(queries, "qid")),
@@ -140,7 +174,7 @@ object IvfIndex {
         joinKey = Some("cluster_id"),
         roundDist = roundDist)
       .join(broadcast(queries), "qid")
-      .join(index.select(col("id").as("nid"), col("vec")), "nid")
+      .join(pruned.select(col("id").as("nid"), col("vec")), "nid")
     val rawE = graft.functions.VectorFunctions.l2(col("qvec"), col("vec"))
     val edist = roundDist.map(n => round(rawE, n)).getOrElse(rawE)
     BruteForce.topK(cand.select(col("qid"), col("nid"), edist.as("dist")), k, ascending = true)

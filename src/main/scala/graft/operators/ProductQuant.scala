@@ -47,6 +47,28 @@ object ProductQuant {
     PQModel(m, kMin, dsub, raw.map(_.take(kMin)))
   }
 
+  /** Serialize the codebooks (BinarySet analog, `index_node.h:371-401`):
+    * a meta row + one row per (subspace, codeword). */
+  def saveModel(spark: SparkSession, model: PQModel, dir: String): Unit = {
+    import spark.implicits._
+    Seq((model.m, model.ksub, model.dsub)).toDF("m", "ksub", "dsub")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val rows = for { s <- 0 until model.m; c <- 0 until model.ksub }
+      yield (s, c, model.codebooks(s)(c).toSeq)
+    rows.toDF("s", "c", "centroid").write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Deserialize a model written by [[saveModel]] — search-identical. */
+  def loadModel(spark: SparkSession, dir: String): PQModel = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (m, ksub, dsub) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"), meta.getAs[Int]("dsub"))
+    val codebooks = Array.ofDim[Array[Float]](m, ksub)
+    spark.read.parquet(s"$dir/codebooks").collect().foreach { r =>
+      codebooks(r.getAs[Int]("s"))(r.getAs[Int]("c")) = r.getSeq[Float](2).toArray
+    }
+    PQModel(m, ksub, dsub, codebooks)
+  }
+
   /** Codes column: for each subspace, the index of the nearest codeword
     * (first-minimum ⇒ deterministic tie-break). */
   def encodeExpr(vec: Column, model: PQModel): Column = {

@@ -41,6 +41,52 @@ class FacadeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("IVF probing prunes the scan: PartitionFilters on a saved index, pushed filter in-memory") {
+    val idx = IndexFactory
+      .build(spark, "IVF_FLAT", base, Metric.L2, nlist = 4, nprobe = 2, roundDist = Some(4))
+      .asInstanceOf[IvfFlatIndex]
+    val dir = Files.createTempDirectory("graft-prune").toString
+    idx.save(dir) // partitionBy("cluster_id") parquet
+    val loaded = IndexFactory.loadIvf(spark, dir, Metric.L2, nprobe = 2, roundDist = Some(4))
+    val result = loaded.search(queries, 5, None)
+    val plan = result.queryExecution.executedPlan.toString
+    // the probed list ids must reach the LISTS file scan as partition
+    // pruning — only probed list directories are read (ivf.cc:691-810)
+    val listsScan = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/lists"))
+      .getOrElse(fail(s"no lists FileScan in plan:\n$plan"))
+    val pf = listsScan.substring(listsScan.indexOf("PartitionFilters"))
+      .takeWhile(_ != ']') + "]"
+    assert(pf.contains("cluster_id"), s"PartitionFilters should bind cluster_id: $listsScan")
+    assert(!pf.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"PartitionFilters must be non-empty: $listsScan")
+    // and the pruned search returns the same rows as the in-memory index
+    val a = idx.search(queries, 5, None).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = result.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
+  test("IVF_SQ8 and IVF_PQ build/save/load round-trips are search-identical") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sq8 = IndexFactory
+      .build(spark, "IVF_SQ8", base, Metric.L2, nlist = 4, nprobe = 4, roundDist = Some(4))
+      .asInstanceOf[IvfSq8Index]
+    val dirS = Files.createTempDirectory("graft-sq8").toString
+    sq8.save(dirS)
+    val sq8L = IndexFactory.loadIvfSq8(spark, dirS, nprobe = 4, roundDist = Some(4))
+    assert(rows(sq8.search(queries, 5, None)) == rows(sq8L.search(queries, 5, None)))
+    assertThrows[UnsupportedOperationException](sq8.getVectorByIds(queries))
+
+    val pq = IndexFactory
+      .build(spark, "IVF_PQ", base, Metric.L2, nlist = 4, nprobe = 4, roundDist = Some(4))
+      .asInstanceOf[IvfPqIndex]
+    val dirP = Files.createTempDirectory("graft-pq").toString
+    pq.save(dirP)
+    val pqL = IndexFactory.loadIvfPq(spark, dirP, nprobe = 4, roundDist = Some(4))
+    assert(rows(pq.search(queries, 5, None)) == rows(pqL.search(queries, 5, None)))
+  }
+
   test("factory rejects unsupported metric/index combinations") {
     assertThrows[IllegalArgumentException](
       IndexFactory.build(spark, "BIN_FLAT", base, Metric.L2))
