@@ -66,6 +66,41 @@ object VectorFunctions {
   def cosineSimPre(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  // ----- reduced-precision storage casts ------------------------------------
+  // The reference's fp16/bf16/int8 element types (`operands.h:48-147`) are
+  // STORAGE types: compute paths mock them through fp32 conversion
+  // (`operands.h:180-198` MockData, `src/index/index_node_data_mock_wrapper
+  // .cc:1-88`, `utils.h:112-177`). The Spark rendering: a storage-cast
+  // column expression that rounds each element to the target type's
+  // representable grid (round-to-nearest-EVEN, IEEE default), while the
+  // column stays DOUBLE for the (fp32-and-wider) compute path — identical
+  // semantics, SQL-expressible, so the oracle can reproduce it.
+
+  /** Round x to `mBits` mantissa bits with gradual underflow below
+    * 2^-minNormalExp (the target type's min normal). Out-of-range overflow
+    * (|x| > fp16 max 65504) is out of scope — unit-scale embeddings. */
+  private def storageRound(x: Column, mBits: Int, minNormalExp: Int): Column = {
+    val xd = x.cast("double")
+    val absx = abs(xd)
+    val e = when(absx >= pow(lit(2.0d), lit(-minNormalExp.toDouble)),
+      lit(mBits.toDouble) - floor(log2(absx)))
+      .otherwise(lit((mBits + minNormalExp).toDouble))
+    val scale = pow(lit(2.0d), e)
+    bround(xd * scale) / scale
+  }
+
+  /** IEEE half-precision storage (10 mantissa bits, min normal 2^-14). */
+  def fp16Storage(v: Column): Column = transform(v, x => storageRound(x, 10, 14))
+
+  /** bfloat16 storage (7 mantissa bits, fp32 exponent range). */
+  def bf16Storage(v: Column): Column = transform(v, x => storageRound(x, 7, 126))
+
+  /** int8 storage: round-half-even to the 1/scale grid, clamped to the
+    * int8 range; dequantized for compute (`operands.h` int8 + fp32 mock). */
+  def int8Storage(v: Column, scale: Double): Column =
+    transform(v, x =>
+      greatest(lit(-128.0d), least(lit(127.0d), bround(x.cast("double") * scale))) / scale)
+
   // ----- binary (sign-bit) vectors ------------------------------------------
   // Reference bin1 vectors pack 8 dims/byte (operands.h:48-147); we derive a
   // binary view of a float vector by its sign bits, packed 32 dims per BIGINT

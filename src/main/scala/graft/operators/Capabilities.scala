@@ -24,6 +24,22 @@ object Capabilities {
   def supportsMetric(indexType: String, metric: String): Boolean =
     metricTable.getOrElse(indexType, Set.empty).contains(metric.toLowerCase)
 
+  /** Element-type table (`VecType`, index_param.h:196-203; per-datatype
+    * factory keys, utils.h:95-110). fp16/bf16/int8 ride the fp32 compute
+    * path via storage casts (operands.h:180-198 mocking). */
+  private val dataTypeTable: Map[String, Set[String]] = Map(
+    "FLAT" -> Set("fp32", "fp16", "bf16", "int8"),
+    "BIN_FLAT" -> Set("bin1"),
+    "IVF_FLAT" -> Set("fp32", "fp16", "bf16", "int8"),
+    "IVF_SQ8" -> Set("fp32", "fp16", "bf16"),
+    "IVF_PQ" -> Set("fp32", "fp16", "bf16"),
+    "SPARSE_INVERTED_INDEX" -> Set("sparse_fp32"),
+    "SPARSE_WAND" -> Set("sparse_fp32")
+  )
+
+  def supportsDataType(indexType: String, dataType: String): Boolean =
+    dataTypeTable.getOrElse(indexType, Set.empty).contains(dataType.toLowerCase)
+
   /** Raw vectors retained? FLAT/IVF_FLAT keep them (GetVectorByIds works);
     * SQ8 retains only codes unless built with raw data (SCANN-style). */
   def hasRawData(indexType: String): Boolean = indexType match {

@@ -59,6 +59,47 @@ object VectorQueries {
         "list_sum(list_transform(range(1, len(q.qv)+1), i -> " +
         "CASE WHEN (q.qv[i] > 0) OR (b.embedding[i] > 0) THEN 1 ELSE 0 END)) END, 4)"
 
+    // ---- reduced-precision storage casts (element-level, DuckDB) ----
+    // fp16: round-to-nearest-even at 10 mantissa bits; subnormals below
+    // 2^-14 on the fixed 2^-24 grid. bf16: 7 bits, fp32 exponent range.
+    private def gridCast(mBits: Int, minNormalExp: Int): String = {
+      val thr = s"pow(2, ${-minNormalExp})"
+      val sub = s"pow(2, ${mBits + minNormalExp})"
+      val scl = s"pow(2, $mBits - floor(log2(abs(CAST(x AS DOUBLE)))))"
+      s"x -> CASE WHEN abs(CAST(x AS DOUBLE)) >= $thr " +
+        s"THEN roundbankers(CAST(x AS DOUBLE) * $scl, 0) / $scl " +
+        s"ELSE roundbankers(CAST(x AS DOUBLE) * $sub, 0) / $sub END"
+    }
+    val fp16Cast: String = gridCast(10, 14)
+    val bf16Cast: String = gridCast(7, 126)
+    val int8Cast: String =
+      "x -> greatest(-128.0, least(127.0, roundbankers(CAST(x AS DOUBLE) * 100.0, 0))) / 100.0"
+
+    val l2Cast =
+      "round(sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> " +
+        "(q.qv[i] - b.bv[i]) * (q.qv[i] - b.bv[i])))), 4)"
+    val ipCast =
+      "round(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i] * b.bv[i])), 4)"
+
+    /** knn over storage-cast vectors on BOTH sides. */
+    def castKnn(cast: String, desc: Boolean, distExpr: String, k: Int = K): String = {
+      val ord = if (desc) "dist DESC, nid ASC" else "dist ASC, nid ASC"
+      s"""WITH qf AS (
+  SELECT vec_id AS qid, list_transform(embedding, $cast) AS qv
+  FROM embeddings WHERE vec_id % $QMOD = 0
+),
+bf AS (SELECT vec_id, list_transform(embedding, $cast) AS bv FROM embeddings),
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, $distExpr AS dist
+  FROM qf q CROSS JOIN bf b
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY $ord) AS INT) AS rnk
+  FROM pairs
+) WHERE rnk <= $k"""
+    }
+
     def knn(distExpr: String, desc: Boolean, k: Int = K, where: String = ""): String = {
       val ord = if (desc) "dist DESC, nid ASC" else "dist ASC, nid ASC"
       s"""WITH $qView,
@@ -193,6 +234,34 @@ FROM q CROSS JOIN embeddings b
 WHERE list_sum(list_transform(range(1, len(q.qv)+1), i ->
   CASE WHEN (b.embedding[i] > 0) AND NOT (q.qv[i] > 0) THEN 1 ELSE 0 END)) = 0
 GROUP BY q.qid""")),
+    // S11/§1.2 — reduced-precision element types (operands.h:48-147):
+    // fp16/bf16/int8 are STORAGE types computed through fp32 mocking
+    // (operands.h:180-198); the storage-cast grid is reproduced in SQL so
+    // the rounding itself is hash-gated
+    GraftQuery(
+      "bf_knn_l2_fp16",
+      (s, dir) => {
+        val q = queryVecs(s, dir).select(col("qid"), fp16Storage(col("qvec")).as("qvec"))
+        val b = baseVecs(s, dir).select(col("id"), fp16Storage(col("vec")).as("vec"))
+        BruteForce.knn(q, b, K, Metric.L2, roundDist = ROUND)
+      },
+      Some(Sql.castKnn(Sql.fp16Cast, desc = false, Sql.l2Cast))),
+    GraftQuery(
+      "bf_knn_ip_bf16",
+      (s, dir) => {
+        val q = queryVecs(s, dir).select(col("qid"), bf16Storage(col("qvec")).as("qvec"))
+        val b = baseVecs(s, dir).select(col("id"), bf16Storage(col("vec")).as("vec"))
+        BruteForce.knn(q, b, K, Metric.IP, roundDist = ROUND)
+      },
+      Some(Sql.castKnn(Sql.bf16Cast, desc = true, Sql.ipCast))),
+    GraftQuery(
+      "bf_knn_l2_int8",
+      (s, dir) => {
+        val q = queryVecs(s, dir).select(col("qid"), int8Storage(col("qvec"), 100.0).as("qvec"))
+        val b = baseVecs(s, dir).select(col("id"), int8Storage(col("vec"), 100.0).as("vec"))
+        BruteForce.knn(q, b, K, Metric.L2, roundDist = ROUND)
+      },
+      Some(Sql.castKnn(Sql.int8Cast, desc = false, Sql.l2Cast))),
     // S12 — norm precompute (brute_force.cc:66-101)
     GraftQuery(
       "vec_norms",

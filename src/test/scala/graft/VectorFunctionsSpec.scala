@@ -81,6 +81,27 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(mism == 0L)
   }
 
+  test("fp16/bf16/int8 storage casts land on the representable grid") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.1f, -0.1f, 3.0e-5f, 0.0f, 1.0f))).toDF("id", "v")
+    val fp16 = df.select(fp16Storage(col("v"))).head.getSeq[Double](0)
+    // fp16(0.1) = 0.0999755859375 (IEEE 754 half, round-to-nearest-even);
+    // 3e-5 < 2^-14 is subnormal: 503 × 2^-24
+    assert(fp16(0) == 0.0999755859375)
+    assert(fp16(1) == -0.0999755859375)
+    assert(fp16(2) == 503.0 / 16777216.0)
+    assert(fp16(3) == 0.0 && fp16(4) == 1.0)
+    val bf16 = df.select(bf16Storage(col("v"))).head.getSeq[Double](0)
+    assert(bf16(0) == 0.10009765625) // bfloat16(0.1), 7 mantissa bits
+    assert(bf16(4) == 1.0)
+    val i8 = df.select(int8Storage(col("v"), 100.0)).head.getSeq[Double](0)
+    assert(i8(0) == 0.1 && i8(2) == 0.0 && i8(4) == 1.0)
+    // clamp: 2.0 × 100 = 200 → 127
+    val c = Seq((1L, Seq(2.0f))).toDF("id", "v")
+      .select(int8Storage(col("v"), 100.0)).head.getSeq[Double](0)
+    assert(c(0) == 1.27)
+  }
+
   test("bm25 term weight matches the reference formula") {
     // tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), sparse_utils.h:62-66
     val got = one(bm25TermWeight(lit(3), lit(100), 1.2, 0.75, 80.0)).asInstanceOf[Double]
