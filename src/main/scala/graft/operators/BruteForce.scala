@@ -152,16 +152,22 @@ object BruteForce {
   }
 
   /** Batched exact kNN: nq queries → nq×k (qid, nid, dist, rnk).
-    * Reference: `BruteForce::Search` (`brute_force.cc:104-265`). */
+    * Reference: `BruteForce::Search` (`brute_force.cc:104-265`).
+    * `idOffset` is the `input_begin_id` rebasing contract
+    * (`brute_force.cc:249-253`, `test_bruteforce.cc:257`): neighbor ids in
+    * the result are base ids shifted by the offset. */
   def knn(
       queries: DataFrame,
       base: DataFrame,
       k: Int,
       metric: Metric,
       baseFilter: Option[Column] = None,
-      roundDist: Option[Int] = None
-  ): DataFrame =
-    topK(pairs(queries, base, metric, baseFilter, roundDist), k, metric.ascending)
+      roundDist: Option[Int] = None,
+      idOffset: Long = 0L
+  ): DataFrame = {
+    val res = topK(pairs(queries, base, metric, baseFilter, roundDist), k, metric.ascending)
+    if (idOffset == 0L) res else res.withColumn("nid", col("nid") + idOffset)
+  }
 
   /** Exact range search: all neighbors with distance inside the two-sided
     * bound. L2-like (ascending): rangeFilter <= d < radius; similarity

@@ -47,6 +47,34 @@ object ProductQuant {
     PQModel(m, kMin, dsub, raw.map(_.take(kMin)))
   }
 
+  /** Deterministic codebook (no training): codeword c of every subspace is
+    * the matching slice of the base vector with id = c·step — the same
+    * explicit-table device the IVF oracle queries use for centroids, so
+    * the ADC+rerank MECHANICS are SQL-reproducible and hash-gated while
+    * k-means-trained models stay recall-gated. */
+  def explicitModel(
+      base: DataFrame, // (id, vec)
+      m: Int,
+      ksub: Int,
+      step: Long,
+      idCol: String = "id",
+      vecCol: String = "vec"
+  ): PQModel = {
+    val rows = base
+      .filter(col(idCol) % step === 0 && col(idCol) < step * ksub)
+      .orderBy(col(idCol))
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(rows.length == ksub, s"explicitModel: expected $ksub codewords, got ${rows.length}")
+    val dim = rows(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m, ksub)((s, c) =>
+      java.util.Arrays.copyOfRange(rows(c), s * dsub, (s + 1) * dsub))
+    PQModel(m, ksub, dsub, codebooks)
+  }
+
   /** Serialize the codebooks (BinarySet analog, `index_node.h:371-401`):
     * a meta row + one row per (subspace, codeword). */
   def saveModel(spark: SparkSession, model: PQModel, dir: String): Unit = {
