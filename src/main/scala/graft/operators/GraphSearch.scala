@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch graph ANN search — the HNSW/graph-index analog (SURVEY §7.4).
+  *
+  * The reference's graph search (`src/index/hnsw/faiss_hnsw.cc:63-2941`)
+  * walks a small-world graph per query with a beam of `ef` candidates —
+  * sequential and data-dependent, anti-Spark. The batch rendering keeps
+  * the algorithmic skeleton (entry points → iterative neighbor expansion
+  * → bounded beam → final top-k) but advances ALL queries one hop per
+  * relational step:
+  *
+  *   frontier_0 = entry points, exactly scored per query;
+  *   hop: candidates = frontier ⋈ graph edges (src→dst), deduped;
+  *        scored = candidates ⋈ base vectors, exact distance;
+  *        frontier = top-`ef` of frontier ∪ scored per query;
+  *   answer = top-k of the final frontier.
+  *
+  * Determinism: distances round-before-rank, ties by neighbor id, and a
+  * fixed iteration count — a fixed unrolling is plain SQL, so the search
+  * MECHANICS are oracle-gated; recall quality (governed by ef/iters/graph
+  * degree, the reference's `ef`/`efConstruction` analog) is gated by the
+  * ANN recall floor in ScalaTest (`tests/ut/test_search.cc:28-30`).
+  *
+  * Scale shape: the frontier is nq×ef rows per hop; the graph joins on
+  * `src` and the base on `id` — partition/bucket both by their join key
+  * and hops stay co-located shuffles of frontier-sized frames, never a
+  * scan of all pairs. For many iterations persist the frontier per hop
+  * (lineage growth); at the 2-3 hops typical of batch refinement the
+  * single-DAG form is fine.
+  */
+object GraphSearch {
+
+  /** Exact distances for candidate (qid, nid) pairs. */
+  private def score(
+      cands: DataFrame, // (qid, nid)
+      queries: DataFrame, // (qid, qvec)
+      base: DataFrame, // (id, vec)
+      metric: Metric,
+      roundDist: Option[Int]
+  ): DataFrame = {
+    val raw = metric.dist(col("qvec"), col("vec"))
+    val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
+    cands
+      .join(base.select(col("id").as("nid"), col("vec")), "nid")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("nid"), d.as("dist"))
+  }
+
+  private def topEf(scored: DataFrame, ef: Int, metric: Metric): DataFrame =
+    BruteForce.topK(scored, ef, metric.ascending)
+      .select(col("qid"), col("nid"), col("dist"))
+
+  /** Beam search over a prebuilt kNN graph. `entries` are the search entry
+    * points (the reference's top-layer entry; here an explicit id set —
+    * documented deviation, SURVEY §7.4). */
+  def beamSearch(
+      graph: DataFrame, // (src, dst) directed edges
+      base: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      entries: DataFrame, // (nid) entry point ids
+      k: Int,
+      ef: Int,
+      iters: Int,
+      metric: Metric = Metric.L2,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    require(ef >= k, "beam width ef must be >= k")
+    val seed = queries.select(col("qid")).crossJoin(broadcast(entries))
+    var frontier = topEf(score(seed, queries, base, metric, roundDist), ef, metric)
+    for (_ <- 1 to iters) {
+      val cands = frontier
+        .join(graph.withColumnRenamed("src", "nid"), "nid")
+        .select(col("qid"), col("dst").as("nid"))
+        .distinct()
+      val scored = score(cands, queries, base, metric, roundDist)
+      frontier = topEf(
+        frontier.select(col("qid"), col("nid"), col("dist"))
+          .union(scored)
+          .distinct(),
+        ef, metric)
+    }
+    BruteForce.topK(frontier, k, metric.ascending)
+  }
+}

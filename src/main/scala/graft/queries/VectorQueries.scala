@@ -173,6 +173,54 @@ SELECT qid, nid, dist, rnk FROM (
 ) WHERE rnk <= $k"""
     }
 
+    /** Two-hop beam search over the 5-NN graph, unrolled: frontier =
+      * top-ef of frontier ∪ scored graph neighbors per hop (fixed
+      * iteration count ⇒ plain SQL; mirrors GraphSearch.beamSearch). */
+    def graphBeam(ef: Int, k: Int): String = {
+      def topEf(src: String): String =
+        s"""SELECT qid, nid, dist FROM (
+  SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rn
+  FROM $src
+) WHERE rn <= $ef"""
+      s"""WITH $qView,
+g AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+          (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+          (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 4) ASC,
+        b.vec_id ASC) AS rnk
+    FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+),
+e AS (SELECT vec_id AS nid FROM embeddings WHERE vec_id % 250 = 0),
+s0 AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, $l2 AS dist
+  FROM q CROSS JOIN e JOIN embeddings b ON b.vec_id = e.nid
+),
+f0 AS (${topEf("s0")}),
+c1 AS (SELECT DISTINCT f.qid AS qid, g.dst AS nid FROM f0 f JOIN g ON g.src = f.nid),
+s1 AS (
+  SELECT c.qid AS qid, b.vec_id AS nid, $l2 AS dist
+  FROM c1 c JOIN q ON q.qid = c.qid JOIN embeddings b ON b.vec_id = c.nid
+),
+u1 AS (SELECT DISTINCT qid, nid, dist FROM (SELECT * FROM f0 UNION ALL SELECT * FROM s1)),
+f1 AS (${topEf("u1")}),
+c2 AS (SELECT DISTINCT f.qid AS qid, g.dst AS nid FROM f1 f JOIN g ON g.src = f.nid),
+s2 AS (
+  SELECT c.qid AS qid, b.vec_id AS nid, $l2 AS dist
+  FROM c2 c JOIN q ON q.qid = c.qid JOIN embeddings b ON b.vec_id = c.nid
+),
+u2 AS (SELECT DISTINCT qid, nid, dist FROM (SELECT * FROM f1 UNION ALL SELECT * FROM s2)),
+f2 AS (${topEf("u2")})
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+  FROM f2
+) WHERE rnk <= $k"""
+    }
+
     def knn(distExpr: String, desc: Boolean, k: Int = K, where: String = ""): String = {
       val ord = if (desc) "dist DESC, nid ASC" else "dist ASC, nid ASC"
       s"""WITH $qView,
@@ -583,6 +631,29 @@ SELECT src, dst, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS INT) AS rnk
   FROM pairs
 ) WHERE rnk <= 5""")),
+    // S7 — graph ANN SEARCH (batch beam over the built kNN graph — the
+    // HNSW search analog, faiss_hnsw.cc:63-2941 / SURVEY §7.4): entries →
+    // 2 relational hops with beam ef=16 → top-k. Fixed unrolling ⇒ the
+    // beam mechanics are fully hash-gated; recall floors are ScalaTest-
+    // gated with wider beams (RecallSpec)
+    GraftQuery(
+      "knn_graph_search",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val all = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val graph = BruteForce
+          .knnFused(all, base, 5, Metric.L2, roundDist = ROUND, excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"))
+        val entries = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("nid"))
+        GraphSearch.beamSearch(graph, base, queryVecs(s, dir), entries,
+          K, ef = 16, iters = 2, Metric.L2, ROUND)
+      },
+      Some(Sql.graphBeam(ef = 16, k = K))),
     // S6 IVF_SQ8 — SQ8 codes inside probed IVF lists + exact rerank
     // (ivf.cc:1244-1276): the quantizer rides the coarse index
     GraftQuery(

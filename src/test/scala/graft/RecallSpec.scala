@@ -56,4 +56,21 @@ class RecallSpec extends SparkSpec {
     val got = IvfIndex.searchPq(queries, index, cents, model, K, nprobe = 4, reorderK = 50)
     assert(recall(got, truth) >= 0.6)
   }
+
+  test("graph beam search (degree 5, ef=32, 4 hops): recall >= 0.6 (ANN floor)") {
+    val all = Tables
+      .embeddings(spark, sf0001)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val graph = BruteForce
+      .knnFused(all, base, 5, Metric.L2, excludeSelf = true)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+      .cache()
+    val entries = Tables
+      .embeddings(spark, sf0001)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("nid"))
+    val got = GraphSearch.beamSearch(graph, base, queries, entries, K, ef = 32, iters = 4)
+    assert(recall(got, truth) >= 0.6)
+    graph.unpersist()
+  }
 }
