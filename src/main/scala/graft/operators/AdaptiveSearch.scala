@@ -38,7 +38,10 @@ object AdaptiveSearch {
 
   /** Filtered kNN with the adaptive BF-vs-IVF choice. `index`/`centroids`
     * come from IvfIndex.build/trainKMeans; `filter` is the BitsetView
-    * analog over base rows. */
+    * analog over base rows. Pass `stats` (ntotal, surviving) when known —
+    * e.g. from index metadata — to skip the stats job entirely; otherwise
+    * ONE job computes both counts (total and filter-surviving together,
+    * never two passes). */
   def knn(
       queries: DataFrame,
       base: DataFrame, // (id, vec, ...)
@@ -48,10 +51,15 @@ object AdaptiveSearch {
       nprobe: Int,
       filter: Option[Column] = None,
       metric: Metric = Metric.L2,
-      roundDist: Option[Int] = None
+      roundDist: Option[Int] = None,
+      stats: Option[(Long, Long)] = None
   ): Result = {
-    val ntotal = base.count()
-    val surviving = filter.map(f => base.filter(f).count()).getOrElse(ntotal)
+    import org.apache.spark.sql.functions.{count, lit, when}
+    val (ntotal, surviving) = stats.getOrElse {
+      val survCol = filter.map(f => count(when(f, lit(1)))).getOrElse(count(lit(1)))
+      val row = base.agg(count(lit(1)), survCol).head()
+      (row.getLong(0), row.getLong(1))
+    }
     choose(k, ntotal, surviving) match {
       case "bf" =>
         Result(BruteForce.knn(queries, base, k, metric, filter, roundDist), "bf", 0)

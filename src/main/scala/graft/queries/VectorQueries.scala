@@ -173,6 +173,47 @@ SELECT qid, nid, dist, rnk FROM (
 ) WHERE rnk <= $k"""
     }
 
+    /** Iterator refine page: SQ8-recon approx ordering, over-fetched by
+      * refineRatio, exact-reranked; page in exact order. */
+    def iterRefine(page: Int, pageSize: Int, refineRatio: Int): String = {
+      val fetch = page * pageSize * refineRatio
+      s"""WITH $qView,
+stats AS (
+  SELECT CAST(r.range AS INT) AS i,
+         min(CAST(b.embedding[CAST(r.range AS INT)] AS DOUBLE)) AS mn,
+         max(CAST(b.embedding[CAST(r.range AS INT)] AS DOUBLE)) AS mx
+  FROM embeddings b CROSS JOIN range(1, 65) r GROUP BY 1
+),
+sv AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM stats),
+recon AS (
+  SELECT b.vec_id, list_transform(range(1, len(b.embedding)+1), i ->
+    s.mn[i] + (LEAST(255.0, GREATEST(0.0,
+      CASE WHEN s.mx[i] = s.mn[i] THEN 0.0
+           ELSE floor((CAST(b.embedding[i] AS DOUBLE) - s.mn[i]) / (s.mx[i] - s.mn[i]) * 255.0) END
+    )) + 0.5) * (s.mx[i] - s.mn[i]) / 255.0) AS rv
+  FROM embeddings b CROSS JOIN sv s
+),
+approx AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid AS qid, r.vec_id AS nid,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i ->
+          (CAST(q.qv[i] AS DOUBLE) - r.rv[i]) * (CAST(q.qv[i] AS DOUBLE) - r.rv[i])))), 4) ASC,
+        r.vec_id ASC) AS arnk
+    FROM q CROSS JOIN recon r
+  ) WHERE arnk <= $fetch
+),
+rer AS (
+  SELECT a.qid AS qid, a.nid AS nid, $l2 AS dist
+  FROM approx a JOIN q ON q.qid = a.qid JOIN embeddings b ON b.vec_id = a.nid
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+  FROM rer
+) WHERE rnk > ${(page - 1) * pageSize} AND rnk <= ${page * pageSize}"""
+    }
+
     /** Two-hop beam search over the 5-NN graph, unrolled: frontier =
       * top-ef of frontier ∪ scored graph neighbors per hop (fixed
       * iteration count ⇒ plain SQL; mirrors GraphSearch.beamSearch). */
@@ -724,6 +765,39 @@ SELECT qid, nid, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
   FROM rer
 ) WHERE rnk <= $K""")),
+    // S4/V6 — AnnIterator with RESUME STATE (index_node.h:451-679): the
+    // ranked stream persists at open(); page p is a cached-scan rank
+    // filter, never a recompute of the top-(p·size) prefix
+    GraftQuery(
+      "iter_resume_page3",
+      (s, dir) => {
+        val sess = AnnIteratorOp.open(
+          queryVecs(s, dir), baseVecs(s, dir).select(col("id"), col("vec")),
+          Metric.L2, ROUND)
+        sess.page(3, 5)
+      },
+      Some(Sql.knn(Sql.l2, desc = false, k = 15)
+        .replace("WHERE rnk <= 15", "WHERE rnk <= 15 AND rnk > 10"))),
+    // S15/V6 — iterator REFINE (iterator_refine_ratio/retain_iterator_order,
+    // config.h:602-612, index_node.h:538-567): approx (SQ8-recon) ordered
+    // stream, page 2 over-fetched ×3, exact-reranked, emitted exact-ordered
+    GraftQuery(
+      "iter_refine_page2",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val stats = Quantization.sq8Train(base)
+        val coded = base
+          .crossJoin(broadcast(stats))
+          .select(col("id"), col("vec"),
+            Quantization.sq8Recon(
+              Quantization.sq8Code(col("vec"), col("mn"), col("mx")),
+              col("mn"), col("mx")).as("recon"))
+        val sess = AnnIteratorOp.open(queryVecs(s, dir), coded, Metric.L2, ROUND,
+          Some(graft.functions.VectorFunctions.l2(col("qvec"), col("recon"))))
+        sess.refinedPage(queryVecs(s, dir), base, p = 2, pageSize = 10,
+          refineRatio = 3, Metric.L2, ROUND)
+      },
+      Some(Sql.iterRefine(page = 2, pageSize = 10, refineRatio = 3))),
     // S4/V6 — AnnIterator analog: the sorted neighbor stream consumed as
     // pages; page 2 (ranks 11..20) of the exact L2 stream
     GraftQuery(

@@ -110,6 +110,22 @@ class FacadeSpec extends SparkSpec {
     h.cancel() // no-op after completion; must not throw
   }
 
+  test("AnnIterator session: cached pages match the recompute path; refine emits exact order") {
+    import graft.operators.AnnIteratorOp
+    val sess = AnnIteratorOp.open(queries, base, Metric.L2, Some(4))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"), r.getAs[Int]("rnk"))).toSet
+    val direct = BruteForce.annIteratorPage(queries, base, Metric.L2, page = 2,
+      pageSize = 5, roundDist = Some(4))
+    assert(rows(sess.page(2, 5)) == rows(direct))
+    // refine with a beam that covers the whole page exactly reproduces knn
+    val refined = sess.refinedPage(queries, base, p = 1, pageSize = 5,
+      refineRatio = 4, Metric.L2, Some(4))
+    val exact = BruteForce.knn(queries, base, 5, Metric.L2, roundDist = Some(4))
+    assert(rows(refined) == rows(exact))
+    sess.close()
+  }
+
   test("annIteratorPage pages are disjoint and ordered") {
     val p1 = BruteForce.annIteratorPage(queries, base, Metric.L2, page = 1, pageSize = 5)
     val p2 = BruteForce.annIteratorPage(queries, base, Metric.L2, page = 2, pageSize = 5)
