@@ -68,6 +68,17 @@ object Dedup {
       (h, x) => (h * 31L + x) % HashP
     )
 
+  /** Materialize the (small) pair output while `scratch` stays cached,
+    * then release the scratch frames — the shingle stage runs ONCE per
+    * pipeline instead of once per downstream branch, and nothing is left
+    * silently cached except the returned (bounded) pair set. */
+  private def eager(out: DataFrame, scratch: DataFrame*): DataFrame = {
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    scratch.foreach(_.unpersist())
+    out
+  }
+
   /** Candidate pairs sharing any LSH band, then exact-Jaccard verified.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     */
@@ -77,11 +88,17 @@ object Dedup {
       numPerm: Int = NumPerm,
       bands: Int = Bands
   ): DataFrame = {
-    // the LSH band join carries only (doc_id, band, key); the shingle
-    // arrays rejoin only for the (candidate pairs) verify stage
+    // shingle ONCE (cached); signatures, band keys and the verify stage
+    // all derive from the cached frame. The LSH band join still carries
+    // only (doc_id, band, key); shingle arrays rejoin candidates only.
     val shDf = docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shRows = shDf.select(col("doc_id"), explode(col("sh")).as("sh"))
+    val mcols = (0 until numPerm).map(i =>
+      min((lit(2L * i + 3L) * col("sh") + lit(97L + 31L * i)) % HashP).as(s"m$i"))
+    val sigDf = shRows.groupBy("doc_id").agg(mcols.head, mcols.tail: _*)
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"), bandCol(b).as("bh")))
-    val banded = minhashSignatureDf(docs, numPerm)
+    val banded = sigDf
       .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
     val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
@@ -96,29 +113,34 @@ object Dedup {
       .join(shDf.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     val jac = inter / (size(col("sha")) + size(col("shb")) - inter).cast("double")
-    pairs
-      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    eager(
+      pairs
+        .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+        .filter(col("jaccard") >= threshold),
+      shDf)
   }
 
   /** n-gram Jaccard near-dup with 1-permutation min-hash blocking: block on
     * the global minimum shingle hash (cheap, catches near-dups whose edit
-    * doesn't remove the min shingle), verify exact Jaccard. */
+    * doesn't remove the min shingle), verify exact Jaccard. Known scale
+    * hazard: a corpus-popular min-shingle makes its block quadratic — the
+    * banded [[minhashLshPairs]] is the robust path; this variant pins the
+    * reference 1-perm semantics. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // block key from the exploded rows (min per doc) so the shingling HOF
-    // runs once; rejoin the arrays for the verify stage
     val shDf = docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-    val blkDf = shingleRows(docs).groupBy("doc_id").agg(min(col("sh")).as("blk"))
-    val withMin = shDf.join(blkDf, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withMin = shDf.withColumn("blk", array_min(col("sh")))
     val a = withMin.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("blk"))
     val b = withMin.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("blk"))
     val pairs = a.join(b, "blk").filter(col("doc_a") < col("doc_b"))
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     val jac = inter / (size(col("sha")) + size(col("shb")) - inter).cast("double")
-    pairs
-      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .dropDuplicates("doc_a", "doc_b")
+    eager(
+      pairs
+        .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .dropDuplicates("doc_a", "doc_b"),
+      shDf)
   }
 
   /** 32-bit SimHash signatures, relationally: explode shingle hashes, one
@@ -141,6 +163,7 @@ object Dedup {
     * signature, keep pairs with bit-hamming ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val withSig = simhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val byteCols = (0 until 4).map(i =>
       struct(lit(i).as("b"), (shiftright(col("sig"), i * 8).bitwiseAND(255L)).as("bv")))
     val banded = withSig
@@ -148,12 +171,14 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("x.b").as("b"), col("x.bv").as("bv"))
     val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("siga"), col("b"), col("bv"))
     val bb = banded.select(col("doc_id").as("doc_b"), col("sig").as("sigb"), col("b"), col("bv"))
-    a.join(bb, Seq("b", "bv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("doc_a", "doc_b")
+    eager(
+      a.join(bb, Seq("b", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .dropDuplicates("doc_a", "doc_b"),
+      withSig)
   }
 
   /** Embedding-cosine nearest neighbor per vector (near-dup scan over an

@@ -64,11 +64,30 @@ object IvfIndex {
       index: DataFrame,
       centroids: DataFrame,
       nprobe: Int,
-      roundDist: Option[Int]
+      roundDist: Option[Int],
+      ensureTopkFull: Boolean = false,
+      k: Int = 0
   ): (DataFrame, DataFrame) = {
     val spark = index.sparkSession
     val probeDf = probe(queries, centroids, nprobe, roundDist)
-    val probeRows = probeDf.collect()
+    var probeRows = probeDf.collect()
+    if (ensureTopkFull && k > 0) {
+      // `ensure_topk_full` (ivf.cc:750-760): queries whose probed lists
+      // hold fewer than k vectors expand toward nprobe=nlist so k results
+      // are guaranteed. List populations come from one tiny aggregation.
+      val sizes = index.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+      val allLists = sizes.keys.toSeq
+      val byQid = probeRows.groupBy(_.get(0))
+      val expanded = byQid.flatMap { case (qid, rows) =>
+        val probed = rows.map(_.get(1)).toSet
+        val have = probed.iterator.map(c => sizes.getOrElse(c, 0L)).sum
+        if (have >= k) rows.toSeq
+        else rows.toSeq ++ allLists.filterNot(probed)
+          .map(c => org.apache.spark.sql.Row(qid, c))
+      }.toArray
+      probeRows = expanded
+    }
     val probesLocal = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probeDf.schema)
     val probedIds = probeRows.map(_.get(1)).distinct.toSeq
@@ -83,9 +102,11 @@ object IvfIndex {
       k: Int,
       nprobe: Int,
       metric: Metric = Metric.L2,
-      roundDist: Option[Int] = None
+      roundDist: Option[Int] = None,
+      ensureTopkFull: Boolean = false
   ): DataFrame = {
-    val (probes, pruned) = probeAndPrune(queries, index, centroids, nprobe, roundDist)
+    val (probes, pruned) =
+      probeAndPrune(queries, index, centroids, nprobe, roundDist, ensureTopkFull, k)
     val raw = metric.dist(col("qvec"), col("vec"))
     val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
     val pairs = broadcast(probes.join(queries, "qid"))

@@ -57,6 +57,24 @@ class RecallSpec extends SparkSpec {
     assert(recall(got, truth) >= 0.6)
   }
 
+  test("ensure_topk_full expands probing when probed lists cannot fill k") {
+    import spark.implicits._
+    // 3 tight clusters; the cluster nearest the query holds only 2 vectors
+    val pts = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0.1f, 0f)), // cluster A (near query)
+      (10L, Array(10f, 10f)), (11L, Array(10.1f, 10f)), (12L, Array(10f, 10.1f)),
+      (20L, Array(20f, 0f)), (21L, Array(20.1f, 0f)), (22L, Array(20f, 0.1f))
+    ).toDF("id", "vec")
+    val cents = Seq((0L, Array(0.05f, 0f)), (1L, Array(10f, 10f)), (2L, Array(20f, 0f)))
+      .toDF("cluster_id", "centroid")
+    val index = IvfIndex.build(pts, cents)
+    val q = Seq((100L, Array(0f, 0f))).toDF("qid", "qvec")
+    val bare = IvfIndex.search(q, index, cents, k = 5, nprobe = 1)
+    assert(bare.count() == 2) // probed list holds only 2 vectors
+    val full = IvfIndex.search(q, index, cents, k = 5, nprobe = 1, ensureTopkFull = true)
+    assert(full.count() == 5)
+  }
+
   test("graph beam search (degree 5, ef=32, 4 hops): recall >= 0.6 (ANN floor)") {
     val all = Tables
       .embeddings(spark, sf0001)
