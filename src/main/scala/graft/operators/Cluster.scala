@@ -52,9 +52,10 @@ object Cluster {
   def assignToCentroids(
       vectors: DataFrame, // (id, vec)
       centroidDf: DataFrame, // (cluster_id, centroid)
-      roundDist: Option[Int] = None
+      roundDist: Option[Int] = None,
+      metric: Metric = Metric.L2
   ): DataFrame = {
-    val raw = VectorFunctions.l2(col("vec"), col("centroid"))
+    val raw = metric.dist(col("vec"), col("centroid"))
     val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
     val pairs = vectors
       .crossJoin(broadcast(centroidDf))

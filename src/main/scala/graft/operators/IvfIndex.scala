@@ -23,9 +23,10 @@ object IvfIndex {
   def build(
       base: DataFrame, // (id, vec)
       centroids: DataFrame, // (cluster_id, centroid)
-      roundDist: Option[Int] = None
+      roundDist: Option[Int] = None,
+      metric: Metric = Metric.L2 // Hamming over packed bits = BIN_IVF_FLAT
   ): DataFrame = {
-    val assigned = Cluster.assignToCentroids(base, centroids, roundDist)
+    val assigned = Cluster.assignToCentroids(base, centroids, roundDist, metric)
     base.join(assigned.select(col("id"), col("cluster_id")), "id")
   }
 
@@ -34,10 +35,11 @@ object IvfIndex {
       queries: DataFrame, // (qid, qvec)
       centroids: DataFrame,
       nprobe: Int,
-      roundDist: Option[Int] = None
+      roundDist: Option[Int] = None,
+      metric: Metric = Metric.L2
   ): DataFrame = {
     val d = {
-      val raw = graft.functions.VectorFunctions.l2(col("qvec"), col("centroid"))
+      val raw = metric.dist(col("qvec"), col("centroid"))
       roundDist.map(n => round(raw, n)).getOrElse(raw)
     }
     val pairs = queries
@@ -66,10 +68,11 @@ object IvfIndex {
       nprobe: Int,
       roundDist: Option[Int],
       ensureTopkFull: Boolean = false,
-      k: Int = 0
+      k: Int = 0,
+      metric: Metric = Metric.L2
   ): (DataFrame, DataFrame) = {
     val spark = index.sparkSession
-    val probeDf = probe(queries, centroids, nprobe, roundDist)
+    val probeDf = probe(queries, centroids, nprobe, roundDist, metric)
     var probeRows = probeDf.collect()
     if (ensureTopkFull && k > 0) {
       // `ensure_topk_full` (ivf.cc:750-760): queries whose probed lists
@@ -106,7 +109,7 @@ object IvfIndex {
       ensureTopkFull: Boolean = false
   ): DataFrame = {
     val (probes, pruned) =
-      probeAndPrune(queries, index, centroids, nprobe, roundDist, ensureTopkFull, k)
+      probeAndPrune(queries, index, centroids, nprobe, roundDist, ensureTopkFull, k, metric)
     val raw = metric.dist(col("qvec"), col("vec"))
     val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
     val pairs = broadcast(probes.join(queries, "qid"))

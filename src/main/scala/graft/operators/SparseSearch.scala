@@ -565,7 +565,8 @@ object SparseSearch {
       k: Int,
       maxScoreRatio: Double = 1.0,
       roundDist: Option[Int] = Some(4),
-      filter: Option[Column] = None
+      filter: Option[Column] = None,
+      wandPivot: Boolean = false // SPARSE_WAND variant: doc-level UB pivot
   ): DataFrame = {
     require(maxScoreRatio >= 1.0, "maxScoreRatio < 1 would break admissibility")
     val spark = model.postings.sparkSession
@@ -592,6 +593,32 @@ object SparseSearch {
 
     val thetas = seedThetas(spark, bp, plan, k, bm25Exact)
     val essential = essentialTerms(plan, thetas, slack = 1e-3)
+    if (wandPivot) {
+      // SPARSE_WAND × BM25: the doc-level pivot bound rides the same
+      // UB(q,t) rows; admissible with the same 1e-3 rounding slack
+      val qWithUb = broadcast(plan.byQid.toSeq
+        .flatMap { case (qid, ts) => ts.map(t => (qid, t.term, t.qtf, t.ub)) }
+        .toDF("qid", "term", "qtf", "ub"))
+      val thetaDf = broadcast(thetas.toSeq.toDF("qid", "theta"))
+      val qTerms = plan.localQp.map(_._2).distinct
+      val candidates = candidatesOf(spark, bp, essential)
+      val scored = bp
+        .filter(col("term").isin(qTerms: _*))
+        .join(candidates.select(col("id")).distinct(), "id")
+        .join(qWithUb, "term")
+        .join(statsDf, "term")
+        .join(candidates, Seq("qid", "id"), "left_semi")
+        .groupBy(col("qid"), col("id").as("nid"))
+        .agg(
+          (sum(bm25ContribScaled(model.n, model.avgdl, model.k1, model.b)).cast("double") / 1e9d).as("raw"),
+          sum(col("ub")).as("_ubsum"))
+      val survivors = scored
+        .join(thetaDf, "qid")
+        .filter(col("_ubsum") >= col("theta") - 1e-3)
+        .select(col("qid"), col("nid"), col("raw"))
+      val d = roundDist.map(r => round(col("raw"), r)).getOrElse(col("raw"))
+      return topK(survivors.select(col("qid"), col("nid"), d.as("dist")), k, ascending = false)
+    }
     val qTermList = plan.localQp.map(_._2).distinct
     val qScan = bp.filter(col("term").isin(qTermList: _*))
     val scored =

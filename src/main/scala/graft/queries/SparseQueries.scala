@@ -188,6 +188,16 @@ SELECT qid, nid, dist, rnk FROM (
         val m = model(s, dir)
         SparseSearch.searchBM25MaxScore(queryPostings(s, dir), m, K, maxScoreRatio = 1.05)
       },
+      Some(bm25Oracle)),
+    // S16 × S9 — BM25 under the WAND doc-level pivot (SPARSE_WAND with
+    // bm25 metric, sparse_inverted_index.h:699-757): same exact output
+    GraftQuery(
+      "sparse_bm25_wand_knn",
+      (s, dir) => {
+        val m = model(s, dir)
+        SparseSearch.searchBM25MaxScore(queryPostings(s, dir), m, K,
+          maxScoreRatio = 1.05, wandPivot = true)
+      },
       Some(bm25Oracle))
   )
 }

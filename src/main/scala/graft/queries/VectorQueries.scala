@@ -564,6 +564,96 @@ SELECT qid, nid, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
   FROM pairs
 ) WHERE rnk <= $K""")),
+    // S6 BIN_IVF_FLAT — the IVF family over bit-packed binary vectors
+    // with HAMMING assignment/probing (`ivf.cc:1244-1276` registers
+    // BIN_IVF_FLAT): same probe-and-prune mechanics, binary metric
+    GraftQuery(
+      "bin_ivf_knn_hamming",
+      (s, dir) => {
+        val q = queryVecs(s, dir).select(col("qid"), signBits(col("qvec")).as("qvec"))
+        val b = baseVecs(s, dir).select(col("id"), signBits(col("vec")).as("vec"))
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), signBits(col("embedding")).as("centroid"))
+        val index = IvfIndex.build(b, cents, None, Metric.Hamming)
+        IvfIndex.search(q, index, cents, K, nprobe = 1, Metric.Hamming)
+      },
+      Some {
+        def ham(x: String, y: String): String =
+          s"CAST(list_sum(list_transform(range(1, len($x)+1), i -> " +
+            s"CASE WHEN ($x[i] > 0) <> ($y[i] > 0) THEN 1 ELSE 0 END)) AS DOUBLE)"
+        s"""WITH ${Sql.qView},
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 250 = 0),
+asn AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT b.vec_id, b.embedding, c.cid,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY ${ham("b.embedding", "c.cv")} ASC, c.cid ASC) AS rn
+    FROM embeddings b CROSS JOIN c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+      row_number() OVER (PARTITION BY q.qid ORDER BY ${ham("q.qv", "c.cv")} ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 1
+),
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${ham("q.qv", "b.embedding")} AS dist
+  FROM q JOIN probes p ON p.qid = q.qid JOIN asn b ON b.cid = p.cid
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+  FROM pairs
+) WHERE rnk <= $K"""
+      }),
+    // S17 — adaptive filtered search, oracle-gated: the selectivity-driven
+    // strategy picks the IVF branch and filter-scales nprobe to nlist
+    // (ivf.cc:750-760), recovering the exact filtered answer — the hash
+    // match gates the whole adaptive composition
+    GraftQuery(
+      "adaptive_filtered_knn",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        val index = IvfIndex.build(base, cents, ROUND)
+        AdaptiveSearch.knn(queryVecs(s, dir), base, index, cents, K, nprobe = 1,
+          filter = Some(col("id") % 10 === 0), Metric.L2, ROUND).df
+      },
+      Some(Sql.knn(Sql.l2, desc = false, where = "WHERE b.vec_id % 10 = 0"))),
+    // S18/V10 — Feder json_id_set analog: per-list sorted member ids
+    GraftQuery(
+      "ivf_feder_lists",
+      (s, dir) => {
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        Cluster
+          .assignToCentroids(baseVecs(s, dir).select(col("id"), col("vec")), cents, ROUND)
+          .groupBy(col("cluster_id"))
+          .agg(
+            count(lit(1)).as("n_vectors"),
+            sort_array(collect_list(col("id"))).as("member_ids"))
+      },
+      Some("""WITH c AS (SELECT vec_id AS cluster_id, embedding AS centroid FROM embeddings WHERE vec_id % 250 = 0),
+asn AS (
+  SELECT id, cluster_id FROM (
+    SELECT b.vec_id AS id, c.cluster_id,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i ->
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) *
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))))), 4) ASC, c.cluster_id ASC) AS rn
+    FROM embeddings b CROSS JOIN c
+  ) WHERE rn = 1
+)
+SELECT cluster_id, count(*) AS n_vectors, list(id ORDER BY id) AS member_ids
+FROM asn GROUP BY 1""")),
     // S2 with a similarity metric — bound direction inverts:
     // radius < sim <= rangeFilter (range_util.h:22-25)
     GraftQuery(
