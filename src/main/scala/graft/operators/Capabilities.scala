@@ -8,13 +8,14 @@ package graft.operators
 object Capabilities {
 
   val IndexTypes: Set[String] =
-    Set("FLAT", "BIN_FLAT", "IVF_FLAT", "IVF_SQ8", "IVF_PQ",
+    Set("FLAT", "BIN_FLAT", "IVF_FLAT", "BIN_IVF_FLAT", "IVF_SQ8", "IVF_PQ",
       "SPARSE_INVERTED_INDEX", "SPARSE_WAND")
 
   private val metricTable: Map[String, Set[String]] = Map(
     "FLAT" -> Set("l2", "l2sq", "ip", "cosine"),
     "BIN_FLAT" -> Set("hamming", "jaccard"),
     "IVF_FLAT" -> Set("l2", "l2sq", "ip", "cosine"),
+    "BIN_IVF_FLAT" -> Set("hamming", "jaccard"),
     "IVF_SQ8" -> Set("l2", "l2sq"),
     "IVF_PQ" -> Set("l2", "l2sq"),
     "SPARSE_INVERTED_INDEX" -> Set("ip", "bm25"),
@@ -31,6 +32,7 @@ object Capabilities {
     "FLAT" -> Set("fp32", "fp16", "bf16", "int8"),
     "BIN_FLAT" -> Set("bin1"),
     "IVF_FLAT" -> Set("fp32", "fp16", "bf16", "int8"),
+    "BIN_IVF_FLAT" -> Set("bin1"),
     "IVF_SQ8" -> Set("fp32", "fp16", "bf16"),
     "IVF_PQ" -> Set("fp32", "fp16", "bf16"),
     "SPARSE_INVERTED_INDEX" -> Set("sparse_fp32"),
@@ -43,7 +45,7 @@ object Capabilities {
   /** Raw vectors retained? FLAT/IVF_FLAT keep them (GetVectorByIds works);
     * SQ8 retains only codes unless built with raw data (SCANN-style). */
   def hasRawData(indexType: String): Boolean = indexType match {
-    case "FLAT" | "BIN_FLAT" | "IVF_FLAT" => true
+    case "FLAT" | "BIN_FLAT" | "IVF_FLAT" | "BIN_IVF_FLAT" => true
     case _ => false
   }
 

@@ -198,6 +198,32 @@ SELECT qid, nid, dist, rnk FROM (
         SparseSearch.searchBM25MaxScore(queryPostings(s, dir), m, K,
           maxScoreRatio = 1.05, wandPivot = true)
       },
-      Some(bm25Oracle))
+      Some(bm25Oracle)),
+    // S9 *_CC — SPARSE_INVERTED_INDEX_CC growing-segment analog
+    // (sparse_index_node.cc:431-470): half the corpus is the sealed
+    // segment, the other half streams in via Structured Streaming
+    // micro-batch append; search over the snapshot (sealed ∪ growing)
+    // must hash-match the full-corpus oracle exactly
+    GraftQuery(
+      "sparse_cc_stream",
+      (s, dir) => {
+        import graft.streaming.StreamingIndex
+        val docs = Tables.documents(s, dir)
+        val sealedDf = docs.filter(col("doc_id") % 2 === 0)
+        val stage = java.nio.file.Files.createTempDirectory("graft-sparse-cc-src")
+        docs.filter(col("doc_id") % 2 === 1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val grow = java.nio.file.Files.createTempDirectory("graft-sparse-cc-grow")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sparse-cc-ckpt")
+        StreamingIndex
+          .startAppend(s, stage.toString, docs.schema, grow.toString, ckpt.toString)
+          .awaitTermination()
+        val snap = StreamingIndex.snapshot(s, sealedDf, grow.toString)
+        SparseSearch.searchIP(
+          queryPostings(s, dir),
+          SparseSearch.postings(snap, "doc_id", "text"),
+          K)
+      },
+      Some(ipOracle()))
   )
 }
