@@ -73,6 +73,64 @@ SELECT user_id,
                 ELSE 0 END) + 1 AS INT) AS n_sessions,
   count(*) AS n_events
 FROM o GROUP BY 1""")),
+    // the SAME sessionization as a STATEFUL STREAMING computation
+    // (mapGroupsWithState): the events table is time-split into two files
+    // consumed as separate micro-batches; per-user GroupState carries
+    // (last ts, counts) across the boundary, so sessions spanning batches
+    // are not double-counted — the hash match against the batch oracle
+    // gates the cross-batch state handling
+    GraftQuery(
+      "events_sessions_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Tables.events(s, dir)
+        val median = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
+        val stage = java.nio.file.Files.createTempDirectory("graft-sess-stream")
+        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
+        // one part file per half: a micro-batch must hold a time-aligned
+        // slice per user, so each half must arrive as ONE file
+        ev.filter(unix_micros(col("ts")) <= median)
+          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
+        ev.filter(unix_micros(col("ts")) > median)
+          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
+        // force micro-batch order: older mtime is picked up first
+        import java.nio.file.attribute.FileTime
+        def touch(p: java.nio.file.Path, t: Long): Unit =
+          java.nio.file.Files.walk(p).forEach(f =>
+            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
+        val now = System.currentTimeMillis()
+        touch(d1, now - 120000); touch(d2, now - 60000)
+        val src = s.readStream
+          .schema(s.read.parquet(d1.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$stage/b*")
+        val sink = s"events_sessions_stream_${System.nanoTime()}"
+        val q = graft.streaming.StreamingSessions
+          .sessionUpdates(src, gapMicros = 1800000000L)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // running totals are monotone → final state per user is the max
+        s.table(sink)
+          .groupBy(col("user_id"))
+          .agg(max(col("n_sessions")).cast("int").as("n_sessions"),
+            max(col("n_events")).as("n_events"))
+      },
+      Some("""WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id,
+  CAST(sum(CASE WHEN prev IS NULL THEN 0
+                WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(prev AS TIMESTAMP)) > 1800000000 THEN 1
+                ELSE 0 END) + 1 AS INT) AS n_sessions,
+  count(*) AS n_events
+FROM o GROUP BY 1""")),
     // exact interpolated percentiles per event type
     GraftQuery(
       "events_quantiles",

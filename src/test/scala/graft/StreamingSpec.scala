@@ -52,6 +52,50 @@ class StreamingSpec extends SparkSpec {
 /** V9 Serialize/Deserialize: the index ↔ storage round-trip is a parquet
   * write partitioned by cluster_id (partition pruning at probe time) and a
   * read back — results must be identical. */
+class StreamingSessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mapGroupsWithState carries sessions across micro-batches without double-counting") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.attribute.FileTime
+    // user 1: events at t=0m and t=35m (batch 1), then t=40m (batch 2) —
+    // 40m is within 30min of 35m, so it must NOT open a new session;
+    // user 2: one event per batch, 2h apart — two sessions.
+    val base = 1700000000000000L // micros
+    val m = 60000000L
+    def df(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("user_id", "event_id", "tsm")
+        .select(col("user_id"), col("event_id"), timestamp_micros(col("tsm")).as("ts"))
+    val stage = java.nio.file.Files.createTempDirectory("graft-sess-spec")
+    df(Seq((1L, 1L, base), (1L, 2L, base + 35 * m), (2L, 10L, base)))
+      .coalesce(1).write.parquet(s"$stage/b0")
+    df(Seq((1L, 3L, base + 40 * m), (2L, 11L, base + 120 * m)))
+      .coalesce(1).write.parquet(s"$stage/b1")
+    def touch(p: String, t: Long): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).forEach(f =>
+        java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
+    val now = System.currentTimeMillis()
+    touch(s"$stage/b0", now - 120000); touch(s"$stage/b1", now - 60000)
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$stage/b0").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$stage/b*")
+    val q = streaming.StreamingSessions
+      .sessionUpdates(src, gapMicros = 1800000000L)
+      .writeStream.format("memory").queryName("sess_spec")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sess_spec")
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("ns"), max("n_events").as("ne"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2, 3L))) // sessions: {t0}, {35m, 40m} — boundary join
+    assert(got(2L) == ((2, 2L)))
+    // the state path really ran in two batches
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2)
+  }
+}
+
 class IndexPersistenceSpec extends SparkSpec {
 
   test("IVF index parquet round-trip (partitioned by cluster_id) is lossless") {
