@@ -214,6 +214,33 @@ object SparseSearch {
       .drop("_rn", "_n")
   }
 
+  /** `drop_ratio_build` (`sparse_inverted_index_config.h:22-60`): at BUILD
+    * time, drop the lowest floor(ratio·n) postings of each DOCUMENT by
+    * (tf asc, term asc) — the build-side twin of the search-side quantile
+    * prune. Exact when ratio=0. */
+  def prunePostingsBuild(basePostings: DataFrame, dropRatio: Double): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("tf").asc, col("term").asc)
+    val wc = Window.partitionBy(col("id"))
+    basePostings
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wc))
+      .filter(col("_rn") > floor(lit(dropRatio) * col("_n").cast("double")))
+      .drop("_rn", "_n")
+  }
+
+  /** Sparse GetVectorByIds (`sparse_index_node.cc` raw-data fetch, tested
+    * `test_sparse.cc` CC GetVectorByIds): reassemble each requested doc's
+    * sparse row as term-sorted parallel arrays. */
+  def getVectorByIds(ids: DataFrame, basePostings: DataFrame): DataFrame =
+    basePostings
+      .join(broadcast(ids), Seq("id"), "left_semi")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("term"), col("tf")))).as("_s"))
+      .select(
+        col("id"),
+        transform(col("_s"), e => e.getField("term")).as("terms"),
+        transform(col("_s"), e => e.getField("tf")).as("tfs"))
+
   /** BM25 exact top-k over a built index (S16): score = Σ_t qtf · idf(t) ·
     * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), idf = ln((N−df+0.5)/(df+0.5)+1).
     * Per-term contributions are scaled by 1e9, rounded, and summed as LONG

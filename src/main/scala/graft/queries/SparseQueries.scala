@@ -171,6 +171,47 @@ SELECT qid, nid, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
   FROM scored
 ) WHERE rnk <= $K""")),
+    // S9 drop_ratio_build (sparse_inverted_index_config.h:22-60): the
+    // BUILD-side quantile prune — each doc drops its lowest 20% of
+    // postings before indexing; search over the pruned index
+    GraftQuery(
+      "sparse_ip_dropb_knn",
+      (s, dir) =>
+        SparseSearch.searchIP(
+          queryPostings(s, dir),
+          SparseSearch.prunePostingsBuild(basePostings(s, dir), dropRatio = 0.2),
+          K),
+      Some(s"""WITH $tfCte,
+tr AS (
+  SELECT doc_id, term, tf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf ASC, term ASC) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS nt
+  FROM tf
+),
+td AS (SELECT doc_id, term, tf FROM tr WHERE rn > floor(CAST(0.2 AS DOUBLE) * CAST(nt AS DOUBLE))),
+scored AS (
+  SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
+  FROM q JOIN td t ON q.term = t.term GROUP BY 1, 2
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= $K""")),
+    // V7 × S9 — sparse GetVectorByIds: reassembled term-sorted sparse rows
+    GraftQuery(
+      "sparse_get_vector",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir)
+          .filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("id"))
+        SparseSearch.getVectorByIds(ids, basePostings(s, dir))
+      },
+      Some(s"""WITH $tfCte
+SELECT doc_id AS id,
+       list(term ORDER BY term) AS terms,
+       list(tf ORDER BY term) AS tfs
+FROM tf WHERE doc_id % 97 = 0 GROUP BY 1""")),
     // S16 — BM25 top-k: one pass over dl-folded postings, query-term-
     // restricted broadcast stats; scaled-integer exact sums
     GraftQuery(

@@ -96,6 +96,49 @@ class StreamingSessionsSpec extends SparkSpec {
   }
 }
 
+class WatermarkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("watermarked append-mode hourly windows emit once closed, late window withheld") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.attribute.FileTime
+    val h = 3600000000L // micros per hour
+    val base = 1700000000000000L - (1700000000000000L % h) // aligned to an hour
+    def df(rows: Seq[Long]) = rows.zipWithIndex
+      .toDF("tsm", "i").select(timestamp_micros(col("tsm")).as("ts"))
+    val stage = java.nio.file.Files.createTempDirectory("graft-wm")
+    // batch 1: two events in hour 0, one early in hour 1
+    df(Seq(base + 60L * 1000000, base + 90L * 1000000, base + h + 300L * 1000000))
+      .coalesce(1).write.parquet(s"$stage/b0")
+    // batch 2: one event in hour 2 — advances the watermark past hour 1
+    df(Seq(base + 2 * h + 1800L * 1000000))
+      .coalesce(1).write.parquet(s"$stage/b1")
+    def touch(p: String, t: Long): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).forEach(f =>
+        java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
+    val now = System.currentTimeMillis()
+    touch(s"$stage/b0", now - 120000); touch(s"$stage/b1", now - 60000)
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$stage/b0").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$stage/b*")
+    val agg = src
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"))
+      .count()
+      .select(col("window.start").cast("long").as("ws"), col("count"))
+    val q = agg.writeStream.format("memory").queryName("wm_spec")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("wm_spec").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h0 = base / 1000000
+    // hours 0 and 1 closed (watermark passed their end); hour 2 withheld —
+    // append mode only emits finalized windows
+    assert(got == Map(h0 -> 2L, (h0 + 3600L) -> 1L), s"got $got")
+  }
+}
+
 class IndexPersistenceSpec extends SparkSpec {
 
   test("IVF index parquet round-trip (partitioned by cluster_id) is lossless") {
