@@ -620,7 +620,7 @@ object SparseSearch {
 
     val thetas = seedThetas(spark, bp, plan, k, bm25Exact)
     val essential = essentialTerms(plan, thetas, slack = 1e-3)
-    if (wandPivot) {
+    if (wandPivot && !pruneWontPay(plan, essential)) {
       // SPARSE_WAND × BM25: the doc-level pivot bound rides the same
       // UB(q,t) rows; admissible with the same 1e-3 rounding slack
       val qWithUb = broadcast(plan.byQid.toSeq
