@@ -29,7 +29,8 @@ object Scale {
     def gen(n: Int, idCol: String, vecCol: String): DataFrame =
       spark.range(n.toLong).toDF(idCol)
         .withColumn(vecCol, transform(sequence(lit(1), lit(dim)),
-          i => (pmod(xxhash64(col(idCol) * 1000 + i), lit(2000)).cast("float") - 1000f) / 1000f))
+          i => ((pmod(xxhash64(col(idCol) * 1000 + i), lit(2000)).cast("double") - 1000d) / 1000d)
+            .cast("float")))
 
     val base = gen(nb, "id", "vec").persist()
     val queries = gen(nq, "qid", "qvec")
@@ -53,6 +54,19 @@ object Scale {
     val t = truth.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val g = got.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(f"ivf recall@10: ${g.intersect(t).size.toDouble / t.size}%.3f")
+
+    // the deployment shape: index saved partitionBy(cluster_id), search
+    // over the LOADED index — probed list ids reach the file scan as
+    // partition pruning, so wall time tracks nprobe/nlist, not nb
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-ivf").toString
+    time("ivf save (partitioned parquet)") {
+      index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/lists")
+    }
+    val loaded = spark.read.parquet(s"$dir/lists")
+    time(s"ivf search on parquet, nprobe=$nprobe (partition-pruned)")(
+      IvfIndex.search(queries, loaded, cents, 10, nprobe).count())
+    time(s"ivf search on parquet, nprobe=$nlist (full scan)")(
+      IvfIndex.search(queries, loaded, cents, 10, nlist).count())
     spark.stop()
   }
 }
