@@ -22,6 +22,10 @@ trait VectorIndex {
   def getVectorByIds(ids: DataFrame): DataFrame
   /** Serialize: write the index tables under `dir`. */
   def save(dir: String): Unit
+  /** GetIndexMeta (V10, `index_node.h:362-363`): Feder-style JSON describe
+    * — index type, cardinality, dim. Subclasses append structure. */
+  def indexMetaJson: String =
+    s"""{"index_type":"$indexType","count":$count,"dim":$dim}"""
 }
 
 /** FLAT: the base table itself is the index (`src/index/flat/flat.cc`). */
@@ -79,6 +83,19 @@ final class IvfFlatIndex(
   override def save(dir: String): Unit = {
     index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/lists")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Feder overview (`include/knowhere/feder/`, `test_feder.cc`): per-list
+    * populations appended to the base meta. */
+  override def indexMetaJson: String = {
+    val lists = index
+      .groupBy(col("cluster_id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("cluster_id"))
+      .collect()
+      .map(r => s"""{"list":${r.get(0)},"size":${r.getLong(1)}}""")
+      .mkString("[", ",", "]")
+    s"""{"index_type":"$indexType","count":$count,"dim":$dim,"nlist":${centroids.count()},"lists":$lists}"""
   }
 }
 

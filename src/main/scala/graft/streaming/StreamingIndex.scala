@@ -37,6 +37,31 @@ object StreamingIndex {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** IVF_FLAT_CC analog (`ivf.cc:1250-1262`): each arriving micro-batch is
+    * ASSIGNED to its nearest list in-flight and appended to the growing
+    * partitioned segment — probed search over the snapshot prunes sealed
+    * and growing lists alike, while ingestion keeps running. */
+  def startAppendIvf(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      centroids: DataFrame,
+      growingDir: String,
+      checkpointDir: String
+  ): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.IvfIndex
+          .build(batch.toDF(), centroids)
+          .write.mode("append").partitionBy("cluster_id").parquet(growingDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Snapshot view: sealed ∪ growing (empty growing dir tolerated). */
   def snapshot(spark: SparkSession, sealedDf: DataFrame, growingDir: String): DataFrame = {
     val growing =

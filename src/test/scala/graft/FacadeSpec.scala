@@ -87,6 +87,33 @@ class FacadeSpec extends SparkSpec {
     assert(rows(pq.search(queries, 5, None)) == rows(pqL.search(queries, 5, None)))
   }
 
+  test("MV search-info hints derive from the filter expression tree") {
+    import graft.operators.MvSearchInfo
+    import spark.implicits._
+    val df = Seq((1, 2)).toDF("label", "cat")
+    val a = MvSearchInfo.from(df, col("label") === 1 && col("cat").isin(2, 3, 4))
+    assert(a.touchedFields == Map("label" -> 1L, "cat" -> 3L))
+    assert(a.isPureAnd && !a.hasNot)
+    val b = MvSearchInfo.from(df, col("label") === 1 || col("cat") === 2)
+    assert(!b.isPureAnd)
+    val c = MvSearchInfo.from(df, !(col("label") === 1))
+    assert(c.hasNot && c.touchedFields == Map("label" -> 1L))
+  }
+
+  test("GetIndexMeta: JSON describe with per-list structure for IVF") {
+    val flat = IndexFactory.build(spark, "FLAT", base, Metric.L2)
+    val fm = flat.indexMetaJson
+    assert(fm.contains("\"index_type\":\"FLAT\"") && fm.contains("\"count\":500"))
+    val ivf = IndexFactory
+      .build(spark, "IVF_FLAT", base, Metric.L2, nlist = 4, nprobe = 2)
+      .asInstanceOf[IvfFlatIndex]
+    val im = ivf.indexMetaJson
+    assert(im.contains("\"nlist\":4") && im.contains("\"lists\":["))
+    // valid JSON with list sizes summing to the count
+    val sizes = "\"size\":(\\d+)".r.findAllMatchIn(im).map(_.group(1).toLong).sum
+    assert(sizes == 500L)
+  }
+
   test("factory rejects unsupported metric/index combinations") {
     assertThrows[IllegalArgumentException](
       IndexFactory.build(spark, "BIN_FLAT", base, Metric.L2))

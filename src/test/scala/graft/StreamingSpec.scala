@@ -47,6 +47,29 @@ class StreamingSpec extends SparkSpec {
       .toSet
     assert(r2 == Set(0L, 2L, 3L)) // id 3 closer than id 1 now
   }
+
+  test("IVF_FLAT_CC analog: micro-batch append assigns to lists; probed search sees new vectors") {
+    import graft.operators.{IvfIndex, Metric}
+    val tmp = Files.createTempDirectory("graft-ivfcc").toString
+    val cents = Seq((0L, Array(0f, 0f)), (1L, Array(10f, 0f))).toDF("cluster_id", "centroid")
+    val sealedVecs = Seq((0L, Array(0.5f, 0f)), (1L, Array(9.5f, 0f))).toDF("id", "vec")
+    val sealedIdx = IvfIndex.build(sealedVecs, cents)
+    // a new vector near centroid 0 streams in and is assigned in-flight
+    Seq((5L, Array(0.2f, 0f))).toDF("id", "vec").write.parquet(s"$tmp/src/b1")
+    StreamingIndex
+      .startAppendIvf(spark, s"$tmp/src/*", sealedVecs.schema, cents, s"$tmp/grow", s"$tmp/ckpt")
+      .awaitTermination()
+    // growing segment is list-partitioned on disk
+    assert(new java.io.File(s"$tmp/grow/cluster_id=0").exists())
+    val growing = spark.read.parquet(s"$tmp/grow")
+      .select(col("id"), col("vec"), col("cluster_id"))
+    val snapshot = sealedIdx.select(col("id"), col("vec"), col("cluster_id"))
+      .unionByName(growing)
+    val q = Seq((9L, Array(0f, 0f))).toDF("qid", "qvec")
+    val got = IvfIndex.search(q, snapshot, cents, k = 2, nprobe = 1, Metric.L2)
+      .collect().map(_.getAs[Long]("nid")).toSet
+    assert(got == Set(0L, 5L)) // probed list only, new vector visible
+  }
 }
 
 /** V9 Serialize/Deserialize: the index ↔ storage round-trip is a parquet
