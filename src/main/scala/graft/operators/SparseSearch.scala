@@ -452,7 +452,7 @@ object SparseSearch {
   private def pruneWontPay(
       plan: QueryPlan,
       essential: Seq[(Long, String, Double, Double)],
-      fallbackRatio: Double = 0.1
+      fallbackRatio: Double = 0.5
   ): Boolean = {
     val dfByTerm = plan.localStats.toMap
     val essDf = essential.iterator.map(e => dfByTerm(e._2).toDouble).sum
@@ -467,7 +467,8 @@ object SparseSearch {
       queryPostings: DataFrame, // (qid, term, qtf)
       model: SparseIndexModel,
       k: Int,
-      filter: Option[Column] = None
+      filter: Option[Column] = None,
+      fallbackRatio: Double = 0.5
   ): DataFrame = {
     val spark = model.postings.sparkSession
     import spark.implicits._
@@ -490,7 +491,7 @@ object SparseSearch {
     val qTermList = plan.localQp.map(_._2).distinct
     val qScan = bp.filter(col("term").isin(qTermList: _*))
     val exact =
-      if (pruneWontPay(plan, essential)) {
+      if (pruneWontPay(plan, essential, fallbackRatio)) {
         // degenerate bounds: score-all restricted to query terms (exact)
         qScan
           .join(qpDf, "term")
@@ -521,7 +522,8 @@ object SparseSearch {
       queryPostings: DataFrame, // (qid, term, qtf)
       model: SparseIndexModel,
       k: Int,
-      filter: Option[Column] = None
+      filter: Option[Column] = None,
+      fallbackRatio: Double = 0.5
   ): DataFrame = {
     val spark = model.postings.sparkSession
     import spark.implicits._
@@ -543,7 +545,7 @@ object SparseSearch {
     val essential = essentialTerms(plan, thetas, slack = 0.0)
     val qTermList = plan.localQp.map(_._2).distinct
     val qScan = bp.filter(col("term").isin(qTermList: _*))
-    if (pruneWontPay(plan, essential)) {
+    if (pruneWontPay(plan, essential, fallbackRatio)) {
       // degenerate bounds: score-all restricted to query terms (exact)
       val exact = qScan
         .join(qpDf, "term")
@@ -593,7 +595,8 @@ object SparseSearch {
       maxScoreRatio: Double = 1.0,
       roundDist: Option[Int] = Some(4),
       filter: Option[Column] = None,
-      wandPivot: Boolean = false // SPARSE_WAND variant: doc-level UB pivot
+      wandPivot: Boolean = false, // SPARSE_WAND variant: doc-level UB pivot
+      fallbackRatio: Double = 0.5
   ): DataFrame = {
     require(maxScoreRatio >= 1.0, "maxScoreRatio < 1 would break admissibility")
     val spark = model.postings.sparkSession
@@ -620,7 +623,7 @@ object SparseSearch {
 
     val thetas = seedThetas(spark, bp, plan, k, bm25Exact)
     val essential = essentialTerms(plan, thetas, slack = 1e-3)
-    if (wandPivot && !pruneWontPay(plan, essential)) {
+    if (wandPivot && !pruneWontPay(plan, essential, fallbackRatio)) {
       // SPARSE_WAND × BM25: the doc-level pivot bound rides the same
       // UB(q,t) rows; admissible with the same 1e-3 rounding slack
       val qWithUb = broadcast(plan.byQid.toSeq
@@ -649,7 +652,7 @@ object SparseSearch {
     val qTermList = plan.localQp.map(_._2).distinct
     val qScan = bp.filter(col("term").isin(qTermList: _*))
     val scored =
-      if (pruneWontPay(plan, essential)) {
+      if (pruneWontPay(plan, essential, fallbackRatio)) {
         // degenerate bounds: score-all restricted to query terms (exact)
         qScan
           .join(qpDf, "term")

@@ -138,6 +138,30 @@ class SparseSearchSpec extends SparkSpec {
     model.drop(); loaded.drop()
   }
 
+  test("candidate-pruning branch (no fallback) is exact on every pruned path") {
+    // fallbackRatio > 1 forces the essential-list candidate machinery even
+    // on the degenerate test corpus — the branch that runs on real
+    // Zipfian vocabularies must produce the identical exact result
+    val corpus = graft.sources.Tables.documents(spark, sf0001)
+    val base = SparseSearch.postings(corpus, "doc_id", "text")
+    val model = graft.operators.SparseIndexModel.build(corpus, "doc_id", "text")
+    val q = SparseSearch
+      .postings(corpus.filter(col("doc_id") % 100 === 0), "doc_id", "text")
+      .select(col("id").as("qid"), col("term"), col("tf").as("qtf"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("dist"), r.getAs[Int]("rnk"))).toSet
+    val naiveIp = rows(SparseSearch.searchIP(q, base, 10))
+    assert(rows(SparseSearch.searchIPMaxScore(q, model, 10, fallbackRatio = 2.0)) == naiveIp)
+    assert(rows(SparseSearch.searchIPWand(q, model, 10, fallbackRatio = 2.0)) == naiveIp)
+    val plainBm25 = rows(SparseSearch.searchBM25(q, model, 10))
+    assert(rows(SparseSearch.searchBM25MaxScore(q, model, 10, maxScoreRatio = 1.05,
+      fallbackRatio = 2.0)) == plainBm25)
+    assert(rows(SparseSearch.searchBM25MaxScore(q, model, 10, maxScoreRatio = 1.05,
+      wandPivot = true, fallbackRatio = 2.0)) == plainBm25)
+    model.drop()
+  }
+
   test("quantile query-term pruning drops the lowest drop_ratio fraction per query") {
     val q = Seq(
       (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L), (1L, "d", 4L),
