@@ -452,7 +452,7 @@ object SparseSearch {
   private def pruneWontPay(
       plan: QueryPlan,
       essential: Seq[(Long, String, Double, Double)],
-      fallbackRatio: Double = 0.5
+      fallbackRatio: Double = 0.05
   ): Boolean = {
     val dfByTerm = plan.localStats.toMap
     val essDf = essential.iterator.map(e => dfByTerm(e._2).toDouble).sum
@@ -468,7 +468,7 @@ object SparseSearch {
       model: SparseIndexModel,
       k: Int,
       filter: Option[Column] = None,
-      fallbackRatio: Double = 0.5
+      fallbackRatio: Double = 0.05
   ): DataFrame = {
     val spark = model.postings.sparkSession
     import spark.implicits._
@@ -523,7 +523,7 @@ object SparseSearch {
       model: SparseIndexModel,
       k: Int,
       filter: Option[Column] = None,
-      fallbackRatio: Double = 0.5
+      fallbackRatio: Double = 0.05
   ): DataFrame = {
     val spark = model.postings.sparkSession
     import spark.implicits._
@@ -596,7 +596,7 @@ object SparseSearch {
       roundDist: Option[Int] = Some(4),
       filter: Option[Column] = None,
       wandPivot: Boolean = false, // SPARSE_WAND variant: doc-level UB pivot
-      fallbackRatio: Double = 0.5
+      fallbackRatio: Double = 0.05
   ): DataFrame = {
     require(maxScoreRatio >= 1.0, "maxScoreRatio < 1 would break admissibility")
     val spark = model.postings.sparkSession
