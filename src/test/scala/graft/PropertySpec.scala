@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.VectorFunctions._
+import graft.operators.{BruteForce, Metric}
+
+/** Property-style matrices (the reference's `GENERATE` device,
+  * `tests/ut/utils.h:40-108`): seeded random inputs, invariants asserted
+  * against an independent formulation.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  /** Reference IEEE-754 binary16 round-trip, implemented independently via
+    * bit manipulation (round-to-nearest-even, gradual underflow) — the
+    * ground truth for the SQL-expressible storage-cast grid. */
+  private def fp16RoundTrip(f: Float): Float = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val absBits = bits & 0x7fffffff
+    if (absBits == 0) return java.lang.Float.intBitsToFloat(sign << 16)
+    val e = (absBits >>> 23) - 127 // unbiased exponent
+    val halfBits: Int =
+      if (e >= 16) sign | 0x7c00 // overflow → inf (out of scope for data)
+      else if (e >= -14) {
+        // normal half: 10 mantissa bits, round-half-even on the dropped 13
+        val m = absBits & 0x7fffff
+        val base = ((e + 15) << 10) | (m >>> 13)
+        val rem = m & 0x1fff
+        val rounded =
+          if (rem > 0x1000 || (rem == 0x1000 && (base & 1) == 1)) base + 1 else base
+        sign | rounded
+      } else if (e >= -25) {
+        // subnormal half: value = m·2^(e−23) → multiple of 2^−24 means
+        // shifting the 24-bit mantissa right by −(e+1)
+        val m = (absBits & 0x7fffff) | 0x800000
+        val sh = -e - 1
+        val base = m >>> sh
+        val rem = m & ((1 << sh) - 1)
+        val half = 1 << (sh - 1)
+        val rounded =
+          if (rem > half || (rem == half && (base & 1) == 1)) base + 1 else base
+        sign | rounded
+      } else sign // underflow to zero
+    // half → float
+    val s2 = (halfBits & 0x8000) << 16
+    val e2 = (halfBits >>> 10) & 0x1f
+    val m2 = halfBits & 0x3ff
+    val f2 =
+      if (e2 == 0) {
+        if (m2 == 0) java.lang.Float.intBitsToFloat(s2)
+        else (if ((halfBits & 0x8000) != 0) -1f else 1f) * m2 * math.pow(2, -24).toFloat
+      } else java.lang.Float.intBitsToFloat(s2 | ((e2 - 15 + 127) << 23) | (m2 << 13))
+    f2
+  }
+
+  test("fp16 storage cast equals bit-level IEEE binary16 round-trip on random floats") {
+    val gen = Gen.chooseNum(-60000.0f, 60000.0f)
+    val tiny = Gen.chooseNum(-1e-4f, 1e-4f) // exercises the subnormal branch
+    val values = (1 to 300).map(i => sample(gen, i)) ++
+      (1 to 200).map(i => sample(tiny, 1000 + i)) ++
+      Seq(0f, 1f, -1f, 0.1f, 6.1e-5f, -6.1e-5f, 5.96e-8f)
+    val got = values.toDF("x")
+      .select(fp16Storage(array(col("x"))).getItem(0))
+      .collect().map(_.getDouble(0))
+    values.zip(got).foreach { case (x, g) =>
+      val want = fp16RoundTrip(x).toDouble
+      assert(g == want, s"fp16($x): grid=$g bitLevel=$want")
+    }
+  }
+
+  test("TopKAgg equals the window formulation on random candidate sets") {
+    val gen = for {
+      qid <- Gen.chooseNum(0L, 4L)
+      nid <- Gen.chooseNum(0L, 60L)
+      dist <- Gen.chooseNum(0, 50).map(_ / 10.0) // coarse grid forces ties
+    } yield (qid, nid, dist)
+    val rows = (1 to 600).map(i => sample(gen, i)).distinct
+    val df = rows.toDF("qid", "nid", "dist")
+    for (asc <- Seq(true, false); k <- Seq(1, 3, 10)) {
+      val a = BruteForce.topK(df, k, asc)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val b = BruteForce.topKWindow(df, k, asc)
+        .select(col("qid"), col("nid"), col("dist"), col("rnk").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(a == b, s"asc=$asc k=$k")
+    }
+  }
+
+  test("chunked knnFused equals declarative knn for any chunk count") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 100.0f)).map(_.toArray)
+    val base = (0 until 40).map(i => (i.toLong, sample(vecGen, i))).toDF("id", "vec")
+    val queries = (0 until 12).map(i => (i.toLong * 3, sample(vecGen, 500 + i))).toDF("qid", "qvec")
+    for (m <- Seq(Metric.L2, Metric.IP, Metric.Cosine); chunkBytes <- Seq(1L, 1L << 30)) {
+      // chunkBytes=1 → one chunk per query: exercises the multi-chunk union
+      val fused = BruteForce.knnFused(queries, base, 5, m, roundDist = Some(4),
+        chunkBytes = chunkBytes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val plain = BruteForce.knn(queries, base, 5, m, roundDist = Some(4))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fused == plain, s"metric=$m chunkBytes=$chunkBytes")
+    }
+  }
+}
