@@ -11,11 +11,23 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (job scheduling, codegen infra, parquet footers) so
-    // the first measured query isn't charged for startup
+    // warm the session (job scheduling, codegen infra, parquet footers,
+    // broadcast + aggregate machinery) so the first measured query isn't
+    // charged for startup: run one tiny representative of each plan family
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(1).count()
-    spark.read.parquet(s"$sfDir/documents.parquet").limit(1).count()
+    locally {
+      import org.apache.spark.sql.functions._
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64).cache()
+      emb.count()
+      val q = emb.limit(2).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val b = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.operators.BruteForce.knn(q, b, 3, graft.operators.Metric.L2, roundDist = Some(4)).count()
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(32).cache()
+      docs.count()
+      graft.operators.SparseSearch.postings(docs, "doc_id", "text").count()
+      emb.unpersist(); docs.unpersist()
+      spark.catalog.clearCache()
+    }
     // optional local-iteration filter: comma-separated query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries
