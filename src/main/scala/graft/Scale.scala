@@ -67,6 +67,47 @@ object Scale {
       IvfIndex.search(queries, loaded, cents, 10, nprobe).count())
     time(s"ivf search on parquet, nprobe=$nlist (full scan)")(
       IvfIndex.search(queries, loaded, cents, 10, nlist).count())
+
+    // ---- sparse: Zipfian corpus where MaxScore pruning ENGAGES ----
+    // (the harness corpus has a 31-term vocabulary, which always takes the
+    // score-all fallback; real corpora are Zipfian and the essential-list
+    // candidate branch is the path that runs there)
+    val vocab = 20000
+    val perDoc = 40
+    def sparseGen(n: Int, rows: Int, salt: Int): DataFrame =
+      spark.range(n.toLong).toDF("id")
+        .select(col("id"), explode(sequence(lit(1), lit(rows))).as("j"))
+        .select(col("id"),
+          // u^3 density → Zipf-ish head: term 0 is the most frequent
+          floor(pow(pmod(xxhash64(col("id") * 7919 + col("j") * 31 + salt), lit(1000000))
+            .cast("double") / 1000000.0d, 3.0d) * vocab).cast("long").as("term"),
+          (pmod(xxhash64(col("id") + col("j") * 7 + salt), lit(5)) + 1L).as("tf"))
+        .groupBy(col("id"), col("term")).agg(sum(col("tf")).as("tf"))
+    val bp = sparseGen(nb, perDoc, 0)
+      .select(col("term"), col("id"), col("tf"), lit(perDoc).cast("long").as("dl"))
+      .persist()
+    println(s"sparse postings=${bp.count()} vocab≈$vocab")
+    // idf-style query weighting (rare terms matter more — the realistic
+    // IR shape): head terms get weight 1, tail terms up to 10; this is
+    // what makes the essential-list split discriminate
+    val qp = sparseGen(50, 30, 99)
+      .select(col("id").as("qid"), col("term"),
+        (lit(1L) + col("term") * 9L / vocab.toLong).as("qtf"))
+    val termStats = bp.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"), min(col("tf")).as("min_tf"))
+      .persist()
+    termStats.count()
+    val model = new graft.operators.SparseIndexModel(bp, termStats, (nb.toLong, perDoc.toDouble), 1.2, 0.75)
+    val nRows = time("sparse naive searchIP")(
+      graft.operators.SparseSearch
+        .searchIP(qp, bp.select(col("term"), col("id"), col("tf")), 10).collect())
+    val pRows = time("sparse MaxScore (stats-pruned)")(
+      graft.operators.SparseSearch.searchIPMaxScore(qp, model, 10).collect())
+    time("sparse MaxScore (candidate branch forced)")(
+      graft.operators.SparseSearch.searchIPMaxScore(qp, model, 10, fallbackRatio = 2.0).count())
+    val same = nRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      pRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    println(s"sparse pruned == naive: $same")
     spark.stop()
   }
 }

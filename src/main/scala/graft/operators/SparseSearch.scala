@@ -328,16 +328,53 @@ object SparseSearch {
   // posting list, ≤ nq·k doc ids, then essential lists ∪ candidates.
   // ------------------------------------------------------------------
 
-  /** Per-query term metadata assembled driver-side. Scoring sums treat
-    * qtf as DOUBLE (exact for integer-valued weights ≲ 2^53, which is
-    * also what the naive path's long sums produce). */
-  private final case class QTerm(term: String, qtf: Double, ub: Double, df: Long)
+  /** Per-query term metadata assembled driver-side. `term` keeps its
+    * ORIGINAL Spark type (string tokens or numeric dims — the reference's
+    * sparse dims are uint32); `key` is a stable string rendering used only
+    * for deterministic tie-breaks. Scoring sums treat qtf as DOUBLE
+    * (exact for integer-valued weights ≲ 2^53, which is also what the
+    * naive path's long sums produce). */
+  private final case class QTerm(term: Any, key: String, qtf: Double, ub: Double, df: Long)
 
   private final case class QueryPlan(
       byQid: Map[Long, Array[QTerm]],
-      localQp: Seq[(Long, String, Double)], // (qid, term, qtf)
-      localStats: Seq[(String, Long)] // (term, df)
-  )
+      termType: org.apache.spark.sql.types.DataType
+  ) {
+    def allTerms: Seq[Any] =
+      byQid.valuesIterator.flatten.map(_.term).toSeq.distinct
+    def dfByKey: Map[String, Long] =
+      byQid.valuesIterator.flatten.map(t => (t.key, t.df)).toMap
+  }
+
+  /** Local (driver-built) frame with a term column of the plan's type. */
+  private def localDf(
+      spark: SparkSession,
+      plan: QueryPlan,
+      rows: Seq[org.apache.spark.sql.Row],
+      fields: Seq[(String, org.apache.spark.sql.types.DataType)]
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(fields.map { case (n, t) => StructField(n, t) }))
+  }
+
+  import org.apache.spark.sql.types.{DoubleType, LongType}
+  import org.apache.spark.sql.{Row => SqlRow}
+
+  /** (qid, term, qtf) local frame — phases broadcast this instead of
+    * re-deriving the query side from its source scan. */
+  private def localQpDf(spark: SparkSession, plan: QueryPlan): DataFrame =
+    localDf(spark, plan,
+      plan.byQid.toSeq.flatMap { case (qid, ts) => ts.map(t => SqlRow(qid, t.term, t.qtf)) },
+      Seq("qid" -> LongType, "term" -> plan.termType, "qtf" -> DoubleType))
+
+  /** (term, df) local frame, query-term-restricted. */
+  private def localStatsDf(spark: SparkSession, plan: QueryPlan): DataFrame =
+    localDf(spark, plan,
+      plan.byQid.valuesIterator.flatten.map(t => (t.key, (t.term, t.df))).toMap
+        .values.toSeq.map { case (term, df) => SqlRow(term, df) },
+      Seq("term" -> plan.termType, "df" -> LongType))
 
   /** One job: restrict termStats to the query's terms, compute UBs, pull
     * the (tiny) result to the driver. */
@@ -346,6 +383,7 @@ object SparseSearch {
       termStats: DataFrame,
       ubCol: Column
   ): QueryPlan = {
+    val termType = queryPostings.schema("term").dataType
     val rows = termStats
       .join(broadcast(queryPostings), "term")
       .select(col("qid").cast("long"), col("term"), col("qtf").cast("double"),
@@ -363,12 +401,10 @@ object SparseSearch {
     val byQid = rows
       .groupBy(_.getLong(0))
       .map { case (qid, rs) =>
-        qid -> rs.map(r => QTerm(r.getString(1), r.getDouble(2), r.getDouble(3), r.getLong(5)))
+        qid -> rs.map(r =>
+          QTerm(r.get(1), String.valueOf(r.get(1)), r.getDouble(2), r.getDouble(3), r.getLong(5)))
       }
-    val localQp = byQid.toSeq.flatMap { case (qid, ts) => ts.map(t => (qid, t.term, t.qtf)) }
-    val localStats = byQid.valuesIterator.flatten
-      .map(t => (t.term, t.df)).toSeq.distinct
-    QueryPlan(byQid, localQp, localStats)
+    QueryPlan(byQid, termType)
   }
 
   /** Seed θ per query: exact scores of the top-UB term's top-k postings.
@@ -383,16 +419,21 @@ object SparseSearch {
       k: Int,
       exactOf: (DataFrame, DataFrame) => DataFrame
   ): Map[Long, Double] = {
-    import spark.implicits._
-    // top-UB term per query (ties by term asc, like the cursor ordering)
-    val topTerms = plan.byQid.toSeq.map { case (qid, ts) =>
-      val best = ts.minBy(t => (-t.ub, t.term))
-      (qid, best.term, best.qtf)
+    // top-UB terms per query (ties by term asc, like the cursor
+    // ordering). Seeding from the top THREE lists instead of one keeps θ
+    // meaningful when the best-bound term's posting list holds fewer than
+    // k docs (common under idf-style weighting, where the top-UB term is
+    // rare) — any exactly-scored candidate subset yields an admissible θ,
+    // and a larger subset only tightens it.
+    val topTerms = plan.byQid.toSeq.flatMap { case (qid, ts) =>
+      ts.sortBy(t => (-t.ub, t.key)).take(3).map(t => (qid, t))
     }
-    val topTermList = topTerms.map(_._2).distinct
+    val topTermDf = localDf(spark, plan,
+      topTerms.map { case (qid, t) => SqlRow(qid, t.term, t.qtf) },
+      Seq("qid" -> LongType, "term" -> plan.termType, "qtf" -> DoubleType))
     val seedPairs = bp
-      .filter(col("term").isin(topTermList: _*))
-      .join(broadcast(topTerms.toDF("qid", "term", "qtf")), "term")
+      .filter(col("term").isInCollection(topTerms.map(_._2.term).distinct))
+      .join(broadcast(topTermDf), "term")
       .select(col("qid"), col("id").as("nid"),
         (col("qtf") * col("tf")).cast("double").as("dist"))
     val seeds = topK(seedPairs, k, ascending = false)
@@ -409,20 +450,20 @@ object SparseSearch {
     }
   }
 
-  /** Essential (qid, term, qtf, ub) rows: suffix by ascending UB whose
-    * running ΣUB ≥ θ − slack. */
+  /** Essential (qid, QTerm) rows: suffix by ascending UB whose running
+    * ΣUB ≥ θ − slack. */
   private def essentialTerms(
       plan: QueryPlan,
       thetas: Map[Long, Double],
       slack: Double
-  ): Seq[(Long, String, Double, Double)] =
+  ): Seq[(Long, QTerm)] =
     plan.byQid.toSeq.flatMap { case (qid, ts) =>
       val theta = thetas(qid)
-      val sorted = ts.sortBy(t => (t.ub, t.term))
+      val sorted = ts.sortBy(t => (t.ub, t.key))
       var cum = 0.0
       sorted.flatMap { t =>
         cum += t.ub
-        if (cum >= theta - slack) Some((qid, t.term, t.qtf, t.ub)) else None
+        if (cum >= theta - slack) Some((qid, t)) else None
       }
     }
 
@@ -431,31 +472,31 @@ object SparseSearch {
   private def candidatesOf(
       spark: SparkSession,
       bp: DataFrame,
-      essential: Seq[(Long, String, Double, Double)]
+      plan: QueryPlan,
+      essential: Seq[(Long, QTerm)]
   ): DataFrame = {
-    import spark.implicits._
-    val essTermList = essential.map(_._2).distinct
-    val essDf = broadcast(essential.map(e => (e._1, e._2)).toDF("qid", "term"))
-    bp.filter(col("term").isin(essTermList: _*))
+    val essDf = broadcast(localDf(spark, plan,
+      essential.map { case (qid, t) => SqlRow(qid, t.term) },
+      Seq("qid" -> LongType, "term" -> plan.termType)))
+    bp.filter(col("term").isInCollection(essential.map(_._2.term).distinct))
       .join(essDf, "term")
       .select(col("qid"), col("id"))
       .dropDuplicates("qid", "id")
   }
 
   /** Cost-based fallback (the reference's conditional-wrapper pattern,
-    * `IndexConditionalWrapper.cc:34-95`, applied to DAAT pruning): when
-    * the essential posting lists cover most of the query's postings —
-    * degenerate vocabularies, weak bounds — the candidate machinery
-    * cannot pay for itself; score-all is exact and cheaper. Decided
-    * driver-side from the already-collected per-term df stats, no extra
-    * job. Either branch returns the identical exact result. */
+    * `IndexConditionalWrapper.cc:34-95`, applied to DAAT pruning): the
+    * candidate machinery pays only when essential posting lists are a
+    * SMALL fraction of the query's postings; on degenerate vocabularies
+    * or weak bounds, score-all is exact and cheaper. Decided driver-side
+    * from the already-collected per-term df stats, no extra job. Either
+    * branch returns the identical exact result. */
   private def pruneWontPay(
       plan: QueryPlan,
-      essential: Seq[(Long, String, Double, Double)],
+      essential: Seq[(Long, QTerm)],
       fallbackRatio: Double = 0.05
   ): Boolean = {
-    val dfByTerm = plan.localStats.toMap
-    val essDf = essential.iterator.map(e => dfByTerm(e._2).toDouble).sum
+    val essDf = essential.iterator.map(_._2.df.toDouble).sum
     val allDf = plan.byQid.valuesIterator.flatten.map(_.df.toDouble).sum
     essDf >= fallbackRatio * allDf
   }
@@ -478,7 +519,7 @@ object SparseSearch {
     if (plan.byQid.isEmpty)
       return topK(spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "dist"),
         k, ascending = false)
-    val qpDf = broadcast(plan.localQp.toDF("qid", "term", "qtf"))
+    val qpDf = broadcast(localQpDf(spark, plan))
 
     def ipExact(bpR: DataFrame, docs: DataFrame): DataFrame = bpR
       .join(qpDf, "term")
@@ -488,8 +529,7 @@ object SparseSearch {
 
     val thetas = seedThetas(spark, bp, plan, k, ipExact)
     val essential = essentialTerms(plan, thetas, slack = 0.0)
-    val qTermList = plan.localQp.map(_._2).distinct
-    val qScan = bp.filter(col("term").isin(qTermList: _*))
+    val qScan = bp.filter(col("term").isInCollection(plan.allTerms))
     val exact =
       if (pruneWontPay(plan, essential, fallbackRatio)) {
         // degenerate bounds: score-all restricted to query terms (exact)
@@ -500,7 +540,7 @@ object SparseSearch {
       } else {
         // exact scores over candidate docs only; AQE broadcasts the
         // candidate id list when small, shuffle-joins when not
-        val candidates = candidatesOf(spark, bp, essential)
+        val candidates = candidatesOf(spark, bp, plan, essential)
         qScan
           .join(candidates.select(col("id")).distinct(), "id")
           .join(qpDf, "term")
@@ -533,7 +573,7 @@ object SparseSearch {
     if (plan.byQid.isEmpty)
       return topK(spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "dist"),
         k, ascending = false)
-    val qpDf = broadcast(plan.localQp.toDF("qid", "term", "qtf"))
+    val qpDf = broadcast(localQpDf(spark, plan))
 
     def ipExact(bpR: DataFrame, docs: DataFrame): DataFrame = bpR
       .join(qpDf, "term")
@@ -543,8 +583,7 @@ object SparseSearch {
 
     val thetas = seedThetas(spark, bp, plan, k, ipExact)
     val essential = essentialTerms(plan, thetas, slack = 0.0)
-    val qTermList = plan.localQp.map(_._2).distinct
-    val qScan = bp.filter(col("term").isin(qTermList: _*))
+    val qScan = bp.filter(col("term").isInCollection(plan.allTerms))
     if (pruneWontPay(plan, essential, fallbackRatio)) {
       // degenerate bounds: score-all restricted to query terms (exact)
       val exact = qScan
@@ -553,13 +592,13 @@ object SparseSearch {
         .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
       return topK(exact, k, ascending = false)
     }
-    val candidates = candidatesOf(spark, bp, essential)
+    val candidates = candidatesOf(spark, bp, plan, essential)
 
     // one aggregation computes exact score AND the WAND doc bound; the
     // pivot test filters on the bound before ranking
-    val qWithUb = broadcast(plan.byQid.toSeq
-      .flatMap { case (qid, ts) => ts.map(t => (qid, t.term, t.qtf, t.ub)) }
-      .toDF("qid", "term", "qtf", "ub"))
+    val qWithUb = broadcast(localDf(spark, plan,
+      plan.byQid.toSeq.flatMap { case (qid, ts) => ts.map(t => SqlRow(qid, t.term, t.qtf, t.ub)) },
+      Seq("qid" -> LongType, "term" -> plan.termType, "qtf" -> DoubleType, "ub" -> DoubleType)))
     val thetaDf = broadcast(thetas.toSeq.toDF("qid", "theta"))
     val scored = qScan
       .join(candidates.select(col("id")).distinct(), "id")
@@ -611,8 +650,8 @@ object SparseSearch {
     if (plan.byQid.isEmpty)
       return topK(spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "dist"),
         k, ascending = false)
-    val qpDf = broadcast(plan.localQp.toDF("qid", "term", "qtf"))
-    val statsDf = broadcast(plan.localStats.toDF("term", "df"))
+    val qpDf = broadcast(localQpDf(spark, plan))
+    val statsDf = broadcast(localStatsDf(spark, plan))
 
     def bm25Exact(bpR: DataFrame, docs: DataFrame): DataFrame = bpR
       .join(qpDf, "term")
@@ -626,14 +665,14 @@ object SparseSearch {
     if (wandPivot && !pruneWontPay(plan, essential, fallbackRatio)) {
       // SPARSE_WAND × BM25: the doc-level pivot bound rides the same
       // UB(q,t) rows; admissible with the same 1e-3 rounding slack
-      val qWithUb = broadcast(plan.byQid.toSeq
-        .flatMap { case (qid, ts) => ts.map(t => (qid, t.term, t.qtf, t.ub)) }
-        .toDF("qid", "term", "qtf", "ub"))
+      val qWithUb = broadcast(localDf(spark, plan,
+        plan.byQid.toSeq.flatMap { case (qid, ts) => ts.map(t => SqlRow(qid, t.term, t.qtf, t.ub)) },
+        Seq("qid" -> LongType, "term" -> plan.termType, "qtf" -> DoubleType, "ub" -> DoubleType)))
       val thetaDf = broadcast(thetas.toSeq.toDF("qid", "theta"))
-      val qTerms = plan.localQp.map(_._2).distinct
-      val candidates = candidatesOf(spark, bp, essential)
+
+      val candidates = candidatesOf(spark, bp, plan, essential)
       val scored = bp
-        .filter(col("term").isin(qTerms: _*))
+        .filter(col("term").isInCollection(plan.allTerms))
         .join(candidates.select(col("id")).distinct(), "id")
         .join(qWithUb, "term")
         .join(statsDf, "term")
@@ -649,8 +688,7 @@ object SparseSearch {
       val d = roundDist.map(r => round(col("raw"), r)).getOrElse(col("raw"))
       return topK(survivors.select(col("qid"), col("nid"), d.as("dist")), k, ascending = false)
     }
-    val qTermList = plan.localQp.map(_._2).distinct
-    val qScan = bp.filter(col("term").isin(qTermList: _*))
+    val qScan = bp.filter(col("term").isInCollection(plan.allTerms))
     val scored =
       if (pruneWontPay(plan, essential, fallbackRatio)) {
         // degenerate bounds: score-all restricted to query terms (exact)
@@ -660,7 +698,7 @@ object SparseSearch {
           .groupBy(col("qid"), col("id").as("nid"))
           .agg((sum(bm25ContribScaled(model.n, model.avgdl, model.k1, model.b)).cast("double") / 1e9d).as("raw"))
       } else {
-        val candidates = candidatesOf(spark, bp, essential)
+        val candidates = candidatesOf(spark, bp, plan, essential)
         qScan
           .join(candidates.select(col("id")).distinct(), "id")
           .join(qpDf, "term")
