@@ -102,8 +102,10 @@ final class IvfFlatIndex(
 /** IVF_SQ8: coarse lists + 8-bit scalar-quantized codes, SCANN-style exact
   * rerank (`ivf.cc:1244-1276`). The quantizer model (per-dim min/max) is a
   * build-time artifact persisted alongside the lists — search never
-  * retrains. Reference IVF_SQ8 retains no raw data (`flat.cc:258-283`
-  * capability table), so GetVectorByIds refuses. */
+  * retrains. This is the reference's `with_raw_data` SCANN shape: raw
+  * vectors ride alongside the codes (they power the exact rerank and
+  * range search), so GetVectorByIds works — unlike the codes-only
+  * reference IVF_SQ8 (`flat.cc:258-283`). */
 final class IvfSq8Index(
     val index: DataFrame, // (id, vec, cluster_id)
     val centroids: DataFrame,
@@ -129,7 +131,7 @@ final class IvfSq8Index(
       filter, roundDist)
 
   override def getVectorByIds(ids: DataFrame): DataFrame =
-    throw new UnsupportedOperationException("IVF_SQ8 retains no raw data")
+    BruteForce.getVectorByIds(ids, index.select(col("id"), col("vec")))
 
   override def save(dir: String): Unit = {
     index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/lists")
@@ -140,7 +142,9 @@ final class IvfSq8Index(
 
 /** IVF_PQ: coarse lists + product-quantization codes with ADC + exact
   * rerank (`ivf.cc:1244-1276`; m/nbits per `benchmark_float_qps.cpp:
-  * 400-401`). Codebooks persist with the lists. */
+  * 400-401`). Codebooks persist with the lists. Like [[IvfSq8Index]],
+  * this is a `with_raw_data` shape: raw vectors power the rerank/range
+  * paths, so GetVectorByIds works. */
 final class IvfPqIndex(
     val index: DataFrame, // (id, vec, cluster_id)
     val centroids: DataFrame,
@@ -165,7 +169,7 @@ final class IvfPqIndex(
       filter, roundDist)
 
   override def getVectorByIds(ids: DataFrame): DataFrame =
-    throw new UnsupportedOperationException("IVF_PQ retains no raw data")
+    BruteForce.getVectorByIds(ids, index.select(col("id"), col("vec")))
 
   override def save(dir: String): Unit = {
     index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/lists")

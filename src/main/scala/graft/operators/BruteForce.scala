@@ -229,7 +229,11 @@ object BruteForce {
     val sc = spark.sparkContext
     val qSide = queries.select(col("qid").cast("long"), col("qvec"))
     val nq0 = qSide.count()
-    require(nq0 > 0, "knnFused: empty query set")
+    if (nq0 == 0)
+      // match knn(): a filtered-to-empty query side yields an empty result
+      return spark.range(0)
+        .select(col("id").as("qid"), col("id").as("nid"),
+          col("id").cast("double").as("dist"), col("id").cast("int").as("rnk"))
     val dim = qSide.select(size(col("qvec"))).head().getInt(0)
     val rowBytes = 4L * dim + 32L
     val numChunks = math.max(1L, (nq0 * rowBytes + chunkBytes - 1) / chunkBytes).toInt

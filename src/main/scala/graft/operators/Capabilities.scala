@@ -42,10 +42,15 @@ object Capabilities {
   def supportsDataType(indexType: String, dataType: String): Boolean =
     dataTypeTable.getOrElse(indexType, Set.empty).contains(dataType.toLowerCase)
 
-  /** Raw vectors retained? FLAT/IVF_FLAT keep them (GetVectorByIds works);
-    * SQ8 retains only codes unless built with raw data (SCANN-style). */
+  /** Raw vectors retained? FLAT/IVF_FLAT keep them (GetVectorByIds works).
+    * Our IVF_SQ8/IVF_PQ are the reference's SCANN-style `with_raw_data`
+    * variants — raw vectors ride alongside the codes to power the exact
+    * rerank and range search, so GetVectorByIds works there too (the
+    * reference's codes-only IVF_SQ8 answers false, `flat.cc:258-283`; its
+    * SCANN answers `with_raw_data`). */
   def hasRawData(indexType: String): Boolean = indexType match {
     case "FLAT" | "BIN_FLAT" | "IVF_FLAT" | "BIN_IVF_FLAT" => true
+    case "IVF_SQ8" | "IVF_PQ" => true
     case _ => false
   }
 

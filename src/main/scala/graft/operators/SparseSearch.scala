@@ -35,9 +35,11 @@ final class SparseIndexModel(
   /** Per-term max BM25 tf-weight (max-score upkeep with BM25 weighting,
     * `sparse_inverted_index.h:384-392`) — computed on first BM25-pruned
     * search, cached. */
+  @volatile private var bm25StatsForced = false
   lazy val bm25TermStats: DataFrame = bm25Stats.getOrElse {
     val tfw = col("tf").cast("double") * (k1 + 1.0d) /
       (col("tf").cast("double") + lit(k1) * (lit(1.0d - b) + lit(b / avgdl) * col("dl").cast("double")))
+    bm25StatsForced = true
     postings
       .groupBy(col("term"))
       .agg(max(tfw).as("max_w"))
@@ -49,6 +51,9 @@ final class SparseIndexModel(
     postings.unpersist()
     termStats.unpersist()
     bm25Stats.foreach(_.unpersist())
+    // the lazily derived BM25 stats persist on first force; without this
+    // a build()-sourced model (bm25Stats = None) would leak that cache
+    if (bm25StatsForced) bm25TermStats.unpersist()
   }
 
   /** Serialize (BinarySet analog, `index_node.h:371-401`): parquet tables
@@ -200,24 +205,33 @@ object SparseSearch {
     queryPostings.filter(col("qtf") >= minTf)
 
   /** `drop_ratio_search` quantile semantics
-    * (`sparse_inverted_index.h:643-663`): per query, drop the LOWEST
-    * floor(dropRatio·n_terms) terms by (value asc, term asc) — i.e. terms
-    * below the drop-ratio quantile of that query's own values, the
-    * reference's knob (not an absolute threshold). Exact when ratio=0. */
+    * (`sparse_inverted_index.h:550-663` parse_query/get_threshold): the
+    * per-query threshold is the nth-element of abs(value) at position
+    * floor(dropRatio·n_terms); terms with abs(value) >= threshold are
+    * KEPT — ties at the threshold all survive, and the quantile is over
+    * absolute values. Exact when ratio=0. */
   def pruneQueryTermsQuantile(queryPostings: DataFrame, dropRatio: Double): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(col("qtf").asc, col("term").asc)
+    val w = Window.partitionBy(col("qid")).orderBy(col("_a").asc, col("term").asc)
     val wc = Window.partitionBy(col("qid"))
-    queryPostings
+    val ranked = queryPostings
+      .withColumn("_a", abs(col("qtf").cast("double")))
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(wc))
-      .filter(col("_rn") > floor(lit(dropRatio) * col("_n").cast("double")))
-      .drop("_rn", "_n")
+    val thr = ranked
+      .filter(col("_rn") === floor(lit(dropRatio) * col("_n").cast("double")) + 1)
+      .select(col("qid"), col("_a").as("_thr"))
+    ranked
+      .join(thr, Seq("qid"))
+      .filter(col("_a") >= col("_thr"))
+      .drop("_a", "_rn", "_n", "_thr")
   }
 
-  /** `drop_ratio_build` (`sparse_inverted_index_config.h:22-60`): at BUILD
-    * time, drop the lowest floor(ratio·n) postings of each DOCUMENT by
-    * (tf asc, term asc) — the build-side twin of the search-side quantile
-    * prune. Exact when ratio=0. */
+  /** Build-time posting prune — an EXTENSION, not a reference analog: the
+    * reference's `drop_ratio_build` is deprecated and explicitly a no-op
+    * (`sparse_inverted_index_config.h:28-29` "won't change anything").
+    * Here it is a real knob: drop the lowest floor(ratio·n) postings of
+    * each DOCUMENT by (tf asc, term asc), the build-side twin of the
+    * search-side quantile prune. Exact when ratio=0. */
   def prunePostingsBuild(basePostings: DataFrame, dropRatio: Double): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("tf").asc, col("term").asc)
     val wc = Window.partitionBy(col("id"))

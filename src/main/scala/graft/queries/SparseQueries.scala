@@ -145,8 +145,9 @@ SELECT qid, nid, dist, rnk FROM (
   FROM scored
 ) WHERE rnk <= $K""")),
     // S9 drop_ratio_search QUANTILE semantics (sparse_inverted_index.h:
-    // 643-663): drop the lowest floor(ratio·n_terms) of each query's own
-    // values — the reference's actual knob, deterministic in both engines
+    // 550-663 parse_query/get_threshold): threshold = nth-element of
+    // abs(value) at floor(ratio·n); keep abs(value) >= threshold, ties
+    // at the threshold all survive — the reference's actual knob
     GraftQuery(
       "sparse_ip_dropq_knn",
       (s, dir) =>
@@ -156,12 +157,13 @@ SELECT qid, nid, dist, rnk FROM (
           K),
       Some(s"""WITH $tfCte,
 qr AS (
-  SELECT qid, term, qtf,
-         row_number() OVER (PARTITION BY qid ORDER BY qtf ASC, term ASC) AS rn,
+  SELECT qid, term, qtf, abs(CAST(qtf AS DOUBLE)) AS a,
+         row_number() OVER (PARTITION BY qid ORDER BY abs(CAST(qtf AS DOUBLE)) ASC, term ASC) AS rn,
          count(*) OVER (PARTITION BY qid) AS nt
   FROM q
 ),
-qd AS (SELECT qid, term, qtf FROM qr WHERE rn > floor(CAST(0.3 AS DOUBLE) * CAST(nt AS DOUBLE))),
+thr AS (SELECT qid, a AS th FROM qr WHERE rn = floor(CAST(0.3 AS DOUBLE) * CAST(nt AS DOUBLE)) + 1),
+qd AS (SELECT qr.qid, qr.term, qr.qtf FROM qr JOIN thr ON qr.qid = thr.qid WHERE qr.a >= thr.th),
 scored AS (
   SELECT qd.qid AS qid, t.doc_id AS nid, CAST(sum(qd.qtf * t.tf) AS DOUBLE) AS dist
   FROM qd JOIN tf t ON qd.term = t.term GROUP BY 1, 2
@@ -171,9 +173,10 @@ SELECT qid, nid, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
   FROM scored
 ) WHERE rnk <= $K""")),
-    // S9 drop_ratio_build (sparse_inverted_index_config.h:22-60): the
-    // BUILD-side quantile prune — each doc drops its lowest 20% of
-    // postings before indexing; search over the pruned index
+    // S9 build-side prune — an extension (the reference's drop_ratio_build
+    // is deprecated/no-op, sparse_inverted_index_config.h:28-29): each doc
+    // drops its lowest 20% of postings before indexing; search over the
+    // pruned index
     GraftQuery(
       "sparse_ip_dropb_knn",
       (s, dir) =>
@@ -205,12 +208,18 @@ SELECT qid, nid, dist, rnk FROM (
         val ids = Tables.documents(s, dir)
           .filter(col("doc_id") % 97 === 0)
           .select(col("doc_id").as("id"))
+        // comma-joined rather than ARRAY: the driver's comparator sorts
+        // result columns with pandas, which cannot order list cells
         SparseSearch.getVectorByIds(ids, basePostings(s, dir))
+          .select(
+            col("id"),
+            array_join(col("terms"), ",").as("terms"),
+            array_join(transform(col("tfs"), _.cast("string")), ",").as("tfs"))
       },
       Some(s"""WITH $tfCte
 SELECT doc_id AS id,
-       list(term ORDER BY term) AS terms,
-       list(tf ORDER BY term) AS tfs
+       array_to_string(list(term ORDER BY term), ',') AS terms,
+       array_to_string(list(tf ORDER BY term), ',') AS tfs
 FROM tf WHERE doc_id % 97 = 0 GROUP BY 1""")),
     // S16 — BM25 top-k: one pass over dl-folded postings, query-term-
     // restricted broadcast stats; scaled-integer exact sums

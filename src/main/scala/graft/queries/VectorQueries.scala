@@ -639,7 +639,11 @@ SELECT qid, nid, dist, rnk FROM (
           .groupBy(col("cluster_id"))
           .agg(
             count(lit(1)).as("n_vectors"),
-            sort_array(collect_list(col("id"))).as("member_ids"))
+            // comma-joined rather than ARRAY: the driver's comparator sorts
+            // result columns with pandas, which cannot order list cells
+            array_join(
+              transform(sort_array(collect_list(col("id"))), _.cast("string")),
+              ",").as("member_ids"))
       },
       Some("""WITH c AS (SELECT vec_id AS cluster_id, embedding AS centroid FROM embeddings WHERE vec_id % 250 = 0),
 asn AS (
@@ -652,7 +656,8 @@ asn AS (
     FROM embeddings b CROSS JOIN c
   ) WHERE rn = 1
 )
-SELECT cluster_id, count(*) AS n_vectors, list(id ORDER BY id) AS member_ids
+SELECT cluster_id, count(*) AS n_vectors,
+       array_to_string(list(id ORDER BY id), ',') AS member_ids
 FROM asn GROUP BY 1""")),
     // S2 with a similarity metric — bound direction inverts:
     // radius < sim <= rangeFilter (range_util.h:22-25)

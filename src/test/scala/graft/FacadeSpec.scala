@@ -76,7 +76,10 @@ class FacadeSpec extends SparkSpec {
     sq8.save(dirS)
     val sq8L = IndexFactory.loadIvfSq8(spark, dirS, nprobe = 4, roundDist = Some(4))
     assert(rows(sq8.search(queries, 5, None)) == rows(sq8L.search(queries, 5, None)))
-    assertThrows[UnsupportedOperationException](sq8.getVectorByIds(queries))
+    // SCANN-style with_raw_data: raw vectors retained, so the fetch works
+    assert(sq8.hasRawData)
+    val fetched = sq8.getVectorByIds(base.select(col("id")).limit(3))
+    assert(fetched.count() == 3 && fetched.columns.contains("vec"))
 
     val pq = IndexFactory
       .build(spark, "IVF_PQ", base, Metric.L2, nlist = 4, nprobe = 4, roundDist = Some(4))

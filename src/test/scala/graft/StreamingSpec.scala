@@ -196,7 +196,9 @@ class CapabilitiesSpec extends SparkSpec {
     assert(!Capabilities.supportsMetric("BIN_FLAT", "l2"))
     assert(Capabilities.supportsMetric("SPARSE_WAND", "bm25"))
     assert(Capabilities.hasRawData("IVF_FLAT"))
-    assert(!Capabilities.hasRawData("IVF_SQ8"))
+    // SCANN-style with_raw_data variant: raw vectors retained for rerank
+    assert(Capabilities.hasRawData("IVF_SQ8"))
+    assert(!Capabilities.hasRawData("HNSW_SQ"))
     assert(Capabilities.supportsConcurrentAppend("IVF_FLAT"))
     assert(!Capabilities.supportsConcurrentAppend("IVF_SQ8"))
   }
