@@ -211,10 +211,32 @@ object IndexFactory {
         val c = cents
         new IvfPqIndex(IvfIndex.build(base, c, roundDist), c,
           ProductQuant.train(spark, base, pqM, pqKsub, seed), nprobe, reorderK, roundDist)
+      case "DISKANN" =>
+        // entry points: one medoid per k-means cluster (the reference
+        // enters at the dataset medoid; spreading entries across clusters
+        // compensates for the kNN graph's missing long-range edges).
+        // search_list_size = reorderK mirrors the reference's
+        // search_list_size ≥ k validation (diskann_config.h:172-183)
+        val c = cents
+        val entries = IvfIndex
+          .search(c.select(col("cluster_id").as("qid"), col("centroid").as("qvec")),
+            IvfIndex.build(base, c, roundDist), c, k = 1, nprobe = 1, Metric.L2, roundDist)
+          .select(col("nid")).distinct()
+        DiskAnn.build(base, ProductQuant.train(spark, base, pqM, pqKsub, seed),
+          entries, degree = 5, searchListSize = reorderK, beamIters = 4, roundDist)
       case other =>
         throw new IllegalArgumentException(s"index type $other not yet constructible via factory")
     }
   }
+
+  /** Deserialize a DiskANN index saved by DiskAnnIndex.save. */
+  def loadDiskAnn(
+      spark: SparkSession,
+      dir: String,
+      searchListSize: Int = 16,
+      beamIters: Int = 2,
+      roundDist: Option[Int] = None
+  ): DiskAnnIndex = DiskAnn.load(spark, dir, searchListSize, beamIters, roundDist)
 
   /** Sparse factory arm: SPARSE_INVERTED_INDEX / SPARSE_WAND build the same
     * artifact (`sparse_index_node.cc:431-470`); the variant selects the

@@ -9,7 +9,7 @@ object Capabilities {
 
   val IndexTypes: Set[String] =
     Set("FLAT", "BIN_FLAT", "IVF_FLAT", "BIN_IVF_FLAT", "IVF_SQ8", "IVF_PQ",
-      "SPARSE_INVERTED_INDEX", "SPARSE_WAND")
+      "DISKANN", "SPARSE_INVERTED_INDEX", "SPARSE_WAND")
 
   private val metricTable: Map[String, Set[String]] = Map(
     "FLAT" -> Set("l2", "l2sq", "ip", "cosine"),
@@ -18,6 +18,7 @@ object Capabilities {
     "BIN_IVF_FLAT" -> Set("hamming", "jaccard"),
     "IVF_SQ8" -> Set("l2", "l2sq"),
     "IVF_PQ" -> Set("l2", "l2sq"),
+    "DISKANN" -> Set("l2", "l2sq"),
     "SPARSE_INVERTED_INDEX" -> Set("ip", "bm25"),
     "SPARSE_WAND" -> Set("ip", "bm25")
   )
@@ -35,6 +36,9 @@ object Capabilities {
     "BIN_IVF_FLAT" -> Set("bin1"),
     "IVF_SQ8" -> Set("fp32", "fp16", "bf16"),
     "IVF_PQ" -> Set("fp32", "fp16", "bf16"),
+    // "DiskANN only support floating point data type(float32, float16,
+    // bfloat16)" — diskann.cc:36-37
+    "DISKANN" -> Set("fp32", "fp16", "bf16"),
     "SPARSE_INVERTED_INDEX" -> Set("sparse_fp32"),
     "SPARSE_WAND" -> Set("sparse_fp32")
   )
@@ -51,6 +55,8 @@ object Capabilities {
   def hasRawData(indexType: String): Boolean = indexType match {
     case "FLAT" | "BIN_FLAT" | "IVF_FLAT" | "BIN_IVF_FLAT" => true
     case "IVF_SQ8" | "IVF_PQ" => true
+    // DiskANN keeps full-precision vectors on SSD (diskann.cc GetVectorByIds)
+    case "DISKANN" => true
     case _ => false
   }
 

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DiskANN analog (S8) — the reference's SSD-resident Vamana index
+  * (`src/index/diskann/diskann.cc:160-707`,
+  * `src/index/diskann/diskann_config.h:26-143`).
+  *
+  * The reference splits the index across two tiers: compressed PQ codes
+  * stay in memory and drive the graph traversal (`cached_beam_search`,
+  * `diskann.cc:532,637`), while full-precision vectors live on SSD and are
+  * only read to rerank the final search list. The Spark-native rendering
+  * keeps exactly that split:
+  *
+  *   - `graph (src, dst)`: degree-R neighborhood graph (Vamana analog —
+  *     built as an exact kNN graph; the reference's alpha-pruned build is
+  *     a quality knob on the same structure);
+  *   - `coded (id, codes)`: PQ codes — the IN-MEMORY traversal tier; beam
+  *     expansion scores candidates by ADC lookup only, never touching raw
+  *     vectors (`pq_code_budget_gb`'s role);
+  *   - `raw (id, vec)`: full-precision vectors in parquet — the SSD tier;
+  *     read for every node the beam expands (the reference issues
+  *     `beamwidth` IO requests per hop and keeps exact distances for all
+  *     fetched nodes);
+  *   - `entries (nid)`: entry points (the reference's medoid).
+  *
+  * Search (`search_list_size` = L, `beamwidth` folded into the batch hop —
+  * every frontier node expands per hop, `diskann_config.h:73-77`):
+  * frontier = top-L by ADC of the entry points; each hop joins the
+  * frontier to the graph, ADC-scores the new candidates, and keeps the
+  * top-L of the union; the answer is the exact-distance top-k over the
+  * full visited set, fetched from the raw tier.
+  *
+  * Determinism: ADC and exact distances round-before-rank with (dist, id)
+  * tie-breaks, fixed hop count — with an explicit codebook the whole
+  * search is oracle-expressible; recall under trained codebooks is gated
+  * by the ANN floor in ScalaTest.
+  *
+  * Scale shape: the frontier is nq×L rows per hop; the graph joins on
+  * `src`, codes on `id` — both index tables are parquet partitioned/
+  * bucketed by their join key, so hops are frontier-sized co-located
+  * shuffles. The raw tier is touched once, by an nq×L semi-join — the
+  * whole point of DiskANN's memory/disk split, preserved relationally.
+  */
+final class DiskAnnIndex(
+    val graph: DataFrame, // (src, dst)
+    val coded: DataFrame, // (id, codes)
+    val raw: DataFrame, // (id, vec) — the "SSD" tier
+    val entries: DataFrame, // (nid)
+    val model: ProductQuant.PQModel,
+    val searchListSize: Int, // search_list_size (L)
+    val beamIters: Int,
+    roundDist: Option[Int] = None
+) extends graft.VectorIndex {
+  override def indexType: String = "DISKANN"
+  override lazy val count: Long = raw.count()
+  override lazy val dim: Int = raw.select(max(size(col("vec")))).head().getInt(0)
+
+  override def search(queries: DataFrame, k: Int, filter: Option[Column]): DataFrame =
+    DiskAnn.search(this, queries, k, filter)
+
+  /** Range search: exact over the raw tier (the reference serves range
+    * queries through the iterator + rerank path; exact here). */
+  override def rangeSearch(queries: DataFrame, radius: Double, rangeFilter: Double,
+      filter: Option[Column]): DataFrame =
+    BruteForce.rangeSearch(queries, raw, Metric.L2, radius, rangeFilter, filter, roundDist)
+
+  /** DiskANN retains raw data on SSD (`diskann.cc` GetVectorByIds). */
+  override def getVectorByIds(ids: DataFrame): DataFrame =
+    BruteForce.getVectorByIds(ids, raw)
+
+  override def save(dir: String): Unit = {
+    graph.write.mode("overwrite").parquet(s"$dir/graph")
+    coded.write.mode("overwrite").parquet(s"$dir/codes")
+    raw.write.mode("overwrite").parquet(s"$dir/raw")
+    entries.write.mode("overwrite").parquet(s"$dir/entries")
+    ProductQuant.saveModel(raw.sparkSession, model, s"$dir/pq")
+  }
+
+  override def indexMetaJson: String =
+    s"""{"index_type":"$indexType","count":$count,"dim":$dim,""" +
+      s""""degree":${graph.groupBy(col("src")).count().agg(max("count")).head().getLong(0)},""" +
+      s""""search_list_size":$searchListSize}"""
+
+  def roundDigits: Option[Int] = roundDist
+}
+
+object DiskAnn {
+
+  /** Build: degree-R exact kNN graph (Vamana analog), PQ codes, entry
+    * points. `search_list_size` also governs the reference build
+    * (`diskann.cc:353`); here build quality is the exact graph. */
+  def build(
+      base: DataFrame, // (id, vec)
+      model: ProductQuant.PQModel,
+      entries: DataFrame, // (nid)
+      degree: Int = 5,
+      searchListSize: Int = 16,
+      beamIters: Int = 2,
+      roundDist: Option[Int] = Some(4)
+  ): DiskAnnIndex = {
+    val allQ = base.select(col("id").as("qid"), col("vec").as("qvec"))
+    val graph = BruteForce
+      .knnFused(allQ, base, degree, Metric.L2, roundDist = roundDist, excludeSelf = true)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+    val coded = base.select(col("id"), ProductQuant.encodeExpr(col("vec"), model).as("codes"))
+    new DiskAnnIndex(graph, coded, base, entries, model, searchListSize, beamIters, roundDist)
+  }
+
+  /** Deserialize an index saved by [[DiskAnnIndex#save]]. */
+  def load(
+      spark: SparkSession,
+      dir: String,
+      searchListSize: Int = 16,
+      beamIters: Int = 2,
+      roundDist: Option[Int] = Some(4)
+  ): DiskAnnIndex =
+    new DiskAnnIndex(
+      spark.read.parquet(s"$dir/graph"),
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/raw"),
+      spark.read.parquet(s"$dir/entries"),
+      ProductQuant.loadModel(spark, s"$dir/pq"),
+      searchListSize,
+      beamIters,
+      roundDist)
+
+  /** ADC distance for explicit (qid, nid) candidate pairs: the in-memory
+    * tier's only distance — codes join + broadcast query LUTs, no raw
+    * vector access (`cached_beam_search`'s PQ distance). */
+  private def adcScore(
+      cands: DataFrame, // (qid, nid)
+      qWithLut: DataFrame, // (qid, _lut0.._lutM-1)
+      coded: DataFrame,
+      model: ProductQuant.PQModel,
+      roundDist: Option[Int]
+  ): DataFrame = {
+    val adistSq = (0 until model.m)
+      .map(s => element_at(col(s"_lut$s"), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val rawA = sqrt(adistSq)
+    val adist = roundDist.map(n => round(rawA, n)).getOrElse(rawA)
+    cands
+      .join(coded.withColumnRenamed("id", "nid"), "nid")
+      .join(broadcast(qWithLut), "qid")
+      .select(col("qid"), col("nid"), adist.as("dist"))
+  }
+
+  /** Beam search on PQ distances + exact answer from the visited set.
+    *
+    * Fidelity note: the reference's `cached_beam_search` reads the RAW
+    * vector of every node it expands from SSD (beamwidth IO requests per
+    * hop, `diskann_config.h:73-77`) and keeps exact distances for all of
+    * them; ADC only steers which neighbors to expand next. So the answer
+    * pool here is the full visited set — every candidate the beam ever
+    * scored — reranked exactly from the raw tier, NOT just the final
+    * frontier. Visited size is bounded by nq·(entries + iters·L·degree). */
+  def search(
+      idx: DiskAnnIndex,
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      filter: Option[Column] = None
+  ): DataFrame = {
+    val l = idx.searchListSize
+    require(l >= k, s"search_list_size $l must be >= k $k")
+    val roundDist = idx.roundDigits
+    val model = idx.model
+    // per-query subspace LUTs computed once, reused across hops
+    val qWithLut = (0 until model.m).foldLeft(
+      queries.select(col("qid"), col("qvec"))
+    )((df, s) => df.withColumn(s"_lut$s", ProductQuant.lutExpr(col("qvec"), model, s)))
+      .drop("qvec")
+    val seed = queries.select(col("qid")).crossJoin(broadcast(idx.entries))
+    var visited = seed // (qid, nid) — everything the beam ever fetched
+    var frontier = BruteForce
+      .topK(adcScore(seed, qWithLut, idx.coded, model, roundDist), l, ascending = true)
+      .select(col("qid"), col("nid"), col("dist"))
+    for (_ <- 1 to idx.beamIters) {
+      val cands = frontier
+        .join(idx.graph.withColumnRenamed("src", "nid"), "nid")
+        .select(col("qid"), col("dst").as("nid"))
+        .distinct()
+      visited = visited.union(cands)
+      val scored = adcScore(cands, qWithLut, idx.coded, model, roundDist)
+      frontier = BruteForce
+        .topK(frontier.union(scored).distinct(), l, ascending = true)
+        .select(col("qid"), col("nid"), col("dist"))
+    }
+    // the "SSD fetches": exact L2 over every visited node
+    val fetched = filter
+      .map(idx.raw.filter)
+      .getOrElse(idx.raw)
+      .select(col("id").as("nid"), col("vec"))
+    val rawE = graft.functions.VectorFunctions.l2(col("qvec"), col("vec"))
+    val edist = roundDist.map(n => round(rawE, n)).getOrElse(rawE)
+    val rer = visited
+      .distinct()
+      .join(fetched, "nid")
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), "qid")
+      .select(col("qid"), col("nid"), edist.as("dist"))
+    BruteForce.topK(rer, k, ascending = true)
+  }
+}

@@ -110,7 +110,7 @@ object ProductQuant {
   }
 
   /** Per-query LUT for subspace s: distances to all ksub codewords. */
-  private def lutExpr(qvec: Column, model: PQModel, s: Int): Column = {
+  private[operators] def lutExpr(qvec: Column, model: PQModel, s: Int): Column = {
     val sub = slice(qvec, s * model.dsub + 1, model.dsub)
     array((0 until model.ksub).map(c =>
       VectorFunctions.l2Sq(sub, typedlit(model.codebooks(s)(c).toSeq))): _*)

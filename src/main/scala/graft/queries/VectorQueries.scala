@@ -262,6 +262,74 @@ SELECT qid, nid, dist, rnk FROM (
 ) WHERE rnk <= $k"""
     }
 
+    /** DiskANN beam (mirrors DiskAnn.search): traversal scored by PQ ADC
+      * with the deterministic every-25th-vector codebook, fixed two-hop
+      * unroll, then exact-L2 rerank of the L-sized search list. */
+    def diskannBeam(ef: Int, k: Int): String = {
+      def dExpr(vec: String, sRef: String): String =
+        s"list_sum(list_transform(range(1, 9), j -> " +
+          s"(CAST($vec[$sRef*8 + j] AS DOUBLE) - CAST(cb.cv[$sRef*8 + j] AS DOUBLE)) * " +
+          s"(CAST($vec[$sRef*8 + j] AS DOUBLE) - CAST(cb.cv[$sRef*8 + j] AS DOUBLE))))"
+      // ADC score of an explicit (qid, nid) candidate CTE: per-subspace
+      // parts accumulated in subspace order (matches the Spark fold)
+      def adc(candCte: String): String =
+        s"""SELECT p.qid AS qid, p.nid AS nid,
+    round(sqrt(list_sum(list(part ORDER BY s))), 4) AS dist
+  FROM (
+    SELECT c.qid AS qid, c.nid AS nid, e2.s AS s, ${dExpr("q.qv", "e2.s")} AS part
+    FROM $candCte c JOIN q ON q.qid = c.qid
+    JOIN enc e2 ON e2.vec_id = c.nid JOIN cb ON cb.c = e2.code
+  ) p GROUP BY 1, 2"""
+      def topEf(src: String): String =
+        s"""SELECT qid, nid, dist FROM (
+  SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rn
+  FROM $src
+) WHERE rn <= $ef"""
+      s"""WITH $qView,
+cb AS (SELECT CAST(vec_id // 25 AS INT) AS c, embedding AS cv FROM embeddings
+       WHERE vec_id % 25 = 0 AND vec_id < 400),
+enc AS (
+  SELECT b.vec_id AS vec_id, s.s AS s, cb.c AS code
+  FROM embeddings b
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+  CROSS JOIN cb
+  QUALIFY row_number() OVER (PARTITION BY b.vec_id, s.s
+    ORDER BY ${dExpr("b.embedding", "s.s")} ASC, cb.c ASC) = 1
+),
+g AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+          (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+          (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 4) ASC,
+        b.vec_id ASC) AS rnk
+    FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+),
+c0 AS (SELECT q.qid AS qid, e.vec_id AS nid FROM q CROSS JOIN embeddings e WHERE e.vec_id % 250 = 0),
+s0 AS (${adc("c0")}),
+f0 AS (${topEf("s0")}),
+c1 AS (SELECT DISTINCT f.qid AS qid, g.dst AS nid FROM f0 f JOIN g ON g.src = f.nid),
+s1 AS (${adc("c1")}),
+u1 AS (SELECT DISTINCT qid, nid, dist FROM (SELECT * FROM f0 UNION ALL SELECT * FROM s1)),
+f1 AS (${topEf("u1")}),
+c2 AS (SELECT DISTINCT f.qid AS qid, g.dst AS nid FROM f1 f JOIN g ON g.src = f.nid),
+s2 AS (${adc("c2")}),
+u2 AS (SELECT DISTINCT qid, nid, dist FROM (SELECT * FROM f1 UNION ALL SELECT * FROM s2)),
+f2 AS (${topEf("u2")}),
+vis AS (SELECT qid, nid FROM c0 UNION SELECT qid, nid FROM c1 UNION SELECT qid, nid FROM c2),
+rer AS (
+  SELECT v.qid AS qid, v.nid AS nid, $l2 AS dist
+  FROM vis v JOIN q ON q.qid = v.qid JOIN embeddings b ON b.vec_id = v.nid
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+  FROM rer
+) WHERE rnk <= $k"""
+    }
+
     def knn(distExpr: String, desc: Boolean, k: Int = K, where: String = ""): String = {
       val ord = if (desc) "dist DESC, nid ASC" else "dist ASC, nid ASC"
       s"""WITH $qView,
@@ -964,6 +1032,25 @@ min(vec_id) AS min_id, max(vec_id) AS max_id FROM embeddings""")),
         IvfIndex.searchPq(queryVecs(s, dir), index, cents, model, K,
           nprobe = 2, reorderK = 50, ROUND)
       },
-      Some(Sql.pqKnn(probed = true)))
+      Some(Sql.pqKnn(probed = true))),
+    // S8 DISKANN — memory/SSD split (diskann.cc:160-707): beam traversal
+    // on in-memory PQ codes (cached_beam_search analog), search list of
+    // size L, exact rerank from the raw "SSD" tier. Deterministic graph +
+    // codebooks + entries ⇒ the full search is hash-gated; trained-PQ
+    // recall rides RecallSpec.
+    GraftQuery(
+      "diskann_knn",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val model = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
+        val entries = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("nid"))
+        val idx = DiskAnn.build(base, model, entries,
+          degree = 5, searchListSize = 16, beamIters = 2, ROUND)
+        idx.search(queryVecs(s, dir), K)
+      },
+      Some(Sql.diskannBeam(ef = 16, k = K)))
   )
 }

@@ -90,6 +90,22 @@ class FacadeSpec extends SparkSpec {
     assert(rows(pq.search(queries, 5, None)) == rows(pqL.search(queries, 5, None)))
   }
 
+  test("DISKANN build/save/load round-trip is search-identical") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val da = IndexFactory
+      .build(spark, "DISKANN", base, Metric.L2, nlist = 4, reorderK = 16, roundDist = Some(4))
+      .asInstanceOf[graft.operators.DiskAnnIndex]
+    val dir = Files.createTempDirectory("graft-diskann").toString
+    da.save(dir)
+    val daL = IndexFactory.loadDiskAnn(spark, dir,
+      searchListSize = 16, beamIters = 4, roundDist = Some(4))
+    assert(rows(da.search(queries, 5, None)) == rows(daL.search(queries, 5, None)))
+    assert(da.hasRawData && da.getVectorByIds(base.select(col("id")).limit(2)).count() == 2)
+    // search_list_size must cover k (diskann_config.h:172-183 validation)
+    assertThrows[IllegalArgumentException](daL.search(queries, 20, None))
+  }
+
   test("MV search-info hints derive from the filter expression tree") {
     import graft.operators.MvSearchInfo
     import spark.implicits._

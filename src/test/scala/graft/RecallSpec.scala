@@ -91,4 +91,12 @@ class RecallSpec extends SparkSpec {
     assert(recall(got, truth) >= 0.6)
     graph.unpersist()
   }
+
+  test("DiskANN (trained PQ, L=32, 3 hops): recall >= 0.6 (ANN floor)") {
+    val idx = graft.IndexFactory
+      .build(spark, "DISKANN", base, Metric.L2, nlist = 8, reorderK = 32)
+      .asInstanceOf[DiskAnnIndex]
+    val got = idx.search(queries, K, None)
+    assert(recall(got, truth) >= 0.6)
+  }
 }
