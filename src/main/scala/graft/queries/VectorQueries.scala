@@ -262,6 +262,41 @@ SELECT qid, nid, dist, rnk FROM (
 ) WHERE rnk <= $k"""
     }
 
+    /** Explicit-centroid IVF probe (nprobe=2) — shared by the in-memory
+      * and the saved-then-loaded index queries (same semantics by V9's
+      * Serialize/Deserialize contract, index_node.h:371-401). */
+    lazy val ivfProbe: String = s"""WITH $qView,
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 250 = 0),
+asn AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT b.vec_id, b.embedding, c.cid,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i ->
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))), 4) ASC, c.cid ASC) AS rn
+    FROM embeddings b CROSS JOIN c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i ->
+          (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+          (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))), 4) ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 2
+),
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, $l2 AS dist
+  FROM q JOIN probes p ON p.qid = q.qid JOIN asn b ON b.cid = p.cid
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+  FROM pairs
+) WHERE rnk <= $K"""
+
     /** DiskANN beam (mirrors DiskAnn.search): traversal scored by PQ ADC
       * with the deterministic every-25th-vector codebook, fixed two-hop
       * unroll, then exact-L2 rerank of the L-sized search list. */
@@ -601,37 +636,28 @@ SELECT id, cluster_id, dist FROM (
         val index = IvfIndex.build(base, cents, ROUND)
         IvfIndex.search(queryVecs(s, dir), index, cents, K, nprobe = 2, Metric.L2, ROUND)
       },
-      Some(s"""WITH ${Sql.qView},
-c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 250 = 0),
-asn AS (
-  SELECT vec_id, embedding, cid FROM (
-    SELECT b.vec_id, b.embedding, c.cid,
-      row_number() OVER (PARTITION BY b.vec_id ORDER BY
-        round(sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i ->
-          (CAST(b.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
-          (CAST(b.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))), 4) ASC, c.cid ASC) AS rn
-    FROM embeddings b CROSS JOIN c
-  ) WHERE rn = 1
-),
-probes AS (
-  SELECT qid, cid FROM (
-    SELECT q.qid, c.cid,
-      row_number() OVER (PARTITION BY q.qid ORDER BY
-        round(sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i ->
-          (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
-          (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))), 4) ASC, c.cid ASC) AS rn
-    FROM q CROSS JOIN c
-  ) WHERE rn <= 2
-),
-pairs AS (
-  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.l2} AS dist
-  FROM q JOIN probes p ON p.qid = q.qid JOIN asn b ON b.cid = p.cid
-)
-SELECT qid, nid, dist, rnk FROM (
-  SELECT qid, nid, dist,
-         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
-  FROM pairs
-) WHERE rnk <= $K""")),
+      Some(Sql.ivfProbe)),
+    // V9 × V12 — Serialize/Deserialize under the hash gate: the index is
+    // SAVED to parquet (partitioned lists), LOADED via the factory, and
+    // searched — same oracle as ivf_knn_probe, so the round-trip itself
+    // is what the hash certifies. The loaded path also exercises DPP
+    // partition pruning on the lists scan (FacadeSpec asserts the plan).
+    GraftQuery(
+      "ivf_knn_probe_loaded",
+      (s, dir) => {
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val idx = new graft.IvfFlatIndex(
+          IvfIndex.build(base, cents, ROUND), cents, Metric.L2, nprobe = 2, ROUND)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-loaded").toString
+        idx.save(tmp)
+        graft.IndexFactory.loadIvf(s, tmp, Metric.L2, nprobe = 2, ROUND)
+          .search(queryVecs(s, dir), K, None)
+      },
+      Some(Sql.ivfProbe)),
     // S6 BIN_IVF_FLAT — the IVF family over bit-packed binary vectors
     // with HAMMING assignment/probing (`ivf.cc:1244-1276` registers
     // BIN_IVF_FLAT): same probe-and-prune mechanics, binary metric
