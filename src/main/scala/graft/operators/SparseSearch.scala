@@ -515,6 +515,28 @@ object SparseSearch {
     essDf >= fallbackRatio * allDf
   }
 
+  /** Driver-side cost probe run BEFORE any seeding job: each query's
+    * top-UB posting list is always essential (the suffix rule keeps it),
+    * so Σ_q df(top-UB term) lower-bounds the essential df mass. When that
+    * bound alone crosses the fallback threshold the candidate machinery
+    * cannot pay, and the two θ-seeding actions are skipped outright —
+    * this decides the degenerate-vocabulary case (every list long, bounds
+    * uninformative) with ZERO extra jobs. Cost-only decision: both
+    * branches return the identical exact result. */
+  private def pruneCannotPay(plan: QueryPlan, fallbackRatio: Double): Boolean = {
+    val lb = plan.byQid.valuesIterator
+      .map(ts => ts.maxBy(t => (t.ub, t.key)).df.toDouble).sum
+    val allDf = plan.byQid.valuesIterator.flatten.map(_.df.toDouble).sum
+    // second criterion: pruning only pays when the top-UB list is much
+    // RARER than the query's average list (on a uniform vocabulary
+    // df(topUB) ≈ mean df and the bounds cannot carve out anything worth
+    // the seeding actions, however many terms the query has). The factor
+    // scales with fallbackRatio so the spec's >1 override disables both.
+    val meanDf = plan.byQid.valuesIterator
+      .map(ts => ts.iterator.map(_.df.toDouble).sum / ts.length).sum
+    lb >= fallbackRatio * allDf || lb >= (10.0 * fallbackRatio) * meanDf
+  }
+
   /** Exact IP top-k with MaxScore essential-list pruning
     * (`sparse_inverted_index.h:759-830`), driver-coordinated — see the
     * block comment above. Output identical to [[searchIP]]. */
@@ -541,16 +563,20 @@ object SparseSearch {
       .groupBy(col("qid").cast("long").as("qid"), col("id").cast("long").as("id"))
       .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
 
+    val qScan = bp.filter(col("term").isInCollection(plan.allTerms))
+    def scoreAll: DataFrame = qScan
+      .join(qpDf, "term")
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
+    if (pruneCannotPay(plan, fallbackRatio))
+      return topK(scoreAll, k, ascending = false)
+
     val thetas = seedThetas(spark, bp, plan, k, ipExact)
     val essential = essentialTerms(plan, thetas, slack = 0.0)
-    val qScan = bp.filter(col("term").isInCollection(plan.allTerms))
     val exact =
       if (pruneWontPay(plan, essential, fallbackRatio)) {
         // degenerate bounds: score-all restricted to query terms (exact)
-        qScan
-          .join(qpDf, "term")
-          .groupBy(col("qid"), col("id").as("nid"))
-          .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
+        scoreAll
       } else {
         // exact scores over candidate docs only; AQE broadcasts the
         // candidate id list when small, shuffle-joins when not
@@ -595,16 +621,19 @@ object SparseSearch {
       .groupBy(col("qid").cast("long").as("qid"), col("id").cast("long").as("id"))
       .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
 
+    val qScan = bp.filter(col("term").isInCollection(plan.allTerms))
+    def scoreAll: DataFrame = qScan
+      .join(qpDf, "term")
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
+    if (pruneCannotPay(plan, fallbackRatio))
+      return topK(scoreAll, k, ascending = false)
+
     val thetas = seedThetas(spark, bp, plan, k, ipExact)
     val essential = essentialTerms(plan, thetas, slack = 0.0)
-    val qScan = bp.filter(col("term").isInCollection(plan.allTerms))
     if (pruneWontPay(plan, essential, fallbackRatio)) {
       // degenerate bounds: score-all restricted to query terms (exact)
-      val exact = qScan
-        .join(qpDf, "term")
-        .groupBy(col("qid"), col("id").as("nid"))
-        .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
-      return topK(exact, k, ascending = false)
+      return topK(scoreAll, k, ascending = false)
     }
     val candidates = candidatesOf(spark, bp, plan, essential)
 
@@ -658,12 +687,32 @@ object SparseSearch {
 
     val idf = log((lit(model.n.toDouble) - col("df").cast("double") + 0.5d) /
       (col("df").cast("double") + 0.5d) + 1.0d)
+    // stage-1 cost probe with the universal tf-weight bound max_w ≤ k1+1
+    // (tfw = tf(k1+1)/(tf+k1·norm) < k1+1): needs only termStats, so the
+    // degenerate-vocabulary fallback neither seeds θ nor forces the lazy
+    // (persisted) bm25TermStats frame
+    val plan0 = planQueries(queryPostings, model.termStats,
+      col("qtf") * idf * (model.k1 + 1.0d) * maxScoreRatio)
+    if (plan0.byQid.isEmpty)
+      return topK(spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "dist"),
+        k, ascending = false)
+    if (pruneCannotPay(plan0, fallbackRatio)) {
+      val qpDf0 = broadcast(localQpDf(spark, plan0))
+      val statsDf0 = broadcast(localStatsDf(spark, plan0))
+      val scored0 = bp
+        .filter(col("term").isInCollection(plan0.allTerms))
+        .join(qpDf0, "term")
+        .join(statsDf0, "term")
+        .groupBy(col("qid"), col("id").as("nid"))
+        .agg((sum(bm25ContribScaled(model.n, model.avgdl, model.k1, model.b)).cast("double") / 1e9d).as("raw"))
+      val d0 = roundDist.map(r => round(col("raw"), r)).getOrElse(col("raw"))
+      return topK(scored0.select(col("qid"), col("nid"), d0.as("dist")), k, ascending = false)
+    }
+    // pruning may pay: re-plan with the index-time per-term max BM25
+    // weights (max-score upkeep, sparse_inverted_index.h:384-392)
     val plan = planQueries(queryPostings,
       model.termStats.join(model.bm25TermStats, "term"),
       col("qtf") * idf * col("max_w") * maxScoreRatio)
-    if (plan.byQid.isEmpty)
-      return topK(spark.emptyDataset[(Long, Long, Double)].toDF("qid", "nid", "dist"),
-        k, ascending = false)
     val qpDf = broadcast(localQpDf(spark, plan))
     val statsDf = broadcast(localStatsDf(spark, plan))
 
