@@ -181,6 +181,63 @@ object Dedup {
       withSig)
   }
 
+  /** Embedding near-dup pairs via random-hyperplane LSH (Charikar
+    * signatures) — the 100-TB scale path for cosine near-dup, replacing
+    * the quadratic all-pairs scan: sign-bit signatures against a fixed
+    * projection set, banded into byte keys; only pairs colliding on a
+    * band key are exactly verified. `projections` is (pid, pvec), pid in
+    * [0, bands·rowsPerBand); a near-identical pair agrees on every sign
+    * whp, so it collides on every band.
+    *
+    * Scale shape: signatures are one broadcast-projection pass over the
+    * embeddings (no shuffle); the band join carries only (vec_id, band,
+    * key); exact cosine touches candidate pairs only — the embedding
+    * table never self-joins. */
+  def cosineLshPairs(
+      embeddings: DataFrame, // (vec_id, embedding)
+      projections: DataFrame, // (pid, pvec)
+      threshold: Double,
+      bands: Int = 2,
+      rowsPerBand: Int = 8
+  ): DataFrame = {
+    val bits = embeddings
+      .crossJoin(broadcast(projections))
+      .select(col("vec_id"), col("pid"),
+        when(VectorFunctions.dot(col("embedding"), col("pvec")) >= 0d, 1L)
+          .otherwise(0L).as("bit"))
+    val keyCols: Seq[Column] = (0 until bands).map { b =>
+      val base = b * rowsPerBand
+      // bit << (pid - base), as exact double pow (shiftleft needs a
+      // literal shift in the Scala API)
+      sum(when(col("pid").between(base, base + rowsPerBand - 1),
+        (col("bit").cast("double") *
+          pow(lit(2.0d), (col("pid") - base).cast("double"))).cast("long"))
+        .otherwise(0L)).as(s"k$b")
+    }
+    val sigs = bits.groupBy("vec_id").agg(keyCols.head, keyCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
+      .select(col("vec_id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"k$b").as("key"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.band").as("band"), col("x.key").as("key"))
+    val cand = banded.select(col("vec_id").as("id_a"), col("band"), col("key"))
+      .join(banded.select(col("vec_id").as("id_b"), col("band"), col("key")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val ea = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val eb = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val cos = round(VectorFunctions.cosineSim(col("va"), col("vb")), 4)
+    eager(
+      cand
+        .join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(col("id_a"), col("id_b"), cos.as("cosine"))
+        .filter(col("cosine") >= threshold),
+      sigs)
+  }
+
   /** Embedding-cosine nearest neighbor per vector (near-dup scan over an
     * embedding column): top-1 excluding self. All-pairs shape (nq = nb) ⇒
     * rides the fused per-partition scan (`BruteForce.knnFused`) — identical

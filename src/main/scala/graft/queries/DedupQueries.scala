@@ -185,6 +185,50 @@ SELECT (SELECT count(*) FROM documents) AS n_in,
        (SELECT count(*) FROM exact_keep) AS n_exact,
        (SELECT count(*) FROM near_keep) AS n_neardup,
        (SELECT count(*) FROM qual WHERE quality > 0.5) AS n_clean""")),
+    // embedding near-dup at the 100-TB shape: random-hyperplane LSH
+    // (sign-bit signatures over a fixed projection set, banded byte keys)
+    // generates candidates WITHOUT an all-pairs scan; exact cosine
+    // verifies collisions only. Deterministic projections (the first 16
+    // vectors) make the whole path oracle-expressible.
+    GraftQuery(
+      "embed_nn_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val proj = emb
+          .filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("pid"), col("embedding").as("pvec"))
+        Dedup.cosineLshPairs(emb, proj, threshold = 0.35)
+      },
+      Some("""WITH p AS (SELECT CAST(vec_id AS INT) AS pid, embedding AS pvec FROM embeddings WHERE vec_id < 16),
+bits AS (
+  SELECT e.vec_id, p.pid,
+    CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1), i ->
+      CAST(e.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN p
+),
+sigs AS (
+  SELECT vec_id,
+    sum(CASE WHEN pid BETWEEN 0 AND 7 THEN bit << pid ELSE 0 END) AS k0,
+    sum(CASE WHEN pid BETWEEN 8 AND 15 THEN bit << (pid - 8) ELSE 0 END) AS k1
+  FROM bits GROUP BY 1
+),
+banded AS (
+  SELECT vec_id, 0 AS band, k0 AS key FROM sigs
+  UNION ALL SELECT vec_id, 1 AS band, k1 AS key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    round(list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+      CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+      (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.35""")),
     // embedding-cosine nearest neighbor per vector (near-dup scan shape)
     GraftQuery(
       "embed_nn_cosine",

@@ -219,6 +219,19 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     assert(got.contains((0L, 1L)))
   }
+
+  test("cosine LSH: an exact duplicate collides on every band and is reported") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val dup = emb.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val withDup = emb.select(col("vec_id"), col("embedding")).union(dup)
+    val proj = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("pid"), col("embedding").as("pvec"))
+    val got = Dedup.cosineLshPairs(withDup, proj, threshold = 0.99)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cosine")))
+    assert(got.contains((7L, 10007L, 1.0)))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
