@@ -87,6 +87,30 @@ FROM events GROUP BY 1, 2"""
 round(sum(l_quantity), 4) AS sum_qty,
 round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue,
 count(*) AS n_rows
-FROM lineitem GROUP BY 1, 2"""))
+FROM lineitem GROUP BY 1, 2""")),
+    // star join with the right strategy per dimension: nation (25 rows)
+    // is BROADCAST — never shuffled — while orders⋈customer shuffles on
+    // the join key once; the fact table's revenue rounds per-row into an
+    // exact decimal sum. At 100 TB this is the canonical shape: one
+    // shuffle on the fact side, zero for the small dim.
+    GraftQuery(
+      "orders_by_nation",
+      (s, dir) =>
+        Tables
+          .orders(s, dir)
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice"), 6).cast("decimal(28,6)")).cast("double"), 4)
+              .as("revenue")),
+      Some("""SELECT n_name, count(*) AS n_orders,
+round(CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1"""))
   )
 }

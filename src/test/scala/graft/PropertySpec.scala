@@ -107,4 +107,14 @@ class PropertySpec extends SparkSpec {
       assert(fused == plain, s"metric=$m chunkBytes=$chunkBytes")
     }
   }
+
+  test("knnFused on a filtered-to-empty query side returns an empty frame like knn") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 100.0f)).map(_.toArray)
+    val base = (0 until 10).map(i => (i.toLong, sample(vecGen, i))).toDF("id", "vec")
+    val queries = (0 until 4).map(i => (i.toLong, sample(vecGen, 50 + i))).toDF("qid", "qvec")
+      .filter(col("qid") < 0) // empty after filtering
+    val fused = BruteForce.knnFused(queries, base, 3, Metric.L2)
+    assert(fused.count() == 0)
+    assert(fused.columns.toSeq == Seq("qid", "nid", "dist", "rnk"))
+  }
 }
