@@ -242,6 +242,20 @@ object SparseSearch {
       .drop("_rn", "_n")
   }
 
+  /** Sparse AnnIterator page (V6 × S9 — `index_node.h:451-576` applied to
+    * the sparse node, `sparse_index_node.cc` AnnIterator): the per-query
+    * decreasing-score stream consumed as rank-range pages; page p
+    * (1-based) of size `pageSize` is ranks ((p−1)·size, p·size]. Exact
+    * deterministic ranking, so pagination is resumable by construction. */
+  def annIteratorPage(
+      queryPostings: DataFrame,
+      basePostings: DataFrame,
+      page: Int,
+      pageSize: Int
+  ): DataFrame =
+    searchIP(queryPostings, basePostings, page * pageSize)
+      .filter(col("rnk") > (page - 1) * pageSize)
+
   /** Sparse GetVectorByIds (`sparse_index_node.cc` raw-data fetch, tested
     * `test_sparse.cc` CC GetVectorByIds): reassemble each requested doc's
     * sparse row as term-sorted parallel arrays. */

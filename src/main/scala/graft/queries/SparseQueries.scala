@@ -201,6 +201,22 @@ SELECT qid, nid, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
   FROM scored
 ) WHERE rnk <= $K""")),
+    // V6 × S9 — sparse AnnIterator: page 2 of the decreasing-IP stream
+    GraftQuery(
+      "sparse_iter_page2",
+      (s, dir) =>
+        SparseSearch.annIteratorPage(queryPostings(s, dir), basePostings(s, dir),
+          page = 2, pageSize = 10),
+      Some(s"""WITH $tfCte,
+scored AS (
+  SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
+  FROM q JOIN tf t ON q.term = t.term GROUP BY 1, 2
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk > 10 AND rnk <= 20""")),
     // V7 × S9 — sparse GetVectorByIds: reassembled term-sorted sparse rows
     GraftQuery(
       "sparse_get_vector",

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Physical-plan shape gates: the scale claims (broadcast the small side,
+  * shuffle once, push filters into the scan) asserted against the actual
+  * executed plan, not just documented. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("star join broadcasts the 25-row dimension, never shuffles it") {
+    val df = Tables
+      .orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sf0001)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"))
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(n_nationkey")),
+      "nation must not be shuffled")
+  }
+
+  test("brute-force knn: query side broadcast, exactly one shuffle (the top-k aggregate)") {
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val p = plan(BruteForce.knn(queries, base, 5, Metric.L2, roundDist = Some(4)))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 shuffle (top-k agg), got $shuffles:\n$p")
+  }
+
+  test("LSH band join shuffles only (vec_id, band, key), never the embeddings") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val proj = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("pid"), col("embedding").as("pvec"))
+    val p = plan(Dedup.cosineLshPairs(emb, proj, threshold = 0.35))
+    val bandShuffles = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("key")).toSeq
+    assert(bandShuffles.nonEmpty, s"no band-key shuffle found:\n$p")
+    assert(!bandShuffles.exists(_.contains("embedding")),
+      s"band shuffle must not carry embeddings:\n${bandShuffles.mkString("\n")}")
+  }
+}
