@@ -1059,6 +1059,55 @@ min(vec_id) AS min_id, max(vec_id) AS max_id FROM embeddings""")),
           nprobe = 2, reorderK = 50, ROUND)
       },
       Some(Sql.pqKnn(probed = true))),
+    // S7/S8 graph BUILD at the 100-TB shape: candidates from the nprobe
+    // nearest IVF lists only (co-located shuffle join on cluster_id) —
+    // never an all-pairs scan; deterministic centroids ⇒ hash-gated
+    GraftQuery(
+      "knn_graph_build_ivf",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        GraphSearch.knnGraphIvf(base, cents, degree = 5, nprobe = 2, Metric.L2, ROUND)
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 250 = 0),
+asn AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i ->
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))), 4) ASC, c.cid ASC) AS rn
+    FROM embeddings b CROSS JOIN c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT qq.vec_id AS qid, c.cid,
+      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(qq.embedding)+1), i ->
+          (CAST(qq.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+          (CAST(qq.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))), 4) ASC, c.cid ASC) AS rn
+    FROM embeddings qq CROSS JOIN c
+  ) WHERE rn <= 2
+),
+pairs AS (
+  SELECT q.vec_id AS src, b.vec_id AS dst,
+    round(sqrt(list_sum(list_transform(range(1, len(q.embedding)+1), i ->
+      (CAST(q.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+      (CAST(q.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 4) AS dist
+  FROM embeddings q
+  JOIN probes p ON p.qid = q.vec_id
+  JOIN asn a ON a.cid = p.cid
+  JOIN embeddings b ON b.vec_id = a.vec_id
+  WHERE q.vec_id <> b.vec_id
+)
+SELECT src, dst FROM (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rnk
+  FROM pairs
+) WHERE rnk <= 5""")),
     // S8 DISKANN — memory/SSD split (diskann.cc:160-707): beam traversal
     // on in-memory PQ codes (cached_beam_search analog), search list of
     // size L, exact rerank from the raw "SSD" tier. Deterministic graph +

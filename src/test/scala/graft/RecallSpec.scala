@@ -99,4 +99,19 @@ class RecallSpec extends SparkSpec {
     val got = idx.search(queries, K, None)
     assert(recall(got, truth) >= 0.6)
   }
+
+  test("DiskANN over the IVF-built graph (scalable build, no all-pairs): recall >= 0.6") {
+    val cents = IvfIndex.trainKMeans(spark, base, nlist = 8)
+    val graph = GraphSearch.knnGraphIvf(base, cents, degree = 5, nprobe = 2)
+    val model = ProductQuant.train(spark, base, m = 8, ksub = 16)
+    val entries = IvfIndex
+      .search(cents.select(col("cluster_id").as("qid"), col("centroid").as("qvec")),
+        IvfIndex.build(base, cents), cents, k = 1, nprobe = 1)
+      .select(col("nid")).distinct()
+    val coded = base.select(col("id"),
+      ProductQuant.encodeExpr(col("vec"), model).as("codes"))
+    val idx = new DiskAnnIndex(graph, coded, base, entries, model,
+      searchListSize = 32, beamIters = 4)
+    assert(recall(idx.search(queries, K, None), truth) >= 0.6)
+  }
 }
