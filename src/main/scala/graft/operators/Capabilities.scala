@@ -60,10 +60,21 @@ object Capabilities {
     case _ => false
   }
 
-  /** Concurrent-append (CC) support — the streaming growing-segment path. */
+  /** Metric-dependent probe: the sparse in-memory index retains raw rows
+    * only under IP — BM25 stores transformed values
+    * (`sparse_index_node.cc:541-543` `IsMetricType(metric, IP)`). */
+  def hasRawData(indexType: String, metric: String): Boolean = indexType match {
+    case "SPARSE_INVERTED_INDEX" | "SPARSE_WAND" => metric.toLowerCase == "ip"
+    case t => hasRawData(t)
+  }
+
+  /** Concurrent-append (CC) support — the streaming growing-segment path
+    * (IVF_FLAT_CC, SPARSE_INVERTED_INDEX_CC and SPARSE_WAND_CC
+    * registrations, `index_param.h:30-61`,
+    * `sparse_index_node.cc:591-595`). */
   def supportsConcurrentAppend(indexType: String): Boolean =
     indexType match {
-      case "IVF_FLAT" | "FLAT" | "SPARSE_INVERTED_INDEX" => true
+      case "IVF_FLAT" | "FLAT" | "SPARSE_INVERTED_INDEX" | "SPARSE_WAND" => true
       case _ => false
     }
 }

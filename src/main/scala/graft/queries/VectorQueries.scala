@@ -1059,6 +1059,38 @@ min(vec_id) AS min_id, max(vec_id) AS max_id FROM embeddings""")),
           nprobe = 2, reorderK = 50, ROUND)
       },
       Some(Sql.pqKnn(probed = true))),
+    // V8 × V14 — the static capability surface under the hash gate
+    // (knowhere_check.h:22-41 tables; per-index HasRawData incl. the
+    // metric-dependent sparse rule, sparse_index_node.cc:541-543)
+    GraftQuery(
+      "capability_table",
+      (s, _) => {
+        import s.implicits._
+        Seq(
+          ("FLAT", "l2"), ("BIN_FLAT", "hamming"), ("IVF_FLAT", "l2"),
+          ("BIN_IVF_FLAT", "hamming"), ("IVF_SQ8", "l2"), ("IVF_PQ", "l2"),
+          ("DISKANN", "l2"), ("SPARSE_INVERTED_INDEX", "ip"),
+          ("SPARSE_INVERTED_INDEX", "bm25"), ("SPARSE_WAND", "ip"),
+          ("SPARSE_WAND", "bm25")
+        ).map { case (t, m) =>
+          (t, m, Capabilities.supportsMetric(t, m), Capabilities.hasRawData(t, m),
+            Capabilities.supportsConcurrentAppend(t))
+        }.toDF("index_type", "metric", "supports_metric", "has_raw_data",
+          "concurrent_append")
+      },
+      Some("""SELECT * FROM (VALUES
+('FLAT', 'l2', true, true, true),
+('BIN_FLAT', 'hamming', true, true, false),
+('IVF_FLAT', 'l2', true, true, true),
+('BIN_IVF_FLAT', 'hamming', true, true, false),
+('IVF_SQ8', 'l2', true, true, false),
+('IVF_PQ', 'l2', true, true, false),
+('DISKANN', 'l2', true, true, false),
+('SPARSE_INVERTED_INDEX', 'ip', true, true, true),
+('SPARSE_INVERTED_INDEX', 'bm25', true, false, true),
+('SPARSE_WAND', 'ip', true, true, true),
+('SPARSE_WAND', 'bm25', true, false, true)
+) AS t(index_type, metric, supports_metric, has_raw_data, concurrent_append)""")),
     // S7/S8 graph BUILD at the 100-TB shape: candidates from the nprobe
     // nearest IVF lists only (co-located shuffle join on cluster_id) —
     // never an all-pairs scan; deterministic centroids ⇒ hash-gated
