@@ -55,4 +55,39 @@ object Multimodal {
     val media = mediaFromDocuments(docs).as[MediaRow]
     decodeFeatures(media, frameSize).toDF()
   }
+
+  final case class MediaFrame(media_id: Long, frame_idx: Int, byte_off: Int, feature: Long)
+
+  /** Frame SAMPLING (the video frame-sample stage): every `stride`-th
+    * fixed-size frame, emitted as one row with its byte offset and the
+    * stub per-frame feature (byte sum mod 997). Same partition-batched
+    * imperative shape as [[decodeFeatures]]; a real codec would replace
+    * the feature computation, the sampling/offset plumbing is real. */
+  def sampleFrames(
+      ds: Dataset[MediaRow],
+      frameSize: Int = 64,
+      stride: Int = 3
+  )(implicit enc: org.apache.spark.sql.Encoder[MediaFrame]): Dataset[MediaFrame] =
+    ds.flatMap { r =>
+      val n = (r.media.length + frameSize - 1) / frameSize
+      (0 until n by stride).map { f =>
+        val off = f * frameSize
+        val end = math.min(off + frameSize, r.media.length)
+        var s = 0L
+        var i = off
+        while (i < end) { s = (s + (r.media(i) & 0xff)) % 997L; i += 1 }
+        MediaFrame(r.media_id, f, off, s)
+      }
+    }
+
+  /** End-to-end sampled-frame path: documents → media → frame rows. */
+  def framesFromDocuments(
+      spark: SparkSession,
+      docs: DataFrame,
+      frameSize: Int = 64,
+      stride: Int = 3
+  ): DataFrame = {
+    import spark.implicits._
+    sampleFrames(mediaFromDocuments(docs).as[MediaRow], frameSize, stride).toDF()
+  }
 }

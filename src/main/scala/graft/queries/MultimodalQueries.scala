@@ -24,6 +24,17 @@ FROM documents""")),
 CAST(list_sum(list_transform(range(0, CAST(ceil(strlen(text) / 64.0) AS BIGINT)), j ->
   list_sum(list_transform(range(1, least(64, strlen(text) - j*64) + 1), i ->
     ascii(substr(text, CAST(j*64 + i AS INT), 1)))) % 997)) AS BIGINT) AS checksum
-FROM documents"""))
+FROM documents""")),
+    // frame sampling: every 3rd fixed-size frame as its own row (offset +
+    // stub feature) — the video frame-sample stage's plumbing
+    GraftQuery(
+      "media_frame_sample",
+      (s, dir) => Multimodal.framesFromDocuments(s, Tables.documents(s, dir)),
+      Some("""SELECT doc_id AS media_id, CAST(f.range AS INT) AS frame_idx,
+CAST(f.range * 64 AS INT) AS byte_off,
+CAST(list_sum(list_transform(range(1, least(64, strlen(text) - f.range*64) + 1), i ->
+  ascii(substr(text, CAST(f.range*64 + i AS INT), 1)))) % 997 AS BIGINT) AS feature
+FROM documents CROSS JOIN range(0, 64) f
+WHERE f.range < ceil(strlen(text) / 64.0) AND f.range % 3 = 0"""))
   )
 }
