@@ -181,6 +181,45 @@ object Dedup {
       withSig)
   }
 
+  /** Connected components over near-dup pairs: group transitive
+    * duplicates, canonical = the group's min doc id — the cluster stage a
+    * dedup pipeline runs between pair generation and keep-one selection.
+    *
+    * Min-label propagation iterated TO A FIXPOINT, driver-coordinated:
+    * each round is one co-partitioned join + aggregate (labels and edges
+    * shuffle on the same key), and the loop stops when a round changes no
+    * label (one tiny count action per round — dup groups have small
+    * diameter, so rounds are few; for adversarial chain-shaped graphs use
+    * path doubling, which squares reach per round at the cost of an edge
+    * self-join). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("vlbl")).as("nlbl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") < col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    eager(labels.select(col("id").as("doc_id"), col("lbl").as("group_id")),
+      edges, labels)
+  }
+
   /** Embedding near-dup pairs via random-hyperplane LSH (Charikar
     * signatures) — the 100-TB scale path for cosine near-dup, replacing
     * the quadratic all-pairs scan: sign-bit signatures against a fixed

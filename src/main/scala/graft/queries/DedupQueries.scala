@@ -31,9 +31,10 @@ sh AS (
   FROM toks
 )"""
 
-  /** Full MinHash-LSH pair SQL (reused by dedup_minhash_keep). */
-  private[queries] def minhashPairsSql: String =
-    s"""WITH $shCte,
+  /** MinHash-LSH pair CTE body (no leading WITH — composable under
+    * WITH RECURSIVE) and the full SQL (reused by dedup_minhash_keep). */
+  private[queries] def minhashPairsSqlBody: String =
+    s"""$shCte,
 sig AS (
   SELECT doc_id, sh, list_transform(range(0, 16), i ->
     list_min(list_transform(sh, x -> ((2*i + 3) * x + (97 + 31*i)) % $P))) AS sig
@@ -58,6 +59,8 @@ j AS (
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b
 )"""
+
+  private[queries] def minhashPairsSql: String = s"WITH $minhashPairsSqlBody"
 
   def all: Seq[GraftQuery] = Seq(
     // exact dedup: md5 content grouping, keep = lowest doc_id per group.
@@ -101,6 +104,24 @@ SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""")),
       Some(s"""$minhashPairsSql
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_b FROM j WHERE jaccard >= 0.5)""")),
+    // connected-components grouping of near-dup pairs: transitive closure
+    // to a fixpoint (driver-coordinated min-label propagation), canonical
+    // group id = min member — gated against DuckDB's RECURSIVE closure
+    GraftQuery(
+      "dedup_groups",
+      (s, dir) => Dedup.connectedComponents(
+        Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.5)),
+      Some(s"""WITH RECURSIVE $minhashPairsSqlBody,
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM j WHERE jaccard >= 0.5
+  UNION ALL SELECT doc_b, doc_a FROM j WHERE jaccard >= 0.5
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, min(v) AS group_id FROM reach GROUP BY 1""")),
     // n-gram Jaccard with 1-permutation (min shingle hash) blocking
     GraftQuery(
       "dedup_ngram_jaccard",
