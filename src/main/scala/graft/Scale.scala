@@ -25,12 +25,20 @@ object Scale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // deterministic per-row vectors: rand(seed) is partition-deterministic
-    def gen(n: Int, idCol: String, vecCol: String): DataFrame =
+    // deterministic per-row vectors, CLUSTERED: 1000 latent centers plus
+    // small noise — uniform random data is the known ANN worst case
+    // (nothing is near anything; IVF/PQ/graph recall is meaningless
+    // there); real embeddings are clustered, and the probe's recall
+    // numbers should reflect algorithm quality, not data pathology
+    def gen(n: Int, idCol: String, vecCol: String): DataFrame = {
+      def u(seedCol: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+        (pmod(xxhash64(seedCol * 1000 + i), lit(2000)).cast("double") - 1000d) / 1000d
       spark.range(n.toLong).toDF(idCol)
+        .withColumn("_c", pmod(xxhash64(col(idCol)), lit(1000)))
         .withColumn(vecCol, transform(sequence(lit(1), lit(dim)),
-          i => ((pmod(xxhash64(col(idCol) * 1000 + i), lit(2000)).cast("double") - 1000d) / 1000d)
-            .cast("float")))
+          i => (u(col("_c") + 7777777L, i) + u(col(idCol), i) * 0.15d).cast("float")))
+        .drop("_c")
+    }
 
     val base = gen(nb, "id", "vec").persist()
     val queries = gen(nq, "qid", "qvec")
@@ -108,6 +116,64 @@ object Scale {
     val same = nRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
       pRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     println(s"sparse pruned == naive: $same")
+    bp.unpersist(); termStats.unpersist()
+
+    // ---- graph: IVF-bucketed build (no all-pairs) + DiskANN search ----
+    // the exact kNN-graph build is O(nb²) pairs — at this nb that is
+    // nb²·dim ≈ 2.5e12 mults, deliberately NOT run. The bucketed build
+    // pays nb·nlist (assignment) + nb·nprobe·(nb/nlist) (local joins);
+    // the sum is minimized at nlist ≈ √(nprobe·nb) — probes with
+    // nlist=64 (3125-vector lists, 160 s) and nlist=nb/100 (assignment-
+    // dominated, 126 s) were both the same operator mis-sized.
+    // nlist sizing has TWO constraints: build cost is minimized at
+    // √(nprobe·nb), but beam recall needs every natural cluster to own an
+    // entry, i.e. nlist ≳ the corpus's cluster count (632 lists over the
+    // 1000 latent clusters here capped recall at 0.398 regardless of PQ
+    // resolution) — take the max of both
+    val gNlist = math.max(math.sqrt(2.0 * nb).toInt, 2000)
+    val gStep = math.max(1L, nb.toLong / gNlist)
+    val gCents = base.filter(col("id") % gStep === 0)
+      .select((col("id") / gStep).cast("long").as("cluster_id"), col("vec").as("centroid"))
+    val graph = time(s"graph build IVF-bucketed (degree 5, nprobe 2, nlist=$gNlist)") {
+      val g = GraphSearch.knnGraphIvf(base, gCents, degree = 5, nprobe = 2).persist()
+      g.count()
+      g
+    }
+    // ADC quality is load-bearing at scale: arbitrary explicit codewords
+    // gave recall 0.017 here — the trained quantizer is what makes the
+    // beam walk toward the right neighborhood
+    val pq = time("pq train (kmeans per subspace)")(
+      graft.operators.ProductQuant.train(spark, base, m = 8, ksub = 16))
+    // one entry PER LIST (the centroid rows are base vectors here, i.e.
+    // list medoids): on clustered data the kNN graph is near-disconnected
+    // across clusters, so sparse entries cap recall at (entries hit)/
+    // (clusters) — 64 entries measured 0.042; per-list entries make every
+    // component reachable, which is exactly why the factory arm seeds
+    // from per-cluster medoids
+    val entries = base.select(col("id").as("nid")).filter(col("nid") % gStep === 0)
+    val diskann = new graft.operators.DiskAnnIndex(
+      graph, base.select(col("id"), graft.operators.ProductQuant.encodeExpr(col("vec"), pq).as("codes")),
+      base, entries, pq, searchListSize = 64, beamIters = 4)
+    time("diskann search (PQ beam + visited-set rerank)")(
+      diskann.search(queries, 10, None).count())
+    val truthIds = truth.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val daIds = diskann.search(queries, 10, None)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(f"diskann recall@10: ${daIds.intersect(truthIds).size.toDouble / truthIds.size}%.3f")
+    graph.unpersist()
+
+    // ---- embedding near-dup: LSH bucketing (no all-pairs verify) ----
+    // band width must scale with log2(nb): expected candidate pairs per
+    // band ≈ nb²/2^rowsPerBand, so 8-bit keys that are right for 5k docs
+    // produce ~300M pairs at 200k (measured 283 s); 16-bit keys keep the
+    // verify set ~1M — same operator, corpus-sized keys
+    val proj = base.filter(col("id") < 32)
+      .select(col("id").cast("int").as("pid"), col("vec").as("pvec"))
+    val embTbl = base.select(col("id").as("vec_id"), col("vec").as("embedding"))
+    val nPairs = time("cosine LSH near-dup pairs (32 proj, 2 bands x 16 bits)")(
+      graft.operators.Dedup.cosineLshPairs(embTbl, proj, threshold = 0.8,
+        bands = 2, rowsPerBand = 16).count())
+    println(s"lsh candidate-verified pairs: $nPairs")
     spark.stop()
   }
 }

@@ -176,7 +176,18 @@ object DiskAnn {
     var frontier = BruteForce
       .topK(adcScore(seed, qWithLut, idx.coded, model, roundDist), l, ascending = true)
       .select(col("qid"), col("nid"), col("dist"))
+    // materialize the (nq×L, tiny) frontier per hop once the walk is deep
+    // enough that lineage re-execution (hop h re-runs hops 1..h−1,
+    // quadratic in hops — measured 41 s → 14 s at nb=200k, 4 hops) costs
+    // more than the extra actions (which dominate at 1-2 hops)
+    val materializeHops = idx.beamIters >= 3
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to idx.beamIters) {
+      if (materializeHops) {
+        frontier.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        frontier.count()
+        persisted += frontier
+      }
       val cands = frontier
         .join(idx.graph.withColumnRenamed("src", "nid"), "nid")
         .select(col("qid"), col("dst").as("nid"))
@@ -199,6 +210,14 @@ object DiskAnn {
       .join(fetched, "nid")
       .join(broadcast(queries.select(col("qid"), col("qvec"))), "qid")
       .select(col("qid"), col("nid"), edist.as("dist"))
-    BruteForce.topK(rer, k, ascending = true)
+    // when hops were materialized: pin the (nq×k) answer, then release
+    // them — callers own only the bounded result, nothing stays cached
+    val out = BruteForce.topK(rer, k, ascending = true)
+    if (persisted.nonEmpty) {
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      persisted.foreach(_.unpersist())
+    }
+    out
   }
 }

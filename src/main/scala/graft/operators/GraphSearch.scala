@@ -50,9 +50,23 @@ object GraphSearch {
       metric: Metric = Metric.L2,
       roundDist: Option[Int] = None
   ): DataFrame = {
-    val index = IvfIndex.build(base, centroids, roundDist)
+    // ONE nb×nlist centroid-ranking pass serves both roles: rank 1 is the
+    // list assignment (Add), ranks ≤ nprobe are the probes — computing
+    // them separately would repeat the dominant distance pass (measured
+    // 2× at nb=200k). Same ranking, same tie-breaks ⇒ identical output.
+    val cd = {
+      val raw = metric.dist(col("vec"), col("centroid"))
+      roundDist.map(n => round(raw, n)).getOrElse(raw)
+    }
+    val ranked = BruteForce.topK(
+      base.crossJoin(broadcast(centroids))
+        .select(col("id"), col("cluster_id"), cd.as("dist")),
+      nprobe, ascending = true, qidCol = "id", idCol = "cluster_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = base.join(
+      ranked.filter(col("rnk") === 1).select(col("id"), col("cluster_id")), "id")
+    val probes = ranked.select(col("id").as("qid"), col("cluster_id"))
     val q = base.select(col("id").as("qid"), col("vec").as("qvec"))
-    val probes = IvfIndex.probe(q, centroids, nprobe, roundDist, metric)
     val raw = metric.dist(col("qvec"), col("vec"))
     val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
     val pairs = probes
@@ -60,8 +74,12 @@ object GraphSearch {
       .join(index, "cluster_id")
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"), d.as("dist"))
-    BruteForce.topK(pairs, degree, metric.ascending)
+    val out = BruteForce.topK(pairs, degree, metric.ascending)
       .select(col("qid").as("src"), col("nid").as("dst"))
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ranked.unpersist()
+    out
   }
 
   /** Exact distances for candidate (qid, nid) pairs. */
@@ -101,7 +119,17 @@ object GraphSearch {
     require(ef >= k, "beam width ef must be >= k")
     val seed = queries.select(col("qid")).crossJoin(broadcast(entries))
     var frontier = topEf(score(seed, queries, base, metric, roundDist), ef, metric)
+    // materialize the (nq×ef, tiny) frontier per hop for deep walks —
+    // hop h otherwise re-executes hops 1..h−1 (quadratic in hop count);
+    // at 1-2 hops the extra actions cost more than they save
+    val materializeHops = iters >= 3
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to iters) {
+      if (materializeHops) {
+        frontier.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        frontier.count()
+        persisted += frontier
+      }
       val cands = frontier
         .join(graph.withColumnRenamed("src", "nid"), "nid")
         .select(col("qid"), col("dst").as("nid"))
@@ -113,6 +141,12 @@ object GraphSearch {
           .distinct(),
         ef, metric)
     }
-    BruteForce.topK(frontier, k, metric.ascending)
+    val out = BruteForce.topK(frontier, k, metric.ascending)
+    if (persisted.nonEmpty) {
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      persisted.foreach(_.unpersist())
+    }
+    out
   }
 }
