@@ -299,6 +299,33 @@ object SparseSearch {
     topK(scored.select(col("qid"), col("nid"), d.as("dist")), k, ascending = false)
   }
 
+  /** BM25 range search (S2 × S16 — `range_search` under the BM25
+    * DocValueComputer, `brute_force.cc` sparse range + `sparse_utils.h:
+    * 62-66`): similarity bound direction, radius < score ≤ rangeFilter.
+    * Same one-pass scoring as [[searchBM25]], no k-limit. */
+  def rangeBM25(
+      queryPostings: DataFrame, // (qid, term, qtf)
+      model: SparseIndexModel,
+      radius: Double,
+      rangeFilter: Double,
+      roundDist: Option[Int] = Some(4),
+      filter: Option[Column] = None
+  ): DataFrame = {
+    val bp = filter.map(model.postings.filter).getOrElse(model.postings)
+    val statsQ = model.termStats
+      .join(broadcast(queryPostings.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .select(col("term"), col("df"))
+    val scored = broadcast(queryPostings)
+      .join(bp, "term")
+      .join(broadcast(statsQ), "term")
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg((sum(bm25ContribScaled(model.n, model.avgdl, model.k1, model.b)).cast("double") / 1e9d).as("raw"))
+    val d = roundDist.map(r => round(col("raw"), r)).getOrElse(col("raw"))
+    scored
+      .select(col("qid"), col("nid"), d.as("dist"))
+      .filter(col("dist") > radius && col("dist") <= rangeFilter)
+  }
+
   /** Back-compat facade over raw postings + doc lengths. */
   def searchBM25(
       queryPostings: DataFrame,

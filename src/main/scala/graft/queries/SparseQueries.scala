@@ -53,8 +53,8 @@ SELECT qid, nid, dist, rnk FROM (
   FROM scored
 ) WHERE rnk <= $K"""
 
-  /** Plain BM25 top-k oracle (shared by the pruned BM25 path). */
-  private val bm25Oracle =
+  /** BM25 scored-pairs CTE (shared by top-k, pruned, and range). */
+  private val bm25ScoredCte =
     s"""WITH $tfCte,
 dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
 s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -72,7 +72,11 @@ scored AS (
   JOIN dl ON dl.doc_id = t.doc_id
   CROSS JOIN s
   GROUP BY 1, 2
-)
+)"""
+
+  /** Plain BM25 top-k oracle (shared by the pruned BM25 paths). */
+  private val bm25Oracle =
+    s"""$bm25ScoredCte
 SELECT qid, nid, dist, rnk FROM (
   SELECT qid, nid, dist,
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
@@ -125,6 +129,17 @@ SELECT qid, nid, dist FROM (
   SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
   FROM q JOIN tf t ON q.term = t.term GROUP BY 1, 2
 ) WHERE dist > 220.0 AND dist <= 1000000000.0""")),
+    // S2 × S16 — BM25 RANGE search: the similarity-direction two-sided
+    // bound over BM25 scores (range search under the BM25 value computer)
+    GraftQuery(
+      "sparse_bm25_range",
+      (s, dir) => {
+        val m = model(s, dir)
+        SparseSearch.rangeBM25(queryPostings(s, dir), m, radius = 12.0, rangeFilter = 1e9)
+      },
+      Some(s"""$bm25ScoredCte
+SELECT qid, nid, dist FROM scored
+WHERE dist > 12.0 AND dist <= 1000000000.0""")),
     // S9 drop_ratio_search, absolute-threshold analog: terms with qtf below
     // a fixed threshold are dropped from the QUERY (not the index)
     GraftQuery(
