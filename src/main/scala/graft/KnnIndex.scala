@@ -216,14 +216,18 @@ object IndexFactory {
         // enters at the dataset medoid; spreading entries across clusters
         // compensates for the kNN graph's missing long-range edges).
         // search_list_size = reorderK mirrors the reference's
-        // search_list_size ≥ k validation (diskann_config.h:172-183)
+        // search_list_size ≥ k validation (diskann_config.h:172-183).
+        // Graph build is the IVF-bucketed candidate construction — the
+        // reference also grows Vamana from bounded candidate pools
+        // (diskann.cc:348-360), never all pairs.
         val c = cents
         val entries = IvfIndex
           .search(c.select(col("cluster_id").as("qid"), col("centroid").as("qvec")),
             IvfIndex.build(base, c, roundDist), c, k = 1, nprobe = 1, Metric.L2, roundDist)
           .select(col("nid")).distinct()
-        DiskAnn.build(base, ProductQuant.train(spark, base, pqM, pqKsub, seed),
-          entries, degree = 5, searchListSize = reorderK, beamIters = 4, roundDist)
+        DiskAnn.buildIvf(base, ProductQuant.train(spark, base, pqM, pqKsub, seed),
+          entries, c, degree = 5, nprobe = 2, searchListSize = reorderK,
+          beamIters = 4, roundDist = roundDist)
       case other =>
         throw new IllegalArgumentException(s"index type $other not yet constructible via factory")
     }

@@ -88,9 +88,10 @@ final class DiskAnnIndex(
 
 object DiskAnn {
 
-  /** Build: degree-R exact kNN graph (Vamana analog), PQ codes, entry
-    * points. `search_list_size` also governs the reference build
-    * (`diskann.cc:353`); here build quality is the exact graph. */
+  /** Build with an EXACT degree-R kNN graph. The exact graph is O(nb²)
+    * distance compute — kept only because with explicit codebooks the
+    * whole build is DuckDB-oracle-expressible at small SF (the hash gate's
+    * job). Production-scale builds go through [[buildIvf]]. */
   def build(
       base: DataFrame, // (id, vec)
       model: ProductQuant.PQModel,
@@ -104,6 +105,31 @@ object DiskAnn {
     val graph = BruteForce
       .knnFused(allQ, base, degree, Metric.L2, roundDist = roundDist, excludeSelf = true)
       .select(col("qid").as("src"), col("nid").as("dst"))
+    val coded = base.select(col("id"), ProductQuant.encodeExpr(col("vec"), model).as("codes"))
+    new DiskAnnIndex(graph, coded, base, entries, model, searchListSize, beamIters, roundDist)
+  }
+
+  /** SCALABLE build: the Vamana-analog graph comes from the IVF-bucketed
+    * candidate construction (`GraphSearch.knnGraphIvf`) — each node ranks
+    * only its nprobe nearest lists, a co-located shuffle join, never an
+    * all-pairs pass. This mirrors the reference build, which also grows
+    * Vamana from BOUNDED per-node candidate pools rather than all pairs
+    * (`src/index/diskann/diskann.cc:348-360` — build L caps the pool).
+    * Edge quality rides the recall floor (RecallSpec); with deterministic
+    * centroids the graph — and hence the whole search — stays
+    * oracle-expressible. */
+  def buildIvf(
+      base: DataFrame, // (id, vec)
+      model: ProductQuant.PQModel,
+      entries: DataFrame, // (nid)
+      centroids: DataFrame, // (cluster_id, centroid)
+      degree: Int = 5,
+      nprobe: Int = 2,
+      searchListSize: Int = 16,
+      beamIters: Int = 2,
+      roundDist: Option[Int] = Some(4)
+  ): DiskAnnIndex = {
+    val graph = GraphSearch.knnGraphIvf(base, centroids, degree, nprobe, Metric.L2, roundDist)
     val coded = base.select(col("id"), ProductQuant.encodeExpr(col("vec"), model).as("codes"))
     new DiskAnnIndex(graph, coded, base, entries, model, searchListSize, beamIters, roundDist)
   }

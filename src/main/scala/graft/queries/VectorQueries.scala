@@ -299,8 +299,12 @@ SELECT qid, nid, dist, rnk FROM (
 
     /** DiskANN beam (mirrors DiskAnn.search): traversal scored by PQ ADC
       * with the deterministic every-25th-vector codebook, fixed two-hop
-      * unroll, then exact-L2 rerank of the L-sized search list. */
-    def diskannBeam(ef: Int, k: Int): String = {
+      * unroll, then exact-L2 rerank of the L-sized search list.
+      * `ivfGraph` swaps the exact all-pairs kNN graph for the IVF-bucketed
+      * build (mirrors `GraphSearch.knnGraphIvf` with the explicit
+      * every-250th-vector centroids) — the scalable build path under the
+      * same hash gate. */
+    def diskannBeam(ef: Int, k: Int, ivfGraph: Boolean = false): String = {
       def dExpr(vec: String, sRef: String): String =
         s"list_sum(list_transform(range(1, 9), j -> " +
           s"(CAST($vec[$sRef*8 + j] AS DOUBLE) - CAST(cb.cv[$sRef*8 + j] AS DOUBLE)) * " +
@@ -331,7 +335,7 @@ enc AS (
   QUALIFY row_number() OVER (PARTITION BY b.vec_id, s.s
     ORDER BY ${dExpr("b.embedding", "s.s")} ASC, cb.c ASC) = 1
 ),
-g AS (
+${if (!ivfGraph) """g AS (
   SELECT src, dst FROM (
     SELECT a.vec_id AS src, b.vec_id AS dst,
       row_number() OVER (PARTITION BY a.vec_id ORDER BY
@@ -341,7 +345,42 @@ g AS (
         b.vec_id ASC) AS rnk
     FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id
   ) WHERE rnk <= 5
+),""" else """gc AS (SELECT vec_id AS cid, embedding AS gcv FROM embeddings WHERE vec_id % 250 = 0),
+gasn AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, gc.cid,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i ->
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(gc.gcv[i] AS DOUBLE)) *
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(gc.gcv[i] AS DOUBLE))))), 4) ASC, gc.cid ASC) AS rn
+    FROM embeddings b CROSS JOIN gc
+  ) WHERE rn = 1
 ),
+gpr AS (
+  SELECT qid, cid FROM (
+    SELECT qq.vec_id AS qid, gc.cid,
+      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(qq.embedding)+1), i ->
+          (CAST(qq.embedding[i] AS DOUBLE) - CAST(gc.gcv[i] AS DOUBLE)) *
+          (CAST(qq.embedding[i] AS DOUBLE) - CAST(gc.gcv[i] AS DOUBLE))))), 4) ASC, gc.cid ASC) AS rn
+    FROM embeddings qq CROSS JOIN gc
+  ) WHERE rn <= 2
+),
+g AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+          (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+          (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 4) ASC,
+        b.vec_id ASC) AS rnk
+    FROM embeddings a
+    JOIN gpr p ON p.qid = a.vec_id
+    JOIN gasn n ON n.cid = p.cid
+    JOIN embeddings b ON b.vec_id = n.vec_id
+    WHERE a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+),"""}
 c0 AS (SELECT q.qid AS qid, e.vec_id AS nid FROM q CROSS JOIN embeddings e WHERE e.vec_id % 250 = 0),
 s0 AS (${adc("c0")}),
 f0 AS (${topEf("s0")}),
@@ -1158,6 +1197,29 @@ SELECT src, dst FROM (
           degree = 5, searchListSize = 16, beamIters = 2, ROUND)
         idx.search(queryVecs(s, dir), K)
       },
-      Some(Sql.diskannBeam(ef = 16, k = K)))
+      Some(Sql.diskannBeam(ef = 16, k = K))),
+    // S8 DISKANN at the 100-TB build shape: the Vamana-analog graph comes
+    // from the IVF-bucketed candidate construction (knnGraphIvf — bounded
+    // candidate pools, the reference's diskann.cc:348-360 contract), not
+    // the O(nb²) exact graph. Deterministic centroids keep the whole
+    // build+search under the hash gate.
+    GraftQuery(
+      "diskann_knn_ivf",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val model = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        val entries = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("nid"))
+        val idx = DiskAnn.buildIvf(base, model, entries, cents,
+          degree = 5, nprobe = 2, searchListSize = 16, beamIters = 2, roundDist = ROUND)
+        idx.search(queryVecs(s, dir), K)
+      },
+      Some(Sql.diskannBeam(ef = 16, k = K, ivfGraph = true)))
   )
 }
