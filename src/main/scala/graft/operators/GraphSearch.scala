@@ -102,23 +102,22 @@ object GraphSearch {
     BruteForce.topK(scored, ef, metric.ascending)
       .select(col("qid"), col("nid"), col("dist"))
 
-  /** Beam search over a prebuilt kNN graph. `entries` are the search entry
-    * points (the reference's top-layer entry; here an explicit id set —
-    * documented deviation, SURVEY §7.4). */
-  def beamSearch(
-      graph: DataFrame, // (src, dst) directed edges
-      base: DataFrame, // (id, vec)
-      queries: DataFrame, // (qid, qvec)
-      entries: DataFrame, // (nid) entry point ids
-      k: Int,
+  /** The shared hop loop: beam over `tier` (id, vec) — exact or
+    * reconstructed-quantized vectors — returning the final nq×ef frontier
+    * plus any hop frames that were persisted (caller unpersists them
+    * after materializing its answer). */
+  private def beamLoop(
+      graph: DataFrame,
+      tier: DataFrame, // (id, vec) — the traversal scoring tier
+      queries: DataFrame,
+      entries: DataFrame,
       ef: Int,
       iters: Int,
-      metric: Metric = Metric.L2,
-      roundDist: Option[Int] = None
-  ): DataFrame = {
-    require(ef >= k, "beam width ef must be >= k")
+      metric: Metric,
+      roundDist: Option[Int]
+  ): (DataFrame, Seq[DataFrame]) = {
     val seed = queries.select(col("qid")).crossJoin(broadcast(entries))
-    var frontier = topEf(score(seed, queries, base, metric, roundDist), ef, metric)
+    var frontier = topEf(score(seed, queries, tier, metric, roundDist), ef, metric)
     // materialize the (nq×ef, tiny) frontier per hop for deep walks —
     // hop h otherwise re-executes hops 1..h−1 (quadratic in hop count);
     // at 1-2 hops the extra actions cost more than they save
@@ -134,19 +133,72 @@ object GraphSearch {
         .join(graph.withColumnRenamed("src", "nid"), "nid")
         .select(col("qid"), col("dst").as("nid"))
         .distinct()
-      val scored = score(cands, queries, base, metric, roundDist)
+      val scored = score(cands, queries, tier, metric, roundDist)
       frontier = topEf(
         frontier.select(col("qid"), col("nid"), col("dist"))
           .union(scored)
           .distinct(),
         ef, metric)
     }
-    val out = BruteForce.topK(frontier, k, metric.ascending)
+    (frontier, persisted.toSeq)
+  }
+
+  /** Pin the bounded answer, then release the hop frames — callers own
+    * only the nq×k result, nothing stays silently cached. */
+  private def finish(out: DataFrame, persisted: Seq[DataFrame]): DataFrame = {
     if (persisted.nonEmpty) {
       out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
       persisted.foreach(_.unpersist())
     }
     out
+  }
+
+  /** Beam search over a prebuilt kNN graph. `entries` are the search entry
+    * points (the reference's top-layer entry; here an explicit id set —
+    * documented deviation, SURVEY §7.4). */
+  def beamSearch(
+      graph: DataFrame, // (src, dst) directed edges
+      base: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      entries: DataFrame, // (nid) entry point ids
+      k: Int,
+      ef: Int,
+      iters: Int,
+      metric: Metric = Metric.L2,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    require(ef >= k, "beam width ef must be >= k")
+    val (frontier, persisted) = beamLoop(graph, base, queries, entries, ef, iters, metric, roundDist)
+    finish(BruteForce.topK(frontier, k, metric.ascending), persisted)
+  }
+
+  /** Quantized-traversal beam + exact refine — the HNSW_SQ / HNSW_PQ
+    * analog (`src/index/hnsw/faiss_hnsw.cc:2928-2939` registers the
+    * quantized HNSW variants; the refine loop at `faiss_hnsw.cc:739-860`
+    * re-scores the quantized candidate list against raw data).
+    *
+    * `approx` is the traversal tier: (id, vec) where vec is the
+    * RECONSTRUCTED quantized vector (SQ8 midpoint decode, or PQ codeword
+    * concatenation — reconstruction-L2 equals ADC for PQ). The beam never
+    * touches raw data; `base` raw vectors are read only for the final
+    * nq×ef candidate rerank — the same memory-vs-exactness split the
+    * quantized HNSW variants exist for. */
+  def beamSearchRefined(
+      graph: DataFrame, // (src, dst)
+      approx: DataFrame, // (id, vec) — quantized/reconstructed tier
+      base: DataFrame, // (id, vec) — raw rerank tier
+      queries: DataFrame, // (qid, qvec)
+      entries: DataFrame, // (nid)
+      k: Int,
+      ef: Int,
+      iters: Int,
+      metric: Metric = Metric.L2,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    require(ef >= k, "beam width ef must be >= k")
+    val (frontier, persisted) = beamLoop(graph, approx, queries, entries, ef, iters, metric, roundDist)
+    val rer = score(frontier.select(col("qid"), col("nid")), queries, base, metric, roundDist)
+    finish(BruteForce.topK(rer, k, metric.ascending), persisted)
   }
 }

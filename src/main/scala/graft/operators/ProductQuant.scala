@@ -109,6 +109,16 @@ object ProductQuant {
     array(codeCols: _*)
   }
 
+  /** Reconstructed vector from codes: the per-subspace codeword slices
+    * concatenated in subspace order. L2 against a reconstruction equals
+    * the ADC distance (sum of per-subspace codeword distances), so this
+    * is the decode used by quantized-traversal paths that want plain
+    * vector scoring over the coded tier. */
+  def reconExpr(codes: Column, model: PQModel): Column = {
+    val cb = typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    flatten(transform(codes, (c, s) => element_at(element_at(cb, s + 1), c + 1)))
+  }
+
   /** Per-query LUT for subspace s: distances to all ksub codewords. */
   private[operators] def lutExpr(qvec: Column, model: PQModel, s: Int): Column = {
     val sub = slice(qvec, s * model.dsub + 1, model.dsub)

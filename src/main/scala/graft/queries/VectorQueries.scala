@@ -262,6 +262,105 @@ SELECT qid, nid, dist, rnk FROM (
 ) WHERE rnk <= $k"""
     }
 
+    /** Quantized-traversal graph beam + exact refine (mirrors
+      * GraphSearch.beamSearchRefined): the beam scores against
+      * RECONSTRUCTED vectors — SQ8 midpoint decode ("sq") or explicit-
+      * codebook PQ codeword concatenation ("pq") — and only the final
+      * frontier is reranked on raw data (faiss_hnsw.cc:739-860 refine). */
+    def graphBeamQuant(ef: Int, k: Int, variant: String): String = {
+      def topEf(src: String): String =
+        s"""SELECT qid, nid, dist FROM (
+  SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rn
+  FROM $src
+) WHERE rn <= $ef"""
+      // approx tier: recon(vec_id, rv)
+      val reconCtes = variant match {
+        case "sq" => """stats AS (
+  SELECT CAST(r.range AS INT) AS i,
+         min(CAST(b.embedding[CAST(r.range AS INT)] AS DOUBLE)) AS mn,
+         max(CAST(b.embedding[CAST(r.range AS INT)] AS DOUBLE)) AS mx
+  FROM embeddings b CROSS JOIN range(1, 65) r GROUP BY 1
+),
+sv AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM stats),
+recon AS (
+  SELECT b.vec_id, list_transform(range(1, len(b.embedding)+1), i ->
+      s.mn[i] + (LEAST(255.0, GREATEST(0.0,
+        CASE WHEN s.mx[i] = s.mn[i] THEN 0.0
+             ELSE floor((CAST(b.embedding[i] AS DOUBLE) - s.mn[i]) / (s.mx[i] - s.mn[i]) * 255.0) END
+      )) + 0.5) * (s.mx[i] - s.mn[i]) / 255.0) AS rv
+  FROM embeddings b CROSS JOIN sv s
+)"""
+        case "pq" =>
+          val dExpr =
+            "list_sum(list_transform(range(1, 9), j -> " +
+              "(CAST(b.embedding[s.s*8 + j] AS DOUBLE) - CAST(cb.cv[s.s*8 + j] AS DOUBLE)) * " +
+              "(CAST(b.embedding[s.s*8 + j] AS DOUBLE) - CAST(cb.cv[s.s*8 + j] AS DOUBLE))))"
+          s"""cb AS (SELECT CAST(vec_id // 25 AS INT) AS c, embedding AS cv FROM embeddings
+       WHERE vec_id % 25 = 0 AND vec_id < 400),
+enc AS (
+  SELECT b.vec_id AS vec_id, s.s AS s, cb.c AS code
+  FROM embeddings b
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+  CROSS JOIN cb
+  QUALIFY row_number() OVER (PARTITION BY b.vec_id, s.s
+    ORDER BY $dExpr ASC, cb.c ASC) = 1
+),
+recon AS (
+  SELECT e2.vec_id AS vec_id,
+    flatten(list(cb.cv[e2.s*8+1 : e2.s*8+8] ORDER BY e2.s)) AS rv
+  FROM enc e2 JOIN cb ON cb.c = e2.code
+  GROUP BY e2.vec_id
+)"""
+        case other => sys.error(s"unknown graphBeamQuant variant $other")
+      }
+      val dq =
+        "round(sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> " +
+          "(CAST(q.qv[i] AS DOUBLE) - CAST(r.rv[i] AS DOUBLE)) * " +
+          "(CAST(q.qv[i] AS DOUBLE) - CAST(r.rv[i] AS DOUBLE))))), 4)"
+      s"""WITH $qView,
+$reconCtes,
+g AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+          (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+          (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 4) ASC,
+        b.vec_id ASC) AS rnk
+    FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+),
+e AS (SELECT vec_id AS nid FROM embeddings WHERE vec_id % 250 = 0),
+s0 AS (
+  SELECT q.qid AS qid, r.vec_id AS nid, $dq AS dist
+  FROM q CROSS JOIN e JOIN recon r ON r.vec_id = e.nid
+),
+f0 AS (${topEf("s0")}),
+c1 AS (SELECT DISTINCT f.qid AS qid, g.dst AS nid FROM f0 f JOIN g ON g.src = f.nid),
+s1 AS (
+  SELECT c.qid AS qid, r.vec_id AS nid, $dq AS dist
+  FROM c1 c JOIN q ON q.qid = c.qid JOIN recon r ON r.vec_id = c.nid
+),
+u1 AS (SELECT DISTINCT qid, nid, dist FROM (SELECT * FROM f0 UNION ALL SELECT * FROM s1)),
+f1 AS (${topEf("u1")}),
+c2 AS (SELECT DISTINCT f.qid AS qid, g.dst AS nid FROM f1 f JOIN g ON g.src = f.nid),
+s2 AS (
+  SELECT c.qid AS qid, r.vec_id AS nid, $dq AS dist
+  FROM c2 c JOIN q ON q.qid = c.qid JOIN recon r ON r.vec_id = c.nid
+),
+u2 AS (SELECT DISTINCT qid, nid, dist FROM (SELECT * FROM f1 UNION ALL SELECT * FROM s2)),
+f2 AS (${topEf("u2")}),
+rer AS (
+  SELECT f.qid AS qid, f.nid AS nid, $l2 AS dist
+  FROM f2 f JOIN q ON q.qid = f.qid JOIN embeddings b ON b.vec_id = f.nid
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+  FROM rer
+) WHERE rnk <= $k"""
+    }
+
     /** Explicit-centroid IVF probe (nprobe=2) — shared by the in-memory
       * and the saved-then-loaded index queries (same semantics by V9's
       * Serialize/Deserialize contract, index_node.h:371-401). */
@@ -923,6 +1022,60 @@ SELECT src, dst, dist, rnk FROM (
           K, ef = 16, iters = 2, Metric.L2, ROUND)
       },
       Some(Sql.graphBeam(ef = 16, k = K))),
+    // S7 HNSW_SQ analog (faiss_hnsw.cc:2928-2939 registrations, refine
+    // loop 739-860): the beam traverses on SQ8-reconstructed vectors —
+    // the memory-constrained config — and only the final frontier is
+    // reranked on raw data. Deterministic quantizer ⇒ hash-gated.
+    GraftQuery(
+      "knn_graph_search_sq",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val all = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val graph = BruteForce
+          .knnFused(all, base, 5, Metric.L2, roundDist = ROUND, excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"))
+        val entries = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("nid"))
+        val stats = Quantization.sq8Train(base)
+        val approx = base
+          .crossJoin(broadcast(stats))
+          .select(col("id"),
+            Quantization.sq8Recon(
+              Quantization.sq8Code(col("vec"), col("mn"), col("mx")),
+              col("mn"), col("mx")).as("vec"))
+        GraphSearch.beamSearchRefined(graph, approx, base, queryVecs(s, dir),
+          entries, K, ef = 16, iters = 2, Metric.L2, ROUND)
+      },
+      Some(Sql.graphBeamQuant(ef = 16, k = K, "sq"))),
+    // S7 HNSW_PQ analog: beam on PQ-reconstructed vectors (explicit
+    // every-25th-vector codebook — recon-L2 equals ADC), exact refine of
+    // the final frontier only.
+    GraftQuery(
+      "knn_graph_search_pq",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val all = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val graph = BruteForce
+          .knnFused(all, base, 5, Metric.L2, roundDist = ROUND, excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"))
+        val entries = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("nid"))
+        val model = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
+        val approx = base.select(col("id"),
+          ProductQuant.reconExpr(
+            ProductQuant.encodeExpr(col("vec"), model), model).as("vec"))
+        GraphSearch.beamSearchRefined(graph, approx, base, queryVecs(s, dir),
+          entries, K, ef = 16, iters = 2, Metric.L2, ROUND)
+      },
+      Some(Sql.graphBeamQuant(ef = 16, k = K, "pq"))),
     // S6 IVF_SQ8 — SQ8 codes inside probed IVF lists + exact rerank
     // (ivf.cc:1244-1276): the quantizer rides the coarse index
     GraftQuery(

@@ -92,6 +92,37 @@ class RecallSpec extends SparkSpec {
     graph.unpersist()
   }
 
+  test("quantized graph beam (HNSW_SQ/PQ analogs) + exact refine: recall >= 0.6") {
+    val all = Tables
+      .embeddings(spark, sf0001)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val graph = BruteForce
+      .knnFused(all, base, 5, Metric.L2, excludeSelf = true)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+      .cache()
+    val entries = Tables
+      .embeddings(spark, sf0001)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("nid"))
+    val stats = Quantization.sq8Train(base)
+    val sqTier = base
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        Quantization.sq8Recon(
+          Quantization.sq8Code(col("vec"), col("mn"), col("mx")),
+          col("mn"), col("mx")).as("vec"))
+    val gotSq = GraphSearch.beamSearchRefined(
+      graph, sqTier, base, queries, entries, K, ef = 32, iters = 4)
+    assert(recall(gotSq, truth) >= 0.6)
+    val model = ProductQuant.train(spark, base, m = 8, ksub = 16)
+    val pqTier = base.select(col("id"),
+      ProductQuant.reconExpr(ProductQuant.encodeExpr(col("vec"), model), model).as("vec"))
+    val gotPq = GraphSearch.beamSearchRefined(
+      graph, pqTier, base, queries, entries, K, ef = 32, iters = 4)
+    assert(recall(gotPq, truth) >= 0.6)
+    graph.unpersist()
+  }
+
   test("DiskANN (trained PQ, L=32, 3 hops): recall >= 0.6 (ANN floor)") {
     val idx = graft.IndexFactory
       .build(spark, "DISKANN", base, Metric.L2, nlist = 8, reorderK = 32)
