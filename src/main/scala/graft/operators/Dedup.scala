@@ -181,17 +181,25 @@ object Dedup {
       withSig)
   }
 
+  /** Rounds the last [[connectedComponents]] call took — a test probe for
+    * the O(log diameter) convergence guarantee. */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
   /** Connected components over near-dup pairs: group transitive
     * duplicates, canonical = the group's min doc id — the cluster stage a
     * dedup pipeline runs between pair generation and keep-one selection.
     *
-    * Min-label propagation iterated TO A FIXPOINT, driver-coordinated:
-    * each round is one co-partitioned join + aggregate (labels and edges
-    * shuffle on the same key), and the loop stops when a round changes no
-    * label (one tiny count action per round — dup groups have small
-    * diameter, so rounds are few; for adversarial chain-shaped graphs use
-    * path doubling, which squares reach per round at the cost of an edge
-    * self-join). */
+    * Min-label propagation WITH POINTER DOUBLING, driver-coordinated and
+    * iterated to a fixpoint. Each round (a) pulls the min label across one
+    * edge hop (co-partitioned join + aggregate), then (b) shortcuts
+    * lbl ← label-of-label (a self-join of the tiny label frame), which
+    * SQUARES how far the component minimum travels per round — rounds are
+    * O(log diameter) even on chain-shaped dup graphs (templated
+    * boilerplate corpora), where plain propagation pays one round per hop.
+    * A label is always the id of a node in the same component (own id
+    * initially; a neighbor's label by induction; a label's label likewise),
+    * so shortcutting never crosses components. One tiny count action per
+    * round detects the fixpoint. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -201,23 +209,41 @@ object Dedup {
       .withColumn("lbl", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
+    var rounds = 0
+    val checkpointed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (changed > 0) {
+      rounds += 1
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("vlbl")).as("nlbl"))
-      val next = labels
+      val hop = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the self-join nests hop's plan twice, so without lineage
+      // truncation the logical plan doubles per round (exponential
+      // analyzer/codegen cost long before data size matters) —
+      // localCheckpoint pins the round's tiny label frame and restarts
+      // the plan from it
+      val next = hop
+        .join(hop.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      checkpointed += next
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") < col("old")).count()
       labels.unpersist()
       labels = next
     }
-    eager(labels.select(col("id").as("doc_id"), col("lbl").as("group_id")),
-      edges, labels)
+    lastCcRounds = rounds
+    val out = eager(labels.select(col("id").as("doc_id"), col("lbl").as("group_id")),
+      edges)
+    // release every round's checkpoint blocks — nothing stays cached but
+    // the bounded (doc_id, group_id) output
+    checkpointed.foreach(org.apache.spark.sql.GraftExpr.unpersistCheckpoint)
+    out
   }
 
   /** Embedding near-dup pairs via random-hyperplane LSH (Charikar

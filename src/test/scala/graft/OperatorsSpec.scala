@@ -220,6 +220,18 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 1L)))
   }
 
+  test("connectedComponents: path doubling needs O(log diameter) rounds on a chain") {
+    // 64-node chain (diameter 63): plain min-propagation pays one round
+    // per hop (~63); pointer doubling squares reach per round
+    val n = 64L
+    val chain = (0L until n - 1).map(i => (i, i + 1, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val cc = Dedup.connectedComponents(chain)
+    assert(cc.count() == n)
+    assert(cc.filter(col("group_id") =!= 0L).count() == 0) // one component, min id 0
+    assert(Dedup.lastCcRounds <= 10, s"took ${Dedup.lastCcRounds} rounds")
+  }
+
   test("cosine LSH: an exact duplicate collides on every band and is reported") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
     val dup = emb.filter(col("vec_id") === 7L)
