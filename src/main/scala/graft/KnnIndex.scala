@@ -59,7 +59,10 @@ final class IvfFlatIndex(
     val centroids: DataFrame, // (cluster_id, centroid)
     val metric: Metric,
     val nprobe: Int,
-    roundDist: Option[Int] = None
+    roundDist: Option[Int] = None,
+    // build-time per-list populations (IvfIndex.listSizes) — the
+    // ensure_topk_full metadata; None for ad-hoc frames
+    val listSizesMeta: Option[DataFrame] = None
 ) extends VectorIndex {
   override def indexType: String = "IVF_FLAT"
   override lazy val count: Long = index.count()
@@ -67,8 +70,15 @@ final class IvfFlatIndex(
 
   override def search(queries: DataFrame, k: Int, filter: Option[Column]): DataFrame = {
     val filtered = filter.map(index.filter).getOrElse(index)
-    IvfIndex.search(queries, filtered, centroids, k, nprobe, metric, roundDist)
+    IvfIndex.search(queries, filtered, centroids, k, nprobe, metric, roundDist,
+      listSizes = if (filter.isEmpty) listSizesMeta else None)
   }
+
+  /** ensure_topk_full search: probe expansion reads the build-time list
+    * populations, never a full-index aggregate. */
+  def searchTopkFull(queries: DataFrame, k: Int): DataFrame =
+    IvfIndex.search(queries, index, centroids, k, nprobe, metric, roundDist,
+      ensureTopkFull = true, listSizes = listSizesMeta)
 
   /** Range search scans all lists — nprobe=nlist, exact within bound
     * (`ivf.cc:854-868`). */
@@ -83,14 +93,17 @@ final class IvfFlatIndex(
   override def save(dir: String): Unit = {
     index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/lists")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    listSizesMeta.foreach(_.write.mode("overwrite").parquet(s"$dir/list_sizes"))
   }
 
   /** Feder overview (`include/knowhere/feder/`, `test_feder.cc`): per-list
-    * populations appended to the base meta. */
+    * populations appended to the base meta — from the build-time metadata
+    * when present, else one aggregation. */
   override def indexMetaJson: String = {
-    val lists = index
-      .groupBy(col("cluster_id"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    val lists = listSizesMeta
+      .getOrElse(index
+        .groupBy(col("cluster_id"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n")))
       .orderBy(col("cluster_id"))
       .collect()
       .map(r => s"""{"list":${r.get(0)},"size":${r.getLong(1)}}""")
@@ -202,7 +215,9 @@ object IndexFactory {
       case "FLAT" | "BIN_FLAT" => new FlatIndex(base, metric, roundDist)
       case "IVF_FLAT" =>
         val c = cents
-        new IvfFlatIndex(IvfIndex.build(base, c, roundDist), c, metric, nprobe, roundDist)
+        val idx = IvfIndex.build(base, c, roundDist)
+        new IvfFlatIndex(idx, c, metric, nprobe, roundDist,
+          listSizesMeta = Some(IvfIndex.listSizes(idx)))
       case "IVF_SQ8" =>
         val c = cents
         new IvfSq8Index(IvfIndex.build(base, c, roundDist), c,
@@ -263,13 +278,19 @@ object IndexFactory {
       metric: Metric = Metric.L2,
       nprobe: Int = 4,
       roundDist: Option[Int] = None
-  ): IvfFlatIndex =
+  ): IvfFlatIndex = {
+    val sizes =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/list_sizes")))
+        Some(spark.read.parquet(s"$dir/list_sizes"))
+      else None
     new IvfFlatIndex(
       spark.read.parquet(s"$dir/lists"),
       spark.read.parquet(s"$dir/centroids"),
       metric,
       nprobe,
-      roundDist)
+      roundDist,
+      listSizesMeta = sizes)
+  }
 
   /** Deserialize an IVF_SQ8 index saved by IvfSq8Index.save. */
   def loadIvfSq8(

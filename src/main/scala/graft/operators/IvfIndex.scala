@@ -30,6 +30,18 @@ object IvfIndex {
     base.join(assigned.select(col("id"), col("cluster_id")), "id")
   }
 
+  /** Build-time per-list populations (cluster_id, n) as a LOCAL frame —
+    * the metadata `ensure_topk_full` reads at search time. The reference
+    * reads list sizes straight off the in-memory index (`ivf.cc:750-760`);
+    * here they are one build-time aggregation pinned driver-side, so a
+    * search never re-aggregates the index. Persist alongside the
+    * centroids (both are tiny). */
+  def listSizes(index: DataFrame): DataFrame = {
+    val agg = index.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+    index.sparkSession.createDataFrame(
+      java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+  }
+
   /** Per-query probe list: the nprobe nearest centroids. */
   def probe(
       queries: DataFrame, // (qid, qvec)
@@ -69,7 +81,8 @@ object IvfIndex {
       roundDist: Option[Int],
       ensureTopkFull: Boolean = false,
       k: Int = 0,
-      metric: Metric = Metric.L2
+      metric: Metric = Metric.L2,
+      listSizes: Option[DataFrame] = None
   ): (DataFrame, DataFrame) = {
     val spark = index.sparkSession
     val probeDf = probe(queries, centroids, nprobe, roundDist, metric)
@@ -77,8 +90,13 @@ object IvfIndex {
     if (ensureTopkFull && k > 0) {
       // `ensure_topk_full` (ivf.cc:750-760): queries whose probed lists
       // hold fewer than k vectors expand toward nprobe=nlist so k results
-      // are guaranteed. List populations come from one tiny aggregation.
-      val sizes = index.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      // are guaranteed. List populations are BUILD-TIME metadata
+      // ([[listSizes]], persisted with the centroids) — aggregating the
+      // full index here would be a whole-index scan per search. The
+      // fallback aggregate only runs for ad-hoc frames built without
+      // metadata.
+      val sizes = listSizes
+        .getOrElse(index.groupBy(col("cluster_id")).agg(count(lit(1)).as("n")))
         .collect().map(r => r.get(0) -> r.getLong(1)).toMap
       val allLists = sizes.keys.toSeq
       val byQid = probeRows.groupBy(_.get(0))
@@ -106,10 +124,12 @@ object IvfIndex {
       nprobe: Int,
       metric: Metric = Metric.L2,
       roundDist: Option[Int] = None,
-      ensureTopkFull: Boolean = false
+      ensureTopkFull: Boolean = false,
+      listSizes: Option[DataFrame] = None
   ): DataFrame = {
     val (probes, pruned) =
-      probeAndPrune(queries, index, centroids, nprobe, roundDist, ensureTopkFull, k, metric)
+      probeAndPrune(queries, index, centroids, nprobe, roundDist, ensureTopkFull, k, metric,
+        listSizes)
     val raw = metric.dist(col("qvec"), col("vec"))
     val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
     val pairs = broadcast(probes.join(queries, "qid"))

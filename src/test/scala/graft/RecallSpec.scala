@@ -73,6 +73,17 @@ class RecallSpec extends SparkSpec {
     assert(bare.count() == 2) // probed list holds only 2 vectors
     val full = IvfIndex.search(q, index, cents, k = 5, nprobe = 1, ensureTopkFull = true)
     assert(full.count() == 5)
+    // build-time metadata path: same expansion from the persisted sizes
+    val sizes = IvfIndex.listSizes(index)
+    val viaMeta = IvfIndex.search(q, index, cents, k = 5, nprobe = 1,
+      ensureTopkFull = true, listSizes = Some(sizes))
+    assert(viaMeta.count() == 5)
+    // the metadata is AUTHORITATIVE: inflated sizes suppress expansion,
+    // proving the search reads metadata and never re-aggregates the index
+    val inflated = sizes.select(col("cluster_id"), (col("n") + 100L).as("n"))
+    val lied = IvfIndex.search(q, index, cents, k = 5, nprobe = 1,
+      ensureTopkFull = true, listSizes = Some(inflated))
+    assert(lied.count() == 2)
   }
 
   test("graph beam search (degree 5, ef=32, 4 hops): recall >= 0.6 (ANN floor)") {
