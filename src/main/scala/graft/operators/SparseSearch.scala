@@ -417,6 +417,29 @@ object SparseSearch {
   import org.apache.spark.sql.types.{DoubleType, LongType}
   import org.apache.spark.sql.{Row => SqlRow}
 
+  /** How many distinct terms a pushed `term IN (...)` literal may carry.
+    * Above this, the restriction becomes a broadcast left-semi join on a
+    * local term frame — a huge IN literal blows up the expression tree /
+    * codegen long before driver memory does, while a semi-join against a
+    * broadcast hash of the same terms stays flat. */
+  private val InLiteralMaxTerms = 10000
+
+  /** Restrict postings to a term set: pushed `IN` literal when small (it
+    * reaches the scan as a data-skipping filter), broadcast semi-join
+    * above [[InLiteralMaxTerms]]. */
+  private def restrictToTerms(
+      spark: SparkSession,
+      bp: DataFrame,
+      plan: QueryPlan,
+      terms: Seq[Any]
+  ): DataFrame =
+    if (terms.length <= InLiteralMaxTerms) bp.filter(col("term").isInCollection(terms))
+    else
+      bp.join(
+        broadcast(localDf(spark, plan, terms.map(t => SqlRow(t)),
+          Seq("term" -> plan.termType))),
+        Seq("term"), "left_semi")
+
   /** (qid, term, qtf) local frame — phases broadcast this instead of
     * re-deriving the query side from its source scan. */
   private def localQpDf(spark: SparkSession, plan: QueryPlan): DataFrame =
@@ -444,7 +467,7 @@ object SparseSearch {
       .select(col("qid").cast("long"), col("term"), col("qtf").cast("double"),
         ubCol.cast("double").as("ub"), col("min_tf").cast("double"), col("df").cast("long"))
       .collect()
-    require(rows.length <= 4000000,
+    require(rows.length <= 1000000,
       "pruned sparse search: query side too large for driver coordination")
     rows.foreach { r =>
       // admissibility precondition (UB(t)=qtf·max is only an upper bound
@@ -486,8 +509,7 @@ object SparseSearch {
     val topTermDf = localDf(spark, plan,
       topTerms.map { case (qid, t) => SqlRow(qid, t.term, t.qtf) },
       Seq("qid" -> LongType, "term" -> plan.termType, "qtf" -> DoubleType))
-    val seedPairs = bp
-      .filter(col("term").isInCollection(topTerms.map(_._2.term).distinct))
+    val seedPairs = restrictToTerms(spark, bp, plan, topTerms.map(_._2.term).distinct)
       .join(broadcast(topTermDf), "term")
       .select(col("qid"), col("id").as("nid"),
         (col("qtf") * col("tf")).cast("double").as("dist"))
@@ -533,7 +555,7 @@ object SparseSearch {
     val essDf = broadcast(localDf(spark, plan,
       essential.map { case (qid, t) => SqlRow(qid, t.term) },
       Seq("qid" -> LongType, "term" -> plan.termType)))
-    bp.filter(col("term").isInCollection(essential.map(_._2.term).distinct))
+    restrictToTerms(spark, bp, plan, essential.map(_._2.term).distinct)
       .join(essDf, "term")
       .select(col("qid"), col("id"))
       .dropDuplicates("qid", "id")
@@ -604,7 +626,7 @@ object SparseSearch {
       .groupBy(col("qid").cast("long").as("qid"), col("id").cast("long").as("id"))
       .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
 
-    val qScan = bp.filter(col("term").isInCollection(plan.allTerms))
+    val qScan = restrictToTerms(spark, bp, plan, plan.allTerms)
     def scoreAll: DataFrame = qScan
       .join(qpDf, "term")
       .groupBy(col("qid"), col("id").as("nid"))
@@ -662,7 +684,7 @@ object SparseSearch {
       .groupBy(col("qid").cast("long").as("qid"), col("id").cast("long").as("id"))
       .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
 
-    val qScan = bp.filter(col("term").isInCollection(plan.allTerms))
+    val qScan = restrictToTerms(spark, bp, plan, plan.allTerms)
     def scoreAll: DataFrame = qScan
       .join(qpDf, "term")
       .groupBy(col("qid"), col("id").as("nid"))
@@ -740,8 +762,7 @@ object SparseSearch {
     if (pruneCannotPay(plan0, fallbackRatio)) {
       val qpDf0 = broadcast(localQpDf(spark, plan0))
       val statsDf0 = broadcast(localStatsDf(spark, plan0))
-      val scored0 = bp
-        .filter(col("term").isInCollection(plan0.allTerms))
+      val scored0 = restrictToTerms(spark, bp, plan0, plan0.allTerms)
         .join(qpDf0, "term")
         .join(statsDf0, "term")
         .groupBy(col("qid"), col("id").as("nid"))
@@ -775,8 +796,7 @@ object SparseSearch {
       val thetaDf = broadcast(thetas.toSeq.toDF("qid", "theta"))
 
       val candidates = candidatesOf(spark, bp, plan, essential)
-      val scored = bp
-        .filter(col("term").isInCollection(plan.allTerms))
+      val scored = restrictToTerms(spark, bp, plan, plan.allTerms)
         .join(candidates.select(col("id")).distinct(), "id")
         .join(qWithUb, "term")
         .join(statsDf, "term")
@@ -792,7 +812,7 @@ object SparseSearch {
       val d = roundDist.map(r => round(col("raw"), r)).getOrElse(col("raw"))
       return topK(survivors.select(col("qid"), col("nid"), d.as("dist")), k, ascending = false)
     }
-    val qScan = bp.filter(col("term").isInCollection(plan.allTerms))
+    val qScan = restrictToTerms(spark, bp, plan, plan.allTerms)
     val scored =
       if (pruneWontPay(plan, essential, fallbackRatio)) {
         // degenerate bounds: score-all restricted to query terms (exact)

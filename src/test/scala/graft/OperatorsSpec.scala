@@ -162,6 +162,36 @@ class SparseSearchSpec extends SparkSpec {
     model.drop()
   }
 
+  test("large term sets take the broadcast semi-join path and stay exact") {
+    // > InLiteralMaxTerms distinct query terms: the postings restriction
+    // must switch from a pushed IN literal to a broadcast semi-join (a
+    // 12k-term IN literal is already slow; millions would kill codegen).
+    // Output must be identical to the naive path either way.
+    val vocab = 12000
+    val corpus = spark.range(2000).toDF("id")
+      .select(col("id"), explode(sequence(lit(1), lit(30))).as("j"))
+      .select(col("id"),
+        pmod(xxhash64(col("id") * 131 + col("j") * 7), lit(vocab)).as("term"),
+        (pmod(xxhash64(col("id") + col("j")), lit(4)) + 1L).as("tf"))
+      .groupBy("id", "term").agg(sum("tf").as("tf"))
+    val bp = corpus.select(col("term"), col("id"), col("tf"),
+      lit(30L).as("dl")).persist()
+    val termStats = bp.groupBy("term")
+      .agg(count(lit(1)).as("df"), max("tf").as("max_tf"), min("tf").as("min_tf"))
+      .persist()
+    val model = new SparseIndexModel(bp, termStats, (2000L, 30.0), 1.2, 0.75)
+    // two queries jointly covering the whole vocabulary
+    val q = spark.range(vocab).toDF("term")
+      .select((col("term") % 2).as("qid"), col("term"), lit(1.0).as("qtf"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("dist"), r.getAs[Int]("rnk"))).toSet
+    val naive = rows(SparseSearch.searchIP(q, bp.select(col("id"), col("term"), col("tf")), 10))
+    assert(rows(SparseSearch.searchIPMaxScore(q, model, 10)) == naive)
+    assert(rows(SparseSearch.searchIPWand(q, model, 10, fallbackRatio = 2.0)) == naive)
+    model.drop()
+  }
+
   test("quantile query-term pruning drops the lowest drop_ratio fraction per query") {
     val q = Seq(
       (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L), (1L, "d", 4L),
