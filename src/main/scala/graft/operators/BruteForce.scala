@@ -190,6 +190,30 @@ object BruteForce {
     p.filter(keep)
   }
 
+  /** Range search bounded by the reference's `range_search_k` knob
+    * (`include/knowhere/config.h:599-601`; the default RangeSearch runs
+    * through the iterator and can stop once k in-range results are found,
+    * `index_node.h:190-291`): each query keeps only its BEST `capK`
+    * in-range neighbors — nearest first for distance metrics, highest
+    * first for similarity metrics, (dist, id) tie-break. `capK < 0`
+    * disables the cap (the reference default −1). The cap is what bounds
+    * a huge-radius range query's result at scale: the per-query output is
+    * ≤ capK rows however many neighbors fall inside the bound. */
+  def rangeSearchCapped(
+      queries: DataFrame,
+      base: DataFrame,
+      metric: Metric,
+      radius: Double,
+      rangeFilter: Double,
+      capK: Int,
+      baseFilter: Option[Column] = None,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val r = rangeSearch(queries, base, metric, radius, rangeFilter, baseFilter, roundDist)
+    if (capK < 0) r
+    else topK(r, capK, metric.ascending).select(col("qid"), col("nid"), col("dist"))
+  }
+
   /** Fused exact kNN for LARGE query sets (all-pairs shapes like k-NN-graph
     * build and corpus-wide near-dup scans): the reference's own execution
     * shape (`flat.cc:70-140` — queries resident, one scan over base, one

@@ -256,6 +256,38 @@ object SparseSearch {
     searchIP(queryPostings, basePostings, page * pageSize)
       .filter(col("rnk") > (page - 1) * pageSize)
 
+  /** Sparse AnnIterator REFINE (`iterator_refine_ratio` /
+    * `retain_iterator_order`, `config.h:602-612`; refine loop
+    * `index_node.h:538-567` over the sparse node's iterator, which opens
+    * on drop_ratio-approximated scores): the candidate stream is ranked by
+    * the PRUNED query's scores (quantile `drop_ratio_search` semantics),
+    * page p is over-fetched by `refineRatio` from that approx order,
+    * exact-rescored with the FULL query, and emitted in exact order.
+    * Every approx candidate shares a term with the full query (pruned
+    * terms ⊆ query terms), so the rescore preserves the window. */
+  def annIteratorRefinedPage(
+      queryPostings: DataFrame, // (qid, term, qtf)
+      basePostings: DataFrame, // (id, term, tf)
+      dropRatio: Double,
+      page: Int,
+      pageSize: Int,
+      refineRatio: Int = 2
+  ): DataFrame = {
+    val window = searchIP(
+      pruneQueryTermsQuantile(queryPostings, dropRatio),
+      basePostings, page * pageSize * refineRatio)
+      .select(col("qid"), col("nid"))
+    val exact = broadcast(queryPostings)
+      .join(basePostings.withColumnRenamed("id", "nid"), "term")
+      .join(window, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist").desc, col("nid").asc)
+    exact
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") > (page - 1) * pageSize && col("rnk") <= page * pageSize)
+  }
+
   /** Sparse GetVectorByIds (`sparse_index_node.cc` raw-data fetch, tested
     * `test_sparse.cc` CC GetVectorByIds): reassemble each requested doc's
     * sparse row as term-sorted parallel arrays. */

@@ -232,6 +232,45 @@ SELECT qid, nid, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
   FROM scored
 ) WHERE rnk > 10 AND rnk <= 20""")),
+    // V6 × S9 — sparse iterator REFINE: stream opened on drop_ratio(0.3)-
+    // approximated scores, page 2 over-fetched 2×, exact-rescored with the
+    // full query, emitted in exact order (config.h:602-612 refine knobs
+    // over the sparse iterator)
+    GraftQuery(
+      "sparse_iter_refine_page2",
+      (s, dir) =>
+        SparseSearch.annIteratorRefinedPage(queryPostings(s, dir), basePostings(s, dir),
+          dropRatio = 0.3, page = 2, pageSize = 10, refineRatio = 2),
+      Some(s"""WITH $tfCte,
+qr AS (
+  SELECT qid, term, qtf, abs(CAST(qtf AS DOUBLE)) AS a,
+         row_number() OVER (PARTITION BY qid ORDER BY abs(CAST(qtf AS DOUBLE)) ASC, term ASC) AS rn,
+         count(*) OVER (PARTITION BY qid) AS nt
+  FROM q
+),
+thr AS (SELECT qid, a AS th FROM qr WHERE rn = floor(CAST(0.3 AS DOUBLE) * CAST(nt AS DOUBLE)) + 1),
+qd AS (SELECT qr.qid, qr.term, qr.qtf FROM qr JOIN thr ON qr.qid = thr.qid WHERE qr.a >= thr.th),
+ascored AS (
+  SELECT qd.qid AS qid, t.doc_id AS nid, CAST(sum(qd.qtf * t.tf) AS DOUBLE) AS dist
+  FROM qd JOIN tf t ON qd.term = t.term GROUP BY 1, 2
+),
+win AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS rn
+    FROM ascored
+  ) WHERE rn <= 40
+),
+exact AS (
+  SELECT q.qid AS qid, t.doc_id AS nid, CAST(sum(q.qtf * t.tf) AS DOUBLE) AS dist
+  FROM q JOIN tf t ON q.term = t.term
+  JOIN win w ON w.qid = q.qid AND w.nid = t.doc_id
+  GROUP BY 1, 2
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM exact
+) WHERE rnk > 10 AND rnk <= 20""")),
     // V7 × S9 — sparse GetVectorByIds: reassembled term-sorted sparse rows
     GraftQuery(
       "sparse_get_vector",

@@ -580,6 +580,23 @@ pairs AS (
   FROM q CROSS JOIN embeddings b
 )
 SELECT qid, nid, dist FROM pairs WHERE dist >= 0.5 AND dist < 1.3""")),
+    // V5 — range search under the range_search_k cap (config.h:599-601,
+    // iterator-backed RangeSearch index_node.h:190-291): per query, only
+    // the BEST capK in-range neighbors survive — the knob that bounds a
+    // huge-radius result at scale
+    GraftQuery(
+      "bf_range_k_capped",
+      (s, dir) =>
+        BruteForce
+          .rangeSearchCapped(queryVecs(s, dir), baseVecs(s, dir), Metric.L2, radius = 1.3,
+            rangeFilter = 0.5, capK = 20, roundDist = ROUND),
+      Some(s"""WITH ${Sql.qView},
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.l2} AS dist
+  FROM q CROSS JOIN embeddings b
+)
+SELECT qid, nid, dist FROM pairs WHERE dist >= 0.5 AND dist < 1.3
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) <= 20""")),
     // S19 — binary metrics over sign-bit-packed vectors (brute_force.cc:212-236):
     // Spark side packs 32 dims/BIGINT and uses bit_count(xor/and/or); the
     // oracle states the same quantity as per-dim sign comparisons.
