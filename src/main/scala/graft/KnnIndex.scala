@@ -205,8 +205,12 @@ object IndexFactory {
       roundDist: Option[Int] = None,
       reorderK: Int = 50,
       pqM: Int = 8,
-      pqKsub: Int = 16
+      pqKsub: Int = 16,
+      version: Int = Capabilities.DefaultVersion
   ): VectorIndex = {
+    require(Capabilities.versionSupported(version),
+      s"index version $version outside supported range " +
+        s"[${Capabilities.MinVersion}, ${Capabilities.CurrentVersion}] (version.h:23-57)")
     require(Capabilities.IndexTypes.contains(indexType), s"unknown index type $indexType")
     require(Capabilities.supportsMetric(indexType, metric.name),
       s"index $indexType does not support metric ${metric.name}")

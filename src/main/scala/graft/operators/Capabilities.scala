@@ -77,4 +77,27 @@ object Capabilities {
       case "IVF_FLAT" | "FLAT" | "SPARSE_INVERTED_INDEX" | "SPARSE_WAND" => true
       case _ => false
     }
+
+  /** mmap feature bit (`feature.h:40-46` `MMAP`, config knobs
+    * `enable_mmap`/`enable_mmap_pop` `config.h:604-605`): whether the
+    * index's serialized artifact can be served memory-mapped instead of
+    * fully resident. The Spark rendering: every in-memory index kind maps
+    * (its parquet tables load under any storage level, incl. DISK_ONLY —
+    * the mmap analog, ARCHITECTURE.md §1); DISKANN is the disk-NATIVE
+    * layout (the reference registers it with the DISK feature, not MMAP —
+    * its raw tier already lives on SSD). */
+  def supportsMmap(indexType: String): Boolean = indexType match {
+    case "DISKANN" => false
+    case t => IndexTypes.contains(t)
+  }
+
+  /** Index-version gating (`include/knowhere/version.h:23-57`: versions
+    * 0..6 with `VersionSupport`/min/current/default): factories accept a
+    * version and refuse out-of-range ones. All kinds in [[IndexTypes]]
+    * exist across the supported range. */
+  val MinVersion = 0
+  val CurrentVersion = 6
+  val DefaultVersion: Int = CurrentVersion
+  def versionSupported(version: Int): Boolean =
+    version >= MinVersion && version <= CurrentVersion
 }

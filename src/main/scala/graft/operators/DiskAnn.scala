@@ -78,10 +78,13 @@ final class DiskAnnIndex(
     ProductQuant.saveModel(raw.sparkSession, model, s"$dir/pq")
   }
 
+  // computed once per index handle — meta calls must not re-scan the graph
+  private lazy val maxDegree: Long =
+    graph.groupBy(col("src")).count().agg(max("count")).head().getLong(0)
+
   override def indexMetaJson: String =
     s"""{"index_type":"$indexType","count":$count,"dim":$dim,""" +
-      s""""degree":${graph.groupBy(col("src")).count().agg(max("count")).head().getLong(0)},""" +
-      s""""search_list_size":$searchListSize}"""
+      s""""degree":$maxDegree,"search_list_size":$searchListSize}"""
 
   def roundDigits: Option[Int] = roundDist
 }

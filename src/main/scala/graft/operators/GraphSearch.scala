@@ -173,6 +173,54 @@ object GraphSearch {
     finish(BruteForce.topK(frontier, k, metric.ascending), persisted)
   }
 
+  /** Feder-style graph introspection (`include/knowhere/feder/`,
+    * `src/index/hnsw/hnsw.h:212-257` overview + visit traces,
+    * `tests/ut/test_feder.cc`): one (stat, value) frame carrying the
+    * graph overview — node/edge/entry counts, out-degree histogram — and
+    * the beam's per-hop visit counts (how many distinct (query, node)
+    * candidates each relational hop scored — the batch analog of the
+    * reference's per-query visit trace). Deterministic given the graph
+    * and the usual round/tie-break contract, so the whole frame is
+    * oracle-expressible. */
+  def federMeta(
+      graph: DataFrame, // (src, dst)
+      base: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      entries: DataFrame, // (nid)
+      ef: Int,
+      iters: Int,
+      metric: Metric = Metric.L2,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    def one(stat: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("value")).select(lit(stat).as("stat"), col("value"))
+    val deg = graph.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    val degHist = deg
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("value"))
+      .select(concat(lit("degree_"), col("degree").cast("string")).as("stat"), col("value"))
+    val overview = one("graph_nodes", deg)
+      .union(one("graph_edges", graph))
+      .union(one("entry_points", entries))
+      .union(degHist)
+    // beam visit trace: re-walk the hops, counting each hop's candidate set
+    val seed = queries.select(col("qid")).crossJoin(broadcast(entries))
+    var frontier = topEf(score(seed, queries, base, metric, roundDist), ef, metric)
+    var out = overview
+    for (h <- 1 to iters) {
+      val cands = frontier
+        .join(graph.withColumnRenamed("src", "nid"), "nid")
+        .select(col("qid"), col("dst").as("nid"))
+        .distinct()
+      out = out.union(one(s"hop${h}_visits", cands))
+      val scored = score(cands, queries, base, metric, roundDist)
+      frontier = topEf(
+        frontier.select(col("qid"), col("nid"), col("dist")).union(scored).distinct(),
+        ef, metric)
+    }
+    out
+  }
+
   /** Quantized-traversal beam + exact refine — the HNSW_SQ / HNSW_PQ
     * analog (`src/index/hnsw/faiss_hnsw.cc:2928-2939` registers the
     * quantized HNSW variants; the refine loop at `faiss_hnsw.cc:739-860`

@@ -1039,6 +1039,68 @@ SELECT src, dst, dist, rnk FROM (
           K, ef = 16, iters = 2, Metric.L2, ROUND)
       },
       Some(Sql.graphBeam(ef = 16, k = K))),
+    // S18 — Feder graph introspection (include/knowhere/feder/,
+    // hnsw.h:212-257, test_feder.cc): graph overview (node/edge/entry
+    // counts, degree histogram) + the beam's per-hop visit counts — the
+    // batch analog of per-query visit traces. Deterministic fields only.
+    GraftQuery(
+      "graph_meta",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val all = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val graph = BruteForce
+          .knnFused(all, base, 5, Metric.L2, roundDist = ROUND, excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"))
+        val entries = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("nid"))
+        GraphSearch.federMeta(graph, base, queryVecs(s, dir), entries,
+          ef = 16, iters = 2, Metric.L2, ROUND)
+      },
+      Some(s"""WITH ${Sql.qView},
+g AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+          (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+          (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 4) ASC,
+        b.vec_id ASC) AS rnk
+    FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+),
+e AS (SELECT vec_id AS nid FROM embeddings WHERE vec_id % 250 = 0),
+s0 AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.l2} AS dist
+  FROM q CROSS JOIN e JOIN embeddings b ON b.vec_id = e.nid
+),
+f0 AS (SELECT qid, nid, dist FROM (
+  SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rn
+  FROM s0
+) WHERE rn <= 16),
+c1 AS (SELECT DISTINCT f.qid AS qid, g.dst AS nid FROM f0 f JOIN g ON g.src = f.nid),
+s1 AS (
+  SELECT c.qid AS qid, b.vec_id AS nid, ${Sql.l2} AS dist
+  FROM c1 c JOIN q ON q.qid = c.qid JOIN embeddings b ON b.vec_id = c.nid
+),
+u1 AS (SELECT DISTINCT qid, nid, dist FROM (SELECT * FROM f0 UNION ALL SELECT * FROM s1)),
+f1 AS (SELECT qid, nid, dist FROM (
+  SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rn
+  FROM u1
+) WHERE rn <= 16),
+c2 AS (SELECT DISTINCT f.qid AS qid, g.dst AS nid FROM f1 f JOIN g ON g.src = f.nid)
+SELECT stat, value FROM (
+  SELECT 'graph_nodes' AS stat, count(DISTINCT src) AS value FROM g
+  UNION ALL SELECT 'graph_edges', count(*) FROM g
+  UNION ALL SELECT 'entry_points', count(*) FROM e
+  UNION ALL SELECT 'degree_' || CAST(degree AS VARCHAR), count(*)
+    FROM (SELECT src, count(*) AS degree FROM g GROUP BY src) GROUP BY degree
+  UNION ALL SELECT 'hop1_visits', count(*) FROM c1
+  UNION ALL SELECT 'hop2_visits', count(*) FROM c2
+)""")),
     // S7 HNSW_SQ analog (faiss_hnsw.cc:2928-2939 registrations, refine
     // loop 739-860): the beam traverses on SQ8-reconstructed vectors —
     // the memory-constrained config — and only the final frontier is
@@ -1283,23 +1345,25 @@ min(vec_id) AS min_id, max(vec_id) AS max_id FROM embeddings""")),
           ("SPARSE_WAND", "bm25")
         ).map { case (t, m) =>
           (t, m, Capabilities.supportsMetric(t, m), Capabilities.hasRawData(t, m),
-            Capabilities.supportsConcurrentAppend(t))
+            Capabilities.supportsConcurrentAppend(t), Capabilities.supportsMmap(t),
+            Capabilities.versionSupported(Capabilities.CurrentVersion) &&
+              Capabilities.versionSupported(Capabilities.MinVersion))
         }.toDF("index_type", "metric", "supports_metric", "has_raw_data",
-          "concurrent_append")
+          "concurrent_append", "supports_mmap", "version_ok")
       },
       Some("""SELECT * FROM (VALUES
-('FLAT', 'l2', true, true, true),
-('BIN_FLAT', 'hamming', true, true, false),
-('IVF_FLAT', 'l2', true, true, true),
-('BIN_IVF_FLAT', 'hamming', true, true, false),
-('IVF_SQ8', 'l2', true, true, false),
-('IVF_PQ', 'l2', true, true, false),
-('DISKANN', 'l2', true, true, false),
-('SPARSE_INVERTED_INDEX', 'ip', true, true, true),
-('SPARSE_INVERTED_INDEX', 'bm25', true, false, true),
-('SPARSE_WAND', 'ip', true, true, true),
-('SPARSE_WAND', 'bm25', true, false, true)
-) AS t(index_type, metric, supports_metric, has_raw_data, concurrent_append)""")),
+('FLAT', 'l2', true, true, true, true, true),
+('BIN_FLAT', 'hamming', true, true, false, true, true),
+('IVF_FLAT', 'l2', true, true, true, true, true),
+('BIN_IVF_FLAT', 'hamming', true, true, false, true, true),
+('IVF_SQ8', 'l2', true, true, false, true, true),
+('IVF_PQ', 'l2', true, true, false, true, true),
+('DISKANN', 'l2', true, true, false, false, true),
+('SPARSE_INVERTED_INDEX', 'ip', true, true, true, true, true),
+('SPARSE_INVERTED_INDEX', 'bm25', true, false, true, true, true),
+('SPARSE_WAND', 'ip', true, true, true, true, true),
+('SPARSE_WAND', 'bm25', true, false, true, true, true)
+) AS t(index_type, metric, supports_metric, has_raw_data, concurrent_append, supports_mmap, version_ok)""")),
     // S7/S8 graph BUILD at the 100-TB shape: candidates from the nprobe
     // nearest IVF lists only (co-located shuffle join on cluster_id) —
     // never an all-pairs scan; deterministic centroids ⇒ hash-gated

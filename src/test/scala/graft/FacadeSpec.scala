@@ -29,6 +29,22 @@ class FacadeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("factory version gating: in-range versions build, out-of-range refuse") {
+    import graft.operators.Capabilities
+    val ok = IndexFactory.build(spark, "FLAT", base, Metric.L2,
+      version = Capabilities.MinVersion)
+    assert(ok.indexType == "FLAT")
+    intercept[IllegalArgumentException] {
+      IndexFactory.build(spark, "FLAT", base, Metric.L2,
+        version = Capabilities.CurrentVersion + 1)
+    }
+    intercept[IllegalArgumentException] {
+      IndexFactory.build(spark, "FLAT", base, Metric.L2, version = -1)
+    }
+    // mmap bit: in-memory kinds map, the disk-native layout does not
+    assert(Capabilities.supportsMmap("IVF_FLAT") && !Capabilities.supportsMmap("DISKANN"))
+  }
+
   test("IVF_FLAT save/load round-trip preserves search results") {
     val idx = IndexFactory
       .build(spark, "IVF_FLAT", base, Metric.L2, nlist = 4, nprobe = 2, roundDist = Some(4))
