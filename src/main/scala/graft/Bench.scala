@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // ≥3 reps per query, median reported: single-run timings at the
+    // sub-second scale are JVM-noise-dominated (a 1.3× "regression" in
+    // round 3 was unreproducible in isolation)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,27 +34,40 @@ object Bench {
     }
     // optional local-iteration filter: comma-separated query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
+    def f3(v: Double): String = f"$v%.3f"
+    val detail = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators persist intermediates (postings, contribs); drop them so
-      // queries are measured independently and cache pressure never
-      // accumulates across the run
-      spark.catalog.clearCache()
-      name -> dt
-    }
-    // keep the line SHORT (3-dp timings, basename sf): the driver captures
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // operators persist intermediates (postings, contribs); drop them
+          // so every rep is measured cold and cache pressure never
+          // accumulates across the run
+          spark.catalog.clearCache()
+          dt
+        }.sorted
+        name -> times
+      }
+    val results = detail.map { case (name, ts) => name -> ts(ts.length / 2) }
+    // per-rep detail (median + full spread per query) goes to a FILE —
+    // the driver captures only a ~3 KB tail of stdout, so the printed
+    // line stays median-only
+    val detailJson = detail.toSeq.sortBy(_._1).map { case (name, ts) =>
+      s"""  "$name": {"median":${f3(ts(ts.length / 2))},"min":${f3(ts.head)},"max":${f3(ts.last)}}"""
+    }.mkString("{\n", ",\n", "\n}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detailJson)
+    catch { case _: Throwable => () }
+    // keep the line SHORT (3-dp medians, basename sf): the driver captures
     // only a bounded tail of the process output, and a full-precision line
     // over ~70 queries overflowed it in round 2 → "parsed": null
-    def f3(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }
