@@ -119,6 +119,31 @@ object ProductQuant {
     flatten(transform(codes, (c, s) => element_at(element_at(cb, s + 1), c + 1)))
   }
 
+  /** Stage-2 residual frame for progressive/product-residual quantization
+    * (the HNSW_PRQ quantizer family, `faiss_hnsw.cc:2928-2939`): each
+    * row's stage-1 reconstruction subtracted from the raw vector, in
+    * FLOAT. Float subtraction is correctly rounded on any engine, so
+    * explicit stage-2 codebooks built from this frame remain
+    * oracle-expressible. */
+  def residualFrame(base: DataFrame, model: PQModel): DataFrame =
+    base.select(col("id"),
+      zip_with(col("vec"), reconExpr(encodeExpr(col("vec"), model), model),
+        (a, b) => (a - b).cast("float")).as("vec"))
+
+  /** Two-stage PRQ reconstruction tier (id, vec): stage-1 recon plus the
+    * recon of the stage-1 residual under the stage-2 codebook. Staged
+    * through intermediate columns: CollapseProject keeps multiply-
+    * referenced non-trivial aliases staged, so the stage-1 tree is not
+    * inlined into each of the stage-2 distance expressions. */
+  def prqReconTier(base: DataFrame, m1: PQModel, m2: PQModel): DataFrame =
+    base
+      .withColumn("_r1", reconExpr(encodeExpr(col("vec"), m1), m1))
+      .withColumn("_resid",
+        zip_with(col("vec"), col("_r1"), (a, b) => (a - b).cast("float")))
+      .withColumn("_r2", reconExpr(encodeExpr(col("_resid"), m2), m2))
+      .select(col("id"),
+        zip_with(col("_r1"), col("_r2"), (a, b) => (a + b).cast("float")).as("vec"))
+
   /** Per-query LUT for subspace s: distances to all ksub codewords. */
   private[operators] def lutExpr(qvec: Column, model: PQModel, s: Int): Column = {
     val sub = slice(qvec, s * model.dsub + 1, model.dsub)

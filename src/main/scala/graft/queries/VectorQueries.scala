@@ -311,6 +311,63 @@ recon AS (
   FROM enc e2 JOIN cb ON cb.c = e2.code
   GROUP BY e2.vec_id
 )"""
+        case "prq" =>
+          // stage-1 = the "pq" codebook/codes; stage-2 codes the FLOAT
+          // residual (vec − recon1) against an explicit residual codebook
+          // (the same every-25th-row device applied to the residual frame);
+          // final tier = recon1 + recon2. Float subtraction/addition is
+          // correctly rounded identically on both engines.
+          val dExpr1 =
+            "list_sum(list_transform(range(1, 9), j -> " +
+              "(CAST(b.embedding[s.s*8 + j] AS DOUBLE) - CAST(cb.cv[s.s*8 + j] AS DOUBLE)) * " +
+              "(CAST(b.embedding[s.s*8 + j] AS DOUBLE) - CAST(cb.cv[s.s*8 + j] AS DOUBLE))))"
+          val dExpr2 =
+            "list_sum(list_transform(range(1, 9), j -> " +
+              "(CAST(rr.rv[s.s*8 + j] AS DOUBLE) - CAST(cb2.cv[s.s*8 + j] AS DOUBLE)) * " +
+              "(CAST(rr.rv[s.s*8 + j] AS DOUBLE) - CAST(cb2.cv[s.s*8 + j] AS DOUBLE))))"
+          s"""cb AS (SELECT CAST(vec_id // 25 AS INT) AS c, embedding AS cv FROM embeddings
+       WHERE vec_id % 25 = 0 AND vec_id < 400),
+enc AS (
+  SELECT b.vec_id AS vec_id, s.s AS s, cb.c AS code
+  FROM embeddings b
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+  CROSS JOIN cb
+  QUALIFY row_number() OVER (PARTITION BY b.vec_id, s.s
+    ORDER BY $dExpr1 ASC, cb.c ASC) = 1
+),
+r1 AS (
+  SELECT e2.vec_id AS vec_id,
+    flatten(list(cb.cv[e2.s*8+1 : e2.s*8+8] ORDER BY e2.s)) AS rv
+  FROM enc e2 JOIN cb ON cb.c = e2.code
+  GROUP BY e2.vec_id
+),
+resid AS (
+  SELECT b.vec_id AS vec_id,
+    list_transform(range(1, len(b.embedding)+1), i ->
+      CAST(CAST(b.embedding[i] AS REAL) - r.rv[i] AS REAL)) AS rv
+  FROM embeddings b JOIN r1 r ON r.vec_id = b.vec_id
+),
+cb2 AS (SELECT CAST(vec_id // 25 AS INT) AS c, rv AS cv FROM resid
+        WHERE vec_id % 25 = 0 AND vec_id < 400),
+enc2 AS (
+  SELECT rr.vec_id AS vec_id, s.s AS s, cb2.c AS code
+  FROM resid rr
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+  CROSS JOIN cb2
+  QUALIFY row_number() OVER (PARTITION BY rr.vec_id, s.s
+    ORDER BY $dExpr2 ASC, cb2.c ASC) = 1
+),
+r2 AS (
+  SELECT e3.vec_id AS vec_id,
+    flatten(list(cb2.cv[e3.s*8+1 : e3.s*8+8] ORDER BY e3.s)) AS rv
+  FROM enc2 e3 JOIN cb2 ON cb2.c = e3.code
+  GROUP BY e3.vec_id
+),
+recon AS (
+  SELECT a.vec_id AS vec_id,
+    list_transform(range(1, len(a.rv)+1), i -> CAST(a.rv[i] + b2.rv[i] AS REAL)) AS rv
+  FROM r1 a JOIN r2 b2 ON b2.vec_id = a.vec_id
+)"""
         case other => sys.error(s"unknown graphBeamQuant variant $other")
       }
       val dq =
@@ -1155,6 +1212,32 @@ SELECT stat, value FROM (
           entries, K, ef = 16, iters = 2, Metric.L2, ROUND)
       },
       Some(Sql.graphBeamQuant(ef = 16, k = K, "pq"))),
+    // S7 HNSW_PRQ analog: two-stage product-RESIDUAL quantization — the
+    // beam traverses on recon1 + recon2(residual), exact refine of the
+    // final frontier. Explicit codebooks for both stages (stage 2 codes
+    // the float residual frame) keep it hash-gated.
+    GraftQuery(
+      "knn_graph_search_prq",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val all = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val graph = BruteForce
+          .knnFused(all, base, 5, Metric.L2, roundDist = ROUND, excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"))
+        val entries = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("nid"))
+        val m1 = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
+        val m2 = ProductQuant.explicitModel(
+          ProductQuant.residualFrame(base, m1), m = 8, ksub = 16, step = 25)
+        val approx = ProductQuant.prqReconTier(base, m1, m2)
+        GraphSearch.beamSearchRefined(graph, approx, base, queryVecs(s, dir),
+          entries, K, ef = 16, iters = 2, Metric.L2, ROUND)
+      },
+      Some(Sql.graphBeamQuant(ef = 16, k = K, "prq"))),
     // S6 IVF_SQ8 — SQ8 codes inside probed IVF lists + exact rerank
     // (ivf.cc:1244-1276): the quantizer rides the coarse index
     GraftQuery(

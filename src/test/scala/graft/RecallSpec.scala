@@ -131,6 +131,14 @@ class RecallSpec extends SparkSpec {
     val gotPq = GraphSearch.beamSearchRefined(
       graph, pqTier, base, queries, entries, K, ef = 32, iters = 4)
     assert(recall(gotPq, truth) >= 0.6)
+    // PRQ: trained stage-2 on the stage-1 residuals — the two-stage recon
+    // tier is strictly closer to the raw vectors, so the floor holds
+    val m2 = ProductQuant.train(spark, ProductQuant.residualFrame(base, model),
+      m = 8, ksub = 16)
+    val gotPrq = GraphSearch.beamSearchRefined(
+      graph, ProductQuant.prqReconTier(base, model, m2), base, queries, entries,
+      K, ef = 32, iters = 4)
+    assert(recall(gotPrq, truth) >= 0.6)
     graph.unpersist()
   }
 
