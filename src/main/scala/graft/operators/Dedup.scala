@@ -246,6 +246,29 @@ object Dedup {
     out
   }
 
+  /** Deterministic train/val/test split by CONTENT hash — the standard
+    * leakage guard in a training-data pipeline: bucketing on md5(text)
+    * (not doc id) pins exact duplicates to the same split, so a test
+    * document can never have a training-set twin. Buckets are the first
+    * md5 byte compared lexically on the hex (hex order = numeric order);
+    * fractions are byte-resolution (n/256). Map-side only — no shuffle,
+    * no state; the split is stable across runs and cluster layouts. */
+  def hashSplit(
+      docs: DataFrame, // (doc_id, text)
+      trainBytes: Int = 205, // < 0xcd → ~80.1%
+      valBytes: Int = 25 // < 0xe6 → ~9.8%, rest test
+  ): DataFrame = {
+    val h2 = substring(md5(col("text").cast("binary")), 1, 2)
+    val trainHex = f"$trainBytes%02x"
+    val valHex = f"${trainBytes + valBytes}%02x"
+    docs.select(
+      col("doc_id"),
+      when(h2 < trainHex, "train")
+        .when(h2 < valHex, "val")
+        .otherwise("test")
+        .as("split"))
+  }
+
   /** Embedding near-dup pairs via random-hyperplane LSH (Charikar
     * signatures) — the 100-TB scale path for cosine near-dup, replacing
     * the quadratic all-pairs scan: sign-bit signatures against a fixed

@@ -250,6 +250,115 @@ scored AS (
   FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b
 )
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.35""")),
+    // connected-components grouping over the embedding near-dup pairs —
+    // the same transitive-closure stage as dedup_groups, on the LSH-
+    // verified cosine pairs (the 100-TB embedding-dedup path end to end)
+    GraftQuery(
+      "embed_dup_groups",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val proj = emb
+          .filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("pid"), col("embedding").as("pvec"))
+        val pairs = Dedup.cosineLshPairs(emb, proj, threshold = 0.35)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        Dedup.connectedComponents(pairs)
+          .select(col("doc_id").as("vec_id"), col("group_id"))
+      },
+      Some("""WITH RECURSIVE p AS (SELECT CAST(vec_id AS INT) AS pid, embedding AS pvec FROM embeddings WHERE vec_id < 16),
+bits AS (
+  SELECT e.vec_id, p.pid,
+    CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1), i ->
+      CAST(e.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN p
+),
+sigs AS (
+  SELECT vec_id,
+    sum(CASE WHEN pid BETWEEN 0 AND 7 THEN bit << pid ELSE 0 END) AS k0,
+    sum(CASE WHEN pid BETWEEN 8 AND 15 THEN bit << (pid - 8) ELSE 0 END) AS k1
+  FROM bits GROUP BY 1
+),
+banded AS (
+  SELECT vec_id, 0 AS band, k0 AS key FROM sigs
+  UNION ALL SELECT vec_id, 1 AS band, k1 AS key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    round(list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+      CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+      (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM scored WHERE cosine >= 0.35
+  UNION ALL SELECT id_b, id_a FROM scored WHERE cosine >= 0.35
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS vec_id, min(v) AS group_id FROM reach GROUP BY 1""")),
+    // streaming exact dedup: per-digest GroupState carries (survivor id,
+    // copies) across micro-batches — a duplicate arriving in a later batch
+    // is still dropped; survivor = global min id (order-insensitive), so
+    // the final state hash-matches the batch min-id-per-digest oracle
+    GraftQuery(
+      "dedup_exact_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Tables.documents(s, dir)
+        val median = docs.selectExpr("percentile(doc_id, 0.5)").head().getDouble(0).toLong
+        val stage = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
+        docs.filter(col("doc_id") <= median)
+          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
+        docs.filter(col("doc_id") > median)
+          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
+        import java.nio.file.attribute.FileTime
+        def touch(p: java.nio.file.Path, t: Long): Unit =
+          java.nio.file.Files.walk(p).forEach(f =>
+            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
+        val now = System.currentTimeMillis()
+        touch(d1, now - 120000); touch(d2, now - 60000)
+        val src = s.readStream
+          .schema(s.read.parquet(d1.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$stage/b*")
+        val sink = s"dedup_exact_stream_${System.nanoTime()}"
+        val q = graft.streaming.StreamingDedup
+          .dedupUpdates(src)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // per digest: survivor id only shrinks, copies only grow — the
+        // final state is (min doc_id, max n_copies)
+        s.table(sink)
+          .groupBy(col("digest"))
+          .agg(min(col("doc_id")).as("doc_id"), max(col("n_copies")).as("n_copies"))
+          .select(col("doc_id"), col("n_copies"))
+      },
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)""")),
+    // deterministic train/val/test split by CONTENT hash (leakage guard:
+    // exact duplicates always land in the same split) — map-side only
+    GraftQuery(
+      "corpus_split",
+      (s, dir) => Dedup.hashSplit(Tables.documents(s, dir)),
+      Some("""SELECT doc_id,
+CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+     WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+     ELSE 'test' END AS split
+FROM documents""")),
     // embedding-cosine nearest neighbor per vector (near-dup scan shape)
     GraftQuery(
       "embed_nn_cosine",
