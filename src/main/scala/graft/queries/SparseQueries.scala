@@ -271,6 +271,21 @@ SELECT qid, nid, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
   FROM exact
 ) WHERE rnk > 10 AND rnk <= 20""")),
+    // V6 × S16 — the iterator page under BM25 scoring (the reference's
+    // sparse iterator serves BM25 too, sparse_index_node.cc AnnIterator)
+    GraftQuery(
+      "sparse_bm25_iter_page2",
+      (s, dir) => {
+        val m = model(s, dir)
+        SparseSearch.searchBM25(queryPostings(s, dir), m, 20)
+          .filter(col("rnk") > 10)
+      },
+      Some(s"""$bm25ScoredCte
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk > 10 AND rnk <= 20""")),
     // V7 × S9 — sparse GetVectorByIds: reassembled term-sorted sparse rows
     GraftQuery(
       "sparse_get_vector",
