@@ -61,6 +61,28 @@ final class AnnIteratorSession(val ranked: DataFrame /* (qid, nid, dist, rnk) */
   def close(): Unit = ranked.unpersist()
 }
 
+/** Lazy-chunk iterator session — the `index_node.h:648-669` analog: the
+  * reference's PrecomputedDistanceIterator computes all distances up front
+  * but only PARTIAL-SORTS them, one chunk at a time, as pages are consumed.
+  * Here `open` persists the UNRANKED distance stream; each `page(p)` runs
+  * the bounded-heap top-(p·size) aggregate (O(nb·log(p·size)) per query,
+  * map-side partial, shuffle ≤ p·size rows per query per partition) instead
+  * of a global per-query sort. Opening on a huge base costs one distance
+  * scan, never a full sort.
+  */
+final class LazyAnnIteratorSession(
+    val pairs: DataFrame, /* (qid, nid, dist) — persisted, unranked */
+    ascending: Boolean) {
+
+  /** Page p (1-based): ranks ((p−1)·pageSize, p·pageSize] via a k-bounded
+    * heap with k = p·pageSize — only the consumed prefix is ever ordered. */
+  def page(p: Int, pageSize: Int): DataFrame =
+    BruteForce.topK(pairs, p * pageSize, ascending)
+      .filter(col("rnk") > (p - 1) * pageSize)
+
+  def close(): Unit = pairs.unpersist()
+}
+
 object AnnIteratorOp {
 
   /** Rank ALL base rows per query by `distCol(qvec, vec)` and persist the
@@ -87,5 +109,24 @@ object AnnIteratorOp {
         row_number().over(Window.partitionBy(col("qid")).orderBy(ord: _*)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     new AnnIteratorSession(ranked)
+  }
+
+  /** Lazy open: persist the distance stream WITHOUT ranking it. Pages
+    * partial-sort on demand (`LazyAnnIteratorSession.page`) — the
+    * partial-sort-in-chunks contract of `index_node.h:648-669`. */
+  def openLazy(
+      queries: DataFrame, // (qid, qvec)
+      base: DataFrame, // (id, vec)
+      metric: Metric,
+      roundDist: Option[Int] = None,
+      distOverride: Option[org.apache.spark.sql.Column] = None
+  ): LazyAnnIteratorSession = {
+    val raw = distOverride.getOrElse(metric.dist(col("qvec"), col("vec")))
+    val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
+    val pairs = broadcast(queries)
+      .crossJoin(base)
+      .select(col("qid"), col("id").as("nid"), d.as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    new LazyAnnIteratorSession(pairs, metric.ascending)
   }
 }

@@ -51,7 +51,8 @@ final class DiskAnnIndex(
     val model: ProductQuant.PQModel,
     val searchListSize: Int, // search_list_size (L)
     val beamIters: Int,
-    roundDist: Option[Int] = None
+    roundDist: Option[Int] = None,
+    degreeHint: Option[Long] = None // from build-time metadata on load
 ) extends graft.VectorIndex {
   override def indexType: String = "DISKANN"
   override lazy val count: Long = raw.count()
@@ -76,11 +77,18 @@ final class DiskAnnIndex(
     raw.write.mode("overwrite").parquet(s"$dir/raw")
     entries.write.mode("overwrite").parquet(s"$dir/entries")
     ProductQuant.saveModel(raw.sparkSession, model, s"$dir/pq")
+    // degree stats become BUILD-TIME metadata: a loaded index answers meta
+    // calls without ever scanning the graph (the reference keeps graph
+    // degree in the index header, diskann.cc metadata block)
+    val spark = raw.sparkSession
+    import spark.implicits._
+    Seq(maxDegree).toDF("max_degree").write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  // computed once per index handle — meta calls must not re-scan the graph
-  private lazy val maxDegree: Long =
-    graph.groupBy(col("src")).count().agg(max("count")).head().getLong(0)
+  // loaded indexes read the build-time metadata; in-memory builds compute
+  // once per handle — meta calls never re-scan the graph twice either way
+  private lazy val maxDegree: Long = degreeHint.getOrElse(
+    graph.groupBy(col("src")).count().agg(max("count")).head().getLong(0))
 
   override def indexMetaJson: String =
     s"""{"index_type":"$indexType","count":$count,"dim":$dim,""" +
@@ -144,7 +152,11 @@ object DiskAnn {
       searchListSize: Int = 16,
       beamIters: Int = 2,
       roundDist: Option[Int] = Some(4)
-  ): DiskAnnIndex =
+  ): DiskAnnIndex = {
+    // older saves predate the meta table; fall back to the lazy graph scan
+    val hint =
+      try Some(spark.read.parquet(s"$dir/meta").head().getLong(0))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     new DiskAnnIndex(
       spark.read.parquet(s"$dir/graph"),
       spark.read.parquet(s"$dir/codes"),
@@ -153,7 +165,9 @@ object DiskAnn {
       ProductQuant.loadModel(spark, s"$dir/pq"),
       searchListSize,
       beamIters,
-      roundDist)
+      roundDist,
+      degreeHint = hint)
+  }
 
   /** ADC distance for explicit (qid, nid) candidate pairs: the in-memory
     * tier's only distance — codes join + broadcast query LUTs, no raw

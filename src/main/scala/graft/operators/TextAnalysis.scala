@@ -77,6 +77,40 @@ object TextAnalysis {
     )
   }
 
+  /** Intra-document repetition stats — the Gopher-family repetition rules
+    * (top-n-gram fraction, duplicate-n-gram fraction) used to drop
+    * boilerplate/templated docs from training corpora:
+    *
+    *   - `top_bigram_frac`: occurrences of the doc's most frequent token
+    *     bigram / total bigram occurrences;
+    *   - `dup_trigram_frac`: fraction of trigram occurrences whose trigram
+    *     appears more than once in the doc.
+    *
+    * Shape: explode + two-level groupBy rather than per-row HOF counting —
+    * the (doc_id, gram) keys partial-aggregate map-side, work distributes
+    * across cores for arbitrarily long documents, and no per-row O(n·u)
+    * nested loop enters codegen. Docs with < 3 tokens are excluded (no
+    * trigrams exist). */
+  def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val docs = df.select(col("doc_id"), t.as("t")).filter(size(col("t")) >= 3)
+    def gramFrame(n: Int): DataFrame =
+      docs
+        .select(col("doc_id"), explode(shingles(col("t"), n)).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+    val top2 = gramFrame(2)
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 4)
+        .as("top_bigram_frac"))
+    val dup3 = gramFrame(3)
+      .groupBy(col("doc_id"))
+      .agg(round(
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double") /
+          sum(col("c")).cast("double"), 4).as("dup_trigram_frac"))
+    top2.join(dup3, "doc_id")
+  }
+
   /** Language-ID n-gram heuristic: score per language = fraction of tokens
     * hitting that language's stop list; argmax with deterministic tie order
     * (en > de > fr > es > zh). (The synthetic corpus draws all languages

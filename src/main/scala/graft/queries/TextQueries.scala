@@ -55,6 +55,34 @@ SELECT doc_id,
        ELSE 'zh' END AS pred_lang,
   round(greatest(en, de, fr, es, zh), 4) AS lang_score
 FROM r""")),
+    // Gopher-family repetition rules: top-bigram fraction + duplicate-
+    // trigram fraction per document (templated/boilerplate doc signal)
+    GraftQuery(
+      "doc_repetition",
+      (s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir)),
+      Some("""WITH f AS (
+  SELECT doc_id, t FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g FROM f
+),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bstat AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac
+  FROM bgc GROUP BY 1
+),
+tg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM f
+),
+tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+tstat AS (
+  SELECT doc_id,
+    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS dup_trigram_frac
+  FROM tgc GROUP BY 1
+)
+SELECT b.doc_id AS doc_id, b.top_bigram_frac, t.dup_trigram_frac
+FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id""")),
     // document fingerprint (rolling polynomial hash over ordered tokens)
     GraftQuery(
       "doc_fingerprint",

@@ -1350,6 +1350,18 @@ SELECT qid, nid, dist, rnk FROM (
           .knn(queryVecs(s, dir), baseVecs(s, dir), 20, Metric.L2, roundDist = ROUND)
           .filter(col("rnk") > 10),
       Some(Sql.knn(Sql.l2, desc = false, k = 20).replace("WHERE rnk <= 20", "WHERE rnk <= 20 AND rnk > 10"))),
+    // S4/V6 — LAZY iterator pages (index_node.h:648-669 partial-sort-in-
+    // chunks): open persists unranked distances; page 2 partial-sorts via
+    // the bounded-heap top-20, never a full per-query sort
+    GraftQuery(
+      "iter_lazy_page2",
+      (s, dir) => {
+        val sess = AnnIteratorOp.openLazy(
+          queryVecs(s, dir), baseVecs(s, dir).select(col("id"), col("vec")),
+          Metric.L2, ROUND)
+        sess.page(2, 10)
+      },
+      Some(Sql.knn(Sql.l2, desc = false, k = 20).replace("WHERE rnk <= 20", "WHERE rnk <= 20 AND rnk > 10"))),
     // V10/V11 — Count/Dim/meta: index metadata describe
     GraftQuery(
       "index_meta",

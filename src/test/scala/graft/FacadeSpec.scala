@@ -188,6 +188,18 @@ class FacadeSpec extends SparkSpec {
     sess.close()
   }
 
+  test("lazy iterator pages (partial-sort-in-chunks) match the ranked session") {
+    import graft.operators.AnnIteratorOp
+    val eager = AnnIteratorOp.open(queries, base, Metric.L2, Some(4))
+    val lazySess = AnnIteratorOp.openLazy(queries, base, Metric.L2, Some(4))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"), r.getAs[Int]("rnk"))).toSet
+    // the lazy page never ranks past p·pageSize, yet emits the same rows
+    assert(rows(lazySess.page(1, 5)) == rows(eager.page(1, 5)))
+    assert(rows(lazySess.page(3, 5)) == rows(eager.page(3, 5)))
+    eager.close(); lazySess.close()
+  }
+
   test("annIteratorPage pages are disjoint and ordered") {
     val p1 = BruteForce.annIteratorPage(queries, base, Metric.L2, page = 1, pageSize = 5)
     val p2 = BruteForce.annIteratorPage(queries, base, Metric.L2, page = 2, pageSize = 5)

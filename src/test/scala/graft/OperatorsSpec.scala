@@ -302,4 +302,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sh("a b c d") == Seq("a b c", "b c d"))
     assert(sh("a b") == Seq("a b")) // shorter than n → whole doc
   }
+
+  test("repetitionStats: Gopher repetition fractions on hand-checked docs") {
+    val df = Seq(
+      // "a b a b a b": bigrams = [a b, b a, a b, b a, a b] → top 3/5;
+      // trigrams = [a b a, b a b, a b a, b a b] → all duplicated → 4/4
+      (1L, "a b a b a b"),
+      // all-distinct grams: top bigram 1/3, dup trigrams 0/2
+      (2L, "w x y z"),
+      (3L, "a b") // < 3 tokens → excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((0.6, 1.0)))
+    assert(got(2L) == ((0.3333, 0.0)))
+  }
 }
