@@ -62,9 +62,13 @@ final class IvfFlatIndex(
     roundDist: Option[Int] = None,
     // build-time per-list populations (IvfIndex.listSizes) — the
     // ensure_topk_full metadata; None for ad-hoc frames
-    val listSizesMeta: Option[DataFrame] = None
+    val listSizesMeta: Option[DataFrame] = None,
+    // IVF_FLAT_CC shares this artifact (index_param.h:30 — the CC variant
+    // is the same structure with a concurrent growing segment; here the
+    // micro-batch append path, streaming/StreamingIndex.scala)
+    typeName: String = "IVF_FLAT"
 ) extends VectorIndex {
-  override def indexType: String = "IVF_FLAT"
+  override def indexType: String = typeName
   override lazy val count: Long = index.count()
   override lazy val dim: Int = index.select(max(size(col("vec")))).head().getInt(0)
 
@@ -125,9 +129,10 @@ final class IvfSq8Index(
     val sq8Stats: DataFrame, // one row (mn ARRAY, mx ARRAY)
     val nprobe: Int,
     val reorderK: Int,
-    roundDist: Option[Int] = None
+    roundDist: Option[Int] = None,
+    typeName: String = "IVF_SQ8" // IVF_SQ_CC alias (index_param.h:34)
 ) extends VectorIndex {
-  override def indexType: String = "IVF_SQ8"
+  override def indexType: String = typeName
   override lazy val count: Long = index.count()
   override lazy val dim: Int = index.select(max(size(col("vec")))).head().getInt(0)
 
@@ -164,9 +169,13 @@ final class IvfPqIndex(
     val model: ProductQuant.PQModel,
     val nprobe: Int,
     val reorderK: Int,
-    roundDist: Option[Int] = None
+    roundDist: Option[Int] = None,
+    // SCANN shares this artifact: the reference's SCANN is the
+    // PQ-codes-plus-raw-refine configuration (`with_raw_data`) of the
+    // same coarse+PQ structure (index_param.h:32 registration)
+    typeName: String = "IVF_PQ"
 ) extends VectorIndex {
-  override def indexType: String = "IVF_PQ"
+  override def indexType: String = typeName
   override lazy val count: Long = index.count()
   override lazy val dim: Int = index.select(max(size(col("vec")))).head().getInt(0)
 
@@ -215,42 +224,83 @@ object IndexFactory {
     require(Capabilities.supportsMetric(indexType, metric.name),
       s"index $indexType does not support metric ${metric.name}")
     def cents = IvfIndex.trainKMeans(spark, base, nlist, seed)
+    // entry points for graph indexes: one medoid per k-means cluster (the
+    // reference enters at the dataset medoid; spreading entries across
+    // clusters compensates for the kNN graph's missing long-range edges)
+    def clusterMedoids(c: DataFrame): DataFrame = IvfIndex
+      .search(c.select(col("cluster_id").as("qid"), col("centroid").as("qvec")),
+        IvfIndex.build(base, c, roundDist), c, k = 1, nprobe = 1, Metric.L2, roundDist)
+      .select(col("nid")).distinct()
     indexType match {
       case "FLAT" | "BIN_FLAT" => new FlatIndex(base, metric, roundDist)
-      case "IVF_FLAT" =>
+      case "IVF_FLAT" | "IVF_FLAT_CC" =>
         val c = cents
         val idx = IvfIndex.build(base, c, roundDist)
         new IvfFlatIndex(idx, c, metric, nprobe, roundDist,
-          listSizesMeta = Some(IvfIndex.listSizes(idx)))
-      case "IVF_SQ8" =>
+          listSizesMeta = Some(IvfIndex.listSizes(idx)), typeName = indexType)
+      case "IVF_SQ8" | "IVF_SQ_CC" =>
         val c = cents
         new IvfSq8Index(IvfIndex.build(base, c, roundDist), c,
-          Quantization.sq8Train(base), nprobe, reorderK, roundDist)
-      case "IVF_PQ" =>
+          Quantization.sq8Train(base), nprobe, reorderK, roundDist, typeName = indexType)
+      case "IVF_PQ" | "SCANN" =>
+        // SCANN = the same coarse+PQ artifact in its `with_raw_data`
+        // configuration — ADC candidates, exact rerank from the raw
+        // vectors riding the lists (index_param.h:32)
         val c = cents
         new IvfPqIndex(IvfIndex.build(base, c, roundDist), c,
-          ProductQuant.train(spark, base, pqM, pqKsub, seed), nprobe, reorderK, roundDist)
+          ProductQuant.train(spark, base, pqM, pqKsub, seed), nprobe, reorderK, roundDist,
+          typeName = indexType)
+      case "HNSW" | "HNSW_SQ" | "HNSW_PQ" | "HNSW_PRQ" =>
+        // graph: IVF-bucketed candidate construction (no all-pairs pass);
+        // quantized variants traverse on reconstructed vectors and
+        // exact-rerank the final frontier (faiss_hnsw.cc:2928-2939
+        // registrations, refine loop 739-860)
+        // degree 8 ≈ the reference's default M band (hnsw_config.h M):
+        // degree-5 graphs measured 0.56 recall at nb=500 — under-connected
+        val c = cents
+        val graph = GraphSearch.knnGraphIvf(base, c, degree = 8, nprobe = 2, metric, roundDist)
+        val variant = indexType match {
+          case "HNSW" => HnswVariant.Exact
+          case "HNSW_SQ" => HnswVariant.Sq8(Quantization.sq8Train(base))
+          case "HNSW_PQ" => HnswVariant.Pq(ProductQuant.train(spark, base, pqM, pqKsub, seed))
+          case _ =>
+            val m1 = ProductQuant.train(spark, base, pqM, pqKsub, seed)
+            val m2 = ProductQuant.train(
+              spark, ProductQuant.residualFrame(base, m1), pqM, pqKsub, seed + 1000)
+            HnswVariant.Prq(m1, m2)
+        }
+        // 4 hops from the per-cluster medoids — the depth the DISKANN arm
+        // uses; 2 hops cannot reach past the entry clusters on a degree-5
+        // graph (measured recall 0.2 vs 0.9+ at 4 hops, nb=500)
+        new HnswIndex(graph, base, clusterMedoids(c), metric,
+          efSearch = reorderK, beamIters = 4, variant, roundDist)
       case "DISKANN" =>
-        // entry points: one medoid per k-means cluster (the reference
-        // enters at the dataset medoid; spreading entries across clusters
-        // compensates for the kNN graph's missing long-range edges).
         // search_list_size = reorderK mirrors the reference's
         // search_list_size ≥ k validation (diskann_config.h:172-183).
         // Graph build is the IVF-bucketed candidate construction — the
         // reference also grows Vamana from bounded candidate pools
         // (diskann.cc:348-360), never all pairs.
         val c = cents
-        val entries = IvfIndex
-          .search(c.select(col("cluster_id").as("qid"), col("centroid").as("qvec")),
-            IvfIndex.build(base, c, roundDist), c, k = 1, nprobe = 1, Metric.L2, roundDist)
-          .select(col("nid")).distinct()
         DiskAnn.buildIvf(base, ProductQuant.train(spark, base, pqM, pqKsub, seed),
-          entries, c, degree = 5, nprobe = 2, searchListSize = reorderK,
+          clusterMedoids(c), c, degree = 5, nprobe = 2, searchListSize = reorderK,
           beamIters = 4, roundDist = roundDist)
+      case s if s.startsWith("SPARSE_") =>
+        throw new IllegalArgumentException(
+          s"sparse kind $s builds from a documents frame — use IndexFactory.buildSparse")
       case other =>
         throw new IllegalArgumentException(s"index type $other not yet constructible via factory")
     }
   }
+
+  /** Deserialize an HNSW-family index saved by HnswIndex.save. */
+  def loadHnsw(
+      spark: SparkSession,
+      dir: String,
+      metric: Metric = Metric.L2,
+      efSearch: Int = 16,
+      beamIters: Int = 2,
+      roundDist: Option[Int] = None
+  ): HnswIndex = HnswIndex.load(spark, dir, metric, efSearch, beamIters, roundDist)
 
   /** Deserialize a DiskANN index saved by DiskAnnIndex.save. */
   def loadDiskAnn(

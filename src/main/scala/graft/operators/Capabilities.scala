@@ -7,20 +7,36 @@ package graft.operators
   */
 object Capabilities {
 
+  /** Every CPU index kind the reference registers (`index_param.h:21-62`
+    * IndexEnum, minus the GPU families — ARCHITECTURE.md §5): the faiss
+    * flat/IVF kinds, their concurrent (CC) growing-segment variants, SCANN,
+    * the HNSW family, DISKANN, and the sparse kinds. */
   val IndexTypes: Set[String] =
-    Set("FLAT", "BIN_FLAT", "IVF_FLAT", "BIN_IVF_FLAT", "IVF_SQ8", "IVF_PQ",
-      "DISKANN", "SPARSE_INVERTED_INDEX", "SPARSE_WAND")
+    Set("FLAT", "BIN_FLAT", "IVF_FLAT", "IVF_FLAT_CC", "BIN_IVF_FLAT",
+      "IVF_SQ8", "IVF_SQ_CC", "IVF_PQ", "SCANN",
+      "HNSW", "HNSW_SQ", "HNSW_PQ", "HNSW_PRQ", "DISKANN",
+      "SPARSE_INVERTED_INDEX", "SPARSE_INVERTED_INDEX_CC",
+      "SPARSE_WAND", "SPARSE_WAND_CC")
 
   private val metricTable: Map[String, Set[String]] = Map(
     "FLAT" -> Set("l2", "l2sq", "ip", "cosine"),
     "BIN_FLAT" -> Set("hamming", "jaccard"),
     "IVF_FLAT" -> Set("l2", "l2sq", "ip", "cosine"),
+    "IVF_FLAT_CC" -> Set("l2", "l2sq", "ip", "cosine"),
     "BIN_IVF_FLAT" -> Set("hamming", "jaccard"),
     "IVF_SQ8" -> Set("l2", "l2sq"),
+    "IVF_SQ_CC" -> Set("l2", "l2sq"),
     "IVF_PQ" -> Set("l2", "l2sq"),
+    "SCANN" -> Set("l2", "l2sq"),
+    "HNSW" -> Set("l2", "l2sq", "ip", "cosine"),
+    "HNSW_SQ" -> Set("l2", "l2sq", "ip", "cosine"),
+    "HNSW_PQ" -> Set("l2", "l2sq", "ip", "cosine"),
+    "HNSW_PRQ" -> Set("l2", "l2sq", "ip", "cosine"),
     "DISKANN" -> Set("l2", "l2sq"),
     "SPARSE_INVERTED_INDEX" -> Set("ip", "bm25"),
-    "SPARSE_WAND" -> Set("ip", "bm25")
+    "SPARSE_INVERTED_INDEX_CC" -> Set("ip", "bm25"),
+    "SPARSE_WAND" -> Set("ip", "bm25"),
+    "SPARSE_WAND_CC" -> Set("ip", "bm25")
   )
 
   def supportsMetric(indexType: String, metric: String): Boolean =
@@ -33,14 +49,23 @@ object Capabilities {
     "FLAT" -> Set("fp32", "fp16", "bf16", "int8"),
     "BIN_FLAT" -> Set("bin1"),
     "IVF_FLAT" -> Set("fp32", "fp16", "bf16", "int8"),
+    "IVF_FLAT_CC" -> Set("fp32", "fp16", "bf16", "int8"),
     "BIN_IVF_FLAT" -> Set("bin1"),
     "IVF_SQ8" -> Set("fp32", "fp16", "bf16"),
+    "IVF_SQ_CC" -> Set("fp32", "fp16", "bf16"),
     "IVF_PQ" -> Set("fp32", "fp16", "bf16"),
+    "SCANN" -> Set("fp32", "fp16", "bf16"),
+    "HNSW" -> Set("fp32", "fp16", "bf16"),
+    "HNSW_SQ" -> Set("fp32", "fp16", "bf16"),
+    "HNSW_PQ" -> Set("fp32", "fp16", "bf16"),
+    "HNSW_PRQ" -> Set("fp32", "fp16", "bf16"),
     // "DiskANN only support floating point data type(float32, float16,
     // bfloat16)" — diskann.cc:36-37
     "DISKANN" -> Set("fp32", "fp16", "bf16"),
     "SPARSE_INVERTED_INDEX" -> Set("sparse_fp32"),
-    "SPARSE_WAND" -> Set("sparse_fp32")
+    "SPARSE_INVERTED_INDEX_CC" -> Set("sparse_fp32"),
+    "SPARSE_WAND" -> Set("sparse_fp32"),
+    "SPARSE_WAND_CC" -> Set("sparse_fp32")
   )
 
   def supportsDataType(indexType: String, dataType: String): Boolean =
@@ -53,8 +78,12 @@ object Capabilities {
     * reference's codes-only IVF_SQ8 answers false, `flat.cc:258-283`; its
     * SCANN answers `with_raw_data`). */
   def hasRawData(indexType: String): Boolean = indexType match {
-    case "FLAT" | "BIN_FLAT" | "IVF_FLAT" | "BIN_IVF_FLAT" => true
-    case "IVF_SQ8" | "IVF_PQ" => true
+    case "FLAT" | "BIN_FLAT" | "IVF_FLAT" | "IVF_FLAT_CC" | "BIN_IVF_FLAT" => true
+    case "IVF_SQ8" | "IVF_SQ_CC" | "IVF_PQ" | "SCANN" => true
+    // HNSW family: raw vectors are the refine tier (faiss_hnsw.cc refine
+    // loop 739-860); our rendering always retains them, so GetVectorByIds
+    // works on every variant — the reference's refine-flat configuration
+    case "HNSW" | "HNSW_SQ" | "HNSW_PQ" | "HNSW_PRQ" => true
     // DiskANN keeps full-precision vectors on SSD (diskann.cc GetVectorByIds)
     case "DISKANN" => true
     case _ => false
@@ -64,7 +93,8 @@ object Capabilities {
     * only under IP — BM25 stores transformed values
     * (`sparse_index_node.cc:541-543` `IsMetricType(metric, IP)`). */
   def hasRawData(indexType: String, metric: String): Boolean = indexType match {
-    case "SPARSE_INVERTED_INDEX" | "SPARSE_WAND" => metric.toLowerCase == "ip"
+    case "SPARSE_INVERTED_INDEX" | "SPARSE_INVERTED_INDEX_CC" |
+        "SPARSE_WAND" | "SPARSE_WAND_CC" => metric.toLowerCase == "ip"
     case t => hasRawData(t)
   }
 
@@ -75,6 +105,8 @@ object Capabilities {
   def supportsConcurrentAppend(indexType: String): Boolean =
     indexType match {
       case "IVF_FLAT" | "FLAT" | "SPARSE_INVERTED_INDEX" | "SPARSE_WAND" => true
+      case "IVF_FLAT_CC" | "IVF_SQ_CC" |
+          "SPARSE_INVERTED_INDEX_CC" | "SPARSE_WAND_CC" => true
       case _ => false
     }
 

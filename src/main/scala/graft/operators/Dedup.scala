@@ -246,6 +246,59 @@ object Dedup {
     out
   }
 
+  /** Benchmark DECONTAMINATION — the training-data hygiene pass that keeps
+    * eval benchmarks out of the training set: a corpus document is
+    * contaminated if it shares any token n-gram shingle with any document
+    * of the held-out eval set. Output: (doc_id, n_shared) for contaminated
+    * corpus docs only, n_shared = how many distinct shingles overlap.
+    *
+    * Scale shape: the eval set is small by construction, so its distinct
+    * shingle hashes BROADCAST; the corpus side is one map-side shingle
+    * explode + broadcast semi-join + one partial-aggregated groupBy on
+    * doc_id — the 100 TB corpus is never shuffled on anything wider than
+    * (doc_id, shingle-hash). */
+  def decontaminate(
+      docs: DataFrame, // (doc_id, text)
+      evalPred: Column, // membership predicate for the eval/benchmark set
+      n: Int = 3
+  ): DataFrame = {
+    def rows(d: DataFrame) =
+      d.select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("sh"))
+    val evalSh = rows(docs.filter(evalPred)).select(col("sh")).distinct()
+    rows(docs.filter(!evalPred))
+      .join(broadcast(evalSh), "sh")
+      .groupBy(col("doc_id"))
+      // shingleHashes is per-doc distinct, so count = distinct overlap
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Cross-document duplicated n-gram SPANS (substring-level exact dedup —
+    * the pass that finds boilerplate repeated across documents even when
+    * whole docs aren't near-dups): an n-token shingle is a duplicated span
+    * if it occurs in ≥2 distinct documents; per doc, count its distinct
+    * duplicated spans.
+    *
+    * Scale shape: one shuffle keyed on the shingle hash builds the global
+    * dup-span set (map-side partial counts), a second keyed on doc_id
+    * folds the per-doc counts — text never shuffles, only (doc_id, hash)
+    * pairs. */
+  def dupShingleSpans(docs: DataFrame, n: Int = 3): DataFrame = {
+    val rows = docs
+      .select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = rows
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("ndocs")) // rows are per-doc distinct ⇒ count = docs
+      .filter(col("ndocs") >= 2)
+      .select(col("sh"))
+    eager(
+      rows
+        .join(dup, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_spans")),
+      rows)
+  }
+
   /** Deterministic train/val/test split by CONTENT hash — the standard
     * leakage guard in a training-data pipeline: bucketing on md5(text)
     * (not doc id) pins exact duplicates to the same split, so a test

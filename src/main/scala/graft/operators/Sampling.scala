@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for the training-data pipeline —
+  * layout-independent (keys derive from CONTENT, never from partition or
+  * row position), so a sample is reproducible across runs, cluster sizes,
+  * and file orderings.
+  */
+object Sampling {
+
+  /** Content-derived pseudo-random sort key: polynomial char-fold of the
+    * md5 hex digest (same fold the oracle can compute — the dedup queries'
+    * `sqlTokenHash` device). Equal text ⇒ equal key; the fold whitens the
+    * digest into a uniform [0, HashP) long that fits a double exactly. */
+  private def contentKey(textCol: Column): Column =
+    TextAnalysis.tokenHash(md5(textCol.cast("binary"))).cast("double")
+
+  /** Stratified QUOTA sample: the first `quota` documents of every stratum
+    * in content-hash order. Per-stratum selection rides the bounded-heap
+    * top-k aggregate (graft.plans.TopKAgg) — map-side partial top-quota,
+    * so the shuffle carries ≤ quota rows per (stratum, partition) and a
+    * corpus-popular stratum never becomes one giant sorted partition (the
+    * skew hazard of the row_number formulation at 100 TB).
+    *
+    * Output: (stratum, doc_id, sample_rank), rank 1-based in hash order.
+    */
+  def stratifiedQuota(
+      docs: DataFrame, // (doc_id, text, <stratum col>)
+      stratumCol: String,
+      quota: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    BruteForce
+      .topK(
+        docs.select(
+          col(stratumCol).as("qid"),
+          col(idCol).as("nid"),
+          contentKey(col(textCol)).as("dist")),
+        quota,
+        ascending = true)
+      .select(
+        col("qid").as(stratumCol),
+        col("nid").as(idCol),
+        col("rnk").as("sample_rank"))
+
+  /** Rate-based Bernoulli sample: keep a document iff its content key
+    * falls under `rate` of the key space — map-side only, no shuffle, no
+    * state; the per-stratum twin of [[Dedup.hashSplit]]'s byte buckets.
+    * Exactly reproducible: the decision is a pure function of the text. */
+  def hashRate(
+      docs: DataFrame,
+      rate: Double,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0, 1]")
+    docs.filter(
+      contentKey(col(textCol)) < lit(math.floor(rate * TextAnalysis.HashP.toDouble)))
+  }
+}

@@ -375,6 +375,50 @@ pairs AS (
 SELECT qid, nid, dist FROM (
   SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS rn
   FROM pairs
-) WHERE rn = 1"""))
+) WHERE rn = 1""")),
+    // benchmark DECONTAMINATION: flag corpus docs sharing any token-3-gram
+    // shingle with the held-out eval set (doc_id % 97 = 0) — the hygiene
+    // pass between a crawl and a training run. Eval shingles broadcast;
+    // the corpus never shuffles wider than (doc_id, hash)
+    GraftQuery(
+      "decontaminate_ngram",
+      (s, dir) =>
+        Dedup.decontaminate(Tables.documents(s, dir), col("doc_id") % 97 === 0),
+      Some(s"""WITH $shCte,
+ev AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id AS doc_id, count(*) AS n_shared
+FROM tr JOIN ev ON ev.h = tr.h
+GROUP BY tr.doc_id""")),
+    // cross-document duplicated n-gram spans (substring-level exact dedup):
+    // per doc, how many of its distinct token-3-gram spans also occur in
+    // at least one other document — finds repeated boilerplate that
+    // whole-document near-dup misses
+    GraftQuery(
+      "dup_ngram_spans",
+      (s, dir) => Dedup.dupShingleSpans(Tables.documents(s, dir)),
+      Some(s"""WITH $shCte,
+rws AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+dup AS (SELECT h FROM rws GROUP BY h HAVING count(*) >= 2)
+SELECT r.doc_id AS doc_id, count(*) AS n_dup_spans
+FROM rws r JOIN dup d ON d.h = r.h
+GROUP BY r.doc_id""")),
+    // stratified quota sampling: first 10 docs of every source stratum in
+    // content-hash order — deterministic, layout-independent, and served
+    // by the bounded-heap top-k aggregate (map-side partial top-quota; a
+    // popular stratum never becomes one giant sorted partition)
+    GraftQuery(
+      "corpus_sample_stratified",
+      (s, dir) =>
+        graft.operators.Sampling.stratifiedQuota(
+          Tables.documents(s, dir), "source", quota = 10),
+      Some(s"""WITH keyed AS (
+  SELECT source, doc_id, ${sqlTokenHash("md5(text)")} AS h FROM documents
+)
+SELECT source, doc_id, sample_rank FROM (
+  SELECT source, doc_id,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS INT) AS sample_rank
+  FROM keyed
+) WHERE sample_rank <= 10"""))
   )
 }

@@ -1434,10 +1434,14 @@ min(vec_id) AS min_id, max(vec_id) AS max_id FROM embeddings""")),
         import s.implicits._
         Seq(
           ("FLAT", "l2"), ("BIN_FLAT", "hamming"), ("IVF_FLAT", "l2"),
-          ("BIN_IVF_FLAT", "hamming"), ("IVF_SQ8", "l2"), ("IVF_PQ", "l2"),
+          ("IVF_FLAT_CC", "l2"), ("BIN_IVF_FLAT", "hamming"),
+          ("IVF_SQ8", "l2"), ("IVF_SQ_CC", "l2"), ("IVF_PQ", "l2"),
+          ("SCANN", "l2"), ("HNSW", "l2"), ("HNSW", "cosine"),
+          ("HNSW_SQ", "l2"), ("HNSW_PQ", "l2"), ("HNSW_PRQ", "l2"),
           ("DISKANN", "l2"), ("SPARSE_INVERTED_INDEX", "ip"),
-          ("SPARSE_INVERTED_INDEX", "bm25"), ("SPARSE_WAND", "ip"),
-          ("SPARSE_WAND", "bm25")
+          ("SPARSE_INVERTED_INDEX", "bm25"),
+          ("SPARSE_INVERTED_INDEX_CC", "ip"), ("SPARSE_WAND", "ip"),
+          ("SPARSE_WAND", "bm25"), ("SPARSE_WAND_CC", "bm25")
         ).map { case (t, m) =>
           (t, m, Capabilities.supportsMetric(t, m), Capabilities.hasRawData(t, m),
             Capabilities.supportsConcurrentAppend(t), Capabilities.supportsMmap(t),
@@ -1450,14 +1454,24 @@ min(vec_id) AS min_id, max(vec_id) AS max_id FROM embeddings""")),
 ('FLAT', 'l2', true, true, true, true, true),
 ('BIN_FLAT', 'hamming', true, true, false, true, true),
 ('IVF_FLAT', 'l2', true, true, true, true, true),
+('IVF_FLAT_CC', 'l2', true, true, true, true, true),
 ('BIN_IVF_FLAT', 'hamming', true, true, false, true, true),
 ('IVF_SQ8', 'l2', true, true, false, true, true),
+('IVF_SQ_CC', 'l2', true, true, true, true, true),
 ('IVF_PQ', 'l2', true, true, false, true, true),
+('SCANN', 'l2', true, true, false, true, true),
+('HNSW', 'l2', true, true, false, true, true),
+('HNSW', 'cosine', true, true, false, true, true),
+('HNSW_SQ', 'l2', true, true, false, true, true),
+('HNSW_PQ', 'l2', true, true, false, true, true),
+('HNSW_PRQ', 'l2', true, true, false, true, true),
 ('DISKANN', 'l2', true, true, false, false, true),
 ('SPARSE_INVERTED_INDEX', 'ip', true, true, true, true, true),
 ('SPARSE_INVERTED_INDEX', 'bm25', true, false, true, true, true),
+('SPARSE_INVERTED_INDEX_CC', 'ip', true, true, true, true, true),
 ('SPARSE_WAND', 'ip', true, true, true, true, true),
-('SPARSE_WAND', 'bm25', true, false, true, true, true)
+('SPARSE_WAND', 'bm25', true, false, true, true, true),
+('SPARSE_WAND_CC', 'bm25', true, false, true, true, true)
 ) AS t(index_type, metric, supports_metric, has_raw_data, concurrent_append, supports_mmap, version_ok)""")),
     // S7/S8 graph BUILD at the 100-TB shape: candidates from the nprobe
     // nearest IVF lists only (co-located shuffle join on cluster_id) —

@@ -122,6 +122,54 @@ class FacadeSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](daL.search(queries, 20, None))
   }
 
+  test("HNSW family via factory: build, recall floor, save/load round-trip, aliases") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = BruteForce.knn(queries, base, 5, Metric.L2, roundDist = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (t <- Seq("HNSW", "HNSW_SQ", "HNSW_PQ", "HNSW_PRQ")) {
+      val idx = IndexFactory
+        .build(spark, t, base, Metric.L2, nlist = 4, reorderK = 32, roundDist = Some(4))
+      assert(idx.indexType == t)
+      assert(idx.hasRawData) // refine-flat: raw tier retained
+      val got = idx.search(queries, 5, None)
+      val hits = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (hits & exact).size.toDouble / exact.size
+      assert(recall >= 0.6, s"$t recall $recall below the ANN floor")
+      // filtered search: answers obey the predicate, traversal still routes
+      val filtered = idx.search(queries, 5, Some(col("id") % 2 === 0))
+      assert(filtered.collect().forall(_.getLong(1) % 2 == 0))
+    }
+    // save/load round-trip is search-identical (quantized variant carries
+    // its codebooks through the artifact)
+    val sq = IndexFactory
+      .build(spark, "HNSW_SQ", base, Metric.L2, nlist = 4, reorderK = 32, roundDist = Some(4))
+      .asInstanceOf[graft.operators.HnswIndex]
+    val dir = Files.createTempDirectory("graft-hnsw").toString
+    sq.save(dir)
+    val sqL = IndexFactory.loadHnsw(spark, dir, Metric.L2, efSearch = 32,
+      beamIters = 4, roundDist = Some(4))
+    assert(rows(sq.search(queries, 5, None)) == rows(sqL.search(queries, 5, None)))
+    assert(sqL.indexType == "HNSW_SQ")
+    // meta comes from the build-time header, not a graph scan
+    assert(sqL.indexMetaJson.contains("\"degree\":"))
+  }
+
+  test("SCANN and CC aliases build the shared artifact under their own name") {
+    val scann = IndexFactory.build(spark, "SCANN", base, Metric.L2, nlist = 4, nprobe = 4)
+    assert(scann.indexType == "SCANN" && scann.hasRawData)
+    assert(scann.search(queries, 5, None).count() == queries.count() * 5)
+    val cc = IndexFactory.build(spark, "IVF_FLAT_CC", base, Metric.L2, nlist = 4, nprobe = 4)
+    assert(cc.indexType == "IVF_FLAT_CC")
+    assert(graft.operators.Capabilities.supportsConcurrentAppend("IVF_FLAT_CC"))
+    val sqcc = IndexFactory.build(spark, "IVF_SQ_CC", base, Metric.L2, nlist = 4, nprobe = 4)
+    assert(sqcc.indexType == "IVF_SQ_CC")
+    // sparse kinds route to buildSparse with a clear message
+    val e = intercept[IllegalArgumentException](
+      IndexFactory.build(spark, "SPARSE_WAND_CC", base, Metric.IP))
+    assert(e.getMessage.contains("buildSparse"))
+  }
+
   test("MV search-info hints derive from the filter expression tree") {
     import graft.operators.MvSearchInfo
     import spark.implicits._

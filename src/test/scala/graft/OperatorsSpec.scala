@@ -262,6 +262,50 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lastCcRounds <= 10, s"took ${Dedup.lastCcRounds} rounds")
   }
 
+  test("decontaminate: overlap with the eval set counted, eval docs excluded") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"), // shares "alpha beta gamma" with eval doc 10
+      (1L, "epsilon zeta eta theta"), // no overlap
+      (10L, "alpha beta gamma omega") // eval doc (pred below)
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .decontaminate(corpus, col("doc_id") === 10L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared")))
+      .toMap
+    assert(got == Map(0L -> 1L)) // doc 1 clean, eval doc not in the output
+  }
+
+  test("dupShingleSpans counts only cross-document repeated spans") {
+    val d = Seq(
+      (0L, "one two three four"), // spans: one-two-three, two-three-four
+      (1L, "zero one two three"), // shares one-two-three with doc 0
+      (2L, "five six seven eight") // all spans unique
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .dupShingleSpans(d)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_dup_spans")))
+      .toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L))
+  }
+
+  test("stratified quota sample: exact quota per stratum, heap path = window path") {
+    val d = Tables.documents(spark, sf0001)
+    val got = Sampling.stratifiedQuota(d, "source", quota = 3)
+    val bySrc = got.groupBy("source").count().collect()
+    assert(bySrc.length == 20 && bySrc.forall(_.getLong(1) == 3L))
+    // deterministic: a second run picks the identical sample
+    val again = Sampling.stratifiedQuota(d, "source", quota = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1))).toSet == again)
+    // rate sample is a pure content predicate: rate 0 empty, rate 1 total
+    assert(Sampling.hashRate(d, 0.0).count() == 0L)
+    assert(Sampling.hashRate(d, 1.0).count() == d.count())
+    val half = Sampling.hashRate(d, 0.5).count().toDouble / d.count()
+    assert(half > 0.35 && half < 0.65, s"rate-0.5 kept $half")
+  }
+
   test("cosine LSH: an exact duplicate collides on every band and is reported") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
     val dup = emb.filter(col("vec_id") === 7L)
