@@ -217,25 +217,27 @@ object Dedup {
         .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("vlbl")).as("nlbl"))
+      // hop is MATERIALIZED before the doubling self-join: the self-join
+      // reads the checkpointed blocks twice instead of re-executing hop's
+      // 3-shuffle plan twice, and the checkpoint also truncates lineage
+      // (without it the plan doubles per round — exponential
+      // analyzer/codegen cost long before data size matters). `old` rides
+      // along so fixpoint detection below is a filter, not another join.
       val hop = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // the self-join nests hop's plan twice, so without lineage
-      // truncation the logical plan doubles per round (exponential
-      // analyzer/codegen cost long before data size matters) —
-      // localCheckpoint pins the round's tiny label frame and restarts
-      // the plan from it
+        .localCheckpoint(true)
       val next = hop
         .join(hop.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
+      checkpointed += hop
       checkpointed += next
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") < col("old")).count()
+      changed = next.filter(col("lbl") < col("old")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("id"), col("lbl"))
     }
     lastCcRounds = rounds
     val out = eager(labels.select(col("id").as("doc_id"), col("lbl").as("group_id")),

@@ -111,6 +111,52 @@ object TextAnalysis {
     top2.join(dup3, "doc_id")
   }
 
+  /** Per-source corpus dashboard: the monitoring aggregation a crawl
+    * pipeline runs per ingest — document/token volumes, mean quality, mean
+    * length, and the language-ID agreement rate against the labeled lang
+    * column, one row per source.
+    *
+    * Shape: every per-doc metric is inline column arithmetic (no joins
+    * between metric frames), then ONE partial-aggregated groupBy on
+    * source. Per-doc quality is 4dp-rounded then summed as DECIMAL so the
+    * aggregate is exact and order-independent — fp summation order (which
+    * differs across partitionings) can never flip the reported mean. */
+  def corpusSourceStats(df: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / n
+    val stop = size(filter(t, x => x === "a" || x === "the")).cast("double") / n
+    val avgLen = aggregate(t, lit(0.0d), (a, x) => a + length(x).cast("double")) / n
+    val quality = round(lit(2.0d) * ttr - lit(3.0d) * stop + lit(0.05d) * avgLen, 4)
+    val en = size(filter(t, x => x === "the" || x === "a" || x === "of")).cast("double") / n
+    val de = size(filter(t, x => x === "der" || x === "die" || x === "das")).cast("double") / n
+    val fr = size(filter(t, x => x === "le" || x === "la" || x === "les")).cast("double") / n
+    val es = size(filter(t, x => x === "el" || x === "los" || x === "una")).cast("double") / n
+    val zh = size(filter(t, x => x === "de" || x === "shi" || x === "le")).cast("double") / n
+    val best = greatest(en, de, fr, es, zh)
+    val pred = when(en === best, "en")
+      .when(de === best, "de")
+      .when(fr === best, "fr")
+      .when(es === best, "es")
+      .otherwise("zh")
+    df.select(
+      col("source"),
+      size(t).cast("long").as("n_tokens"),
+      quality.cast("decimal(18,4)").as("q"),
+      col("n_chars"),
+      when(pred === col("lang"), 1L).otherwise(0L).as("lang_hit"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(sum(col("q")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("avg_quality"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"), 2)
+          .as("avg_chars"),
+        round(sum(col("lang_hit")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("langid_agreement"))
+  }
+
   /** Language-ID n-gram heuristic: score per language = fraction of tokens
     * hitting that language's stop list; argmax with deterministic tie order
     * (en > de > fr > es > zh). (The synthetic corpus draws all languages

@@ -83,6 +83,58 @@ tstat AS (
 )
 SELECT b.doc_id AS doc_id, b.top_bigram_frac, t.dup_trigram_frac
 FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id""")),
+    // per-source corpus dashboard: volumes, mean quality/length, lang-ID
+    // agreement — one partial-aggregated groupBy, per-doc metrics inline
+    // (decimal-summed quality keeps the mean order-independent)
+    GraftQuery(
+      "corpus_source_stats",
+      (s, dir) => TextAnalysis.corpusSourceStats(Tables.documents(s, dir)),
+      Some("""WITH tok AS (
+  SELECT source, lang, n_chars, string_split(text, ' ') AS t FROM documents
+),
+d AS (
+  SELECT source, n_chars, CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(round(2.0 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+      - 3.0 * (CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t))
+      + 0.05 * (list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE))) / len(t)), 4)
+      AS DECIMAL(18,4)) AS q,
+    CASE WHEN (CASE
+      WHEN CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t) =
+        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
+      THEN 'en'
+      WHEN CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t) =
+        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
+      THEN 'de'
+      WHEN CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t) =
+        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
+      THEN 'fr'
+      WHEN CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t) =
+        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
+      THEN 'es'
+      ELSE 'zh' END) = lang THEN 1 ELSE 0 END AS lang_hit
+  FROM tok
+)
+SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+  round(CAST(sum(q) AS DOUBLE) / count(*), 4) AS avg_quality,
+  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars,
+  round(CAST(sum(lang_hit) AS DOUBLE) / count(*), 4) AS langid_agreement
+FROM d GROUP BY source""")),
     // document fingerprint (rolling polynomial hash over ordered tokens)
     GraftQuery(
       "doc_fingerprint",

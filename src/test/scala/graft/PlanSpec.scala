@@ -42,6 +42,27 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 shuffle (top-k agg), got $shuffles:\n$p")
   }
 
+  test("decontaminate: eval shingles broadcast; corpus never sort-merge-joined") {
+    val docs = Tables.documents(spark, sf0001)
+    val p = plan(Dedup.decontaminate(docs, col("doc_id") % 97 === 0))
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not pay a sort-merge join against the eval set:\n$p")
+  }
+
+  test("stratified quota sample: bounded-heap aggregate with map-side partial, no window sort") {
+    val docs = Tables.documents(spark, sf0001)
+    val df = Sampling.stratifiedQuota(docs, "source", quota = 5)
+    val p = plan(df)
+    // the per-stratum selection is the TopKAgg partial/final pair —
+    // no global or per-partition Sort, no Window (the skew-prone shape)
+    assert(p.contains("TopKAgg") || p.contains("ObjectHashAggregate"),
+      s"expected the bounded-heap aggregate:\n$p")
+    assert(!p.contains("Window"), s"must not use a window sort:\n$p")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 shuffle (stratum agg), got $shuffles:\n$p")
+  }
+
   test("LSH band join shuffles only (vec_id, band, key), never the embeddings") {
     val emb = Tables.embeddings(spark, sf0001)
     val proj = emb.filter(col("vec_id") < 16)

@@ -198,7 +198,10 @@ class CapabilitiesSpec extends SparkSpec {
     assert(Capabilities.hasRawData("IVF_FLAT"))
     // SCANN-style with_raw_data variant: raw vectors retained for rerank
     assert(Capabilities.hasRawData("IVF_SQ8"))
-    assert(!Capabilities.hasRawData("HNSW_SQ"))
+    // HNSW family retains raw vectors (the refine tier — refine-flat
+    // configuration), so GetVectorByIds works on every variant
+    assert(Capabilities.hasRawData("HNSW_SQ"))
+    assert(!Capabilities.hasRawData("NOT_AN_INDEX"))
     assert(Capabilities.supportsConcurrentAppend("IVF_FLAT"))
     assert(!Capabilities.supportsConcurrentAppend("IVF_SQ8"))
   }
