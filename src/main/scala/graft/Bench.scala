@@ -29,6 +29,10 @@ object Bench {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(32).cache()
       docs.count()
       graft.operators.SparseSearch.postings(docs, "doc_id", "text").count()
+      // shingle/minhash/window plan family: the first dedup query was
+      // absorbing its whole-pipeline JIT (measured 33 s first-rep vs
+      // 2.2 s isolated at sf0.1) — touch it once on 32 docs
+      graft.operators.Dedup.minhashLshPairs(docs, threshold = 0.99).unpersist()
       emb.unpersist(); docs.unpersist()
       spark.catalog.clearCache()
     }

@@ -84,6 +84,19 @@ final class IvfFlatIndex(
     IvfIndex.search(queries, index, centroids, k, nprobe, metric, roundDist,
       ensureTopkFull = true, listSizes = listSizesMeta)
 
+  /** Concurrent-append analog — the CC growing-segment semantics
+    * (IVF_FLAT_CC, `index_param.h:30`; the reference's CC kinds append
+    * into FIXED coarse lists, no retrain): assign the new rows to the
+    * existing centroids and return a handle over the union. The streaming
+    * micro-batch path (streaming/StreamingIndex.startAppendIvf) is the
+    * continuous twin of this batch verb. */
+  def append(rows: DataFrame): IvfFlatIndex = {
+    val merged = index.unionByName(IvfIndex.build(rows, centroids, roundDist, metric))
+    new IvfFlatIndex(merged, centroids, metric, nprobe, roundDist,
+      listSizesMeta = listSizesMeta.map(_ => IvfIndex.listSizes(merged)),
+      typeName = indexType)
+  }
+
   /** Range search scans all lists — nprobe=nlist, exact within bound
     * (`ivf.cc:854-868`). */
   override def rangeSearch(queries: DataFrame, radius: Double, rangeFilter: Double,

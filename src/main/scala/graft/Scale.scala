@@ -160,6 +160,23 @@ object Scale {
     val daIds = diskann.search(queries, 10, None)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(f"diskann recall@10: ${daIds.intersect(truthIds).size.toDouble / truthIds.size}%.3f")
+
+    // ---- HNSW handle on the same bucketed graph: exact beam vs SQ8
+    // quantized traversal + refine (the memory-constrained config — the
+    // beam scans a 4× smaller reconstructed tier, raw read only for the
+    // final nq×ef rerank) ----
+    def recallOf(df: DataFrame): Double = {
+      val ids = df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ids.intersect(truthIds).size.toDouble / truthIds.size
+    }
+    val hnsw = new HnswIndex(graph, base, entries, Metric.L2,
+      efSearch = 64, beamIters = 4, HnswVariant.Exact)
+    time("hnsw exact beam (ef=64, 4 hops)")(hnsw.search(queries, 10, None).count())
+    println(f"hnsw recall@10: ${recallOf(hnsw.search(queries, 10, None))}%.3f")
+    val hnswSq = new HnswIndex(graph, base, entries, Metric.L2,
+      efSearch = 64, beamIters = 4, HnswVariant.Sq8(Quantization.sq8Train(base)))
+    time("hnsw_sq quantized beam + exact refine")(hnswSq.search(queries, 10, None).count())
+    println(f"hnsw_sq recall@10: ${recallOf(hnswSq.search(queries, 10, None))}%.3f")
     graph.unpersist()
 
     // ---- embedding near-dup: LSH bucketing (no all-pairs verify) ----

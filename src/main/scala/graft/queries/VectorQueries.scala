@@ -1096,6 +1096,31 @@ SELECT src, dst, dist, rnk FROM (
           K, ef = 16, iters = 2, Metric.L2, ROUND)
       },
       Some(Sql.graphBeam(ef = 16, k = K))),
+    // S4/V6 × S7 — AnnIterator over a GRAPH index (the reference's HNSW
+    // iterator, hnsw.h iterator workflow): the beam's ranked stream
+    // consumed as rank-range pages — page 2 of size 5 is ranks (5, 10];
+    // stream quality is ef-bounded exactly like the reference's iterator
+    // (candidates come from the traversal, not a full scan)
+    GraftQuery(
+      "graph_iter_page2",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val all = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val graph = BruteForce
+          .knnFused(all, base, 5, Metric.L2, roundDist = ROUND, excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"))
+        val entries = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("nid"))
+        GraphSearch.beamSearch(graph, base, queryVecs(s, dir), entries,
+          k = 10, ef = 16, iters = 2, Metric.L2, ROUND)
+          .filter(col("rnk") > 5)
+      },
+      Some(Sql.graphBeam(ef = 16, k = 10)
+        .replace("WHERE rnk <= 10", "WHERE rnk <= 10 AND rnk > 5"))),
     // S18 — Feder graph introspection (include/knowhere/feder/,
     // hnsw.h:212-257, test_feder.cc): graph overview (node/edge/entry
     // counts, degree histogram) + the beam's per-hop visit counts — the

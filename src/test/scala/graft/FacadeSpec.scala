@@ -164,6 +164,18 @@ class FacadeSpec extends SparkSpec {
     assert(graft.operators.Capabilities.supportsConcurrentAppend("IVF_FLAT_CC"))
     val sqcc = IndexFactory.build(spark, "IVF_SQ_CC", base, Metric.L2, nlist = 4, nprobe = 4)
     assert(sqcc.indexType == "IVF_SQ_CC")
+    // CC growing-segment semantics: append assigns into the FIXED lists
+    // (no retrain) and the appended vectors are immediately searchable
+    val half = base.filter(col("id") < 250L)
+    val rest = base.filter(col("id") >= 250L)
+    val grown = IndexFactory
+      .build(spark, "IVF_FLAT_CC", half, Metric.L2, nlist = 4, nprobe = 4)
+      .asInstanceOf[IvfFlatIndex]
+      .append(rest)
+    assert(grown.count == 500L && grown.indexType == "IVF_FLAT_CC")
+    val probe = rest.limit(1).select(col("id").as("qid"), col("vec").as("qvec"))
+    val top1 = grown.search(probe, 1, None).head()
+    assert(top1.getLong(0) == top1.getLong(1)) // finds itself at distance 0
     // sparse kinds route to buildSparse with a clear message
     val e = intercept[IllegalArgumentException](
       IndexFactory.build(spark, "SPARSE_WAND_CC", base, Metric.IP))
