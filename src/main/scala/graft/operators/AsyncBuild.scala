@@ -45,9 +45,25 @@ object IndexStatic {
     indexType match {
       case "FLAT" => vecBytes + idBytes
       case "BIN_FLAT" => count * ((dim + 7) / 8).toLong + idBytes
-      case "IVF_FLAT" => vecBytes + idBytes + (vecBytes / 10) // lists + centroids overhead
-      case "IVF_SQ8" => count * dim.toLong + idBytes // 1 byte/dim codes
-      case "SPARSE_INVERTED_INDEX" | "SPARSE_WAND" => count * 12L * 32 // ~32 nnz × (idx,val)
+      case "IVF_FLAT" | "IVF_FLAT_CC" =>
+        vecBytes + idBytes + (vecBytes / 10) // lists + centroids overhead
+      case "BIN_IVF_FLAT" =>
+        count * ((dim + 7) / 8).toLong + idBytes + (idBytes / 10)
+      case "IVF_SQ8" | "IVF_SQ_CC" => count * dim.toLong + idBytes // 1 byte/dim codes
+      // PQ codes (m=8 subspaces, 1 byte each) + raw vectors riding the
+      // lists (with_raw_data rerank tier)
+      case "IVF_PQ" | "SCANN" => count * 8L + vecBytes + idBytes
+      // graph: degree-8 adjacency (two longs per edge relationally);
+      // quantized variants add their code tier on top of raw (refine-flat)
+      case "HNSW" => vecBytes + idBytes + count * 8L * 16
+      case "HNSW_SQ" => vecBytes + idBytes + count * 8L * 16 + count * dim.toLong
+      case "HNSW_PQ" => vecBytes + idBytes + count * 8L * 16 + count * 8L
+      case "HNSW_PRQ" => vecBytes + idBytes + count * 8L * 16 + count * 16L
+      // memory tier only: PQ codes steer the beam; raw stays on SSD
+      // (pq_code_budget_gb's role, diskann_config.h:26-143)
+      case "DISKANN" => count * 8L + idBytes
+      case "SPARSE_INVERTED_INDEX" | "SPARSE_INVERTED_INDEX_CC" |
+          "SPARSE_WAND" | "SPARSE_WAND_CC" => count * 12L * 32 // ~32 nnz × (idx,val)
       case other => throw new IllegalArgumentException(s"unknown index type $other")
     }
   }

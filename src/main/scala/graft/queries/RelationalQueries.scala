@@ -88,6 +88,23 @@ round(sum(l_quantity), 4) AS sum_qty,
 round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue,
 count(*) AS n_rows
 FROM lineitem GROUP BY 1, 2""")),
+    // exact distinct-count at scale, two-phase: the naive
+    // count(DISTINCT user_id) funnels every row of a hot event_type into
+    // one reducer; the two-phase shape first dedups on the COMPOSITE key
+    // (event_type, user_id) — that shuffle spreads a hot type across the
+    // cluster by user — then counts per type with map-side partials.
+    // Same answer, no single-reducer bottleneck.
+    GraftQuery(
+      "events_distinct_users",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .select(col("event_type"), col("user_id"))
+          .distinct()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1""")),
     // star join with the right strategy per dimension: nation (25 rows)
     // is BROADCAST — never shuffled — while orders⋈customer shuffles on
     // the join key once; the fact table's revenue rounds per-row into an

@@ -219,6 +219,12 @@ class FacadeSpec extends SparkSpec {
   test("static facade: resource estimates and config check without an instance") {
     assert(IndexStatic.estimateLoadResourceBytes("FLAT", 1000, 64) == 1000L * 64 * 4 + 8000L)
     assert(IndexStatic.estimateLoadResourceBytes("IVF_SQ8", 1000, 64) == 64000L + 8000L)
+    // every registered CPU kind has an estimate (no throw across the enum)
+    graft.operators.Capabilities.IndexTypes.foreach(t =>
+      assert(IndexStatic.estimateLoadResourceBytes(t, 1000, 64) > 0L, t))
+    // DiskANN's memory tier (codes only) is far below the raw FLAT bytes
+    assert(IndexStatic.estimateLoadResourceBytes("DISKANN", 1000, 64) <
+      IndexStatic.estimateLoadResourceBytes("FLAT", 1000, 64))
     assert(IndexStatic.configCheck("FLAT", operators.Params.KnnParams(k = 10, metric = "cosine")))
     assert(!IndexStatic.configCheck("IVF_SQ8", operators.Params.KnnParams(k = 10, metric = "cosine")))
   }
