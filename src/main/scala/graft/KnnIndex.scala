@@ -246,6 +246,18 @@ object IndexFactory {
       .select(col("nid")).distinct()
     indexType match {
       case "FLAT" | "BIN_FLAT" => new FlatIndex(base, metric, roundDist)
+      case "BIN_IVF_FLAT" =>
+        // binary coarse codebook: every count/nlist-th vector of the base
+        // (k-means over hamming space degenerates to medoid picking; the
+        // reference's binary IVF also clusters in hamming). Assignment,
+        // probing and scan pruning are the shared IVF mechanics under the
+        // binary metric (ivf.cc:1244-1276 BIN_IVF_FLAT registration).
+        val step = math.max(1L, base.count() / nlist)
+        val c = base.filter(col("id") % step === 0)
+          .select((col("id") / step).cast("long").as("cluster_id"), col("vec").as("centroid"))
+        val idx = IvfIndex.build(base, c, roundDist, metric)
+        new IvfFlatIndex(idx, c, metric, nprobe, roundDist,
+          listSizesMeta = Some(IvfIndex.listSizes(idx)), typeName = indexType)
       case "IVF_FLAT" | "IVF_FLAT_CC" =>
         val c = cents
         val idx = IvfIndex.build(base, c, roundDist)

@@ -155,6 +155,18 @@ class FacadeSpec extends SparkSpec {
     assert(sqL.indexMetaJson.contains("\"degree\":"))
   }
 
+  test("BIN_IVF_FLAT via factory: hamming probe over packed binary vectors") {
+    import graft.functions.VectorFunctions.signBits
+    val packed = base.select(col("id"), signBits(col("vec")).as("vec"))
+    val idx = IndexFactory.build(spark, "BIN_IVF_FLAT", packed, Metric.Hamming,
+      nlist = 4, nprobe = 4)
+    assert(idx.indexType == "BIN_IVF_FLAT" && idx.hasRawData)
+    // nprobe = nlist → exact: each query's own vector is its top hit
+    val probe = packed.limit(3).select(col("id").as("qid"), col("vec").as("qvec"))
+    val top1 = idx.search(probe, 1, None).collect()
+    assert(top1.forall(r => r.getDouble(2) == 0.0))
+  }
+
   test("SCANN and CC aliases build the shared artifact under their own name") {
     val scann = IndexFactory.build(spark, "SCANN", base, Metric.L2, nlist = 4, nprobe = 4)
     assert(scann.indexType == "SCANN" && scann.hasRawData)

@@ -108,6 +108,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pipeline ops are layout-independent: identical output under any repartitioning") {
+    // the reproducibility claim behind content-hash keys: partition count
+    // and row placement must never leak into results
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    for (parts <- Seq(1, 7)) {
+      val re = docs.repartition(parts)
+      assert(canon(graft.operators.Sampling.stratifiedQuota(re, "source", 5)) ==
+        canon(graft.operators.Sampling.stratifiedQuota(docs, "source", 5)), s"quota parts=$parts")
+      assert(canon(graft.operators.Dedup.decontaminate(re, col("doc_id") % 97 === 0)) ==
+        canon(graft.operators.Dedup.decontaminate(docs, col("doc_id") % 97 === 0)),
+        s"decontaminate parts=$parts")
+      assert(canon(graft.operators.Dedup.dupShingleSpans(re)) ==
+        canon(graft.operators.Dedup.dupShingleSpans(docs)), s"spans parts=$parts")
+      assert(canon(graft.operators.Dedup.hashSplit(re)) ==
+        canon(graft.operators.Dedup.hashSplit(docs)), s"split parts=$parts")
+    }
+  }
+
   test("knnFused on a filtered-to-empty query side returns an empty frame like knn") {
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 100.0f)).map(_.toArray)
     val base = (0 until 10).map(i => (i.toLong, sample(vecGen, i))).toDF("id", "vec")
