@@ -173,6 +173,58 @@ object GraphSearch {
     finish(BruteForce.topK(frontier, k, metric.ascending), persisted)
   }
 
+  /** Beam search iterated to a FIXPOINT — the batch analog of the
+    * reference's per-query termination (hnswlib stops a query when its
+    * candidate queue cannot improve the result set,
+    * `src/index/hnsw/hnsw.h` search loop): here hops continue until NO
+    * query's ef-frontier improves, bounded by `maxIters`. The per-hop
+    * frontier materialization doubles as the fixpoint probe (one tiny
+    * count of newly-admitted (qid, nid) pairs — driver-coordinated like
+    * the dedup CC loop), so adaptive termination costs no extra action.
+    * Walk depth becomes data-dependent, so this variant is recall-gated
+    * in ScalaTest rather than hash-gated. */
+  def beamSearchConverged(
+      graph: DataFrame,
+      base: DataFrame,
+      queries: DataFrame,
+      entries: DataFrame,
+      k: Int,
+      ef: Int,
+      maxIters: Int = 16,
+      metric: Metric = Metric.L2,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    require(ef >= k, "beam width ef must be >= k")
+    val seed = queries.select(col("qid")).crossJoin(broadcast(entries))
+    var frontier = topEf(score(seed, queries, base, metric, roundDist), ef, metric)
+      .localCheckpoint(true)
+    val checkpointed = scala.collection.mutable.ArrayBuffer(frontier)
+    var improved = 1L
+    var hops = 0
+    while (improved > 0 && hops < maxIters) {
+      hops += 1
+      val cands = frontier
+        .join(graph.withColumnRenamed("src", "nid"), "nid")
+        .select(col("qid"), col("dst").as("nid"))
+        .distinct()
+      val scored = score(cands, queries, base, metric, roundDist)
+      val next = topEf(frontier.union(scored).distinct(), ef, metric)
+        .localCheckpoint(true)
+      checkpointed += next
+      improved = next.join(frontier, Seq("qid", "nid"), "left_anti").count()
+      frontier = next
+    }
+    lastConvergedHops = hops
+    val out = BruteForce.topK(frontier, k, metric.ascending)
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    checkpointed.foreach(org.apache.spark.sql.GraftExpr.unpersistCheckpoint)
+    out
+  }
+
+  /** Hops the last [[beamSearchConverged]] call took — a test probe. */
+  @volatile private[graft] var lastConvergedHops: Int = 0
+
   /** Feder-style graph introspection (`include/knowhere/feder/`,
     * `src/index/hnsw/hnsw.h:212-257` overview + visit traces,
     * `tests/ut/test_feder.cc`): one (stat, value) frame carrying the

@@ -103,6 +103,30 @@ class RecallSpec extends SparkSpec {
     graph.unpersist()
   }
 
+  test("converged beam (adaptive termination) >= fixed-hop recall and stops early") {
+    val all = Tables
+      .embeddings(spark, sf0001)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val graph = BruteForce
+      .knnFused(all, base, 5, Metric.L2, excludeSelf = true)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+      .cache()
+    val entries = Tables
+      .embeddings(spark, sf0001)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("nid"))
+    val fixed = GraphSearch.beamSearch(graph, base, queries, entries, K, ef = 32, iters = 4)
+    val conv = GraphSearch.beamSearchConverged(graph, base, queries, entries, K, ef = 32)
+    // the fixpoint walk runs hops until no frontier improves — it can only
+    // see MORE of the graph than any fixed unrolling
+    assert(recall(conv, truth) >= recall(fixed, truth))
+    assert(recall(conv, truth) >= 0.6)
+    // terminates by convergence well before the safety bound
+    assert(GraphSearch.lastConvergedHops > 0 && GraphSearch.lastConvergedHops < 16,
+      s"took ${GraphSearch.lastConvergedHops} hops")
+    graph.unpersist()
+  }
+
   test("quantized graph beam (HNSW_SQ/PQ analogs) + exact refine: recall >= 0.6") {
     val all = Tables
       .embeddings(spark, sf0001)
