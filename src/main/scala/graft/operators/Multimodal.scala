@@ -80,6 +80,46 @@ object Multimodal {
       }
     }
 
+  final case class AudioWindow(media_id: Long, win_idx: Int, byte_off: Int, energy: Long)
+
+  /** Audio WINDOWING (the spectrogram-prep stage): overlapping fixed-size
+    * windows at `hop` < `window` (50% overlap by default — the standard
+    * STFT shape), per-window "energy" = Σ byte² mod 997 as the stub for a
+    * real PCM energy/FFT. Same partition-batched imperative shape; a real
+    * audio codec would replace the energy body, the hop/overlap/offset
+    * plumbing is real. */
+  def audioWindows(
+      ds: Dataset[MediaRow],
+      window: Int = 64,
+      hop: Int = 32
+  )(implicit enc: org.apache.spark.sql.Encoder[AudioWindow]): Dataset[AudioWindow] =
+    ds.flatMap { r =>
+      val n = (r.media.length + hop - 1) / hop
+      (0 until n).map { w =>
+        val off = w * hop
+        val end = math.min(off + window, r.media.length)
+        var s = 0L
+        var i = off
+        while (i < end) {
+          val b = (r.media(i) & 0xff).toLong
+          s = (s + b * b) % 997L
+          i += 1
+        }
+        AudioWindow(r.media_id, w, off, s)
+      }
+    }
+
+  /** End-to-end audio-window path: documents → media → window rows. */
+  def windowsFromDocuments(
+      spark: SparkSession,
+      docs: DataFrame,
+      window: Int = 64,
+      hop: Int = 32
+  ): DataFrame = {
+    import spark.implicits._
+    audioWindows(mediaFromDocuments(docs).as[MediaRow], window, hop).toDF()
+  }
+
   /** End-to-end sampled-frame path: documents → media → frame rows. */
   def framesFromDocuments(
       spark: SparkSession,

@@ -35,6 +35,20 @@ CAST(f.range * 64 AS INT) AS byte_off,
 CAST(list_sum(list_transform(range(1, least(64, strlen(text) - f.range*64) + 1), i ->
   ascii(substr(text, CAST(f.range*64 + i AS INT), 1)))) % 997 AS BIGINT) AS feature
 FROM documents CROSS JOIN range(0, 64) f
-WHERE f.range < ceil(strlen(text) / 64.0) AND f.range % 3 = 0"""))
+WHERE f.range < ceil(strlen(text) / 64.0) AND f.range % 3 = 0""")),
+    // audio windowing (spectrogram-prep shape): OVERLAPPING 64-byte
+    // windows at hop 32 (50% overlap), per-window energy = Σ byte² mod
+    // 997 standing in for PCM energy/FFT — the hop/overlap/offset
+    // plumbing is the real, tested part
+    GraftQuery(
+      "media_audio_windows",
+      (s, dir) => Multimodal.windowsFromDocuments(s, Tables.documents(s, dir)),
+      Some("""SELECT doc_id AS media_id, CAST(w.range AS INT) AS win_idx,
+CAST(w.range * 32 AS INT) AS byte_off,
+CAST(list_sum(list_transform(range(1, least(64, strlen(text) - w.range*32) + 1), i ->
+  ascii(substr(text, CAST(w.range*32 + i AS INT), 1)) *
+  ascii(substr(text, CAST(w.range*32 + i AS INT), 1)))) % 997 AS BIGINT) AS energy
+FROM documents CROSS JOIN range(0, 32) w
+WHERE w.range * 32 < strlen(text)"""))
   )
 }

@@ -210,6 +210,17 @@ class CapabilitiesSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("audio windows: 50% overlap, count = ceil(len/hop), hand-checked energy") {
+    val docs = Seq((1L, "x" * 100)).toDF("doc_id", "text")
+    val w = operators.Multimodal.windowsFromDocuments(spark, docs).collect()
+    assert(w.length == 4) // ceil(100/32) starts: 0, 32, 64, 96
+    assert(w.map(_.getAs[Int]("byte_off")).sorted.toSeq == Seq(0, 32, 64, 96))
+    // 'x'=120: full window = 64·120² mod 997; tail window (4 bytes) = 4·120² mod 997
+    val byOff = w.map(r => r.getAs[Int]("byte_off") -> r.getAs[Long]("energy")).toMap
+    assert(byOff(0) == 64L * 120 * 120 % 997)
+    assert(byOff(96) == 4L * 120 * 120 % 997)
+  }
+
   test("stub decoder: frame count and checksum are deterministic") {
     val docs = Seq((1L, "a" * 100), (2L, "bc")).toDF("doc_id", "text")
     val m = operators.Multimodal
