@@ -312,25 +312,25 @@ object BruteForce {
     topK(candidates, k, asc)
   }
 
-  private def l2SqLocal(a: Array[Float], b: Array[Float]): Double = {
+  private[graft] def l2SqLocal(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
     s
   }
 
-  private def dotLocal(a: Array[Float], b: Array[Float]): Double = {
+  private[graft] def dotLocal(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
     s
   }
 
-  private def selfDot(a: Array[Float]): Double = dotLocal(a, a)
+  private[graft] def selfDot(a: Array[Float]): Double = dotLocal(a, a)
 
   /** Same semantics as Spark's `round(col, r)`: HALF_UP on the BigDecimal
     * value of the double. */
-  private def roundHalfUp(d: Double, r: Int): Double =
+  private[graft] def roundHalfUp(d: Double, r: Int): Double =
     java.math.BigDecimal.valueOf(d).setScale(r, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Fetch raw vectors for ids — `GetVectorByIds` (`flat.cc:222-256`).

@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   * (dist, id) — ascending: smaller dist wins; ties broken by smaller id.
   * Max-heap-of-the-worst so insertion is O(log k).
   */
-final class TopKBuffer(val k: Int, val ascending: Boolean) {
+final class TopKBuffer(val k: Int, val ascending: Boolean) extends Serializable {
   // worst-first ordering for the eviction heap
   private def worseThan(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
     if (d1 != d2) { if (ascending) d1 > d2 else d1 < d2 }

@@ -582,6 +582,17 @@ SELECT qid, nid, dist, rnk FROM (
       "bf_knn_l2",
       (s, dir) => BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.L2, roundDist = ROUND),
       Some(Sql.knn(Sql.l2, desc = false))),
+    // S1 as a FIRST-CLASS PLAN NODE: the custom KnnJoinNode logical
+    // operator planned by KnnJoinStrategy (SparkSessionExtensions /
+    // extraStrategies) into the fused KnnJoinExec — same answer as
+    // bf_knn_l2, so the hash gate certifies the whole custom-operator
+    // path (logical node → strategy → physical heap join)
+    GraftQuery(
+      "knn_join_exec",
+      (s, dir) => KnnJoin.knnJoin(
+        queryVecs(s, dir), baseVecs(s, dir).select(col("id"), col("vec")),
+        K, Metric.L2, roundDist = ROUND),
+      Some(Sql.knn(Sql.l2, desc = false))),
     GraftQuery(
       "bf_knn_ip",
       (s, dir) => BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.IP, roundDist = ROUND),

@@ -8,6 +8,22 @@ object GraftExpr {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Analyzed logical plan of a DataFrame — for embedding as a child of a
+    * custom logical node. */
+  def logicalPlan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Wrap a logical plan as a DataFrame (the package-private
+    * `Dataset.ofRows`). */
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Strategies an extensions installer injected — test probe for the
+    * `SparkSessionExtensions` registration path. */
+  def plannerStrategies(
+      ext: SparkSessionExtensions, spark: SparkSession): Seq[execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
+
   /** Release the blocks behind a `localCheckpoint`ed Dataset (its plan is a
     * LogicalRDD over a persisted RDD, which Dataset.unpersist doesn't
     * reach). No-op for non-checkpointed frames. */

@@ -42,6 +42,32 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 shuffle (top-k agg), got $shuffles:\n$p")
   }
 
+  test("KnnJoin custom operator: plans to KnnJoinExec and equals BruteForce.knn") {
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    for (m <- Seq(Metric.L2, Metric.IP, Metric.Cosine)) {
+      val custom = KnnJoin.knnJoin(queries, base, 5, m, roundDist = Some(4))
+      // KnnJoinExec renders as node name "KnnJoin" (Exec suffix stripped);
+      // no "!" prefix = no missing attributes in the physical plan
+      assert(plan(custom).linesIterator.exists(l => l.contains("KnnJoin [")),
+        s"custom node not planned by the strategy:\n${plan(custom)}")
+      assert(!plan(custom).contains("!KnnJoin"),
+        s"physical node reports missing attributes:\n${plan(custom)}")
+      assert(rows(custom) == rows(BruteForce.knn(queries, base, 5, m, roundDist = Some(4))),
+        s"metric ${m.name}")
+    }
+    // the SparkSessionExtensions installer registers the same strategy
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftSparkExtensionsImpl().apply(ext)
+    assert(org.apache.spark.sql.GraftExpr.plannerStrategies(ext, spark)
+      .contains(graft.plans.KnnJoinStrategy))
+  }
+
   test("decontaminate: eval shingles broadcast; corpus never sort-merge-joined") {
     val docs = Tables.documents(spark, sf0001)
     val p = plan(Dedup.decontaminate(docs, col("doc_id") % 97 === 0))
