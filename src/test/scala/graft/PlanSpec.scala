@@ -61,6 +61,12 @@ class PlanSpec extends SparkSpec {
       assert(rows(custom) == rows(BruteForce.knn(queries, base, 5, m, roundDist = Some(4))),
         s"metric ${m.name}")
     }
+    // count()-shaped plans wrap the node in an empty projection — the
+    // node's declared references must keep ColumnPruning off its children
+    // (regression: pruned-to-zero-field child rows segfaulted positional
+    // reads in the exec)
+    assert(KnnJoin.knnJoin(queries, base, 5, Metric.L2, Some(4)).count() ==
+      queries.count() * 5)
     // the SparkSessionExtensions installer registers the same strategy
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftSparkExtensionsImpl().apply(ext)
