@@ -288,6 +288,43 @@ object SparseSearch {
       .filter(col("rnk") > (page - 1) * pageSize && col("rnk") <= page * pageSize)
   }
 
+  /** BM25 twin of [[annIteratorRefinedPage]] — the iterator refine knobs
+    * apply to the sparse node under BM25 scoring too
+    * (`sparse_index_node.cc` AnnIterator serves both metrics;
+    * `config.h:602-612` refine knobs): approx stream = BM25 of the
+    * quantile-pruned query, page over-fetched ×`refineRatio`, exact
+    * full-query BM25 rescoring, exact-ordered emission. */
+  def annIteratorRefinedPageBM25(
+      queryPostings: DataFrame, // (qid, term, qtf)
+      model: SparseIndexModel,
+      dropRatio: Double,
+      page: Int,
+      pageSize: Int,
+      refineRatio: Int = 2,
+      roundDist: Option[Int] = Some(4)
+  ): DataFrame = {
+    val window = searchBM25(
+      pruneQueryTermsQuantile(queryPostings, dropRatio),
+      model, page * pageSize * refineRatio, roundDist)
+      .select(col("qid"), col("nid"))
+    val statsQ = model.termStats
+      .join(broadcast(queryPostings.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .select(col("term"), col("df"))
+    val scored = broadcast(queryPostings)
+      .join(model.postings, "term")
+      .join(broadcast(statsQ), "term")
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg((sum(bm25ContribScaled(model.n, model.avgdl, model.k1, model.b))
+        .cast("double") / 1e9d).as("raw"))
+      .join(window, Seq("qid", "nid"), "left_semi")
+    val d = roundDist.map(r => round(col("raw"), r)).getOrElse(col("raw"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist").desc, col("nid").asc)
+    scored
+      .select(col("qid"), col("nid"), d.as("dist"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") > (page - 1) * pageSize && col("rnk") <= page * pageSize)
+  }
+
   /** Sparse GetVectorByIds (`sparse_index_node.cc` raw-data fetch, tested
     * `test_sparse.cc` CC GetVectorByIds): reassemble each requested doc's
     * sparse row as term-sorted parallel arrays. */

@@ -286,6 +286,50 @@ SELECT qid, nid, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
   FROM scored
 ) WHERE rnk > 10 AND rnk <= 20""")),
+    // S15/V6 × S16 — iterator REFINE under BM25: approx stream from the
+    // quantile-pruned query, page 2 over-fetched ×2, exact full-query
+    // BM25 rescoring, exact-ordered emission
+    GraftQuery(
+      "sparse_bm25_iter_refine_page2",
+      (s, dir) =>
+        SparseSearch.annIteratorRefinedPageBM25(queryPostings(s, dir), model(s, dir),
+          dropRatio = 0.3, page = 2, pageSize = 10, refineRatio = 2),
+      Some(s"""$bm25ScoredCte,
+qr AS (
+  SELECT qid, term, qtf, abs(CAST(qtf AS DOUBLE)) AS a,
+         row_number() OVER (PARTITION BY qid ORDER BY abs(CAST(qtf AS DOUBLE)) ASC, term ASC) AS rn,
+         count(*) OVER (PARTITION BY qid) AS nt
+  FROM q
+),
+thr AS (SELECT qid, a AS th FROM qr WHERE rn = floor(CAST(0.3 AS DOUBLE) * CAST(nt AS DOUBLE)) + 1),
+qd AS (SELECT qr.qid, qr.term, qr.qtf FROM qr JOIN thr ON qr.qid = thr.qid WHERE qr.a >= thr.th),
+ascored AS (
+  SELECT qd.qid AS qid, t.doc_id AS nid,
+    round(CAST(sum(CAST(round(
+      (qd.qtf * ln(((s.n - df.df) + 0.5) / (df.df + 0.5) + 1.0)) *
+      ((t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * ((1.0 - 0.75) + (0.75 / s.avgdl) * dl.dl)))
+      * 1000000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000000.0, 4) AS dist
+  FROM qd
+  JOIN tf t ON qd.term = t.term
+  JOIN df ON df.term = t.term
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN s
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS rn
+    FROM ascored
+  ) WHERE rn <= 40
+),
+exact AS (
+  SELECT sc.qid, sc.nid, sc.dist FROM scored sc JOIN win ON sc.qid = win.qid AND sc.nid = win.nid
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM exact
+) WHERE rnk > 10 AND rnk <= 20""")),
     // V7 × S9 — sparse GetVectorByIds: reassembled term-sorted sparse rows
     GraftQuery(
       "sparse_get_vector",
