@@ -277,8 +277,13 @@ object SparseSearch {
       pruneQueryTermsQuantile(queryPostings, dropRatio),
       basePostings, page * pageSize * refineRatio)
       .select(col("qid"), col("nid"))
+    // the rescore touches only window docs: prune the postings scan to the
+    // (tiny, broadcast) window doc set BEFORE the term join — a superset
+    // filter, the per-(qid, nid) window semi-join below stays the gate
+    val winDocs = window.select(col("nid")).distinct()
     val exact = broadcast(queryPostings)
-      .join(basePostings.withColumnRenamed("id", "nid"), "term")
+      .join(basePostings.withColumnRenamed("id", "nid")
+        .join(broadcast(winDocs), Seq("nid"), "left_semi"), "term")
       .join(window, Seq("qid", "nid"), "left_semi")
       .groupBy(col("qid"), col("nid"))
       .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
@@ -310,8 +315,11 @@ object SparseSearch {
     val statsQ = model.termStats
       .join(broadcast(queryPostings.select(col("term")).distinct()), Seq("term"), "left_semi")
       .select(col("term"), col("df"))
+    // postings pruned to the broadcast window doc set before the term join
+    // (superset filter; the (qid, nid) semi-join below remains the gate)
+    val winDocs = window.select(col("nid").as("id")).distinct()
     val scored = broadcast(queryPostings)
-      .join(model.postings, "term")
+      .join(model.postings.join(broadcast(winDocs), Seq("id"), "left_semi"), "term")
       .join(broadcast(statsQ), "term")
       .groupBy(col("qid"), col("id").as("nid"))
       .agg((sum(bm25ContribScaled(model.n, model.avgdl, model.k1, model.b))
