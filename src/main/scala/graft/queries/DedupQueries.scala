@@ -349,6 +349,57 @@ SELECT u AS vec_id, min(v) AS group_id FROM reach GROUP BY 1""")),
       },
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)""")),
+    // streaming MinHash-LSH near-dup blocking: per-band-key GroupState
+    // carries the minimum doc id across micro-batches; a doc is flagged
+    // iff an EARLIER doc shares any band key — identical to the batch
+    // self-join whatever the batch split, so the streaming result
+    // hash-matches the batch oracle
+    GraftQuery(
+      "dedup_lsh_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Tables.documents(s, dir)
+        val median = docs.selectExpr("percentile(doc_id, 0.5)").head().getDouble(0).toLong
+        val stage = java.nio.file.Files.createTempDirectory("graft-lsh-stream")
+        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
+        docs.filter(col("doc_id") <= median)
+          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
+        docs.filter(col("doc_id") > median)
+          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
+        import java.nio.file.attribute.FileTime
+        def touch(p: java.nio.file.Path, t: Long): Unit =
+          java.nio.file.Files.walk(p).forEach(f =>
+            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
+        val now = System.currentTimeMillis()
+        touch(d1, now - 120000); touch(d2, now - 60000)
+        val src = s.readStream
+          .schema(s.read.parquet(d1.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$stage/b*")
+        val sink = s"dedup_lsh_stream_${System.nanoTime()}"
+        val q = graft.streaming.StreamingDedup
+          .lshCollisionUpdates(src)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // one row per (doc, band) in the sink; a doc is flagged if ANY
+        // band collided with history
+        s.table(sink)
+          .groupBy(col("doc_id"))
+          .agg(max(col("hit")).cast("int").as("hit"))
+      },
+      Some(s"""WITH $minhashPairsSqlBody,
+coll AS (
+  SELECT DISTINCT b2.doc_id AS doc_id
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.bh = b2.bh AND b1.doc_id < b2.doc_id
+)
+SELECT d.doc_id, CAST(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS hit
+FROM documents d LEFT JOIN coll c ON c.doc_id = d.doc_id""")),
     // deterministic train/val/test split by CONTENT hash (leakage guard:
     // exact duplicates always land in the same split) — map-side only
     GraftQuery(

@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
 
 /** Streaming exact dedup — the pipeline's dedup stage as a stateful
   * stream (`KeyValueGroupedDataset.mapGroupsWithState` keyed by the
@@ -39,5 +41,50 @@ object StreamingDedup {
           (digest, kept, copies)
       }
       .toDF("digest", "doc_id", "n_copies")
+  }
+
+  final case class BandKeyState(minId: Long)
+
+  /** Streaming MinHash-LSH near-dup BLOCKING — the LSH stage of the dedup
+    * pipeline as a stateful stream: per (band, band-key) the state carries
+    * the minimum doc id ever seen; an arriving document COLLIDES when any
+    * of its band keys was already seen under a smaller id (an earlier
+    * micro-batch, or an earlier id inside this batch — the group's rows
+    * are processed in ascending id order, so the semantics are exactly
+    * "∃ earlier doc sharing a band key" regardless of the batch split —
+    * the batch oracle's self-join).
+    *
+    * Signatures are the pure per-row HOF form ([[Dedup.minhashSignature]]
+    * — no pre-aggregation, the stateful op is the only stateful stage).
+    * Emits one (doc_id, hit) row per (doc, band); the caller folds
+    * max(hit) per doc. Scale shape: state is one long per distinct band
+    * key, shuffled on the band key — the streaming twin of the batch band
+    * join, with history standing in for the self-join's other side. */
+  def lshCollisionUpdates(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.minhashSignature(col("text")).as("sig"))
+      .select(col("doc_id"), explode(array((0 until Dedup.Bands).map(b =>
+        struct(lit(b).as("band"), Dedup.bandHash(col("sig"), b).as("bh"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+      .as[(Long, Int, Long)]
+    banded
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[BandKeyState, (Long, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          val ids = it.map(_._1).toArray.sorted
+          var minSeen = state.getOption.map(_.minId).getOrElse(Long.MaxValue)
+          val out = ids.map { id =>
+            val hit = if (minSeen < id) 1 else 0
+            if (id < minSeen) minSeen = id
+            (id, hit)
+          }
+          state.update(BandKeyState(minSeen))
+          out.iterator
+      }
+      .toDF("doc_id", "hit")
   }
 }
