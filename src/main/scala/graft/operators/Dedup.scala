@@ -23,7 +23,7 @@ object Dedup {
   val RowsPerBand = NumPerm / Bands
 
   /** Universal-hash permutation i of a shingle hash: ((2i+3)·x + 97+31i) mod P. */
-  private def perm(i: Column, x: Column): Column =
+  private[graft] def perm(i: Column, x: Column): Column =
     ((lit(2L) * i + 3L) * x + (lit(97L) + lit(31L) * i)) % HashP
 
   /** Distinct token-3-gram shingle hashes per doc. */
@@ -56,7 +56,7 @@ object Dedup {
   }
 
   /** Static band-key fold over signature columns m{4b}..m{4b+3}. */
-  private def bandCol(b: Int, rowsPerBand: Int = RowsPerBand): Column =
+  private[graft] def bandCol(b: Int, rowsPerBand: Int = RowsPerBand): Column =
     (0 until rowsPerBand).foldLeft(lit(0L))((h, r) =>
       (h * 31L + col(s"m${b * rowsPerBand + r}")) % HashP)
 

@@ -63,11 +63,19 @@ object StreamingDedup {
   def lshCollisionUpdates(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val banded = docs
-      .select(col("doc_id").cast("long").as("doc_id"),
-        Dedup.minhashSignature(col("text")).as("sig"))
+    // band keys as STATIC projections (same values as the batch path's
+    // relational signatures): shingle once, 16 codegen'd min columns, band
+    // folds — the nested-HOF per-row signature measured 12× slower here,
+    // and streaming forbids the batch path's aggregation before the
+    // stateful operator. All stages below are stateless projections.
+    val withSh = docs.select(col("doc_id").cast("long").as("doc_id"),
+      Dedup.shingleHashes(col("text")).as("sh"))
+    val minCols = (0 until Dedup.NumPerm).map(i =>
+      array_min(transform(col("sh"), x => Dedup.perm(lit(i.toLong), x))).as(s"m$i"))
+    val withMins = withSh.select(col("doc_id") +: minCols: _*)
+    val banded = withMins
       .select(col("doc_id"), explode(array((0 until Dedup.Bands).map(b =>
-        struct(lit(b).as("band"), Dedup.bandHash(col("sig"), b).as("bh"))): _*)).as("x"))
+        struct(lit(b).as("band"), Dedup.bandCol(b).as("bh"))): _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
       .as[(Long, Int, Long)]
     banded
