@@ -61,9 +61,12 @@ object Bench {
     val detailJson = detail.toSeq.sortBy(_._1).map { case (name, ts) =>
       s"""  "$name": {"median":${f3(ts(ts.length / 2))},"min":${f3(ts.head)},"max":${f3(ts.last)}}"""
     }.mkString("{\n", ",\n", "\n}")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), detailJson)
-    catch { case _: Throwable => () }
+    // FULL runs only: a SPARK_GRAFT_BENCH_ONLY iteration run must not
+    // clobber the committed full-inventory snapshot
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"), detailJson)
+      catch { case _: Throwable => () }
     // keep the line SHORT (3-dp medians, basename sf): the driver captures
     // only a bounded tail of the process output, and a full-precision line
     // over ~70 queries overflowed it in round 2 → "parsed": null
