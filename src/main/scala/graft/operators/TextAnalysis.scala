@@ -111,6 +111,25 @@ object TextAnalysis {
     top2.join(dup3, "doc_id")
   }
 
+  /** HALF_UP mean of an integer-scaled sum, in exact integer arithmetic.
+    * `sumScaled` is the sum pre-multiplied by 10^scale (an exact LONG);
+    * the rounded mean at `scale` decimals is sign(S)·((2·|S| + n) div (2·n)),
+    * and only the final rescale touches DOUBLE — dividing an exact integer
+    * by 10^scale is one correctly-rounded IEEE op, identical in any engine.
+    * (Rounding a double quotient instead is engine-dependent: Spark rounds
+    * the shortest decimal rep, DuckDB the binary value — boundary quotients
+    * …xx5 round apart. This was round 4's only red oracle row.) */
+  private def halfUpMeanScaled(sumScaled: Column, n: Column, scale: Int): Column = {
+    val s = sumScaled.cast("long")
+    val nn = n.cast("long")
+    val total = abs(s) * lit(2L) + nn
+    val twoN = nn * lit(2L)
+    // total - pmod is an exact multiple of twoN, so the double division is
+    // exact (quotient < 2^53) — no fp error before the cast back to long.
+    val r = ((total - pmod(total, twoN)) / twoN).cast("long")
+    (signum(s.cast("double")) * r).cast("double") / lit(math.pow(10d, scale))
+  }
+
   /** Per-source corpus dashboard: the monitoring aggregation a crawl
     * pipeline runs per ingest — document/token volumes, mean quality, mean
     * length, and the language-ID agreement rate against the labeled lang
@@ -118,9 +137,11 @@ object TextAnalysis {
     *
     * Shape: every per-doc metric is inline column arithmetic (no joins
     * between metric frames), then ONE partial-aggregated groupBy on
-    * source. Per-doc quality is 4dp-rounded then summed as DECIMAL so the
-    * aggregate is exact and order-independent — fp summation order (which
-    * differs across partitionings) can never flip the reported mean. */
+    * source. Per-doc quality is 4dp-rounded then scaled to an exact LONG so
+    * the aggregate is exact and order-independent — fp summation order
+    * (which differs across partitionings) can never flip the reported mean —
+    * and the means themselves are rounded in integer arithmetic
+    * (halfUpMeanScaled), never on a double quotient. */
   def corpusSourceStats(df: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t).cast("double")
@@ -142,18 +163,17 @@ object TextAnalysis {
     df.select(
       col("source"),
       size(t).cast("long").as("n_tokens"),
-      quality.cast("decimal(18,4)").as("q"),
+      (quality.cast("decimal(18,4)") * lit(10000)).cast("long").as("qi"),
       col("n_chars"),
       when(pred === col("lang"), 1L).otherwise(0L).as("lang_hit"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        round(sum(col("q")).cast("double") / count(lit(1)).cast("double"), 4)
-          .as("avg_quality"),
-        round(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"), 2)
+        halfUpMeanScaled(sum(col("qi")), count(lit(1)), 4).as("avg_quality"),
+        halfUpMeanScaled(sum(col("n_chars")) * lit(100L), count(lit(1)), 2)
           .as("avg_chars"),
-        round(sum(col("lang_hit")).cast("double") / count(lit(1)).cast("double"), 4)
+        halfUpMeanScaled(sum(col("lang_hit")) * lit(10000L), count(lit(1)), 4)
           .as("langid_agreement"))
   }
 

@@ -94,10 +94,10 @@ FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id""")),
 ),
 d AS (
   SELECT source, n_chars, CAST(len(t) AS BIGINT) AS n_tokens,
-    CAST(round(2.0 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+    CAST(CAST(round(2.0 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
       - 3.0 * (CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t))
       + 0.05 * (list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE))) / len(t)), 4)
-      AS DECIMAL(18,4)) AS q,
+      AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qi,
     CASE WHEN (CASE
       WHEN CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t) =
         greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
@@ -131,9 +131,13 @@ d AS (
   FROM tok
 )
 SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-  round(CAST(sum(q) AS DOUBLE) / count(*), 4) AS avg_quality,
-  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars,
-  round(CAST(sum(lang_hit) AS DOUBLE) / count(*), 4) AS langid_agreement
+  CAST((CASE WHEN sum(qi) < 0 THEN -1 WHEN sum(qi) > 0 THEN 1 ELSE 0 END)
+    * ((2 * abs(CAST(sum(qi) AS BIGINT)) + count(*)) // (2 * count(*)))
+    AS DOUBLE) / 10000.0 AS avg_quality,
+  CAST((2 * CAST(sum(n_chars) AS BIGINT) * 100 + count(*)) // (2 * count(*))
+    AS DOUBLE) / 100.0 AS avg_chars,
+  CAST((2 * CAST(sum(lang_hit) AS BIGINT) * 10000 + count(*)) // (2 * count(*))
+    AS DOUBLE) / 10000.0 AS langid_agreement
 FROM d GROUP BY source""")),
     // document fingerprint (rolling polynomial hash over ordered tokens)
     GraftQuery(
