@@ -30,13 +30,16 @@ object KnnJoin {
 
   /** queries (qid, qvec) × base (id, vec) → (qid, nid, dist, rnk), top-k
     * per query. The query side is the collected/broadcast side — same
-    * bounded-side contract as [[BruteForce.knnFused]]. */
+    * bounded-side contract as [[BruteForce.knnFused]], ENFORCED by the
+    * exec (an oversized query frame fails loudly instead of OOMing the
+    * driver; `maxQueryBytes` tunes the cap). */
   def knnJoin(
       queries: DataFrame,
       base: DataFrame,
       k: Int,
       metric: Metric = Metric.L2,
-      roundDist: Option[Int] = None
+      roundDist: Option[Int] = None,
+      maxQueryBytes: Long = graft.plans.KnnJoinExec.DefaultMaxQueryBytes
   ): DataFrame = {
     require(Set("l2", "l2sq", "ip", "cosine").contains(metric.name),
       s"KnnJoin supports dense float metrics, got ${metric.name}")
@@ -50,7 +53,8 @@ object KnnJoin {
       k,
       metric.name,
       roundDist.getOrElse(-1),
-      KnnJoinNode.resultAttrs())
+      KnnJoinNode.resultAttrs(),
+      maxQueryBytes)
     GraftExpr.ofRows(spark, node)
   }
 }

@@ -74,6 +74,25 @@ class PlanSpec extends SparkSpec {
       .contains(graft.plans.KnnJoinStrategy))
   }
 
+  test("KnnJoin enforces the bounded query-side contract (oversized frame fails loudly)") {
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // a 4 KB budget fits ~14 dim-64 rows; the full query frame (500) must
+    // be rejected BEFORE the driver materializes it
+    val err = intercept[Exception] {
+      KnnJoin.knnJoin(queries, base, 5, Metric.L2, Some(4),
+        maxQueryBytes = 4L << 10).count()
+    }
+    assert(err.getMessage.contains("bounded-broadcast"),
+      s"expected the contract error, got: ${err.getMessage}")
+    // under the same budget a compliant query frame still answers
+    val small = queries.filter(col("qid") % 100 === 0)
+    assert(KnnJoin.knnJoin(small, base, 5, Metric.L2, Some(4),
+      maxQueryBytes = 4L << 10).count() == small.count() * 5)
+  }
+
   test("decontaminate: eval shingles broadcast; corpus never sort-merge-joined") {
     val docs = Tables.documents(spark, sf0001)
     val p = plan(Dedup.decontaminate(docs, col("doc_id") % 97 === 0))
