@@ -39,10 +39,30 @@ object Bench {
     // optional local-iteration filter: comma-separated query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     def f3(v: Double): String = f"$v%.3f"
+    // JVM-pressure probes: round 4's driver run showed intermittent ~17 s
+    // rep stalls on the dedup family (min 3.3 s / max 20.9 s on the SAME
+    // query+code) that never reproduce in isolation — record per-rep GC and
+    // JIT time plus code-cache occupancy so a slow rep carries its own
+    // explanation instead of reading as an operator regression
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    def gcMillis: Long = gcBeans.map(_.getCollectionTime).sum
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMillis: Long = if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+      jitBean.getTotalCompilationTime else 0L
+    def codeCacheMb: Long = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.contains("CodeHeap")).map(_.getUsage.getUsed).sum >> 20
+    case class Rep(t: Double, gcMs: Long, jitMs: Long)
     val detail = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        // amortize Spark's weak-ref-driven broadcast/RDD cleanup between
+        // queries (outside the timed region): after ~60 queries the
+        // accumulated garbage made old-gen collections land MID-REP in the
+        // driver's full runs — the prime suspect for the stalls above
+        System.gc()
         val times = (1 to reps).map { _ =>
+          val (gc0, jit0) = (gcMillis, jitMillis)
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           val dt = (System.nanoTime() - t0) / 1e9
@@ -50,16 +70,21 @@ object Bench {
           // so every rep is measured cold and cache pressure never
           // accumulates across the run
           spark.catalog.clearCache()
-          dt
-        }.sorted
-        name -> times
+          Rep(dt, gcMillis - gc0, jitMillis - jit0)
+        }
+        (name, times, codeCacheMb)
       }
-    val results = detail.map { case (name, ts) => name -> ts(ts.length / 2) }
-    // per-rep detail (median + full spread per query) goes to a FILE —
-    // the driver captures only a ~3 KB tail of stdout, so the printed
-    // line stays median-only
-    val detailJson = detail.toSeq.sortBy(_._1).map { case (name, ts) =>
-      s"""  "$name": {"median":${f3(ts(ts.length / 2))},"min":${f3(ts.head)},"max":${f3(ts.last)}}"""
+    val results = detail.map { case (name, rs, _) =>
+      name -> rs.map(_.t).sorted.apply(rs.length / 2)
+    }.toMap
+    // per-rep detail (RUN ORDER, with gc/jit attribution + post-query code
+    // cache) goes to a FILE — the driver captures only a ~3 KB tail of
+    // stdout, so the printed line stays median-only
+    val detailJson = detail.toSeq.sortBy(_._1).map { case (name, rs, cc) =>
+      val ts = rs.map(_.t).sorted
+      val repsJson = rs.map(r => s"""{"t":${f3(r.t)},"gc_ms":${r.gcMs},"jit_ms":${r.jitMs}}""")
+        .mkString("[", ",", "]")
+      s"""  "$name": {"median":${f3(ts(ts.length / 2))},"min":${f3(ts.head)},"max":${f3(ts.last)},"reps":$repsJson,"code_cache_mb":$cc}"""
     }.mkString("{\n", ",\n", "\n}")
     // FULL runs only: a SPARK_GRAFT_BENCH_ONLY iteration run must not
     // clobber the committed full-inventory snapshot
