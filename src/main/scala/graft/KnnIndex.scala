@@ -299,6 +299,18 @@ object IndexFactory {
         // graph (measured recall 0.2 vs 0.9+ at 4 hops, nb=500)
         new HnswIndex(graph, base, clusterMedoids(c), metric,
           efSearch = reorderK, beamIters = 4, variant, roundDist)
+      case "GPU_CAGRA" | "GPU_RAFT_CAGRA" =>
+        // CPU-adapt CAGRA (gpu_raft_cagra.cc:38-60): intermediate
+        // IVF-bucketed kNN graph → detour-prune + reverse-edge merge down
+        // to graph_degree (gpu_raft_cagra_config.h intermediate_graph_
+        // degree/graph_degree; defaults scaled to the test corpus the way
+        // the HNSW arm scales M) — searched by the batch beam with
+        // ef = itopk_size (reorderK here)
+        val c = cents
+        val graph = Cagra.build(base, c, intermediateDegree = 8, graphDegree = 4,
+          nprobe = 2, metric, roundDist)
+        new CagraIndex(graph.select(col("src"), col("dst")), base, clusterMedoids(c),
+          metric, itopkSize = reorderK, beamIters = 4, roundDist)
       case "DISKANN" =>
         // search_list_size = reorderK mirrors the reference's
         // search_list_size ≥ k validation (diskann_config.h:172-183).
@@ -326,6 +338,16 @@ object IndexFactory {
       beamIters: Int = 2,
       roundDist: Option[Int] = None
   ): HnswIndex = HnswIndex.load(spark, dir, metric, efSearch, beamIters, roundDist)
+
+  /** Deserialize a CAGRA index saved by CagraIndex.save. */
+  def loadCagra(
+      spark: SparkSession,
+      dir: String,
+      metric: Metric = Metric.L2,
+      itopkSize: Int = 64,
+      beamIters: Int = 4,
+      roundDist: Option[Int] = None
+  ): CagraIndex = CagraIndex.load(spark, dir, metric, itopkSize, beamIters, roundDist)
 
   /** Deserialize a DiskANN index saved by DiskAnnIndex.save. */
   def loadDiskAnn(

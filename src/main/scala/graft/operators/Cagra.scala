@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CAGRA — the reference's GPU graph index, rendered for CPU batch search.
+  *
+  * The reference registers GPU_CAGRA / GPU_RAFT_CAGRA
+  * (`src/index/gpu_raft/gpu_raft_cagra.cc:163-175`) with config
+  * `gpu_raft_cagra_config.h`: an `intermediate_graph_degree` kNN graph is
+  * built (NN_DESCENT), then OPTIMIZED down to `graph_degree` — the CAGRA
+  * graph-optimization step prunes each node's "detourable" edges (an edge
+  * s→d is droppable when some intermediate m gives a two-hop route whose
+  * legs are both shorter) and merges in reverse edges so the fixed-degree
+  * graph stays reachable. Search walks the optimized graph with an
+  * `itopk_size` candidate buffer.
+  *
+  * The reference itself ships a CPU search path for this index: the hybrid
+  * node's `adapt_for_cpu` flag (`gpu_raft_cagra.cc:38-45,48-60`) trains on
+  * GPU and serves searches from a CPU graph — so a CPU stand-in is not a
+  * semantic deviation, only a build-device one (ARCHITECTURE.md §5).
+  *
+  * Spark rendering, scale-first:
+  *  - the intermediate graph comes from the IVF-bucketed candidate build
+  *    ([[GraphSearch.knnGraphIvf]]) — co-located shuffle joins, never an
+  *    all-pairs pass (the NN_DESCENT analog: both bound candidate
+  *    generation by locality instead of scanning all pairs);
+  *  - optimization is three degree-bounded relational steps: a two-hop
+  *    self-join on the edge list (|E|·degree rows, shuffled on the join
+  *    keys — no vectors move), an anti-join dropping detourable edges, and
+  *    a reverse-edge union re-capped per source with the bounded top-k
+  *    heap. Every frame carries only (src, dst, dist);
+  *  - search reuses the batch beam walk ([[GraphSearch.beamSearch]]) with
+  *    ef = itopk_size.
+  *
+  * Determinism: distances are rounded-then-ranked with id tie-breaks
+  * (the repo-wide contract), and pruning/merge are pure relational algebra
+  * over them — the whole build is oracle-expressible in SQL.
+  */
+object Cagra {
+
+  /** CAGRA graph optimization: detour-prune the intermediate kNN graph,
+    * merge reverse edges, re-cap at `graphDegree` per source.
+    *
+    * `edges` is the intermediate graph (src, dst, dist) — dist already on
+    * the rounded grid. A node's nearest edge is never detourable (no leg
+    * can beat the rank-1 distance), so every node keeps an out-edge and
+    * the pruned graph stays entry-reachable.
+    */
+  def optimize(edges: DataFrame, graphDegree: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("dist"))
+    // two-hop routes s→m→d restricted to graph edges: join on the shared
+    // midpoint — |E|·degree rows of 3 longs + 2 doubles, no payloads
+    val hop1 = e.select(col("src"), col("dst").as("mid"), col("dist").as("d_sm"))
+    val hop2 = e.select(col("src").as("mid"), col("dst"), col("dist").as("d_md"))
+    val detourable = e
+      .join(hop1, Seq("src"))
+      .join(hop2, Seq("mid", "dst"))
+      .filter(col("d_sm") < col("dist") && col("d_md") < col("dist"))
+      .select(col("src"), col("dst"))
+      .distinct()
+    val kept = e.join(detourable, Seq("src", "dst"), "left_anti")
+    // reverse-edge merge (CAGRA keeps the graph navigable after pruning);
+    // metric distances are symmetric so the reverse edge reuses the stored
+    // dist, and the (src,dst) group-by dedupes edges present both ways
+    val merged = kept
+      .unionByName(kept.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+      .groupBy(col("src"), col("dst"))
+      .agg(min(col("dist")).as("dist"))
+    BruteForce
+      .topK(merged, graphDegree, ascending = true, qidCol = "src", idCol = "dst")
+      .select(col("src"), col("dst"), col("dist"), col("rnk"))
+  }
+
+  /** Full build: IVF-bucketed intermediate graph → optimize. Returns the
+    * optimized (src, dst, dist, rnk) edge list. */
+  def build(
+      base: DataFrame, // (id, vec)
+      centroids: DataFrame, // (cluster_id, centroid)
+      intermediateDegree: Int,
+      graphDegree: Int,
+      nprobe: Int = 2,
+      metric: Metric = Metric.L2,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val inter = GraphSearch.knnGraphIvfWithDist(
+      base, centroids, intermediateDegree, nprobe, metric, roundDist)
+    optimize(inter, graphDegree)
+  }
+}
+
+/** CAGRA index handle — the CPU-adapt serving shape
+  * (`gpu_raft_cagra.cc:48-60`): a fixed-degree optimized graph searched by
+  * the batch beam walk with ef = itopk_size. Raw vectors are retained
+  * (the reference's `cache_dataset_on_device`/refine configuration), so
+  * GetVectorByIds and exact range search work.
+  */
+final class CagraIndex(
+    val graph: DataFrame, // (src, dst) optimized edges
+    val base: DataFrame, // (id, vec)
+    val entries: DataFrame, // (nid)
+    val metric: Metric,
+    val itopkSize: Int,
+    val beamIters: Int,
+    roundDist: Option[Int] = None,
+    degreeHint: Option[Long] = None
+) extends graft.VectorIndex {
+  override def indexType: String = "GPU_CAGRA"
+  override lazy val count: Long = base.count()
+  override lazy val dim: Int = base.select(max(size(col("vec")))).head().getInt(0)
+
+  /** Filtered nodes still route the walk but cannot be answers — the
+    * reference's bitset contract (the hybrid CPU path passes the bitset
+    * into searchKnn the same way, `gpu_raft_cagra.cc:56`). */
+  override def search(queries: DataFrame, k: Int, filter: Option[Column]): DataFrame =
+    filter match {
+      case None =>
+        GraphSearch.beamSearch(graph, base, queries, entries, k,
+          math.max(itopkSize, k), beamIters, metric, roundDist)
+      case Some(f) =>
+        val frontier = GraphSearch.beamSearch(graph, base, queries, entries,
+          math.max(itopkSize, k), math.max(itopkSize, k), beamIters, metric, roundDist)
+        val allowed = base.filter(f).select(col("id").as("nid"))
+        BruteForce.topK(
+          frontier.join(allowed, "nid").select(col("qid"), col("nid"), col("dist")),
+          k, metric.ascending)
+    }
+
+  override def rangeSearch(queries: DataFrame, radius: Double, rangeFilter: Double,
+      filter: Option[Column]): DataFrame =
+    BruteForce.rangeSearch(queries, base, metric, radius, rangeFilter, filter, roundDist)
+
+  override def getVectorByIds(ids: DataFrame): DataFrame =
+    BruteForce.getVectorByIds(ids, base)
+
+  override def save(dir: String): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    graph.write.mode("overwrite").parquet(s"$dir/graph")
+    base.write.mode("overwrite").parquet(s"$dir/base")
+    entries.write.mode("overwrite").parquet(s"$dir/entries")
+    Seq(("GPU_CAGRA", maxDegree)).toDF("variant", "max_degree")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private lazy val maxDegree: Long = degreeHint.getOrElse(
+    graph.groupBy(col("src")).count().agg(max("count")).head().getLong(0))
+
+  override def indexMetaJson: String =
+    s"""{"index_type":"$indexType","count":$count,"dim":$dim,""" +
+      s""""graph_degree":$maxDegree,"itopk_size":$itopkSize}"""
+}
+
+object CagraIndex {
+
+  /** Deserialize an index saved by [[CagraIndex#save]] — search-identical. */
+  def load(
+      spark: SparkSession,
+      dir: String,
+      metric: Metric = Metric.L2,
+      itopkSize: Int = 64,
+      beamIters: Int = 4,
+      roundDist: Option[Int] = None
+  ): CagraIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    new CagraIndex(
+      spark.read.parquet(s"$dir/graph"),
+      spark.read.parquet(s"$dir/base"),
+      spark.read.parquet(s"$dir/entries"),
+      metric, itopkSize, beamIters, roundDist,
+      degreeHint = Some(meta.getAs[Long]("max_degree")))
+  }
+}

@@ -15,6 +15,11 @@ object Capabilities {
     Set("FLAT", "BIN_FLAT", "IVF_FLAT", "IVF_FLAT_CC", "BIN_IVF_FLAT",
       "IVF_SQ8", "IVF_SQ_CC", "IVF_PQ", "SCANN",
       "HNSW", "HNSW_SQ", "HNSW_PQ", "HNSW_PRQ", "DISKANN",
+      // CAGRA rides the CPU-adapt path (gpu_raft_cagra.cc:38-60
+      // adapt_for_cpu: GPU-trained, CPU-searched) — the one GPU kind with
+      // a registered CPU serving contract; the pure-GPU families remain
+      // out of scope (ARCHITECTURE.md §5)
+      "GPU_CAGRA", "GPU_RAFT_CAGRA",
       "SPARSE_INVERTED_INDEX", "SPARSE_INVERTED_INDEX_CC",
       "SPARSE_WAND", "SPARSE_WAND_CC")
 
@@ -33,6 +38,10 @@ object Capabilities {
     "HNSW_PQ" -> Set("l2", "l2sq", "ip", "cosine"),
     "HNSW_PRQ" -> Set("l2", "l2sq", "ip", "cosine"),
     "DISKANN" -> Set("l2", "l2sq"),
+    // CheckAndAdjust legal_metric_list [L2 IP COSINE]
+    // (gpu_raft_cagra_config.h:130-137)
+    "GPU_CAGRA" -> Set("l2", "l2sq", "ip", "cosine"),
+    "GPU_RAFT_CAGRA" -> Set("l2", "l2sq", "ip", "cosine"),
     "SPARSE_INVERTED_INDEX" -> Set("ip", "bm25"),
     "SPARSE_INVERTED_INDEX_CC" -> Set("ip", "bm25"),
     "SPARSE_WAND" -> Set("ip", "bm25"),
@@ -62,6 +71,9 @@ object Capabilities {
     // "DiskANN only support floating point data type(float32, float16,
     // bfloat16)" — diskann.cc:36-37
     "DISKANN" -> Set("fp32", "fp16", "bf16"),
+    // fp32-only registration (gpu_raft_cagra.cc:163-175)
+    "GPU_CAGRA" -> Set("fp32"),
+    "GPU_RAFT_CAGRA" -> Set("fp32"),
     "SPARSE_INVERTED_INDEX" -> Set("sparse_fp32"),
     "SPARSE_INVERTED_INDEX_CC" -> Set("sparse_fp32"),
     "SPARSE_WAND" -> Set("sparse_fp32"),
@@ -86,6 +98,11 @@ object Capabilities {
     case "HNSW" | "HNSW_SQ" | "HNSW_PQ" | "HNSW_PRQ" => true
     // DiskANN keeps full-precision vectors on SSD (diskann.cc GetVectorByIds)
     case "DISKANN" => true
+    // GPU kinds report false even when the device caches the dataset
+    // (gpu_raft.h:152-154) — mirrored here although the Spark handle
+    // retains its parquet base (same shape as the reference's CPU-adapt
+    // node, which holds the data yet keeps the contract bit false)
+    case "GPU_CAGRA" | "GPU_RAFT_CAGRA" => false
     case _ => false
   }
 
@@ -120,6 +137,9 @@ object Capabilities {
     * its raw tier already lives on SSD). */
   def supportsMmap(indexType: String): Boolean = indexType match {
     case "DISKANN" => false
+    // device-resident artifact — the reference registers the GPU kinds
+    // without the MMAP feature bit (feature.h:40-46)
+    case "GPU_CAGRA" | "GPU_RAFT_CAGRA" => false
     case t => IndexTypes.contains(t)
   }
 

@@ -49,6 +49,20 @@ object GraphSearch {
       nprobe: Int = 2,
       metric: Metric = Metric.L2,
       roundDist: Option[Int] = None
+  ): DataFrame =
+    knnGraphIvfWithDist(base, centroids, degree, nprobe, metric, roundDist)
+      .select(col("src"), col("dst"))
+
+  /** [[knnGraphIvf]] keeping the edge distances — consumers that post-
+    * process the graph (CAGRA's detour pruning) need the leg lengths
+    * without a re-scoring join. */
+  def knnGraphIvfWithDist(
+      base: DataFrame, // (id, vec)
+      centroids: DataFrame, // (cluster_id, centroid)
+      degree: Int,
+      nprobe: Int = 2,
+      metric: Metric = Metric.L2,
+      roundDist: Option[Int] = None
   ): DataFrame = {
     // ONE nb×nlist centroid-ranking pass serves both roles: rank 1 is the
     // list assignment (Add), ranks ≤ nprobe are the probes — computing
@@ -75,7 +89,7 @@ object GraphSearch {
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"), d.as("dist"))
     val out = BruteForce.topK(pairs, degree, metric.ascending)
-      .select(col("qid").as("src"), col("nid").as("dst"))
+      .select(col("qid").as("src"), col("nid").as("dst"), col("dist"))
     out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     ranked.unpersist()

@@ -216,15 +216,17 @@ SELECT qid, nid, dist, rnk FROM (
 
     /** Two-hop beam search over the 5-NN graph, unrolled: frontier =
       * top-ef of frontier ∪ scored graph neighbors per hop (fixed
-      * iteration count ⇒ plain SQL; mirrors GraphSearch.beamSearch). */
-    def graphBeam(ef: Int, k: Int): String = {
+      * iteration count ⇒ plain SQL; mirrors GraphSearch.beamSearch).
+      * `graphCtes` overrides the default exact-5NN graph CTE — it must
+      * end in a CTE named `g` exposing (src, dst). */
+    def graphBeam(ef: Int, k: Int, graphCtes: Option[String] = None): String = {
       def topEf(src: String): String =
         s"""SELECT qid, nid, dist FROM (
   SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rn
   FROM $src
 ) WHERE rn <= $ef"""
-      s"""WITH $qView,
-g AS (
+      val gCte = graphCtes.getOrElse(
+        """g AS (
   SELECT src, dst FROM (
     SELECT a.vec_id AS src, b.vec_id AS dst,
       row_number() OVER (PARTITION BY a.vec_id ORDER BY
@@ -234,7 +236,9 @@ g AS (
         b.vec_id ASC) AS rnk
     FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id
   ) WHERE rnk <= 5
-),
+)""")
+      s"""WITH $qView,
+$gCte,
 e AS (SELECT vec_id AS nid FROM embeddings WHERE vec_id % 250 = 0),
 s0 AS (
   SELECT q.qid AS qid, b.vec_id AS nid, $l2 AS dist
@@ -260,6 +264,50 @@ SELECT qid, nid, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
   FROM f2
 ) WHERE rnk <= $k"""
+    }
+
+    /** CAGRA graph-optimization CTEs (mirrors Cagra.optimize): exact
+      * interDegree-NN graph → detour prune (edge (s,d) dropped when some
+      * s→m→d route has both legs strictly shorter) → reverse-edge merge →
+      * re-cap at graphDegree. Ends in `g(src, dst, dist, rnk)` — plugs
+      * into [[graphBeam]]'s graphCtes slot. */
+    def cagraGraphCtes(interDegree: Int, graphDegree: Int): String = {
+      val dAB =
+        "round(sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> " +
+          "(CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) * " +
+          "(CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 4)"
+      s"""knng AS (
+  SELECT src, dst, dist FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst, $dAB AS dist,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY $dAB ASC, b.vec_id ASC) AS rnk
+    FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id
+  ) WHERE rnk <= $interDegree
+),
+det AS (
+  SELECT DISTINCT sd.src AS src, sd.dst AS dst
+  FROM knng sd
+  JOIN knng sm ON sm.src = sd.src
+  JOIN knng md ON md.src = sm.dst AND md.dst = sd.dst
+  WHERE sm.dist < sd.dist AND md.dist < sd.dist
+),
+kept AS (
+  SELECT k.src, k.dst, k.dist FROM knng k
+  WHERE NOT EXISTS (SELECT 1 FROM det d WHERE d.src = k.src AND d.dst = k.dst)
+),
+merged AS (
+  SELECT src, dst, min(dist) AS dist FROM (
+    SELECT src, dst, dist FROM kept
+    UNION ALL
+    SELECT dst AS src, src AS dst, dist FROM kept
+  ) GROUP BY 1, 2
+),
+g AS (
+  SELECT src, dst, dist, rnk FROM (
+    SELECT src, dst, dist,
+      CAST(row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS INT) AS rnk
+    FROM merged
+  ) WHERE rnk <= $graphDegree
+)"""
     }
 
     /** Quantized-traversal graph beam + exact refine (mirrors
@@ -1057,6 +1105,49 @@ asn AS (
 SELECT cluster_id, count(*) AS n_vectors,
 round(CAST(sum(CAST(round(dist, 4) AS DECIMAL(28,4))) AS DOUBLE) / count(*), 4) AS mean_dist
 FROM asn GROUP BY 1""")),
+    // S10 — CAGRA graph BUILD via the CPU-adapt path (gpu_raft_cagra.cc:
+    // 38-60 adapt_for_cpu; config gpu_raft_cagra_config.h): intermediate
+    // 8-NN graph → detour-prune + reverse-edge merge → degree-4 cap
+    // (intermediate_graph_degree → graph_degree). Pure relational algebra
+    // over rounded distances ⇒ fully hash-gated
+    GraftQuery(
+      "cagra_build",
+      (s, dir) => {
+        val all = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val inter = BruteForce
+          .knnFused(all, baseVecs(s, dir).select(col("id"), col("vec")), 8, Metric.L2,
+            roundDist = ROUND, excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"), col("dist"))
+        Cagra.optimize(inter, graphDegree = 4)
+      },
+      Some(s"""WITH ${Sql.cagraGraphCtes(interDegree = 8, graphDegree = 4)}
+SELECT src, dst, dist, rnk FROM g""")),
+    // S10 — CAGRA SEARCH (itopk_size beam over the optimized graph,
+    // gpu_raft_cagra.cc:48-60 CPU search): same beam mechanics as the
+    // HNSW analog, ef = itopk, fixed 2-hop unrolling ⇒ hash-gated
+    GraftQuery(
+      "cagra_knn",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val all = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val inter = BruteForce
+          .knnFused(all, base, 8, Metric.L2, roundDist = ROUND, excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"), col("dist"))
+        val graph = Cagra.optimize(inter, graphDegree = 4)
+          .select(col("src"), col("dst"))
+        val entries = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("nid"))
+        GraphSearch.beamSearch(graph, base, queryVecs(s, dir), entries,
+          K, ef = 16, iters = 2, Metric.L2, ROUND)
+      },
+      Some(Sql.graphBeam(ef = 16, k = K,
+        graphCtes = Some(Sql.cagraGraphCtes(interDegree = 8, graphDegree = 4))))),
     // S7 capability analog — k-NN graph construction as a DataFrame
     // (src, dst, dist): the Add/Build phase of a graph index expressed as
     // an all-pairs top-k (batch NN-descent seed). All-pairs shape ⇒ fused
@@ -1474,7 +1565,8 @@ min(vec_id) AS min_id, max(vec_id) AS max_id FROM embeddings""")),
           ("IVF_SQ8", "l2"), ("IVF_SQ_CC", "l2"), ("IVF_PQ", "l2"),
           ("SCANN", "l2"), ("HNSW", "l2"), ("HNSW", "cosine"),
           ("HNSW_SQ", "l2"), ("HNSW_PQ", "l2"), ("HNSW_PRQ", "l2"),
-          ("DISKANN", "l2"), ("SPARSE_INVERTED_INDEX", "ip"),
+          ("DISKANN", "l2"), ("GPU_CAGRA", "l2"), ("GPU_CAGRA", "cosine"),
+          ("SPARSE_INVERTED_INDEX", "ip"),
           ("SPARSE_INVERTED_INDEX", "bm25"),
           ("SPARSE_INVERTED_INDEX_CC", "ip"), ("SPARSE_WAND", "ip"),
           ("SPARSE_WAND", "bm25"), ("SPARSE_WAND_CC", "bm25")
@@ -1502,6 +1594,8 @@ min(vec_id) AS min_id, max(vec_id) AS max_id FROM embeddings""")),
 ('HNSW_PQ', 'l2', true, true, false, true, true),
 ('HNSW_PRQ', 'l2', true, true, false, true, true),
 ('DISKANN', 'l2', true, true, false, false, true),
+('GPU_CAGRA', 'l2', true, false, false, false, true),
+('GPU_CAGRA', 'cosine', true, false, false, false, true),
 ('SPARSE_INVERTED_INDEX', 'ip', true, true, true, true, true),
 ('SPARSE_INVERTED_INDEX', 'bm25', true, false, true, true, true),
 ('SPARSE_INVERTED_INDEX_CC', 'ip', true, true, true, true, true),
