@@ -95,6 +95,46 @@ object VectorFunctions {
   /** bfloat16 storage (7 mantissa bits, fp32 exponent range). */
   def bf16Storage(v: Column): Column = transform(v, x => storageRound(x, 7, 126))
 
+  // ----- TRUE half-width packed storage -------------------------------------
+  // The grid casts above keep fp16/bf16 VALUES on 4-byte floats; these pack
+  // the same values into dim*2-byte BINARY columns (graft.plans.Half —
+  // operands.h:48-147 real 2-byte storage), halving the scan payload. The
+  // packed kernels decode inline in codegen and are bit-identical to the
+  // grid-cast compute path, so both renderings share one oracle.
+
+  /** ARRAY<FLOAT|DOUBLE> → BINARY(dim*2), RNE-narrowed to binary16. */
+  def packFp16(v: Column): Column =
+    GraftExpr.column(graft.plans.VecPackHalf(GraftExpr.expression(v), bf16 = false))
+
+  /** ARRAY<FLOAT|DOUBLE> → BINARY(dim*2), RNE-narrowed to bfloat16. */
+  def packBf16(v: Column): Column =
+    GraftExpr.column(graft.plans.VecPackHalf(GraftExpr.expression(v), bf16 = true))
+
+  /** BINARY → ARRAY<FLOAT> (exact decode). */
+  def unpackFp16(v: Column): Column =
+    GraftExpr.column(graft.plans.VecUnpackHalf(GraftExpr.expression(v), bf16 = false))
+
+  def unpackBf16(v: Column): Column =
+    GraftExpr.column(graft.plans.VecUnpackHalf(GraftExpr.expression(v), bf16 = true))
+
+  /** Squared L2 over packed binary16 buffers (decode-inline). */
+  def l2SqPackedFp16(a: Column, b: Column): Column =
+    GraftExpr.column(graft.plans.VecL2SqHalf(
+      GraftExpr.expression(a), GraftExpr.expression(b), bf16 = false))
+
+  def l2SqPackedBf16(a: Column, b: Column): Column =
+    GraftExpr.column(graft.plans.VecL2SqHalf(
+      GraftExpr.expression(a), GraftExpr.expression(b), bf16 = true))
+
+  /** Inner product over packed buffers. */
+  def dotPackedFp16(a: Column, b: Column): Column =
+    GraftExpr.column(graft.plans.VecDotHalf(
+      GraftExpr.expression(a), GraftExpr.expression(b), bf16 = false))
+
+  def dotPackedBf16(a: Column, b: Column): Column =
+    GraftExpr.column(graft.plans.VecDotHalf(
+      GraftExpr.expression(a), GraftExpr.expression(b), bf16 = true))
+
   /** int8 storage: round-half-even to the 1/scale grid, clamped to the
     * int8 range; dequantized for compute (`operands.h` int8 + fp32 mock). */
   def int8Storage(v: Column, scale: Double): Column =

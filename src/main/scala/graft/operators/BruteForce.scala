@@ -169,6 +169,39 @@ object BruteForce {
     if (idOffset == 0L) res else res.withColumn("nid", col("nid") + idOffset)
   }
 
+  /** Exact kNN over TRUE half-width storage: both sides are
+    * `BINARY(dim*2)` fp16/bf16-packed columns (graft.plans.Half —
+    * `operands.h:48-147` real 2-byte element types) and the distance
+    * kernel decodes inline in codegen. Same pairs→top-k shape as [[knn]],
+    * half the scan payload; values are bit-identical to the grid-cast
+    * fp32 path, so both share one oracle. L2/L2Sq/IP (the half types'
+    * dense metrics); COSINE callers pre-normalize and use IP. */
+  def knnPacked(
+      queries: DataFrame, // (qid, qvec BINARY)
+      base: DataFrame, // (id, vec BINARY)
+      k: Int,
+      metric: Metric,
+      bf16: Boolean,
+      baseFilter: Option[Column] = None,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    import graft.functions.VectorFunctions.{dotPackedBf16, dotPackedFp16, l2SqPackedBf16, l2SqPackedFp16}
+    val filtered = baseFilter.map(base.filter).getOrElse(base)
+    val l2sq = if (bf16) l2SqPackedBf16(col("qvec"), col("vec")) else l2SqPackedFp16(col("qvec"), col("vec"))
+    val raw = metric match {
+      case Metric.L2 => sqrt(l2sq)
+      case Metric.L2Sq => l2sq
+      case Metric.IP => if (bf16) dotPackedBf16(col("qvec"), col("vec")) else dotPackedFp16(col("qvec"), col("vec"))
+      case m => throw new IllegalArgumentException(s"packed kNN does not support metric ${m.name}")
+    }
+    val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
+    topK(
+      broadcast(queries)
+        .crossJoin(filtered)
+        .select(col("qid"), col("id").as("nid"), d.as("dist")),
+      k, metric.ascending)
+  }
+
   /** Exact range search: all neighbors with distance inside the two-sided
     * bound. L2-like (ascending): rangeFilter <= d < radius; similarity
     * metrics invert: radius < d <= rangeFilter

@@ -790,6 +790,27 @@ GROUP BY q.qid""")),
         BruteForce.knn(q, b, K, Metric.IP, roundDist = ROUND)
       },
       Some(Sql.castKnn(Sql.bf16Cast, desc = true, Sql.ipCast))),
+    // TRUE half-width storage (operands.h:48-147): vectors packed to
+    // dim*2-byte BINARY (graft.plans.Half, RNE narrowing), distances
+    // decoded inline in codegen — bit-identical values to the grid-cast
+    // queries above, so the SAME oracle gates the packed path; what
+    // changes is the scan payload (halved — the 100-TB point of fp16)
+    GraftQuery(
+      "bf_knn_l2_fp16_packed",
+      (s, dir) => {
+        val q = queryVecs(s, dir).select(col("qid"), packFp16(col("qvec")).as("qvec"))
+        val b = baseVecs(s, dir).select(col("id"), packFp16(col("vec")).as("vec"))
+        BruteForce.knnPacked(q, b, K, Metric.L2, bf16 = false, roundDist = ROUND)
+      },
+      Some(Sql.castKnn(Sql.fp16Cast, desc = false, Sql.l2Cast))),
+    GraftQuery(
+      "bf_knn_ip_bf16_packed",
+      (s, dir) => {
+        val q = queryVecs(s, dir).select(col("qid"), packBf16(col("qvec")).as("qvec"))
+        val b = baseVecs(s, dir).select(col("id"), packBf16(col("vec")).as("vec"))
+        BruteForce.knnPacked(q, b, K, Metric.IP, bf16 = true, roundDist = ROUND)
+      },
+      Some(Sql.castKnn(Sql.bf16Cast, desc = true, Sql.ipCast))),
     GraftQuery(
       "bf_knn_l2_int8",
       (s, dir) => {

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.{BruteForce, Metric}
+import graft.plans.Half
+import graft.sources.Tables
+
+/** True half-width packed storage (graft.plans.Half — the 2-byte storage
+  * half of `include/knowhere/operands.h:48-147`): IEEE RNE conversion
+  * boundary cases, element-exact agreement with the value-grid rendering
+  * (fp16Storage/bf16Storage — the oracle's formulation), and packed-kernel
+  * bit-identity with the unpacked kernels.
+  */
+class HalfSpec extends SparkSpec {
+
+  // ---- binary16 conversion: known bit patterns --------------------------
+
+  test("fp16 bit patterns: exact values, max, subnormals, signed zero") {
+    assert(Half.floatToHalf(0.0f) == 0x0000.toShort)
+    assert(Half.floatToHalf(-0.0f) == 0x8000.toShort)
+    assert(Half.floatToHalf(1.0f) == 0x3c00.toShort)
+    assert(Half.floatToHalf(-2.0f) == 0xc000.toShort)
+    assert(Half.floatToHalf(65504.0f) == 0x7bff.toShort) // binary16 max
+    assert(Half.floatToHalf(Float.PositiveInfinity) == 0x7c00.toShort)
+    // overflow: max + ½ulp = 65520 ties to even (infinity); below stays max
+    assert(Half.floatToHalf(65520.0f) == 0x7c00.toShort)
+    assert(Half.floatToHalf(65519.996f) == 0x7bff.toShort)
+    // smallest subnormal 2^-24; the 2^-25 tie goes to even (zero)
+    assert(Half.floatToHalf(5.9604645e-8f) == 0x0001.toShort)
+    assert(Half.floatToHalf(2.9802322e-8f) == 0x0000.toShort)
+    assert(Half.floatToHalf(4.4703484e-8f) == 0x0001.toShort) // 1.5·2^-25 → nearest
+    // min normal 2^-14
+    assert(Half.floatToHalf(6.1035156e-5f) == 0x0400.toShort)
+  }
+
+  test("fp16 round-to-nearest-even at the mantissa boundary") {
+    // 1 + 2^-11 ties between 1.0 (even) and 1 + 2^-10 (odd) → 1.0
+    assert(Half.halfToFloat(Half.floatToHalf(1.0f + math.pow(2, -11).toFloat)) == 1.0f)
+    // 1 + 3·2^-11 ties between 1+2^-10 (odd) and 1+2^-9 (even) → 1+2^-9
+    assert(Half.halfToFloat(Half.floatToHalf(1.0f + 3 * math.pow(2, -11).toFloat))
+      == 1.0f + math.pow(2, -9).toFloat)
+    // just above the tie rounds up
+    assert(Half.halfToFloat(Half.floatToHalf(1.0f + 1.1f * math.pow(2, -11).toFloat))
+      == 1.0f + math.pow(2, -10).toFloat)
+  }
+
+  test("fp16/bf16 round-trip is idempotent on representable values") {
+    val vals = Seq(0.25f, -1.5f, 3.14159f, 1e-3f, -7.77f, 123.456f, 1e-6f, -4.2e-5f)
+    for (v <- vals) {
+      val h = Half.halfToFloat(Half.floatToHalf(v))
+      assert(Half.halfToFloat(Half.floatToHalf(h)) == h)
+      val b = Half.bf16ToFloat(Half.floatToBf16(v))
+      assert(Half.bf16ToFloat(Half.floatToBf16(b)) == b)
+    }
+  }
+
+  test("bf16: truncation-with-RNE against exact powers and ties") {
+    assert(Half.floatToBf16(1.0f) == 0x3f80.toShort)
+    assert(Half.bf16ToFloat(Half.floatToBf16(1.0f)) == 1.0f)
+    // 1 + 2^-8 ties between 1.0 (even) and 1 + 2^-7 (odd) → 1.0
+    assert(Half.bf16ToFloat(Half.floatToBf16(1.0f + math.pow(2, -8).toFloat)) == 1.0f)
+    // 1 + 3·2^-8 → 1 + 2^-6 (even mantissa wins the tie)
+    assert(Half.bf16ToFloat(Half.floatToBf16(1.0f + 3 * math.pow(2, -8).toFloat))
+      == 1.0f + math.pow(2, -6).toFloat)
+  }
+
+  // ---- agreement with the value-grid rendering (the oracle's form) ------
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+
+  test("pack→unpack equals fp16Storage element-for-element on real data") {
+    val bad = emb
+      .select(
+        unpackFp16(packFp16(col("embedding"))).as("packed"),
+        fp16Storage(col("embedding")).as("grid"))
+      .select(explode(zip_with(col("packed"), col("grid"),
+        (p, g) => (p.cast("double") =!= g.cast("double")).cast("int"))).as("ne"))
+      .agg(sum("ne")).head().getLong(0)
+    assert(bad == 0L)
+  }
+
+  test("pack→unpack equals bf16Storage element-for-element on real data") {
+    val bad = emb
+      .select(
+        unpackBf16(packBf16(col("embedding"))).as("packed"),
+        bf16Storage(col("embedding")).as("grid"))
+      .select(explode(zip_with(col("packed"), col("grid"),
+        (p, g) => (p.cast("double") =!= g.cast("double")).cast("int"))).as("ne"))
+      .agg(sum("ne")).head().getLong(0)
+    assert(bad == 0L)
+  }
+
+  test("packed binary is exactly 2 bytes per element") {
+    val row = emb
+      .select(size(col("embedding")).as("dim"), length(packFp16(col("embedding"))).as("len"))
+      .filter(col("len") =!= col("dim") * 2)
+    assert(row.count() == 0)
+  }
+
+  // ---- packed kernels ≡ unpacked kernels --------------------------------
+
+  test("packed L2/IP kernels are bit-identical to the array kernels") {
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"),
+        packFp16(col("embedding")).as("pq"),
+        fp16Storage(col("embedding")).as("aq"))
+    val b = emb.limit(200)
+      .select(col("vec_id").as("id"),
+        packFp16(col("embedding")).as("pb"),
+        fp16Storage(col("embedding")).as("ab"))
+    val bad = q.crossJoin(b)
+      .select(
+        (l2SqPackedFp16(col("pq"), col("pb")) =!= l2Sq(col("aq"), col("ab"))).cast("int").as("n1"),
+        (dotPackedFp16(col("pq"), col("pb")) =!= dot(col("aq"), col("ab"))).cast("int").as("n2"))
+      .agg(sum("n1") + sum("n2")).head().getLong(0)
+    assert(bad == 0L)
+  }
+
+  test("knnPacked matches knn over grid-cast arrays (L2 and IP)") {
+    val qp = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), packFp16(col("embedding")).as("qvec"))
+    val bp = emb.select(col("vec_id").as("id"), packFp16(col("embedding")).as("vec"))
+    val qa = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), fp16Storage(col("embedding")).as("qvec"))
+    val ba = emb.select(col("vec_id").as("id"), fp16Storage(col("embedding")).as("vec"))
+    val packed = BruteForce.knnPacked(qp, bp, 10, Metric.L2, bf16 = false, roundDist = Some(4))
+    val grid = BruteForce.knn(qa, ba, 10, Metric.L2, roundDist = Some(4))
+    assert(packed.collect().toSet == grid.collect().toSet)
+  }
+}
