@@ -336,10 +336,13 @@ object IndexFactory {
       metric: Metric = Metric.L2,
       efSearch: Int = 16,
       beamIters: Int = 2,
-      roundDist: Option[Int] = None
-  ): HnswIndex = HnswIndex.load(spark, dir, metric, efSearch, beamIters, roundDist)
+      roundDist: Option[Int] = None,
+      loadMode: LoadMode = LoadMode.Mapped
+  ): HnswIndex = HnswIndex.load(spark, dir, metric, efSearch, beamIters, roundDist, loadMode)
 
-  /** Deserialize a CAGRA index saved by CagraIndex.save. */
+  /** Deserialize a CAGRA index saved by CagraIndex.save. GPU kinds have
+    * no MMAP feature bit, so only [[LoadMode.Resident]]/default apply —
+    * the loader mirrors the search-side contract and takes no knob. */
   def loadCagra(
       spark: SparkSession,
       dir: String,
@@ -372,20 +375,24 @@ object IndexFactory {
   def loadSparse(spark: SparkSession, dir: String): SparseIndexModel =
     SparseIndexModel.load(spark, dir)
 
-  /** Deserialize an IVF index saved by IvfFlatIndex.save. */
+  /** Deserialize an IVF index saved by IvfFlatIndex.save.
+    * `loadMode` is the `enable_mmap`/`enable_mmap_pop` residency knob
+    * ([[LoadMode]]); the lists frame (the big artifact) gets the policy —
+    * centroids are broadcast-sized and stay lazy. */
   def loadIvf(
       spark: SparkSession,
       dir: String,
       metric: Metric = Metric.L2,
       nprobe: Int = 4,
-      roundDist: Option[Int] = None
+      roundDist: Option[Int] = None,
+      loadMode: LoadMode = LoadMode.Mapped
   ): IvfFlatIndex = {
     val sizes =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/list_sizes")))
         Some(spark.read.parquet(s"$dir/list_sizes"))
       else None
     new IvfFlatIndex(
-      spark.read.parquet(s"$dir/lists"),
+      LoadMode(spark.read.parquet(s"$dir/lists"), loadMode),
       spark.read.parquet(s"$dir/centroids"),
       metric,
       nprobe,
@@ -399,10 +406,11 @@ object IndexFactory {
       dir: String,
       nprobe: Int = 4,
       reorderK: Int = 50,
-      roundDist: Option[Int] = None
+      roundDist: Option[Int] = None,
+      loadMode: LoadMode = LoadMode.Mapped
   ): IvfSq8Index =
     new IvfSq8Index(
-      spark.read.parquet(s"$dir/lists"),
+      LoadMode(spark.read.parquet(s"$dir/lists"), loadMode),
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/sq8_stats"),
       nprobe,
@@ -415,10 +423,11 @@ object IndexFactory {
       dir: String,
       nprobe: Int = 4,
       reorderK: Int = 50,
-      roundDist: Option[Int] = None
+      roundDist: Option[Int] = None,
+      loadMode: LoadMode = LoadMode.Mapped
   ): IvfPqIndex =
     new IvfPqIndex(
-      spark.read.parquet(s"$dir/lists"),
+      LoadMode(spark.read.parquet(s"$dir/lists"), loadMode),
       spark.read.parquet(s"$dir/centroids"),
       ProductQuant.loadModel(spark, s"$dir/pq"),
       nprobe,

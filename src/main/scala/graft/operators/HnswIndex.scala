@@ -127,14 +127,18 @@ final class HnswIndex(
 
 object HnswIndex {
 
-  /** Deserialize an index saved by [[HnswIndex#save]] — search-identical. */
+  /** Deserialize an index saved by [[HnswIndex#save]] — search-identical.
+    * `loadMode` ([[LoadMode]], the enable_mmap/enable_mmap_pop analog)
+    * governs the two data-bearing frames (graph + raw tier); the tiny
+    * entries/meta/model frames stay lazy. */
   def load(
       spark: SparkSession,
       dir: String,
       metric: Metric = Metric.L2,
       efSearch: Int = 16,
       beamIters: Int = 2,
-      roundDist: Option[Int] = None
+      roundDist: Option[Int] = None,
+      loadMode: LoadMode = LoadMode.Mapped
   ): HnswIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head()
     val variant = meta.getAs[String]("variant") match {
@@ -148,8 +152,8 @@ object HnswIndex {
       case other => throw new IllegalArgumentException(s"unknown HNSW variant $other")
     }
     new HnswIndex(
-      spark.read.parquet(s"$dir/graph"),
-      spark.read.parquet(s"$dir/base"),
+      LoadMode(spark.read.parquet(s"$dir/graph"), loadMode),
+      LoadMode(spark.read.parquet(s"$dir/base"), loadMode),
       spark.read.parquet(s"$dir/entries"),
       metric,
       efSearch,
