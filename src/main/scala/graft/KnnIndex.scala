@@ -53,6 +53,72 @@ final class FlatIndex(
     base.write.mode("overwrite").parquet(s"$dir/base")
 }
 
+/** FLAT over TRUE half-width storage — the factory's per-datatype key
+  * (`IndexFactory::Create<fp16>`, `include/knowhere/utils.h:101-104`
+  * "_fp16"/"_bf16" suffixes) materialized as 2-byte-packed BINARY columns
+  * (`graft.plans.Half`, `operands.h:48-147`). Search decodes inline in
+  * codegen ([[BruteForce.knnPacked]]); serialization writes the packed
+  * table — half the bytes of the fp32 artifact at rest AND in scan.
+  * Range search and GetVectorByIds serve from the exact fp32 decode
+  * (every half value is exact in fp32 — same results as the value-grid
+  * rendering). */
+final class PackedFlatIndex(
+    val packed: DataFrame, // (id, vec BINARY)
+    val metric: Metric,
+    val bf16: Boolean,
+    roundDist: Option[Int] = None
+) extends VectorIndex {
+  import graft.functions.VectorFunctions.{packBf16, packFp16, unpackBf16, unpackFp16}
+
+  override def indexType: String = "FLAT"
+  def elementType: String = if (bf16) "bf16" else "fp16"
+  override lazy val count: Long = packed.count()
+  override lazy val dim: Int =
+    packed.select(max(length(col("vec")))).head().getInt(0) / 2
+
+  private def packQ(queries: DataFrame): DataFrame = queries.select(
+    col("qid"),
+    (if (bf16) packBf16(col("qvec")) else packFp16(col("qvec"))).as("qvec"))
+
+  private def unpacked: DataFrame = packed.select(
+    col("id"),
+    (if (bf16) unpackBf16(col("vec")) else unpackFp16(col("vec"))).as("vec"))
+
+  override def search(queries: DataFrame, k: Int, filter: Option[Column]): DataFrame =
+    BruteForce.knnPacked(packQ(queries), packed, k, metric, bf16, filter, roundDist)
+
+  override def rangeSearch(queries: DataFrame, radius: Double, rangeFilter: Double,
+      filter: Option[Column]): DataFrame =
+    BruteForce.rangeSearch(queries, unpacked, metric, radius, rangeFilter, filter, roundDist)
+
+  override def getVectorByIds(ids: DataFrame): DataFrame =
+    BruteForce.getVectorByIds(ids, unpacked)
+
+  override def save(dir: String): Unit =
+    packed.write.mode("overwrite").parquet(s"$dir/base_packed")
+
+  override def indexMetaJson: String =
+    s"""{"index_type":"$indexType","element_type":"$elementType",""" +
+      s""""count":$count,"dim":$dim}"""
+}
+
+object PackedFlatIndex {
+
+  /** Pack an (id, vec ARRAY<FLOAT|DOUBLE>) frame into the 2-byte handle. */
+  def fromArrays(base: DataFrame, metric: Metric, bf16: Boolean,
+      roundDist: Option[Int] = None): PackedFlatIndex = {
+    import graft.functions.VectorFunctions.{packBf16, packFp16}
+    new PackedFlatIndex(
+      base.select(col("id"),
+        (if (bf16) packBf16(col("vec")) else packFp16(col("vec"))).as("vec")),
+      metric, bf16, roundDist)
+  }
+
+  def load(spark: SparkSession, dir: String, metric: Metric, bf16: Boolean,
+      roundDist: Option[Int] = None): PackedFlatIndex =
+    new PackedFlatIndex(spark.read.parquet(s"$dir/base_packed"), metric, bf16, roundDist)
+}
+
 /** IVF_FLAT: coarse-quantized lists, probed search (`src/index/ivf/ivf.cc`). */
 final class IvfFlatIndex(
     val index: DataFrame, // (id, vec, cluster_id)
@@ -228,7 +294,12 @@ object IndexFactory {
       reorderK: Int = 50,
       pqM: Int = 8,
       pqKsub: Int = 16,
-      version: Int = Capabilities.DefaultVersion
+      version: Int = Capabilities.DefaultVersion,
+      // the per-datatype factory key (IndexFactory::Create<fp16>,
+      // utils.h:101-104): fp16/bf16 on FLAT build TRUE 2-byte storage
+      // (PackedFlatIndex); on other kinds they keep the fp32 compute
+      // path over the value grid (operands.h:180-198 mocking)
+      elementType: String = "fp32"
   ): VectorIndex = {
     require(Capabilities.versionSupported(version),
       s"index version $version outside supported range " +
@@ -236,6 +307,13 @@ object IndexFactory {
     require(Capabilities.IndexTypes.contains(indexType), s"unknown index type $indexType")
     require(Capabilities.supportsMetric(indexType, metric.name),
       s"index $indexType does not support metric ${metric.name}")
+    require(Capabilities.supportsDataType(indexType,
+        if (indexType.startsWith("BIN_")) "bin1"
+        else if (indexType.startsWith("SPARSE_")) "sparse_fp32"
+        else elementType),
+      s"index $indexType does not support element type $elementType")
+    if ((elementType == "fp16" || elementType == "bf16") && indexType == "FLAT")
+      return PackedFlatIndex.fromArrays(base, metric, bf16 = elementType == "bf16", roundDist)
     def cents = IvfIndex.trainKMeans(spark, base, nlist, seed)
     // entry points for graph indexes: one medoid per k-means cluster (the
     // reference enters at the dataset medoid; spreading entries across
@@ -339,6 +417,16 @@ object IndexFactory {
       roundDist: Option[Int] = None,
       loadMode: LoadMode = LoadMode.Mapped
   ): HnswIndex = HnswIndex.load(spark, dir, metric, efSearch, beamIters, roundDist, loadMode)
+
+  /** Deserialize a packed-FLAT index saved by PackedFlatIndex.save. */
+  def loadFlatPacked(
+      spark: SparkSession,
+      dir: String,
+      metric: Metric = Metric.L2,
+      elementType: String = "fp16",
+      roundDist: Option[Int] = None
+  ): PackedFlatIndex =
+    PackedFlatIndex.load(spark, dir, metric, bf16 = elementType == "bf16", roundDist)
 
   /** Deserialize a CAGRA index saved by CagraIndex.save. GPU kinds have
     * no MMAP feature bit, so only [[LoadMode.Resident]]/default apply —

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
-import graft.operators.{BruteForce, Metric}
+import graft.operators.{BruteForce, Capabilities, Metric}
 import graft.plans.Half
 import graft.sources.Tables
 
@@ -116,6 +116,41 @@ class HalfSpec extends SparkSpec {
         (dotPackedFp16(col("pq"), col("pb")) =!= dot(col("aq"), col("ab"))).cast("int").as("n2"))
       .agg(sum("n1") + sum("n2")).head().getLong(0)
     assert(bad == 0L)
+  }
+
+  // ---- factory per-datatype key (IndexFactory::Create<fp16> analog) -----
+
+  test("factory FLAT + fp16 builds 2-byte storage, matches the grid path") {
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val packed = IndexFactory.build(spark, "FLAT", base, Metric.L2,
+      roundDist = Some(4), elementType = "fp16")
+    assert(packed.isInstanceOf[PackedFlatIndex])
+    assert(packed.indexMetaJson.contains("\"element_type\":\"fp16\""))
+    assert(packed.dim == 64)
+    val gridIdx = new FlatIndex(
+      base.select(col("id"), fp16Storage(col("vec")).as("vec")), Metric.L2, Some(4))
+    val gq = q.select(col("qid"), fp16Storage(col("qvec")).as("qvec"))
+    assert(packed.search(q, 10, None).collect().toSet
+      == gridIdx.search(gq, 10, None).collect().toSet)
+    // save/load roundtrip stays packed and search-identical
+    val dir = java.nio.file.Files.createTempDirectory("packedflat").toString
+    packed.save(dir)
+    val loaded = IndexFactory.loadFlatPacked(spark, dir, Metric.L2, "fp16", Some(4))
+    assert(loaded.search(q, 10, None).collect().toSet
+      == packed.search(q, 10, None).collect().toSet)
+  }
+
+  test("factory element-type validation follows the capability table") {
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // GPU_CAGRA registers fp32 only (gpu_raft_cagra.cc:163-175)
+    intercept[IllegalArgumentException] {
+      IndexFactory.build(spark, "GPU_CAGRA", base, Metric.L2, elementType = "fp16")
+    }
+    // IVF_PQ supports fp16 via the fp32 mock path — no packed handle,
+    // but the key is legal
+    assert(Capabilities.supportsDataType("IVF_PQ", "fp16"))
   }
 
   test("knnPacked matches knn over grid-cast arrays (L2 and IP)") {
