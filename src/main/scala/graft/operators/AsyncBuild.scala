@@ -62,6 +62,9 @@ object IndexStatic {
       // memory tier only: PQ codes steer the beam; raw stays on SSD
       // (pq_code_budget_gb's role, diskann_config.h:26-143)
       case "DISKANN" => count * 8L + idBytes
+      // CPU-adapt CAGRA: raw vectors (the answer tier) + the optimized
+      // fixed-degree graph (graph_degree=4 edges × two longs relationally)
+      case "GPU_CAGRA" | "GPU_RAFT_CAGRA" => vecBytes + idBytes + count * 8L * 8
       case "SPARSE_INVERTED_INDEX" | "SPARSE_INVERTED_INDEX_CC" |
           "SPARSE_WAND" | "SPARSE_WAND_CC" => count * 12L * 32 // ~32 nnz × (idx,val)
       case other => throw new IllegalArgumentException(s"unknown index type $other")
