@@ -135,6 +135,23 @@ object VectorFunctions {
     GraftExpr.column(graft.plans.VecDotHalf(
       GraftExpr.expression(a), GraftExpr.expression(b), bf16 = true))
 
+  /** int8 packed storage: 1 byte/element (quarter the fp32 bytes),
+    * round-half-even x·scale clamped to [-128,127] — same value grid as
+    * [[int8Storage]], dequantized in DOUBLE by the packed kernels. */
+  def packInt8(v: Column, scale: Double): Column =
+    GraftExpr.column(graft.plans.VecPackInt8(GraftExpr.expression(v), scale))
+
+  def unpackInt8(v: Column, scale: Double): Column =
+    GraftExpr.column(graft.plans.VecUnpackInt8(GraftExpr.expression(v), scale))
+
+  def l2SqPackedInt8(a: Column, b: Column, scale: Double): Column =
+    GraftExpr.column(graft.plans.VecL2SqInt8(
+      GraftExpr.expression(a), GraftExpr.expression(b), scale))
+
+  def dotPackedInt8(a: Column, b: Column, scale: Double): Column =
+    GraftExpr.column(graft.plans.VecDotInt8(
+      GraftExpr.expression(a), GraftExpr.expression(b), scale))
+
   /** int8 storage: round-half-even to the 1/scale grid, clamped to the
     * int8 range; dequantized for compute (`operands.h` int8 + fp32 mock). */
   def int8Storage(v: Column, scale: Double): Column =

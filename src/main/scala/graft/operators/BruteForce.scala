@@ -202,6 +202,34 @@ object BruteForce {
       k, metric.ascending)
   }
 
+  /** [[knnPacked]] for int8 packed storage (1 byte/element —
+    * `operands.h` int8; quarter the fp32 scan bytes), dequantizing by
+    * `scale` inline in codegen. */
+  def knnPackedInt8(
+      queries: DataFrame, // (qid, qvec BINARY)
+      base: DataFrame, // (id, vec BINARY)
+      k: Int,
+      metric: Metric,
+      scale: Double,
+      baseFilter: Option[Column] = None,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    import graft.functions.VectorFunctions.{dotPackedInt8, l2SqPackedInt8}
+    val filtered = baseFilter.map(base.filter).getOrElse(base)
+    val raw = metric match {
+      case Metric.L2 => sqrt(l2SqPackedInt8(col("qvec"), col("vec"), scale))
+      case Metric.L2Sq => l2SqPackedInt8(col("qvec"), col("vec"), scale)
+      case Metric.IP => dotPackedInt8(col("qvec"), col("vec"), scale)
+      case m => throw new IllegalArgumentException(s"packed kNN does not support metric ${m.name}")
+    }
+    val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
+    topK(
+      broadcast(queries)
+        .crossJoin(filtered)
+        .select(col("qid"), col("id").as("nid"), d.as("dist")),
+      k, metric.ascending)
+  }
+
   /** Exact range search: all neighbors with distance inside the two-sided
     * bound. L2-like (ascending): rangeFilter <= d < radius; similarity
     * metrics invert: radius < d <= rangeFilter

@@ -151,4 +151,64 @@ object Half {
     }
     s
   }
+
+  // ----- int8 packed storage: 1 byte per element ----------------------------
+  // The reference's third reduced element type (`operands.h:48-147` int8;
+  // compute mocks through fp32 like the half types). Quantization contract
+  // matches the value-grid rendering (VectorFunctions.int8Storage and the
+  // oracle's roundbankers SQL): round-half-even of x·scale, clamped to
+  // [-128, 127]; decode divides back in DOUBLE.
+
+  /** Pack to 1 byte/element: clamp(rint(x·scale)). Math.rint is
+    * round-half-even on the binary double — the roundbankers analog. */
+  def packInt8(ad: ArrayData, fromDouble: Boolean, scale: Double): Array[Byte] = {
+    val n = ad.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val x = if (fromDouble) ad.getDouble(i) else ad.getFloat(i).toDouble
+      val q = math.rint(x * scale)
+      out(i) = math.max(-128.0, math.min(127.0, q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Unpack to the dequantized DOUBLE grid values (byte / scale) — the
+    * exact values the grid rendering computes with. */
+  def unpackInt8(bytes: Array[Byte], scale: Double): Array[Double] = {
+    val n = bytes.length
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = bytes(i).toDouble / scale
+      i += 1
+    }
+    out
+  }
+
+  /** Σ (a_i − b_i)² over int8 buffers, dequantized in DOUBLE inline. */
+  def l2SqInt8(a: Array[Byte], b: Array[Byte], scale: Double): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0d
+    var i = 0
+    while (i < n) {
+      val d = a(i).toDouble / scale - b(i).toDouble / scale
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Σ a_i·b_i over int8 buffers. */
+  def dotInt8(a: Array[Byte], b: Array[Byte], scale: Double): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0d
+    var i = 0
+    while (i < n) {
+      s += (a(i).toDouble / scale) * (b(i).toDouble / scale)
+      i += 1
+    }
+    s
+  }
 }

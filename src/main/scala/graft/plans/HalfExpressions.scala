@@ -102,3 +102,84 @@ case class VecDotHalf(left: Expression, right: Expression, bf16: Boolean)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** ARRAY<FLOAT|DOUBLE> → BINARY(dim), int8 quantization (round-half-even
+  * of x·scale, clamped — the value-grid int8Storage contract at 1
+  * byte/element, `operands.h` int8). */
+case class VecPackInt8(child: Expression, scale: Double) extends UnaryExpression {
+  override def prettyName: String = "vec_pack_int8"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got $other")
+  }
+
+  private def fromDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def nullSafeEval(v: Any): Any =
+    Half.packInt8(v.asInstanceOf[ArrayData], fromDouble, scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Half.packInt8($c, $fromDouble, $scale)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** BINARY → ARRAY<DOUBLE> dequantized grid values. */
+case class VecUnpackInt8(child: Expression, scale: Double) extends UnaryExpression {
+  override def prettyName: String = "vec_unpack_int8"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(Half.unpackInt8(v.asInstanceOf[Array[Byte]], scale))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.Half.unpackInt8($c, $scale))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Σ (a_i − b_i)² over int8 buffers (dequantize-inline). */
+case class VecL2SqInt8(left: Expression, right: Expression, scale: Double)
+    extends PackedFoldExpression {
+  override def bf16: Boolean = false
+  override def prettyName: String = "vec_l2sq_int8"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Half.l2SqInt8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Half.l2SqInt8($a, $b, $scale)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ a_i·b_i over int8 buffers. */
+case class VecDotInt8(left: Expression, right: Expression, scale: Double)
+    extends PackedFoldExpression {
+  override def bf16: Boolean = false
+  override def prettyName: String = "vec_dot_int8"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Half.dotInt8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Half.dotInt8($a, $b, $scale)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -819,6 +819,16 @@ GROUP BY q.qid""")),
         BruteForce.knn(q, b, K, Metric.L2, roundDist = ROUND)
       },
       Some(Sql.castKnn(Sql.int8Cast, desc = false, Sql.l2Cast))),
+    // int8 at its TRUE width: 1 byte/element BINARY (quarter the fp32
+    // bytes), dequantize-inline kernels, same grid oracle as above
+    GraftQuery(
+      "bf_knn_l2_int8_packed",
+      (s, dir) => {
+        val q = queryVecs(s, dir).select(col("qid"), packInt8(col("qvec"), 100.0).as("qvec"))
+        val b = baseVecs(s, dir).select(col("id"), packInt8(col("vec"), 100.0).as("vec"))
+        BruteForce.knnPackedInt8(q, b, K, Metric.L2, scale = 100.0, roundDist = ROUND)
+      },
+      Some(Sql.castKnn(Sql.int8Cast, desc = false, Sql.l2Cast))),
     // S12 — norm precompute (brute_force.cc:66-101)
     GraftQuery(
       "vec_norms",

@@ -118,6 +118,42 @@ class HalfSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("int8 pack→unpack equals int8Storage element-for-element on real data") {
+    val bad = emb
+      .select(
+        unpackInt8(packInt8(col("embedding"), 100.0), 100.0).as("packed"),
+        int8Storage(col("embedding"), 100.0).as("grid"))
+      .select(explode(zip_with(col("packed"), col("grid"),
+        (p, g) => (p =!= g).cast("int"))).as("ne"))
+      .agg(sum("ne")).head().getLong(0)
+    assert(bad == 0L)
+  }
+
+  test("int8 packed is 1 byte per element; clamping engages at the rails") {
+    val row = emb
+      .select(size(col("embedding")).as("dim"), length(packInt8(col("embedding"), 100.0)).as("len"))
+      .filter(col("len") =!= col("dim"))
+    assert(row.count() == 0)
+    // a value past the rail clamps to ±127/-128 on the dequantized grid
+    import graft.plans.Half
+    val big = Half.packInt8(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(9.99f, -9.99f)),
+      fromDouble = false, scale = 100.0)
+    assert(big(0) == 127.toByte && big(1) == (-128).toByte)
+  }
+
+  test("knnPackedInt8 matches knn over the int8 grid") {
+    val qp = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), packInt8(col("embedding"), 100.0).as("qvec"))
+    val bp = emb.select(col("vec_id").as("id"), packInt8(col("embedding"), 100.0).as("vec"))
+    val qa = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), int8Storage(col("embedding"), 100.0).as("qvec"))
+    val ba = emb.select(col("vec_id").as("id"), int8Storage(col("embedding"), 100.0).as("vec"))
+    val packed = BruteForce.knnPackedInt8(qp, bp, 10, Metric.L2, 100.0, roundDist = Some(4))
+    val grid = BruteForce.knn(qa, ba, 10, Metric.L2, roundDist = Some(4))
+    assert(packed.collect().toSet == grid.collect().toSet)
+  }
+
   // ---- factory per-datatype key (IndexFactory::Create<fp16> analog) -----
 
   test("factory FLAT + fp16 builds 2-byte storage, matches the grid path") {
