@@ -42,6 +42,29 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 shuffle (top-k agg), got $shuffles:\n$p")
   }
 
+  test("packed kNN: same one-shuffle shape, packed kernel inside codegen") {
+    import graft.functions.VectorFunctions.packFp16
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), packFp16(col("embedding")).as("vec"))
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), packFp16(col("embedding")).as("qvec"))
+    val df = BruteForce.knnPacked(queries, base, 5, Metric.L2, bf16 = false,
+      roundDist = Some(4))
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    // keep only the executed "== Final Plan ==" section (the string also
+    // echoes the initial plan, which would double-count its Exchange)
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$p")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 shuffle (top-k agg), got $shuffles:\n$p")
+    // the packed kernel must sit inside a whole-stage-codegen stage (the
+    // `*(n)` marker on its Project), not fall back to interpreted eval
+    val kernelLine = p.linesIterator.find(_.contains("vec_l2sq_fp16"))
+    assert(kernelLine.isDefined, s"packed kernel missing from plan:\n$p")
+    assert(kernelLine.get.contains("*("), s"packed kernel outside codegen:\n$p")
+  }
+
   test("KnnJoin custom operator: plans to KnnJoinExec and equals BruteForce.knn") {
     val base = Tables.embeddings(spark, sf0001)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
