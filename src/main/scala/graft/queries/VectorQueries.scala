@@ -270,19 +270,59 @@ SELECT qid, nid, dist, rnk FROM (
       * interDegree-NN graph → detour prune (edge (s,d) dropped when some
       * s→m→d route has both legs strictly shorter) → reverse-edge merge →
       * re-cap at graphDegree. Ends in `g(src, dst, dist, rnk)` — plugs
-      * into [[graphBeam]]'s graphCtes slot. */
-    def cagraGraphCtes(interDegree: Int, graphDegree: Int): String = {
+      * into [[graphBeam]]'s graphCtes slot. `ivfBucketed` swaps the
+      * all-pairs intermediate graph for the IVF-bucketed candidate build
+      * (deterministic vec_id%250 centroids, nprobe=2 — mirrors
+      * Cagra.build via knnGraphIvfWithDist, the factory arm's path). */
+    def cagraGraphCtes(interDegree: Int, graphDegree: Int,
+        ivfBucketed: Boolean = false): String = {
       val dAB =
         "round(sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> " +
           "(CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) * " +
           "(CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 4)"
-      s"""knng AS (
+      val knngCtes =
+        if (!ivfBucketed)
+          s"""knng AS (
   SELECT src, dst, dist FROM (
     SELECT a.vec_id AS src, b.vec_id AS dst, $dAB AS dist,
       row_number() OVER (PARTITION BY a.vec_id ORDER BY $dAB ASC, b.vec_id ASC) AS rnk
     FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id
   ) WHERE rnk <= $interDegree
+)"""
+        else
+          s"""gc AS (SELECT vec_id AS cid, embedding AS gcv FROM embeddings WHERE vec_id % 250 = 0),
+gasn AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, gc.cid,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i ->
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(gc.gcv[i] AS DOUBLE)) *
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(gc.gcv[i] AS DOUBLE))))), 4) ASC, gc.cid ASC) AS rn
+    FROM embeddings b CROSS JOIN gc
+  ) WHERE rn = 1
 ),
+gpr AS (
+  SELECT qid, cid FROM (
+    SELECT qq.vec_id AS qid, gc.cid,
+      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(qq.embedding)+1), i ->
+          (CAST(qq.embedding[i] AS DOUBLE) - CAST(gc.gcv[i] AS DOUBLE)) *
+          (CAST(qq.embedding[i] AS DOUBLE) - CAST(gc.gcv[i] AS DOUBLE))))), 4) ASC, gc.cid ASC) AS rn
+    FROM embeddings qq CROSS JOIN gc
+  ) WHERE rn <= 2
+),
+knng AS (
+  SELECT src, dst, dist FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst, $dAB AS dist,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY $dAB ASC, b.vec_id ASC) AS rnk
+    FROM embeddings a
+    JOIN gpr p ON p.qid = a.vec_id
+    JOIN gasn n ON n.cid = p.cid
+    JOIN embeddings b ON b.vec_id = n.vec_id
+    WHERE a.vec_id <> b.vec_id
+  ) WHERE rnk <= $interDegree
+)"""
+      s"""$knngCtes,
 det AS (
   SELECT DISTINCT sd.src AS src, sd.dst AS dst
   FROM knng sd
@@ -1154,6 +1194,24 @@ FROM asn GROUP BY 1""")),
         Cagra.optimize(inter, graphDegree = 4)
       },
       Some(s"""WITH ${Sql.cagraGraphCtes(interDegree = 8, graphDegree = 4)}
+SELECT src, dst, dist, rnk FROM g""")),
+    // S10 — CAGRA BUILD at the 100-TB shape: the intermediate graph comes
+    // from the IVF-bucketed candidate construction (knnGraphIvfWithDist —
+    // co-located cluster joins, never all pairs), then the same detour
+    // prune + reverse merge. This is EXACTLY the factory arm's path
+    // (Cagra.build), hash-gated end to end with deterministic centroids
+    GraftQuery(
+      "cagra_build_ivf",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        Cagra.build(base, cents, intermediateDegree = 8, graphDegree = 4,
+          nprobe = 2, Metric.L2, ROUND)
+      },
+      Some(s"""WITH ${Sql.cagraGraphCtes(interDegree = 8, graphDegree = 4, ivfBucketed = true)}
 SELECT src, dst, dist, rnk FROM g""")),
     // S10 — CAGRA SEARCH (itopk_size beam over the optimized graph,
     // gpu_raft_cagra.cc:48-60 CPU search): same beam mechanics as the
