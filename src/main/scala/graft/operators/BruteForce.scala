@@ -174,8 +174,9 @@ object BruteForce {
     * `operands.h:48-147` real 2-byte element types) and the distance
     * kernel decodes inline in codegen. Same pairs→top-k shape as [[knn]],
     * half the scan payload; values are bit-identical to the grid-cast
-    * fp32 path, so both share one oracle. L2/L2Sq/IP (the half types'
-    * dense metrics); COSINE callers pre-normalize and use IP. */
+    * fp32 path, so both share one oracle. L2/L2Sq/IP/COSINE (cosine
+    * rides the cached-norms shape of [[pairs]]: one norm per side below
+    * the join, never per pair). */
   def knnPacked(
       queries: DataFrame, // (qid, qvec BINARY)
       base: DataFrame, // (id, vec BINARY)
@@ -186,18 +187,24 @@ object BruteForce {
       roundDist: Option[Int] = None
   ): DataFrame = {
     import graft.functions.VectorFunctions.{dotPackedBf16, dotPackedFp16, l2SqPackedBf16, l2SqPackedFp16}
+    def dotP(a: Column, b: Column) =
+      if (bf16) dotPackedBf16(a, b) else dotPackedFp16(a, b)
     val filtered = baseFilter.map(base.filter).getOrElse(base)
     val l2sq = if (bf16) l2SqPackedBf16(col("qvec"), col("vec")) else l2SqPackedFp16(col("qvec"), col("vec"))
-    val raw = metric match {
-      case Metric.L2 => sqrt(l2sq)
-      case Metric.L2Sq => l2sq
-      case Metric.IP => if (bf16) dotPackedBf16(col("qvec"), col("vec")) else dotPackedFp16(col("qvec"), col("vec"))
+    val (q, b, raw) = metric match {
+      case Metric.L2 => (queries, filtered, sqrt(l2sq))
+      case Metric.L2Sq => (queries, filtered, l2sq)
+      case Metric.IP => (queries, filtered, dotP(col("qvec"), col("vec")))
+      case Metric.Cosine => (
+        queries.withColumn("_qn", sqrt(dotP(col("qvec"), col("qvec")))),
+        filtered.withColumn("_bn", sqrt(dotP(col("vec"), col("vec")))),
+        dotP(col("qvec"), col("vec")) / (col("_qn") * col("_bn")))
       case m => throw new IllegalArgumentException(s"packed kNN does not support metric ${m.name}")
     }
     val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
     topK(
-      broadcast(queries)
-        .crossJoin(filtered)
+      broadcast(q)
+        .crossJoin(b)
         .select(col("qid"), col("id").as("nid"), d.as("dist")),
       k, metric.ascending)
   }

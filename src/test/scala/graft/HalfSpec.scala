@@ -199,5 +199,9 @@ class HalfSpec extends SparkSpec {
     val packed = BruteForce.knnPacked(qp, bp, 10, Metric.L2, bf16 = false, roundDist = Some(4))
     val grid = BruteForce.knn(qa, ba, 10, Metric.L2, roundDist = Some(4))
     assert(packed.collect().toSet == grid.collect().toSet)
+    // cosine rides the cached-norms shape on both paths — same results
+    val packedCos = BruteForce.knnPacked(qp, bp, 10, Metric.Cosine, bf16 = false, roundDist = Some(4))
+    val gridCos = BruteForce.knn(qa, ba, 10, Metric.Cosine, roundDist = Some(4))
+    assert(packedCos.collect().toSet == gridCos.collect().toSet)
   }
 }
