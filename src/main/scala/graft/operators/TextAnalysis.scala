@@ -62,6 +62,45 @@ object TextAnalysis {
     )
   }
 
+  /** Top-k characteristic terms per document by a TF-IDF-family score.
+    *
+    * Determinism across engines rules out `ln` (libm results can differ
+    * in the last ulp, which a round-then-rank contract cannot absorb at
+    * ranking boundaries), so the idf weight is the rational surrogate
+    * (N+1)/(df+1) and the score is integer-scaled:
+    *   score = tf · (N+1) · 10000 div (df+1)
+    * — exact 64-bit arithmetic on both engines, same ordering behavior
+    * (monotone in tf and in 1/df). Ties break by term ascending.
+    *
+    * Scale shape: one (doc_id, term) count aggregation, one vocab-sized
+    * df aggregation, a shuffle join on `term` (vocab-keyed — wide text
+    * never moves), then a per-doc rank whose partitions are bounded by
+    * document length (distinct terms per doc), not corpus size. */
+  def tfidfTopTerms(df: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val exploded = df
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = exploded.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val docsN = df.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val dfreq = exploded.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // integer division via the exact-double idiom (quotient < 2^53):
+    // num − pmod is an exact multiple of den, so the fp division is exact
+    val num = col("tf") * lit((docsN + 1) * 10000L)
+    val den = col("df") + lit(1L)
+    tf
+      .join(dfreq, "term")
+      .select(
+        col("doc_id"),
+        col("term"),
+        ((num - pmod(num, den)) / den).cast("long").as("score"))
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+  }
+
   /** Quality score: linear combination of type-token ratio, stopword ratio,
     * and mean token length (length/punct/stopword-ratio heuristics; the
     * corpus is already lowercase and unpunctuated). */

@@ -55,6 +55,28 @@ SELECT doc_id,
        ELSE 'zh' END AS pred_lang,
   round(greatest(en, de, fr, es, zh), 4) AS lang_score
 FROM r""")),
+    // TF-IDF characteristic terms per document (keyword extraction — the
+    // classic corpus-indexing feature a training pipeline derives before
+    // vocab pruning / topic bucketing). Integer-scaled rational idf
+    // surrogate (N+1)/(df+1) keeps the score exact 64-bit arithmetic on
+    // both engines — ln differs in the last ulp across libms, which a
+    // round-then-rank contract cannot absorb at ranking boundaries
+    GraftQuery(
+      "doc_tfidf_terms",
+      (s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), k = 3),
+      Some("""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+SELECT doc_id, term, score, rnk FROM (
+  SELECT tf.doc_id AS doc_id, tf.term AS term,
+    CAST(tf.tf * (n.n + 1) * 10000 // (dfreq.df + 1) AS BIGINT) AS score,
+    CAST(row_number() OVER (PARTITION BY tf.doc_id
+      ORDER BY tf.tf * (n.n + 1) * 10000 // (dfreq.df + 1) DESC, tf.term ASC) AS INT) AS rnk
+  FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN n
+) WHERE rnk <= 3""")),
     // Gopher-family repetition rules: top-bigram fraction + duplicate-
     // trigram fraction per document (templated/boilerplate doc signal)
     GraftQuery(
