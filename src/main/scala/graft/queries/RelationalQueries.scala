@@ -105,6 +105,39 @@ FROM lineitem GROUP BY 1, 2""")),
           .agg(count(lit(1)).as("n_users")),
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1""")),
+    // the SAME exact distinct as a STREAM: stateful dropDuplicates on the
+    // COMPOSITE key (state + shuffle spread across (event_type, user_id)
+    // — the streaming twin of the batch two-phase shape; a hot event_type
+    // never funnels into one state partition) feeding a running count in
+    // complete mode. Dedup state persists across micro-batches, so the
+    // final table equals the batch oracle whatever the batch split.
+    GraftQuery(
+      "events_distinct_users_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val stage = java.nio.file.Files.createTempDirectory("graft-events-distinct")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"))
+        val ev = s.readStream.schema(schema).parquet(stage.toString)
+        val sink = s"events_distinct_users_stream_${System.nanoTime()}"
+        val q = ev
+          .select(col("event_type"), col("user_id"))
+          .dropDuplicates("event_type", "user_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"))
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1""")),
     // star join with the right strategy per dimension: nation (25 rows)
     // is BROADCAST — never shuffled — while orders⋈customer shuffles on
     // the join key once; the fact table's revenue rounds per-row into an

@@ -117,6 +117,38 @@ class StreamingSessionsSpec extends SparkSpec {
     // the state path really ran in two batches
     assert(q.recentProgress.count(_.numInputRows > 0) == 2)
   }
+
+  test("streaming distinct-users is batch-split invariant (dedup state persists)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    // user 7 appears for type 'a' in BOTH batches — the cross-batch dup
+    // must count once; user 8 is new in batch 2.
+    def df(rows: Seq[(String, Long)]) = rows.toDF("event_type", "user_id")
+    val stage = java.nio.file.Files.createTempDirectory("graft-distinct-spec")
+    df(Seq(("a", 7L), ("a", 1L), ("b", 7L))).coalesce(1).write.parquet(s"$stage/b0")
+    df(Seq(("a", 7L), ("a", 8L), ("b", 2L))).coalesce(1).write.parquet(s"$stage/b1")
+    def touch(p: String, t: Long): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).forEach(f =>
+        java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
+    val now = System.currentTimeMillis()
+    touch(s"$stage/b0", now - 120000); touch(s"$stage/b1", now - 60000)
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$stage/b0").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$stage/b*")
+    val q = src
+      .dropDuplicates("event_type", "user_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .writeStream.format("memory").queryName("distinct_spec")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("distinct_spec").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 2L)) // batch distinct of the union
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2)
+  }
 }
 
 class WatermarkSpec extends SparkSpec {
