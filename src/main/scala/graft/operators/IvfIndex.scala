@@ -138,6 +138,46 @@ object IvfIndex {
     BruteForce.topK(pairs, k, metric.ascending)
   }
 
+  /** [[search]] over TRUE half-width packed lists — the IVF shape the
+    * reference's fp16/bf16 element types exist for (`operands.h:48-147`:
+    * lists store 2-byte elements, compute widens to fp32): the index
+    * frame carries `vec` as BINARY(dim*2) (graft.plans.Half packing), so
+    * the probed scan — the cost that scales with nprobe/nlist at 100 TB —
+    * moves half the bytes. Probing stays on the fp32 centroid arrays
+    * (broadcast-sized); queries are packed once, below the join. Values
+    * are bit-identical to the value-grid rendering, so the same oracle
+    * gates both. */
+  def searchPacked(
+      queries: DataFrame, // (qid, qvec ARRAY — fp16/bf16 grid values)
+      index: DataFrame, // (id, vec BINARY packed, cluster_id)
+      centroids: DataFrame, // (cluster_id, centroid ARRAY — grid values)
+      k: Int,
+      nprobe: Int,
+      metric: Metric = Metric.L2,
+      bf16: Boolean = false,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    import graft.functions.VectorFunctions.{dotPackedBf16, dotPackedFp16, l2SqPackedBf16, l2SqPackedFp16, packBf16, packFp16}
+    val (probes, pruned) =
+      probeAndPrune(queries, index, centroids, nprobe, roundDist, metric = metric)
+    val qPacked = queries.select(col("qid"),
+      (if (bf16) packBf16(col("qvec")) else packFp16(col("qvec"))).as("qp"))
+    val l2sq = if (bf16) l2SqPackedBf16(col("qp"), col("vec"))
+      else l2SqPackedFp16(col("qp"), col("vec"))
+    val raw = metric match {
+      case Metric.L2 => sqrt(l2sq)
+      case Metric.L2Sq => l2sq
+      case Metric.IP =>
+        if (bf16) dotPackedBf16(col("qp"), col("vec")) else dotPackedFp16(col("qp"), col("vec"))
+      case m => throw new IllegalArgumentException(s"packed IVF does not support metric ${m.name}")
+    }
+    val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
+    val pairs = broadcast(probes.join(qPacked, "qid"))
+      .join(pruned, "cluster_id")
+      .select(col("qid"), col("id").as("nid"), d.as("dist"))
+    BruteForce.topK(pairs, k, metric.ascending)
+  }
+
   /** IVF_SQ8 search: probe lists, rank candidates by SQ8 approx distance
     * (reconstructed codes), exact rerank on raw vectors — the composition
     * the reference registers as IVF_SQ8 (`ivf.cc:1244-1276`; SQ quantizer +

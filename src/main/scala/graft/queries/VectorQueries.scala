@@ -541,6 +541,45 @@ SELECT qid, nid, dist, rnk FROM (
   FROM pairs
 ) WHERE rnk <= $K"""
 
+    /** [[ivfProbe]] with every vector on a storage-cast grid — gates the
+      * packed-list IVF rendering (IvfIndex.searchPacked): assignment,
+      * probing and scoring all happen on the cast values, mirroring an
+      * index whose lists were converted at Add time. */
+    def ivfProbeCast(cast: String, k: Int = K): String = {
+      def l2c(a: String, b: String): String =
+        s"round(sqrt(list_sum(list_transform(range(1, len($a)+1), i -> " +
+          s"($a[i] - $b[i]) * ($a[i] - $b[i])))), 4)"
+      s"""WITH qf AS (
+  SELECT vec_id AS qid, list_transform(embedding, $cast) AS qv
+  FROM embeddings WHERE vec_id % $QMOD = 0
+),
+bfv AS (SELECT vec_id, list_transform(embedding, $cast) AS bv FROM embeddings),
+c AS (SELECT vec_id AS cid, list_transform(embedding, $cast) AS cv FROM embeddings WHERE vec_id % 250 = 0),
+asn AS (
+  SELECT vec_id, bv, cid FROM (
+    SELECT b.vec_id, b.bv, c.cid,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY ${l2c("b.bv", "c.cv")} ASC, c.cid ASC) AS rn
+    FROM bfv b CROSS JOIN c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+      row_number() OVER (PARTITION BY q.qid ORDER BY ${l2c("q.qv", "c.cv")} ASC, c.cid ASC) AS rn
+    FROM qf q CROSS JOIN c
+  ) WHERE rn <= 2
+),
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${l2c("q.qv", "b.bv")} AS dist
+  FROM qf q JOIN probes p ON p.qid = q.qid JOIN asn b ON b.cid = p.cid
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+  FROM pairs
+) WHERE rnk <= $k"""
+    }
+
     /** DiskANN beam (mirrors DiskAnn.search): traversal scored by PQ ADC
       * with the deterministic every-25th-vector codebook, fixed two-hop
       * unroll, then exact-L2 rerank of the L-sized search list.
@@ -979,6 +1018,25 @@ SELECT id, cluster_id, dist FROM (
         IvfIndex.search(queryVecs(s, dir), index, cents, K, nprobe = 2, Metric.L2, ROUND)
       },
       Some(Sql.ivfProbe)),
+    // S6 × S1 — IVF over TRUE packed fp16 lists (IvfIndex.searchPacked):
+    // assignment/probe/score all on the fp16 grid, lists stored as
+    // 2-byte BINARY — the probed scan (the nprobe-scaling cost at 100 TB)
+    // moves half the bytes; decode-inline kernel, same grid oracle shape
+    GraftQuery(
+      "ivf_knn_probe_fp16_packed",
+      (s, dir) => {
+        val centsG = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), fp16Storage(col("embedding")).as("centroid"))
+        val baseG = baseVecs(s, dir).select(col("id"), fp16Storage(col("vec")).as("vec"))
+        val index = IvfIndex.build(baseG, centsG, ROUND)
+        val packed = index.select(col("id"), packFp16(col("vec")).as("vec"), col("cluster_id"))
+        IvfIndex.searchPacked(
+          queryVecs(s, dir).select(col("qid"), fp16Storage(col("qvec")).as("qvec")),
+          packed, centsG, K, nprobe = 2, Metric.L2, bf16 = false, ROUND)
+      },
+      Some(Sql.ivfProbeCast(Sql.fp16Cast))),
     // V9 × V12 — Serialize/Deserialize under the hash gate: the index is
     // SAVED to parquet (partitioned lists), LOADED via the factory, and
     // searched — same oracle as ivf_knn_probe, so the round-trip itself
