@@ -119,6 +119,64 @@ object PackedFlatIndex {
     new PackedFlatIndex(spark.read.parquet(s"$dir/base_packed"), metric, bf16, roundDist)
 }
 
+/** IVF_FLAT over TRUE half-width packed lists — the factory's fp16/bf16
+  * element key on the IVF kind (`IndexFactory::Create<fp16>("IVF_FLAT")`;
+  * lists store 2-byte elements per `operands.h:48-147`, compute widens to
+  * fp32). Probing stays on the broadcast-sized fp32 centroid arrays; the
+  * probed scan reads BINARY(dim*2) lists through the decode-inline
+  * kernels ([[IvfIndex.searchPacked]]). */
+final class PackedIvfIndex(
+    val index: DataFrame, // (id, vec BINARY, cluster_id)
+    val centroids: DataFrame, // (cluster_id, centroid ARRAY — grid values)
+    val metric: Metric,
+    val nprobe: Int,
+    val bf16: Boolean,
+    roundDist: Option[Int] = None
+) extends VectorIndex {
+  import graft.functions.VectorFunctions.{unpackBf16, unpackFp16}
+
+  override def indexType: String = "IVF_FLAT"
+  def elementType: String = if (bf16) "bf16" else "fp16"
+  override lazy val count: Long = index.count()
+  override lazy val dim: Int =
+    index.select(max(length(col("vec")))).head().getInt(0) / 2
+
+  private def unpacked: DataFrame = index.select(
+    col("id"),
+    (if (bf16) unpackBf16(col("vec")) else unpackFp16(col("vec"))).as("vec"))
+
+  override def search(queries: DataFrame, k: Int, filter: Option[Column]): DataFrame = {
+    val filtered = filter.map(index.filter).getOrElse(index)
+    IvfIndex.searchPacked(queries, filtered, centroids, k, nprobe, metric, bf16, roundDist)
+  }
+
+  override def rangeSearch(queries: DataFrame, radius: Double, rangeFilter: Double,
+      filter: Option[Column]): DataFrame =
+    BruteForce.rangeSearch(queries, unpacked, metric, radius, rangeFilter, filter, roundDist)
+
+  override def getVectorByIds(ids: DataFrame): DataFrame =
+    BruteForce.getVectorByIds(ids, unpacked)
+
+  override def save(dir: String): Unit = {
+    index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/lists_packed")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  override def indexMetaJson: String =
+    s"""{"index_type":"$indexType","element_type":"$elementType",""" +
+      s""""count":$count,"dim":$dim,"nprobe":$nprobe}"""
+}
+
+object PackedIvfIndex {
+
+  def load(spark: SparkSession, dir: String, metric: Metric, bf16: Boolean,
+      nprobe: Int = 4, roundDist: Option[Int] = None): PackedIvfIndex =
+    new PackedIvfIndex(
+      spark.read.parquet(s"$dir/lists_packed"),
+      spark.read.parquet(s"$dir/centroids"),
+      metric, nprobe, bf16, roundDist)
+}
+
 /** IVF_FLAT: coarse-quantized lists, probed search (`src/index/ivf/ivf.cc`). */
 final class IvfFlatIndex(
     val index: DataFrame, // (id, vec, cluster_id)
@@ -314,6 +372,24 @@ object IndexFactory {
       s"index $indexType does not support element type $elementType")
     if ((elementType == "fp16" || elementType == "bf16") && indexType == "FLAT")
       return PackedFlatIndex.fromArrays(base, metric, bf16 = elementType == "bf16", roundDist)
+    if ((elementType == "fp16" || elementType == "bf16") && indexType == "IVF_FLAT") {
+      // convert at Add time (the reference stores fp16 lists): grid-cast
+      // the base, assign on grid values, pack the lists to 2-byte BINARY.
+      // Coarse centroids stay fp32 arrays (kmeans means of grid values —
+      // the reference's coarse quantizer is fp32 over fp16 data too).
+      import graft.functions.VectorFunctions.{bf16Storage, fp16Storage, packBf16, packFp16}
+      val bf = elementType == "bf16"
+      // grid values are exact in fp32, so the float cast is lossless —
+      // and the kmeans/assignment path expects ARRAY<FLOAT>
+      val baseG = base.select(col("id"),
+        (if (bf) bf16Storage(col("vec")) else fp16Storage(col("vec")))
+          .cast("array<float>").as("vec"))
+      val c = IvfIndex.trainKMeans(spark, baseG, nlist, seed)
+      val idx = IvfIndex.build(baseG, c, roundDist)
+      val packed = idx.select(col("id"),
+        (if (bf) packBf16(col("vec")) else packFp16(col("vec"))).as("vec"), col("cluster_id"))
+      return new PackedIvfIndex(packed, c, metric, nprobe, bf, roundDist)
+    }
     def cents = IvfIndex.trainKMeans(spark, base, nlist, seed)
     // entry points for graph indexes: one medoid per k-means cluster (the
     // reference enters at the dataset medoid; spreading entries across
@@ -417,6 +493,17 @@ object IndexFactory {
       roundDist: Option[Int] = None,
       loadMode: LoadMode = LoadMode.Mapped
   ): HnswIndex = HnswIndex.load(spark, dir, metric, efSearch, beamIters, roundDist, loadMode)
+
+  /** Deserialize a packed-IVF index saved by PackedIvfIndex.save. */
+  def loadIvfPacked(
+      spark: SparkSession,
+      dir: String,
+      metric: Metric = Metric.L2,
+      elementType: String = "fp16",
+      nprobe: Int = 4,
+      roundDist: Option[Int] = None
+  ): PackedIvfIndex =
+    PackedIvfIndex.load(spark, dir, metric, bf16 = elementType == "bf16", nprobe, roundDist)
 
   /** Deserialize a packed-FLAT index saved by PackedFlatIndex.save. */
   def loadFlatPacked(

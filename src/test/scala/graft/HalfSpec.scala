@@ -178,6 +178,30 @@ class HalfSpec extends SparkSpec {
       == packed.search(q, 10, None).collect().toSet)
   }
 
+  test("factory IVF_FLAT + fp16 packs the lists, matches the grid IVF") {
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), fp16Storage(col("embedding")).as("qvec"))
+    val packed = IndexFactory.build(spark, "IVF_FLAT", base, Metric.L2,
+      nlist = 8, nprobe = 8, roundDist = Some(4), elementType = "fp16")
+      .asInstanceOf[PackedIvfIndex]
+    assert(packed.indexMetaJson.contains("\"element_type\":\"fp16\""))
+    // grid twin: same kmeans seed → same centroids → same assignment
+    val baseG = base.select(col("id"), fp16Storage(col("vec")).cast("array<float>").as("vec"))
+    val c = operators.IvfIndex.trainKMeans(spark, baseG, nlist = 8, seed = 42L)
+    val gridIdx = operators.IvfIndex.build(baseG, c, Some(4))
+    val grid = operators.IvfIndex.search(q, gridIdx, c, 10, nprobe = 8,
+      Metric.L2, Some(4))
+    assert(packed.search(q, 10, None).collect().toSet == grid.collect().toSet)
+    // save/load roundtrip keeps lists packed and search-identical
+    val dir = java.nio.file.Files.createTempDirectory("packedivf").toString
+    packed.save(dir)
+    val loaded = IndexFactory.loadIvfPacked(spark, dir, Metric.L2, "fp16",
+      nprobe = 8, roundDist = Some(4))
+    assert(loaded.search(q, 10, None).collect().toSet
+      == packed.search(q, 10, None).collect().toSet)
+  }
+
   test("factory element-type validation follows the capability table") {
     val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     // GPU_CAGRA registers fp32 only (gpu_raft_cagra.cc:163-175)
