@@ -161,6 +161,68 @@ FROM events GROUP BY 1""")),
 round(CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
-GROUP BY 1"""))
+GROUP BY 1""")),
+    // approximate distinct via a mergeable HLL sketch (graft.plans.HllAgg):
+    // where the exact two-phase distinct above shuffles every deduped key,
+    // the sketch shuffles ONE 256-byte register table per (group,
+    // partition) — the 100 TB shape for cardinality dashboards. Register
+    // maxes are order/merge-tree independent and the estimate arithmetic
+    // is mirrored operation-for-operation in the oracle (exact decimal sum
+    // of the dyadic 2^-M_j terms), so the approximation sits under the
+    // driver's exact hash gate. user_id exercises the linear-counting
+    // branch at sf0.01; event_id the raw-estimate branch.
+    GraftQuery(
+      "events_hll_users",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            round(graft.plans.HllAgg.hllDistinct(col("user_id")), 4).as("hll_users"),
+            round(graft.plans.HllAgg.hllDistinct(col("event_id")), 4).as("hll_events")),
+      Some(HllOracle.sql))
   )
+}
+
+/** DuckDB mirror of [[graft.plans.HllSketch]]: md5-hex bucket/rho parsing,
+  * max-merged registers, exact decimal Z sum, identical estimate formula. */
+private[queries] object HllOracle {
+
+  private def est(key: String, out: String): String = s"""
+h_$out AS (
+  SELECT event_type, md5(CAST($key AS VARCHAR)) AS hx FROM events
+),
+parsed_$out AS (
+  SELECT event_type,
+         substr(hx, 1, 2) AS bucket,
+         least(4 * length(regexp_extract(substr(hx, 3), '^0*'))
+               + CASE WHEN substr(substr(hx, 3), length(regexp_extract(substr(hx, 3), '^0*')) + 1, 1)
+                           IN ('8','9','a','b','c','d','e','f') THEN 0
+                      WHEN substr(substr(hx, 3), length(regexp_extract(substr(hx, 3), '^0*')) + 1, 1)
+                           IN ('4','5','6','7') THEN 1
+                      WHEN substr(substr(hx, 3), length(regexp_extract(substr(hx, 3), '^0*')) + 1, 1)
+                           IN ('2','3') THEN 2
+                      ELSE 3 END + 1, 32) AS rho
+  FROM h_$out
+),
+reg_$out AS (SELECT event_type, bucket, max(rho) AS m_j FROM parsed_$out GROUP BY 1, 2),
+agg_$out AS (
+  SELECT event_type,
+         CAST(sum(CAST(power(2.0, -m_j) AS DECIMAL(38,35))) AS DOUBLE) AS z_present,
+         count(*) AS v_present
+  FROM reg_$out GROUP BY 1
+),
+est_$out AS (
+  SELECT event_type,
+         round(CASE WHEN 0.7213/(1 + 1.079/256.0)*65536.0/(z_present + (256 - v_present)) <= 640.0
+                     AND (256 - v_present) > 0
+                    THEN 256 * ln(256.0/(256 - v_present))
+                    ELSE 0.7213/(1 + 1.079/256.0)*65536.0/(z_present + (256 - v_present)) END, 4) AS $out
+  FROM agg_$out
+)"""
+
+  val sql: String =
+    s"""WITH ${est("user_id", "hll_users")}, ${est("event_id", "hll_events")}
+SELECT u.event_type, u.hll_users, e.hll_events
+FROM est_hll_users u JOIN est_hll_events e ON u.event_type = e.event_type"""
 }
