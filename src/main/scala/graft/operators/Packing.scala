@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training pipelines: concatenate documents in a
+  * deterministic pseudo-random order and chunk the stream every `budget`
+  * tokens (GPT-style concat-and-chunk). Every step is layout-independent —
+  * the order comes from a content-derived md5 key, never from partition or
+  * row position — so the packing is bit-reproducible across runs, cluster
+  * sizes, and input file orderings.
+  *
+  * Scale shape: packing inherently needs a running token offset, which is
+  * sequential — but only WITHIN a shard. Sharding by the first md5 hex
+  * digit gives 16 uniform, content-addressed streams whose cumsums run in
+  * parallel (at 100 TB, widen the prefix: 2 hex chars = 256 shards, 3 =
+  * 4096). One shuffle on the shard key + an in-partition sort; no
+  * driver-side state, no global sort.
+  */
+object Packing {
+
+  /** Per-document packing assignment: (doc_id, shard, n_tokens, seq_no,
+    * tok_offset) where `seq_no` is the fixed-`budget` training sequence
+    * (within its shard) in which the document STARTS, and `tok_offset` its
+    * token offset inside that sequence. Whitespace token count — the
+    * corpus-wide convention of [[TextAnalysis.tokenStats]]. All arithmetic
+    * is integer-exact (`div`/`%` on longs), so the oracle matches bit-for-
+    * bit at any scale.
+    */
+  def packSequences(
+      docs: DataFrame, // (doc_id, text)
+      budget: Int = 2048,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val keyed = docs.select(
+      col(idCol),
+      size(split(col(textCol), " ")).as("n_tokens"),
+      md5(col(idCol).cast("string").cast("binary")).as("h"))
+    // exclusive running token count in content-hash order, per shard
+    val w = Window
+      .partitionBy(substring(col("h"), 1, 1))
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .select(
+        col(idCol),
+        substring(col("h"), 1, 1).as("shard"),
+        col("n_tokens"),
+        coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)).as("start_tok"))
+      .select(
+        col(idCol),
+        col("shard"),
+        col("n_tokens"),
+        expr(s"start_tok div $budget").as("seq_no"),
+        (col("start_tok") % budget).as("tok_offset"))
+  }
+
+  /** Per-sequence roll-up: how full each packed sequence is. The tail
+    * document of a sequence may straddle into the next (concat-and-chunk
+    * semantics), so `tokens_started` counts tokens of documents that BEGIN
+    * in the sequence. */
+  def packedSequenceStats(packed: DataFrame): DataFrame =
+    packed
+      .groupBy(col("shard"), col("seq_no"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("tokens_started"))
+}

@@ -470,6 +470,54 @@ SELECT source, doc_id, sample_rank FROM (
   SELECT source, doc_id,
     CAST(row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS INT) AS sample_rank
   FROM keyed
-) WHERE sample_rank <= 10"""))
+) WHERE sample_rank <= 10""")),
+    // sequence packing (concat-and-chunk): documents concatenated in
+    // content-hash order within 16 md5 shards, chunked every 2048 tokens.
+    // Parallel per-shard cumsums, one shuffle, integer-exact arithmetic —
+    // the deterministic 100 TB formulation of training-sequence assembly
+    GraftQuery(
+      "corpus_pack_sequences",
+      (s, dir) =>
+        graft.operators.Packing.packSequences(Tables.documents(s, dir), budget = 2048),
+      Some("""WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, substr(h, 1, 1) AS shard, n_tokens,
+         CAST(COALESCE(sum(CAST(n_tokens AS BIGINT)) OVER (
+           PARTITION BY substr(h, 1, 1) ORDER BY h ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(start_tok // 2048 AS BIGINT) AS seq_no,
+       CAST(start_tok % 2048 AS BIGINT) AS tok_offset
+FROM c""")),
+    // roll-up of the packing: per-sequence fill statistics
+    GraftQuery(
+      "corpus_packed_stats",
+      (s, dir) =>
+        graft.operators.Packing.packedSequenceStats(
+          graft.operators.Packing.packSequences(Tables.documents(s, dir), budget = 2048)),
+      Some("""WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, substr(h, 1, 1) AS shard, n_tokens,
+         CAST(COALESCE(sum(CAST(n_tokens AS BIGINT)) OVER (
+           PARTITION BY substr(h, 1, 1) ORDER BY h ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT shard, CAST(start_tok // 2048 AS BIGINT) AS seq_no,
+       count(*) AS n_docs,
+       CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS tokens_started
+FROM c GROUP BY 1, 2"""))
   )
 }
