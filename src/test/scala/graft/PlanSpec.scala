@@ -148,4 +148,61 @@ class PlanSpec extends SparkSpec {
     assert(!bandShuffles.exists(_.contains("embedding")),
       s"band shuffle must not carry embeddings:\n${bandShuffles.mkString("\n")}")
   }
+
+  test("HLL sketch: map-side partial pair, one shuffle of fixed-size buffers") {
+    val df = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(round(graft.plans.HllAgg.hllDistinct(col("user_id")), 4).as("u"))
+    val p = plan(df)
+    // partial + final ObjectHashAggregate around exactly one exchange:
+    // each map task ships one 256-byte register table per group, never
+    // the distinct keys themselves
+    assert(p.contains("hll_distinct"), s"hll aggregate missing:\n$p")
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) == 2,
+      s"expected partial+final object-hash aggregate:\n$p")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$p")
+  }
+
+  test("sequence packing: one shard shuffle, text pruned before it moves") {
+    val df = Packing.packSequences(Tables.documents(spark, sf0001), budget = 512)
+    val p = plan(df)
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.size == 1, s"expected 1 shuffle (shard), got ${shuffles.size}:\n$p")
+    // the cumsum window sorts within shards only — and the shuffled rows
+    // carry (doc_id, n_tokens, h), never the document text
+    assert(p.contains("Window"), s"expected the per-shard cumsum window:\n$p")
+    assert(!shuffles.exists(_.contains("text")),
+      s"shard shuffle must not carry text:\n${shuffles.mkString("\n")}")
+  }
+
+  test("packed IVF search: probed list ids prune the packed scan partitions") {
+    import graft.functions.VectorFunctions.fp16Storage
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), fp16Storage(col("embedding")).as("qvec"))
+    val packed = IndexFactory.build(spark, "IVF_FLAT", base, Metric.L2,
+      nlist = 4, nprobe = 2, roundDist = Some(4), elementType = "fp16")
+      .asInstanceOf[PackedIvfIndex]
+    val dir = java.nio.file.Files.createTempDirectory("graft-packed-prune").toString
+    packed.save(dir) // partitionBy("cluster_id"), BINARY lists
+    val loaded = IndexFactory.loadIvfPacked(spark, dir, Metric.L2, "fp16",
+      nprobe = 2, roundDist = Some(4))
+    val result = loaded.search(queries, 5, None)
+    val p = plan(result)
+    val listsScan = p.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/lists_packed"))
+      .getOrElse(fail(s"no lists_packed FileScan in plan:\n$p"))
+    val pf = listsScan.substring(listsScan.indexOf("PartitionFilters"))
+      .takeWhile(_ != ']') + "]"
+    assert(pf.contains("cluster_id"), s"PartitionFilters should bind cluster_id: $listsScan")
+    assert(!pf.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"PartitionFilters must be non-empty: $listsScan")
+    // pruning changed the plan, not the answer
+    assert(result.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == packed.search(queries, 5, None).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
 }
