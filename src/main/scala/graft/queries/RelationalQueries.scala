@@ -180,6 +180,36 @@ GROUP BY 1""")),
           .agg(
             round(graft.plans.HllAgg.hllDistinct(col("user_id")), 4).as("hll_users"),
             round(graft.plans.HllAgg.hllDistinct(col("event_id")), 4).as("hll_events")),
+      Some(HllOracle.sql)),
+    // the SAME sketch as a STREAM: the 256-byte register table IS the
+    // streaming state (serialized buffer per group in the state store),
+    // max-merged across micro-batches — so the final estimate equals the
+    // batch oracle whatever the batch split, under the same hash gate
+    GraftQuery(
+      "events_hll_users_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val stage = java.nio.file.Files.createTempDirectory("graft-events-hll")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"))
+        val ev = s.readStream.schema(schema).parquet(stage.toString)
+        val sink = s"events_hll_users_stream_${System.nanoTime()}"
+        val q = ev
+          .groupBy(col("event_type"))
+          .agg(
+            round(graft.plans.HllAgg.hllDistinct(col("user_id")), 4).as("hll_users"),
+            round(graft.plans.HllAgg.hllDistinct(col("event_id")), 4).as("hll_events"))
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      },
       Some(HllOracle.sql))
   )
 }

@@ -149,6 +149,42 @@ class StreamingSessionsSpec extends SparkSpec {
     assert(got == Map("a" -> 3L, "b" -> 2L)) // batch distinct of the union
     assert(q.recentProgress.count(_.numInputRows > 0) == 2)
   }
+
+  test("streaming HLL sketch is batch-split invariant (registers max-merge in state)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    // the same keys split across micro-batches, with cross-batch repeats —
+    // register max-merge in the state store must yield the batch estimate
+    def df(rows: Seq[(String, Long)]) = rows.toDF("event_type", "user_id")
+    val all = (1L to 40L).map(("a", _)) ++ (1L to 25L).map(("b", _))
+    val stage = java.nio.file.Files.createTempDirectory("graft-hll-spec")
+    df(all.take(30)).coalesce(1).write.parquet(s"$stage/b0")
+    df(all.drop(20)).coalesce(1).write.parquet(s"$stage/b1") // rows 20-29 repeat
+    def touch(p: String, t: Long): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).forEach(f =>
+        java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
+    val now = System.currentTimeMillis()
+    touch(s"$stage/b0", now - 120000); touch(s"$stage/b1", now - 60000)
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$stage/b0").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$stage/b*")
+    val q = src
+      .groupBy(col("event_type"))
+      .agg(round(graft.plans.HllAgg.hllDistinct(col("user_id")), 4).as("u"))
+      .writeStream.format("memory").queryName("hll_spec")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("hll_spec").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = df(all)
+      .groupBy(col("event_type"))
+      .agg(round(graft.plans.HllAgg.hllDistinct(col("user_id")), 4).as("u"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch)
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2)
+  }
 }
 
 class WatermarkSpec extends SparkSpec {
