@@ -116,6 +116,41 @@ object TextAnalysis {
     )
   }
 
+  /** Gopher-style quality GATE: the rule flags of the Gopher/C4 family
+    * (doc length window, mean-word-length window, alphabetic-word ratio,
+    * required-stopword presence) as boolean columns plus the conjunction.
+    * Every ratio test is restated in INTEGER arithmetic (`sum_len ≥ 3·n`
+    * instead of `sum_len/n ≥ 3`), so there is no float anywhere — the
+    * flags are exact at any scale and under any row order. Map-side only:
+    * no shuffle, no vocabulary join; at 100 TB this is a pure scan. */
+  def gopherRules(
+      df: DataFrame,
+      textCol: String = "text",
+      minTokens: Int = 20,
+      maxTokens: Int = 1000
+  ): DataFrame = {
+    val t = tokens(col(textCol))
+    val n = size(t).cast("long")
+    val sumLen = aggregate(t, lit(0L), (a, x) => a + length(x).cast("long"))
+    val alphaN = size(filter(t, x => x.rlike("[a-zA-Z]"))).cast("long")
+    val stopHits = size(array_intersect(
+      array_distinct(t),
+      array(lit("the"), lit("a"), lit("and"), lit("of"))))
+    df.select(
+      col("doc_id"),
+      n.cast("int").as("n_tokens"),
+      (n >= minTokens && n <= maxTokens).as("flag_len"),
+      // 3 ≤ mean word length ≤ 10, cross-multiplied
+      (sumLen >= lit(3L) * n && sumLen <= lit(10L) * n).as("flag_word_len"),
+      // ≥ 80% of words contain an alphabetic character
+      (lit(5L) * alphaN >= lit(4L) * n).as("flag_alpha"),
+      // at least 2 of the required stopwords appear
+      (stopHits >= 2).as("flag_stop")
+    ).withColumn(
+      "keep",
+      col("flag_len") && col("flag_word_len") && col("flag_alpha") && col("flag_stop"))
+  }
+
   /** Intra-document repetition stats — the Gopher-family repetition rules
     * (top-n-gram fraction, duplicate-n-gram fraction) used to drop
     * boilerplate/templated docs from training corpora:

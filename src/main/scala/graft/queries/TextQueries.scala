@@ -78,6 +78,28 @@ SELECT doc_id, term, score, rnk FROM (
   FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN n
 ) WHERE rnk <= 3""")),
     // Gopher-family repetition rules: top-bigram fraction + duplicate-
+    // Gopher/C4-family quality gate: rule flags in pure integer
+    // arithmetic (cross-multiplied ratio tests — no float anywhere), so
+    // the booleans are exact under any row order; map-side only
+    GraftQuery(
+      "doc_gopher_rules",
+      (s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir)),
+      Some("""SELECT doc_id,
+  CAST(len(t) AS INT) AS n_tokens,
+  len(t) >= 20 AND len(t) <= 1000 AS flag_len,
+  sum_len >= 3 * len(t) AND sum_len <= 10 * len(t) AS flag_word_len,
+  5 * alpha_n >= 4 * len(t) AS flag_alpha,
+  stop_hits >= 2 AS flag_stop,
+  (len(t) >= 20 AND len(t) <= 1000
+   AND sum_len >= 3 * len(t) AND sum_len <= 10 * len(t)
+   AND 5 * alpha_n >= 4 * len(t) AND stop_hits >= 2) AS keep
+FROM (
+  SELECT doc_id, t,
+    CAST(list_sum(list_transform(t, x -> CAST(len(x) AS BIGINT))) AS BIGINT) AS sum_len,
+    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_n,
+    len(list_intersect(list_distinct(t), ['the', 'a', 'and', 'of'])) AS stop_hits
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)""")),
     // trigram fraction per document (templated/boilerplate doc signal)
     GraftQuery(
       "doc_repetition",

@@ -362,4 +362,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == ((0.6, 1.0)))
     assert(got(2L) == ((0.3333, 0.0)))
   }
+
+  test("gopherRules: each flag trips on its own hand-built violation") {
+    // 30 tokens, mean word length (3+3+5+2+6)/5 = 3.8 ∈ [3, 10]
+    val ok = (("the and words of tokens " * 6).trim, true, true, true, true)
+    val docs = Seq(
+      (1L, ok._1),
+      (2L, "the a of too short"), // < 20 tokens → flag_len false
+      (3L, ("the a of and supercalifragilisticexpialidocious " * 6).trim
+        + " " + ("extraordinarily " * 12).trim), // mean word len > 10
+      (4L, ("the a of and word " * 4).trim + " " + ("7 8 9 " * 8).trim), // alpha < 80%
+      (5L, ("word other token item thing " * 6).trim) // no required stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(got(1L) == ((true, true, true, true, true)))
+    assert(!got(2L)._1 && !got(2L)._5) // length gate
+    assert(!got(3L)._2 && !got(3L)._5) // word-length gate
+    assert(!got(4L)._3 && !got(4L)._5) // alphabetic-ratio gate
+    assert(!got(5L)._4 && !got(5L)._5) // stopword gate
+  }
 }
