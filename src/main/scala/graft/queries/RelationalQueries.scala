@@ -210,7 +210,43 @@ GROUP BY 1""")),
         q.awaitTermination()
         s.table(sink)
       },
-      Some(HllOracle.sql))
+      Some(HllOracle.sql)),
+    // mergeable histogram-quantile sketch (graft.plans.HistogramQuantileAgg)
+    // — the deterministic KLL/t-digest counterpart: the exact percentile
+    // query shuffles every value; this ships one fixed 64 KiB count vector
+    // per (group, partition) and reads quantiles off cumulative counts.
+    // Bucket math is integer/power-of-two exact, so the approximation sits
+    // under the driver's exact hash gate
+    GraftQuery(
+      "events_sketch_quantiles",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(graft.plans.HistogramQuantileAgg
+            .histQuantiles(round(col("value"), 6)).as("q"))
+          .select(
+            col("event_type"),
+            col("q.p50").as("p50"),
+            col("q.p95").as("p95"),
+            col("q.p99").as("p99")),
+      Some("""WITH b AS (
+  SELECT event_type,
+         least(greatest(CAST(floor(round(value, 6) * 8) AS BIGINT), 0), 8191) AS bucket
+  FROM events
+),
+c AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bucket,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM c
+)
+SELECT event_type,
+       CAST(min(CASE WHEN 100 * cum >= 50 * total THEN bucket END) AS BIGINT) / 8.0 AS p50,
+       CAST(min(CASE WHEN 100 * cum >= 95 * total THEN bucket END) AS BIGINT) / 8.0 AS p95,
+       CAST(min(CASE WHEN 100 * cum >= 99 * total THEN bucket END) AS BIGINT) / 8.0 AS p99
+FROM cum GROUP BY 1"""))
   )
 }
 
