@@ -59,4 +59,35 @@ object Sampling {
     docs.filter(
       contentKey(col(textCol)) < lit(math.floor(rate * TextAnalysis.HashP.toDouble)))
   }
+
+  /** Domain-mixture sampling: per-stratum Bernoulli rates expressed as
+    * EXACT rationals (keep ⟺ den·key < num·HashP, all in long arithmetic
+    * — no float threshold can disagree with the oracle at a boundary).
+    * `rates` maps stratum → (num, den); strata absent from the map are
+    * dropped. Map-side only: the rate table rides the closure as a CASE
+    * column (broadcast territory even at thousands of strata), the
+    * decision is a pure function of (stratum, text) — reproducible across
+    * runs, cluster sizes, and file orderings; the 100 TB shape for
+    * up/down-weighting sources into a training mixture. */
+  def mixtureSample(
+      docs: DataFrame,
+      rates: Map[String, (Int, Int)],
+      stratumCol: String = "source",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(rates.nonEmpty, "rates must not be empty")
+    rates.foreach { case (s, (num, den)) =>
+      require(den > 0 && num >= 0 && num <= den, s"rate $num/$den for $s outside [0, 1]")
+    }
+    val num = rates.foldLeft(lit(null).cast("long")) { case (acc, (s, (n, _))) =>
+      when(col(stratumCol) === s, lit(n.toLong)).otherwise(acc)
+    }
+    val den = rates.foldLeft(lit(null).cast("long")) { case (acc, (s, (_, d))) =>
+      when(col(stratumCol) === s, lit(d.toLong)).otherwise(acc)
+    }
+    // the raw LONG fold (not contentKey's double view): the comparison
+    // must be integer-exact end to end
+    val key = TextAnalysis.tokenHash(md5(col(textCol).cast("binary")))
+    docs.filter(num.isNotNull && den * key < num * lit(TextAnalysis.HashP))
+  }
 }

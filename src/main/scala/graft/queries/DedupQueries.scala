@@ -471,6 +471,20 @@ SELECT source, doc_id, sample_rank FROM (
     CAST(row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS INT) AS sample_rank
   FROM keyed
 ) WHERE sample_rank <= 10""")),
+    // domain-mixture sampling: per-source keep rates as exact rationals
+    // ((idx%10+1)/10 for src<idx>) — the integer comparison den·key <
+    // num·P cannot disagree with the oracle at any boundary; map-side only
+    GraftQuery(
+      "corpus_sample_weighted",
+      (s, dir) =>
+        graft.operators.Sampling
+          .mixtureSample(
+            Tables.documents(s, dir),
+            (0 until 20).map(i => s"src$i" -> ((i % 10) + 1, 10)).toMap)
+          .select(col("doc_id"), col("source")),
+      Some(s"""SELECT doc_id, source FROM (
+  SELECT doc_id, source, ${sqlTokenHash("md5(text)")} AS k FROM documents
+) WHERE 10 * k < CAST((CAST(substr(source, 4, 10) AS INT) % 10) + 1 AS BIGINT) * $P""")),
     // sequence packing (concat-and-chunk): documents concatenated in
     // content-hash order within 16 md5 shards, chunked every 2048 tokens.
     // Parallel per-shard cumsums, one shuffle, integer-exact arithmetic —

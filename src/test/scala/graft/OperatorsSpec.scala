@@ -306,6 +306,25 @@ class DedupSpec extends SparkSpec {
     assert(half > 0.35 && half < 0.65, s"rate-0.5 kept $half")
   }
 
+  test("mixture sample: rate 0 drops, rate 1 keeps, unknown strata drop, rates track") {
+    val d = Tables.documents(spark, sf0001)
+    val total = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Map("src0" -> ((0, 10)), "src1" -> ((10, 10)), "src2" -> ((5, 10)))
+    val kept = Sampling.mixtureSample(d, rates).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("src0")) // rate 0
+    assert(kept("src1") == total("src1")) // rate 1
+    assert(kept.keySet.subsetOf(Set("src1", "src2"))) // absent strata drop
+    val frac = kept("src2").toDouble / total("src2")
+    assert(frac > 0.25 && frac < 0.75, s"rate-0.5 stratum kept $frac")
+    // pure content predicate ⇒ identical sample on re-evaluation
+    val again = Sampling.mixtureSample(d, rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Sampling.mixtureSample(d, rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == again)
+  }
+
   test("cosine LSH: an exact duplicate collides on every band and is reported") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
     val dup = emb.filter(col("vec_id") === 7L)
