@@ -246,6 +246,55 @@ SELECT event_type,
        CAST(min(CASE WHEN 100 * cum >= 50 * total THEN bucket END) AS BIGINT) / 8.0 AS p50,
        CAST(min(CASE WHEN 100 * cum >= 95 * total THEN bucket END) AS BIGINT) / 8.0 AS p95,
        CAST(min(CASE WHEN 100 * cum >= 99 * total THEN bucket END) AS BIGINT) / 8.0 AS p99
+FROM cum GROUP BY 1""")),
+    // the histogram sketch as a STREAM: the count vector is the streaming
+    // state, vector-added across micro-batches — final read-off equals
+    // the batch oracle whatever the batch split
+    GraftQuery(
+      "events_sketch_quantiles_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val stage = java.nio.file.Files.createTempDirectory("graft-events-hist")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"))
+        val ev = s.readStream.schema(schema).parquet(stage.toString)
+        val sink = s"events_sketch_quantiles_stream_${System.nanoTime()}"
+        val q = ev
+          .groupBy(col("event_type"))
+          .agg(graft.plans.HistogramQuantileAgg
+            .histQuantiles(round(col("value"), 6)).as("q"))
+          .select(
+            col("event_type"),
+            col("q.p50").as("p50"),
+            col("q.p95").as("p95"),
+            col("q.p99").as("p99"))
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      },
+      Some("""WITH b AS (
+  SELECT event_type,
+         least(greatest(CAST(floor(round(value, 6) * 8) AS BIGINT), 0), 8191) AS bucket
+  FROM events
+),
+c AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bucket,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM c
+)
+SELECT event_type,
+       CAST(min(CASE WHEN 100 * cum >= 50 * total THEN bucket END) AS BIGINT) / 8.0 AS p50,
+       CAST(min(CASE WHEN 100 * cum >= 95 * total THEN bucket END) AS BIGINT) / 8.0 AS p95,
+       CAST(min(CASE WHEN 100 * cum >= 99 * total THEN bucket END) AS BIGINT) / 8.0 AS p99
 FROM cum GROUP BY 1"""))
   )
 }
