@@ -111,6 +111,73 @@ object AnnIteratorOp {
     new AnnIteratorSession(ranked)
   }
 
+  /** Pages the last [[rangeSearchEarlyStop]] touched — a test probe. */
+  @volatile var lastPagesTouched: Int = 0
+
+  /** Iterator-backed range search with EARLY TERMINATION — the reference's
+    * default RangeSearch runs through the AnnIterator and stops once the
+    * stream leaves the radius (`index_node.h:190-291`, the
+    * `range_search_level` overrun heuristics). Composition of the lazy
+    * chunked session with the two-sided bound: pages are best-first, so a
+    * query whose page slice contributes ZERO rows inside the FAR bound can
+    * never contribute again and leaves the frontier; the scan stops when no
+    * query is active. A huge-radius query degrades to the exhaustive scan;
+    * a tight-radius query touches a few pages of the persisted stream
+    * instead of ranking all nq×nb rows. Termination tests only the far
+    * bound (`radius`): the near bound (`range_filter`) excludes rows that
+    * arrive EARLY in a best-first stream, so it filters output but must
+    * never stop a query. Output ≡ [[BruteForce.rangeSearch]]. */
+  def rangeSearchEarlyStop(
+      queries: DataFrame, // (qid, qvec)
+      base: DataFrame, // (id, vec)
+      metric: Metric,
+      radius: Double,
+      rangeFilter: Double,
+      pageSize: Int = 1024,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+    val session = openLazy(queries, base, metric, roundDist)
+    val inFar =
+      if (metric.ascending) col("dist") < radius else col("dist") > radius
+    val keep =
+      if (metric.ascending) col("dist") >= rangeFilter && col("dist") < radius
+      else col("dist") > radius && col("dist") <= rangeFilter
+    val nb = base.count()
+    var active = queries.select(col("qid")).collect().map(_.get(0)).toSet
+    var out: Option[DataFrame] = None
+    var slices = List.empty[DataFrame]
+    var p = 1
+    while (active.nonEmpty && (p - 1).toLong * pageSize < nb) {
+      // rank only the still-active queries' streams for this page window
+      val slice = BruteForce
+        .topK(session.pairs.filter(col("qid").isInCollection(active)), p * pageSize,
+          metric.ascending)
+        .filter(col("rnk") > (p - 1) * pageSize)
+        .select(col("qid"), col("nid"), col("dist"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      slices ::= slice
+      // nq-bounded driver probe: which queries still yield in-bound rows
+      active = slice.filter(inFar).select(col("qid")).distinct()
+        .collect().map(_.get(0)).toSet
+      val contrib = slice.filter(keep)
+      out = Some(out.map(_.union(contrib)).getOrElse(contrib))
+      p += 1
+    }
+    lastPagesTouched = p - 1
+    val result = out match {
+      case Some(df) =>
+        // materialize before releasing the page slices and the stream
+        df.localCheckpoint(eager = true)
+      case None =>
+        queries.limit(0).select(
+          col("qid"), lit(0L).as("nid"), lit(0.0d).as("dist"))
+    }
+    slices.foreach(_.unpersist())
+    session.close()
+    result
+  }
+
   /** Lazy open: persist the distance stream WITHOUT ranking it. Pages
     * partial-sort on demand (`LazyAnnIteratorSession.page`) — the
     * partial-sort-in-chunks contract of `index_node.h:648-669`. */

@@ -775,6 +775,24 @@ pairs AS (
   FROM q CROSS JOIN embeddings b
 )
 SELECT qid, nid, dist FROM pairs WHERE dist >= 0.5 AND dist < 1.3""")),
+    // V5 — iterator-backed range search with early termination
+    // (index_node.h:190-291 range_search_level overrun analog): pages the
+    // lazy best-first stream and stops a query once a page contributes no
+    // in-radius rows — same answer as bf_range_l2, fewer pages touched
+    // (the AnnIteratorSpec asserts the page count)
+    GraftQuery(
+      "bf_range_early_stop",
+      (s, dir) =>
+        AnnIteratorOp
+          .rangeSearchEarlyStop(queryVecs(s, dir), baseVecs(s, dir), Metric.L2,
+            radius = 1.3, rangeFilter = 0.5, pageSize = 256, roundDist = ROUND)
+          .select(col("qid"), col("nid"), col("dist")),
+      Some(s"""WITH ${Sql.qView},
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.l2} AS dist
+  FROM q CROSS JOIN embeddings b
+)
+SELECT qid, nid, dist FROM pairs WHERE dist >= 0.5 AND dist < 1.3""")),
     // V5 — range search under the range_search_k cap (config.h:599-601,
     // iterator-backed RangeSearch index_node.h:190-291): per query, only
     // the BEST capK in-range neighbors survive — the knob that bounds a

@@ -278,6 +278,28 @@ class FacadeSpec extends SparkSpec {
     eager.close(); lazySess.close()
   }
 
+  test("early-stop range search: same rows as the exhaustive scan, fewer pages") {
+    import graft.operators.AnnIteratorOp
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exhaustive = BruteForce.rangeSearch(queries, base, Metric.L2,
+      radius = 1.2, rangeFilter = 0.5, roundDist = Some(4))
+    val early = AnnIteratorOp.rangeSearchEarlyStop(queries, base, Metric.L2,
+      radius = 1.2, rangeFilter = 0.5, pageSize = 50, roundDist = Some(4))
+    assert(rows(early) == rows(exhaustive))
+    // tight radius: every query leaves the frontier long before the
+    // stream is exhausted (base has 500 rows = 10 pages of 50)
+    val fullPages = math.ceil(base.count().toDouble / 50).toInt
+    assert(AnnIteratorOp.lastPagesTouched < fullPages,
+      s"touched ${AnnIteratorOp.lastPagesTouched} of $fullPages pages")
+    // huge radius degrades gracefully to the exhaustive answer
+    val all = AnnIteratorOp.rangeSearchEarlyStop(queries, base, Metric.L2,
+      radius = 1e9, rangeFilter = 0.0, pageSize = 200, roundDist = Some(4))
+    assert(rows(all) == rows(BruteForce.rangeSearch(queries, base, Metric.L2,
+      radius = 1e9, rangeFilter = 0.0, roundDist = Some(4))))
+  }
+
   test("annIteratorPage pages are disjoint and ordered") {
     val p1 = BruteForce.annIteratorPage(queries, base, Metric.L2, page = 1, pageSize = 5)
     val p2 = BruteForce.annIteratorPage(queries, base, Metric.L2, page = 2, pageSize = 5)
