@@ -45,7 +45,8 @@ final class HnswIndex(
     val beamIters: Int,
     val variant: HnswVariant,
     roundDist: Option[Int] = None,
-    degreeHint: Option[Long] = None
+    degreeHint: Option[Long] = None,
+    val adaptive: Boolean = true
 ) extends graft.VectorIndex {
   override def indexType: String = variant.name
   override lazy val count: Long = base.count()
@@ -76,8 +77,16 @@ final class HnswIndex(
     val answerBase = filter.map(base.filter).getOrElse(base)
     variant match {
       case HnswVariant.Exact if filter.isEmpty =>
-        GraphSearch.beamSearch(graph, base, queries, entries, k, efSearch, beamIters,
-          metric, roundDist)
+        // DEFAULT: per-query-adaptive termination — the reference's
+        // ef-driven early exit (faiss_hnsw.cc searchWithCandidates loop):
+        // the walk stops when a hop improves no frontier, with beamIters
+        // kept as the fixed-unroll arm for the hash-gated oracle queries
+        if (adaptive)
+          GraphSearch.beamSearchConverged(graph, base, queries, entries, k, efSearch,
+            maxIters = math.max(beamIters, 16), metric = metric, roundDist = roundDist)
+        else
+          GraphSearch.beamSearch(graph, base, queries, entries, k, efSearch, beamIters,
+            metric, roundDist)
       case _ =>
         GraphSearch.beamSearchRefined(graph, approxTier, answerBase, queries, entries,
           k, efSearch, beamIters, metric, roundDist)

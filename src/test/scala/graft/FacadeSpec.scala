@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsyncBuild, BruteForce, IndexStatic, Metric}
+import graft.operators.{AsyncBuild, BruteForce, GraphSearch, IndexStatic, Metric}
 import graft.sources.Tables
 
 /** V12 factory + V16 Index handle semantics. */
@@ -136,6 +136,12 @@ class FacadeSpec extends SparkSpec {
       val hits = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (hits & exact).size.toDouble / exact.size
       assert(recall >= 0.6, s"$t recall $recall below the ANN floor")
+      if (t == "HNSW") {
+        // the handle's default Exact walk is the CONVERGED beam (per-query
+        // adaptive stop): it must have terminated on its own, not the cap
+        assert(GraphSearch.lastConvergedHops > 0 && GraphSearch.lastConvergedHops < 16,
+          s"adaptive walk took ${GraphSearch.lastConvergedHops} hops")
+      }
       // filtered search: answers obey the predicate, traversal still routes
       val filtered = idx.search(queries, 5, Some(col("id") % 2 === 0))
       assert(filtered.collect().forall(_.getLong(1) % 2 == 0))
