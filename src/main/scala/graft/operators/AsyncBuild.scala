@@ -39,8 +39,21 @@ object IndexStatic {
   /** Estimated in-memory load size in bytes for an index over
     * (count, dim) fp32 vectors — mirrors the reference's per-type resource
     * estimation (vectors + ids + structure overhead). */
-  def estimateLoadResourceBytes(indexType: String, count: Long, dim: Int): Long = {
-    val vecBytes = count * dim * 4L
+  def estimateLoadResourceBytes(indexType: String, count: Long, dim: Int): Long =
+    estimateLoadResourceBytes(indexType, count, dim, "fp32")
+
+  /** Element-type-aware estimate: the packed tiers store what they claim —
+    * fp16/bf16 = 2 bytes/element, int8 = 1 (operands.h:48-147), so a
+    * packed FLAT/IVF_FLAT estimate is half (quarter) the fp32 bytes. */
+  def estimateLoadResourceBytes(
+      indexType: String, count: Long, dim: Int, elementType: String): Long = {
+    val bytesPerElem = elementType match {
+      case "fp32" => 4L
+      case "fp16" | "bf16" => 2L
+      case "int8" => 1L
+      case other => throw new IllegalArgumentException(s"unknown element type $other")
+    }
+    val vecBytes = count * dim * bytesPerElem
     val idBytes = count * 8L
     indexType match {
       case "FLAT" => vecBytes + idBytes

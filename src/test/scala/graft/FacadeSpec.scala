@@ -243,6 +243,14 @@ class FacadeSpec extends SparkSpec {
     // DiskANN's memory tier (codes only) is far below the raw FLAT bytes
     assert(IndexStatic.estimateLoadResourceBytes("DISKANN", 1000, 64) <
       IndexStatic.estimateLoadResourceBytes("FLAT", 1000, 64))
+    // packed tiers store what they claim: fp16 halves the vector bytes,
+    // int8 quarters them (ids unchanged)
+    assert(IndexStatic.estimateLoadResourceBytes("FLAT", 1000, 64, "fp16")
+      == 1000L * 64 * 2 + 8000L)
+    assert(IndexStatic.estimateLoadResourceBytes("FLAT", 1000, 64, "int8")
+      == 1000L * 64 * 1 + 8000L)
+    assert(IndexStatic.estimateLoadResourceBytes("IVF_FLAT", 1000, 64, "bf16")
+      < IndexStatic.estimateLoadResourceBytes("IVF_FLAT", 1000, 64))
     assert(IndexStatic.configCheck("FLAT", operators.Params.KnnParams(k = 10, metric = "cosine")))
     assert(!IndexStatic.configCheck("IVF_SQ8", operators.Params.KnnParams(k = 10, metric = "cosine")))
   }
