@@ -191,6 +191,26 @@ object Scale {
       graft.operators.Dedup.cosineLshPairs(embTbl, proj, threshold = 0.8,
         bands = 2, rowsPerBand = 16).count())
     println(s"lsh candidate-verified pairs: $nPairs")
+
+    // ---- iterator-backed range search with early termination ----
+    // tight radius: each query's frontier dies after a handful of best-
+    // first pages instead of ranking all nq×nb rows — the page count is
+    // the scale win (the stream is persisted once either way)
+    val fewQ = queries.limit(8)
+    val nEarly = time("range early-stop (radius=1.0, page=4096)")(
+      AnnIteratorOp.rangeSearchEarlyStop(fewQ, base, Metric.L2,
+        radius = 1.0, rangeFilter = 0.0, pageSize = 4096).count())
+    println(s"range early-stop: rows=$nEarly pages=${AnnIteratorOp.lastPagesTouched}" +
+      s" of ${math.ceil(nb / 4096.0).toInt}")
+
+    // ---- TRUE packed fp16 storage: half the bytes in the scan ----
+    import graft.functions.VectorFunctions.packFp16
+    val packedBase = base.select(col("id"), packFp16(col("vec")).as("vec")).persist()
+    packedBase.count()
+    val packedQ = queries.select(col("qid"), packFp16(col("qvec")).as("qvec"))
+    time("bf_knn packed fp16 k=10 (decode-inline kernel)")(
+      BruteForce.knnPacked(packedQ, packedBase, 10, Metric.L2, bf16 = false).count())
+    packedBase.unpersist()
     spark.stop()
   }
 }
