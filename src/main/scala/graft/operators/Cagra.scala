@@ -103,7 +103,8 @@ final class CagraIndex(
     val itopkSize: Int,
     val beamIters: Int,
     roundDist: Option[Int] = None,
-    degreeHint: Option[Long] = None
+    degreeHint: Option[Long] = None,
+    val adaptive: Boolean = true
 ) extends graft.VectorIndex {
   override def indexType: String = "GPU_CAGRA"
   override lazy val count: Long = base.count()
@@ -115,8 +116,16 @@ final class CagraIndex(
   override def search(queries: DataFrame, k: Int, filter: Option[Column]): DataFrame =
     filter match {
       case None =>
-        GraphSearch.beamSearch(graph, base, queries, entries, k,
-          math.max(itopkSize, k), beamIters, metric, roundDist)
+        // DEFAULT: itopk-driven adaptive stop (the CAGRA search loop ends
+        // when the internal top-k stops improving); fixed unroll kept for
+        // the hash-gated oracle arms
+        if (adaptive)
+          GraphSearch.beamSearchConverged(graph, base, queries, entries, k,
+            math.max(itopkSize, k), maxIters = math.max(beamIters, 16),
+            metric = metric, roundDist = roundDist)
+        else
+          GraphSearch.beamSearch(graph, base, queries, entries, k,
+            math.max(itopkSize, k), beamIters, metric, roundDist)
       case Some(f) =>
         val frontier = GraphSearch.beamSearch(graph, base, queries, entries,
           math.max(itopkSize, k), math.max(itopkSize, k), beamIters, metric, roundDist)

@@ -137,4 +137,48 @@ class PropertySpec extends SparkSpec {
     assert(fused.count() == 0)
     assert(fused.columns.toSeq == Seq("qid", "nid", "dist", "rnk"))
   }
+
+  test("HLL merge is commutative, associative, idempotent on random splits") {
+    import graft.plans.HllSketch
+    val keys = sample(Gen.listOfN(3000, Gen.alphaNumStr.map(_.take(12))), 99L)
+    def sk(xs: Seq[String]): HllSketch = {
+      val s = new HllSketch
+      xs.foreach(x => s.add(x.getBytes("UTF-8")))
+      s
+    }
+    def regs(s: HllSketch) = s.registers.toSeq
+    // any 3-way split, merged in any association order, equals one pass
+    val (a, rest) = keys.splitAt(1000)
+    val (b, c) = rest.splitAt(1000)
+    val whole = sk(keys)
+    val ab = sk(a); ab.merge(sk(b)); ab.merge(sk(c)) // (a+b)+c
+    val bc = sk(b); bc.merge(sk(c))
+    val a_bc = sk(a); a_bc.merge(bc) // a+(b+c)
+    val ba = sk(b); ba.merge(sk(a)); ba.merge(sk(c)) // (b+a)+c
+    assert(regs(ab) == regs(whole) && regs(a_bc) == regs(whole) && regs(ba) == regs(whole))
+    // idempotent: re-merging a duplicate shard changes nothing
+    ab.merge(sk(a))
+    assert(regs(ab) == regs(whole))
+    assert(ab.estimate == whole.estimate)
+  }
+
+  test("histogram merge is commutative/associative; totals always conserved") {
+    import graft.plans.HistogramBuffer
+    val vals = sample(Gen.listOfN(2000, Gen.chooseNum(0, 800000).map(_ / 1000.0)), 7L)
+    def hb(xs: Seq[Double]): HistogramBuffer = {
+      val h = new HistogramBuffer
+      xs.foreach(h.add)
+      h
+    }
+    val (a, b) = vals.splitAt(700)
+    val whole = hb(vals)
+    val ab = hb(a); ab.merge(hb(b))
+    val ba = hb(b); ba.merge(hb(a))
+    assert(ab.counts.toSeq == whole.counts.toSeq && ba.counts.toSeq == whole.counts.toSeq)
+    assert(ab.total == vals.size)
+    val t = whole.total
+    // read-off is monotone in p and within the domain
+    val qs = Seq(1, 50, 95, 99).map(p => whole.quantile(p, t))
+    assert(qs == qs.sorted && qs.forall(q => q >= 0.0 && q <= 8191 / 8.0))
+  }
 }
