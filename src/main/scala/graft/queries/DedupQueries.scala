@@ -485,6 +485,47 @@ SELECT source, doc_id, sample_rank FROM (
       Some(s"""SELECT doc_id, source FROM (
   SELECT doc_id, source, ${sqlTokenHash("md5(text)")} AS k FROM documents
 ) WHERE 10 * k < CAST((CAST(substr(source, 4, 10) AS INT) % 10) + 1 AS BIGINT) * $P""")),
+    // heavy-hitter frequency estimation via a count-min sketch
+    // (graft.plans.CountMinAgg): one fixed 32 KiB counter matrix per
+    // partition replaces shuffling the full (token, count) vocabulary;
+    // counters vector-add (order-invariant) and the min-over-rows read-off
+    // is pure long arithmetic, so the overcount-bounded estimates sit
+    // under the exact hash gate next to their exact counts
+    GraftQuery(
+      "vocab_heavy_hitters",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val counters = toks.agg(graft.plans.CountMinAgg.countMin(col("tok")).as("cms"))
+        val top = toks
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("tok").asc)
+          .limit(10)
+        top
+          .crossJoin(broadcast(counters))
+          .select(col("tok"), col("n_exact"),
+            graft.plans.CountMinAgg.estimate(col("cms"), col("tok")).as("n_est"))
+      },
+      Some {
+        val rows = (0 until 4)
+          .map(r =>
+            s"c$r AS (SELECT ${sqlTokenHash(s"concat('cm$r', tok)")} % 1024 AS b, " +
+              "count(*) AS c FROM toks GROUP BY 1)")
+          .mkString(",\n")
+        val joins = (0 until 4)
+          .map(r => s"JOIN c$r x$r ON ${sqlTokenHash(s"concat('cm$r', t.tok)")} % 1024 = x$r.b")
+          .mkString("\n")
+        s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+top AS (
+  SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok
+  ORDER BY n_exact DESC, tok ASC LIMIT 10
+),
+$rows
+SELECT t.tok, t.n_exact, least(x0.c, x1.c, x2.c, x3.c) AS n_est
+FROM top t
+$joins"""
+      }),
     // sequence packing (concat-and-chunk): documents concatenated in
     // content-hash order within 16 md5 shards, chunked every 2048 tokens.
     // Parallel per-shard cumsums, one shuffle, integer-exact arithmetic —
