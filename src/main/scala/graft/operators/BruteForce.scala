@@ -169,6 +169,39 @@ object BruteForce {
     if (idOffset == 0L) res else res.withColumn("nid", col("nid") + idOffset)
   }
 
+  /** [[knn]] in the reference's FIXED-SHAPE result contract: every query
+    * gets exactly k slots; slots with no qualifying neighbor (filtered
+    * base smaller than k) carry id = -1 and a null distance — the
+    * `std::fill(labels, …, -1)` pre-fill the caller of
+    * `BruteForce::Search` observes (`brute_force.cc:676`, dense heaps
+    * leave faiss's -1 labels in place, `:800`; `-1` survives the
+    * `input_begin_id` rebase untouched, `:251`).
+    *
+    * Shape: the k-slot frame is queries × sequence(1..k) — nq·k rows,
+    * map-side — left-joined to the ranked result on (qid, rnk); the join
+    * broadcasts the bounded kNN output, so the padding never adds a
+    * shuffle. */
+  def knnPadded(
+      queries: DataFrame,
+      base: DataFrame,
+      k: Int,
+      metric: Metric,
+      baseFilter: Option[Column] = None,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val res = knn(queries, base, k, metric, baseFilter, roundDist)
+    val slots = queries
+      .select(col("qid"), explode(sequence(lit(1), lit(k))).as("rnk"))
+      .withColumn("rnk", col("rnk").cast("int"))
+    slots
+      .join(broadcast(res), Seq("qid", "rnk"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("nid"), lit(-1L)).as("nid"),
+        col("dist"),
+        col("rnk"))
+  }
+
   /** Exact kNN over TRUE half-width storage: both sides are
     * `BINARY(dim*2)` fp16/bf16-packed columns (graft.plans.Half —
     * `operands.h:48-147` real 2-byte element types) and the distance

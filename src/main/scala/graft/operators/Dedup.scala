@@ -274,6 +274,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[decontaminate]] behind a BLOOM pre-filter — the shape for when the
+    * eval/benchmark set is too large to broadcast as a hash relation but
+    * its bloom still fits everywhere: the corpus side is pruned MAP-SIDE
+    * by a codegen'd `bloom_might_contain` probe (bits built distributed
+    * via [[graft.plans.BloomAgg]], OR-merged partials), and only the
+    * survivors — true matches plus the ε·N false positives — reach the
+    * exact confirm-join, which removes the FPs. Output is therefore
+    * IDENTICAL to [[decontaminate]] (same oracle), while the join input
+    * shrinks from every corpus shingle to the bloom survivors.
+    *
+    * The confirm-join is a plain shuffle join on the shingle hash (NOT
+    * broadcast): this path exists precisely for eval sets past broadcast
+    * size, and post-bloom both sides are small. */
+  def decontaminateBloom(
+      docs: DataFrame, // (doc_id, text)
+      evalPred: Column,
+      n: Int = 3,
+      log2Bits: Int = 20,
+      kProbes: Int = 4
+  ): DataFrame = {
+    import graft.plans.{BloomAgg, LongBloom}
+    def rows(d: DataFrame) =
+      d.select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("sh"))
+    val evalSh = rows(docs.filter(evalPred)).select(col("sh")).distinct()
+    val bloomBytes = evalSh
+      .agg(BloomAgg.bloomBuild(col("sh"), log2Bits, kProbes).as("bloom"))
+      .head()
+      .getAs[Array[Byte]](0)
+    val bloom = LongBloom.deserialize(bloomBytes, kProbes)
+    rows(docs.filter(!evalPred))
+      .filter(BloomAgg.bloomMightContain(col("sh"), bloom))
+      .join(evalSh.hint("shuffle_hash"), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Cross-document duplicated n-gram SPANS (substring-level exact dedup —
     * the pass that finds boilerplate repeated across documents even when
     * whole docs aren't near-dups): an n-token shingle is a duplicated span

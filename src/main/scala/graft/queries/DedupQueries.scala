@@ -441,6 +441,21 @@ tr AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % 97 <> 0)
 SELECT tr.doc_id AS doc_id, count(*) AS n_shared
 FROM tr JOIN ev ON ev.h = tr.h
 GROUP BY tr.doc_id""")),
+    // the SAME contamination answer through the BLOOM pre-filter path
+    // (eval bits built distributed + OR-merged, corpus pruned map-side by
+    // the codegen'd probe, exact shuffle confirm-join removes the false
+    // positives): output identical ⇒ the hash gate certifies the whole
+    // bloom build→probe→confirm pipeline
+    GraftQuery(
+      "decontaminate_bloom",
+      (s, dir) =>
+        Dedup.decontaminateBloom(Tables.documents(s, dir), col("doc_id") % 89 === 0),
+      Some(s"""WITH $shCte,
+ev AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % 89 = 0),
+tr AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % 89 <> 0)
+SELECT tr.doc_id AS doc_id, count(*) AS n_shared
+FROM tr JOIN ev ON ev.h = tr.h
+GROUP BY tr.doc_id""")),
     // cross-document duplicated n-gram spans (substring-level exact dedup):
     // per doc, how many of its distinct token-3-gram spans also occur in
     // at least one other document — finds repeated boilerplate that

@@ -96,6 +96,72 @@ FROM e p LEFT JOIN e c
   ON c.event_type = 'click' AND c.user_id = p.user_id
  AND c.us <= p.us AND c.us >= p.us - 86400000000
 WHERE p.event_type = 'purchase'
-GROUP BY 1, 2"""))
+GROUP BY 1, 2""")),
+    // the SAME interval join as a STREAM-STREAM JOIN — Spark's native
+    // watermarked time-interval join (purchases × clicks, equality on
+    // user_id + a two-sided event-time bound): each side's state is
+    // retained only inside the watermark-implied window, so at 100 TB/day
+    // the join state is bounded by the 24h interval, not the stream
+    // history. Inner append-mode pairs hash-match the batch oracle.
+    GraftQuery(
+      "events_range_join_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val stage = java.nio.file.Files.createTempDirectory("graft-events-ijoin")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"))
+        // same nanos-as-long → TIMESTAMP normalization as Tables.events
+        def src = {
+          val raw = s.readStream.schema(schema).parquet(stage.toString)
+          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          else raw
+        }
+        val clicks = src
+          .filter(col("event_type") === "click")
+          .select(
+            col("user_id").as("c_user"),
+            col("ts").as("c_ts"),
+            round(col("value"), 4).as("click_value"))
+          .withWatermark("c_ts", "0 seconds")
+        val purch = src
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "0 seconds")
+        val joined = purch
+          .join(
+            clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+              col("c_ts") <= col("p_ts"))
+          .select(
+            col("event_id"),
+            col("user_id"),
+            unix_micros(col("p_ts")).as("p_us"),
+            unix_micros(col("c_ts")).as("c_us"),
+            col("click_value"))
+        val sink = s"events_range_join_stream_${System.nanoTime()}"
+        val q = joined.writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      },
+      Some("""WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us, value
+  FROM events
+)
+SELECT p.event_id, p.user_id, p.us AS p_us, c.us AS c_us,
+       round(c.value, 4) AS click_value
+FROM e p JOIN e c
+  ON c.event_type = 'click' AND c.user_id = p.user_id
+ AND c.us <= p.us AND c.us >= p.us - 86400000000
+WHERE p.event_type = 'purchase'"""))
   )
 }

@@ -746,6 +746,34 @@ SELECT qid, nid, dist, rnk FROM (
         BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.L2,
           baseFilter = Some(col("label") =!= 1), roundDist = ROUND),
       Some(Sql.knn(Sql.l2, desc = false, where = "WHERE b.label <> 1"))),
+    // S1 fixed-shape result contract — nq×k slots pre-filled with -1 ids
+    // (brute_force.cc:676 std::fill; faiss -1 labels kept, :800; -1 skips
+    // the id-offset rebase, :251): the base filter leaves FEWER than k
+    // candidates, so every query's tail slots must surface as (-1, null)
+    GraftQuery(
+      "bf_knn_padded",
+      (s, dir) =>
+        BruteForce.knnPadded(queryVecs(s, dir), baseVecs(s, dir), K, Metric.L2,
+          baseFilter = Some(col("id") % 1000 === 0 && col("id") <= 4000),
+          roundDist = ROUND),
+      Some(s"""WITH ${Sql.qView},
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.l2} AS dist
+  FROM q CROSS JOIN embeddings b
+  WHERE b.vec_id % 1000 = 0 AND b.vec_id <= 4000
+),
+res AS (
+  SELECT qid, nid, dist, rnk FROM (
+    SELECT qid, nid, dist,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+    FROM pairs
+  ) WHERE rnk <= $K
+),
+slots AS (
+  SELECT q.qid AS qid, CAST(t.r AS INT) AS rnk FROM q CROSS JOIN range(1, ${K + 1}) t(r)
+)
+SELECT s.qid, coalesce(res.nid, -1) AS nid, res.dist, s.rnk
+FROM slots s LEFT JOIN res ON res.qid = s.qid AND res.rnk = s.rnk""")),
     // S20 — DocIdFilterByVector: sorted-docid exclusion as an anti-join on
     // the id list (sparse_utils.h:70-93)
     GraftQuery(

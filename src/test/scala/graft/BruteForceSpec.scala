@@ -86,6 +86,18 @@ class BruteForceSpec extends SparkSpec {
     assert(got == Set(1L, 3L, 4L))
   }
 
+  test("knnPadded fills missing slots with id -1 and null distance") {
+    // base filter leaves only ids {1, 4}: slots 3..5 must pad with -1
+    val got = BruteForce
+      .knnPadded(queries, base, 5, Metric.L2, baseFilter = Some(col("id") % 3 === 1))
+      .orderBy("rnk")
+      .collect()
+      .map(r => (r.getAs[Long]("nid"), r.isNullAt(r.fieldIndex("dist")), r.getAs[Int]("rnk")))
+    assert(got.length == 5) // fixed nq×k shape
+    assert(got.take(2).toSeq == Seq((1L, false, 1), (4L, false, 2)))
+    assert(got.drop(2).forall { case (nid, distNull, _) => nid == -1L && distNull })
+  }
+
   test("getVectorByIds returns exactly the requested rows") {
     val ids = Seq(1L, 3L).toDF("id")
     val got = BruteForce.getVectorByIds(ids, base).collect()
