@@ -131,7 +131,8 @@ object BruteForce {
       base: DataFrame, // (id, vec, ...)
       metric: Metric,
       baseFilter: Option[Column] = None,
-      roundDist: Option[Int] = None
+      roundDist: Option[Int] = None,
+      carryCols: Seq[String] = Nil // base columns carried into the output
   ): DataFrame = {
     val filtered = baseFilter.map(base.filter).getOrElse(base)
     // Cached-norms optimization for COSINE (`brute_force.cc:66-101`,
@@ -148,7 +149,9 @@ object BruteForce {
     val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
     broadcast(q)
       .crossJoin(b)
-      .select(col("qid"), col("id").as("nid"), d.as("dist"))
+      .select(
+        Seq(col("qid"), col("id").as("nid"), d.as("dist")) ++
+          carryCols.map(col): _*)
   }
 
   /** Batched exact kNN: nq queries → nq×k (qid, nid, dist, rnk).

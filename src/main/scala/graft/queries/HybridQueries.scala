@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BruteForce, Fusion, GroupedSearch, Metric, SparseSearch}
+import graft.queries.VectorQueries.{baseVecs, queryVecs, K, QMOD, ROUND, Sql}
+
+/** Hybrid (multi-arm) search over the documents/embeddings pair — the
+  * same entity occupies doc_id in the text corpus and vec_id in the
+  * embedding table, so a dense kNN arm and a sparse BM25 arm answer the
+  * SAME queries (every QMOD-th entity) and fuse per candidate. Plus the
+  * group-by search mode over the dense side.
+  *
+  * All three fused/grouped scores stay in integer arithmetic (operator
+  * Scaladoc), so the DuckDB oracles reproduce them bit-for-bit under the
+  * hash gate.
+  */
+object HybridQueries {
+
+  // dense query view under names that don't collide with the sparse CTEs
+  // (bm25ScoredCte owns `q`/`tf`/`dl`/`s`/`df`/`scored`)
+  private val qdView =
+    s"qd AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % $QMOD = 0)"
+
+  /** Ranked dense arm CTE body over the shared metric expression. */
+  private def denseArm(distExpr: String, desc: Boolean): String = {
+    val dir = if (desc) "DESC" else "ASC"
+    s"""SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist $dir, nid ASC) AS INT) AS rnk
+  FROM (SELECT q.qid AS qid, b.vec_id AS nid, $distExpr AS dist
+        FROM qd q CROSS JOIN embeddings b)
+) WHERE rnk <= $K"""
+  }
+
+  /** Ranked sparse arm from bm25ScoredCte's `scored` (desc scores). */
+  private val sparseArm =
+    s"""SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= $K"""
+
+  def all: Seq[GraftQuery] = Seq(
+    // RRF hybrid: dense L2 kNN + sparse BM25 top-k over the same qid set,
+    // fused by exact reciprocal-rank score Σ 1e12 DIV (60 + rnk) — rank-only,
+    // so the L2/BM25 score-scale mismatch never matters
+    GraftQuery(
+      "hybrid_rrf_knn",
+      (s, dir) => {
+        val dense = BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K,
+          Metric.L2, roundDist = ROUND)
+        val sparse = SparseSearch.searchBM25(
+          SparseQueries.queryPostings(s, dir), SparseQueries.model(s, dir), K)
+        Fusion.rrf(Seq(dense, sparse), K)
+      },
+      Some(s"""${SparseQueries.bm25ScoredCte},
+$qdView,
+dense AS (${denseArm(Sql.l2, desc = false)}),
+sparse AS ($sparseArm),
+u AS (SELECT qid, nid, rnk FROM dense UNION ALL SELECT qid, nid, rnk FROM sparse),
+fs AS (SELECT qid, nid, CAST(sum(${Fusion.RrfScale} // (60 + rnk)) AS BIGINT) AS score
+       FROM u GROUP BY 1, 2)
+SELECT qid, nid, score, rnk FROM (
+  SELECT qid, nid, score,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS INT) AS rnk
+  FROM fs
+) WHERE rnk <= $K""")),
+    // weighted hybrid: per-arm per-query min-max normalization to ppm
+    // (direction-aware; degenerate arm → NormScale), integer weights
+    // 700/300, missing-arm candidates contribute 0 — all integer-exact
+    GraftQuery(
+      "hybrid_weighted_knn",
+      (s, dir) => {
+        val dense = BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K,
+          Metric.Cosine, roundDist = ROUND)
+        val sparse = SparseSearch.searchBM25(
+          SparseQueries.queryPostings(s, dir), SparseQueries.model(s, dir), K)
+        Fusion.weighted(Seq((dense, false, 700L), (sparse, false, 300L)), K)
+      },
+      Some(s"""${SparseQueries.bm25ScoredCte},
+$qdView,
+dense AS (${denseArm(Sql.cosine, desc = true)}),
+sparse AS ($sparseArm),
+dn AS (SELECT qid, nid, CAST(round(dist * 10000, 0) AS BIGINT) AS d4 FROM dense),
+dne AS (SELECT qid, nid, d4,
+               min(d4) OVER (PARTITION BY qid) AS mn,
+               max(d4) OVER (PARTITION BY qid) AS mx FROM dn),
+dc AS (SELECT qid, nid,
+              (CASE WHEN mx = mn THEN ${Fusion.NormScale}
+                    ELSE (d4 - mn) * ${Fusion.NormScale} // (mx - mn) END) * 700 AS c
+       FROM dne),
+sn AS (SELECT qid, nid, CAST(round(dist * 10000, 0) AS BIGINT) AS d4 FROM sparse),
+sne AS (SELECT qid, nid, d4,
+               min(d4) OVER (PARTITION BY qid) AS mn,
+               max(d4) OVER (PARTITION BY qid) AS mx FROM sn),
+sc AS (SELECT qid, nid,
+              (CASE WHEN mx = mn THEN ${Fusion.NormScale}
+                    ELSE (d4 - mn) * ${Fusion.NormScale} // (mx - mn) END) * 300 AS c
+       FROM sne),
+u AS (SELECT qid, nid, c FROM dc UNION ALL SELECT qid, nid, c FROM sc),
+fs AS (SELECT qid, nid, CAST(sum(c) AS BIGINT) AS score FROM u GROUP BY 1, 2)
+SELECT qid, nid, score, rnk FROM (
+  SELECT qid, nid, score,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS INT) AS rnk
+  FROM fs
+) WHERE rnk <= $K""")),
+    // group-by search: top-4 label groups per query, best 3 hits each —
+    // groups ranked by their best hit; per-(qid,label) top via the bounded
+    // heap, the window only ever sees nq × ngroups rows
+    GraftQuery(
+      "knn_grouped",
+      (s, dir) =>
+        GroupedSearch.knnGrouped(queryVecs(s, dir), baseVecs(s, dir),
+          k = 4, groupSize = 3, Metric.L2, roundDist = ROUND),
+      Some(s"""WITH $qdView,
+pairs AS (SELECT q.qid AS qid, b.label AS label, b.vec_id AS nid, ${Sql.l2} AS dist
+          FROM qd q CROSS JOIN embeddings b),
+pg AS (SELECT qid, label, nid, dist,
+              CAST(row_number() OVER (PARTITION BY qid, label ORDER BY dist ASC, nid ASC) AS INT) AS grnk
+       FROM pairs),
+pg2 AS (SELECT * FROM pg WHERE grnk <= 3),
+tg AS (SELECT qid, label,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label ASC) AS INT) AS grp_rnk
+       FROM pg2 WHERE grnk = 1)
+SELECT pg2.qid, pg2.label, pg2.nid, pg2.dist, pg2.grnk, tg.grp_rnk
+FROM pg2 JOIN tg ON tg.qid = pg2.qid AND tg.label = pg2.label
+WHERE tg.grp_rnk <= 4"""))
+  )
+}

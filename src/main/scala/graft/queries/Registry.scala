@@ -17,7 +17,7 @@ object Registry {
   def all: Seq[GraftQuery] =
     VectorQueries.all ++ SparseQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ RelationalQueries.all ++ MultimodalQueries.all ++
-      PipelineQueries.all ++ TemporalQueries.all
+      PipelineQueries.all ++ TemporalQueries.all ++ HybridQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

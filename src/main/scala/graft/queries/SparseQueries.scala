@@ -21,10 +21,10 @@ object SparseQueries {
   private def basePostings(s: org.apache.spark.sql.SparkSession, dir: String) =
     SparseSearch.postings(Tables.documents(s, dir), "doc_id", "text")
 
-  private def model(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[queries] def model(s: org.apache.spark.sql.SparkSession, dir: String) =
     SparseIndexModel.build(Tables.documents(s, dir), "doc_id", "text")
 
-  private def queryPostings(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[queries] def queryPostings(s: org.apache.spark.sql.SparkSession, dir: String) =
     SparseSearch
       .postings(
         Tables.documents(s, dir).filter(col("doc_id") % QMOD === 0),
@@ -54,7 +54,7 @@ SELECT qid, nid, dist, rnk FROM (
 ) WHERE rnk <= $K"""
 
   /** BM25 scored-pairs CTE (shared by top-k, pruned, and range). */
-  private val bm25ScoredCte =
+  private[queries] val bm25ScoredCte =
     s"""WITH $tfCte,
 dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
 s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
