@@ -94,6 +94,34 @@ object Fusion {
     rankFused(scored, k)
   }
 
+  /** Two-stage retrieve-and-rerank — the RAG retrieval shape: a cheap
+    * high-recall arm (BM25, an IVF probe, an LSH bucket …) proposes
+    * `candidates` (qid, nid) per query, and the exact dense metric
+    * rescores ONLY those. At 100 TB the dense side never scans: the
+    * bounded candidate set broadcasts into the base table, so the exact
+    * rerank touches nq × R rows instead of nq × nb.
+    * Output: (qid, nid, dist, rnk) — exact `metric` over the candidate
+    * set, top `k` per query. */
+  def retrieveRerank(
+      candidates: DataFrame, // (qid, nid), bounded by the recall arm's R
+      queries: DataFrame, // (qid, qvec)
+      base: DataFrame, // (id, vec, ...)
+      k: Int,
+      metric: Metric,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val withVec = base
+      .select(col("id").as("nid"), col("vec"))
+      .join(broadcast(candidates.select(col("qid"), col("nid"))), "nid")
+    val scored = withVec.join(broadcast(queries), "qid")
+    val raw = metric.dist(col("qvec"), col("vec"))
+    val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
+    BruteForce.topK(
+      scored.select(col("qid"), col("nid"), d.as("dist")),
+      k,
+      metric.ascending)
+  }
+
   /** Top-k of a fused (qid, nid, score) frame: score desc, nid asc. The
     * frame is bounded (≤ nq · Σ arm-k rows), so a window is fine here —
     * the unbounded side was handled inside the arms. */

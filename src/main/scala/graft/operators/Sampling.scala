@@ -90,4 +90,81 @@ object Sampling {
     val key = TextAnalysis.tokenHash(md5(col(textCol).cast("binary")))
     docs.filter(num.isNotNull && den * key < num * lit(TextAnalysis.HashP))
   }
+
+  /** Token-budget corpus selection: per stratum, keep documents in
+    * (quality desc, doc_id asc) order while the running `n_chars` total
+    * stays within `budget` — the "best docs per source under a size cap"
+    * pass a training-mixture builder runs after quality scoring.
+    *
+    * Semantics = the window rule `sum(n_chars) OVER (PARTITION BY source
+    * ORDER BY quality DESC, doc_id) <= budget`, but the PLAN avoids the
+    * per-source global sort that window implies (one giant sorted
+    * partition per source — the 100 TB skew hazard): quality is 4dp, so
+    * docs bucket into ≤ ~10^5 distinct scaled-quality values per source.
+    * A (source, q4) roll-up — one small aggregate — lets the driver walk
+    * each source's buckets best-first and find the BOUNDARY bucket where
+    * the budget crosses; whole buckets above it keep map-side via a
+    * broadcast threshold table, and only the boundary bucket (docs tied
+    * at one exact quality value) pays a cumsum sort. Output is identical
+    * to the window rule; the oracle states the window form.
+    *
+    * Input needs (doc_id, `stratumCol`, n_chars, quality) with quality
+    * already 4dp-rounded. Output: kept (doc_id, stratum, quality,
+    * n_chars) rows. */
+  def budgetSelect(
+      docs: DataFrame,
+      budget: Long,
+      stratumCol: String = "source"
+  ): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val q4d = docs.withColumn("_q4", round(col("quality") * 10000).cast("long"))
+    val buckets = q4d
+      .groupBy(col(stratumCol).cast("string").as("_s"), col("_q4"))
+      .agg(sum(col("n_chars")).as("_bytes"))
+      .collect()
+    // bounded by strata × distinct 4dp qualities, not by corpus rows —
+    // loud guard, same convention as the sparse query-plan collects
+    require(
+      buckets.length <= 2000000,
+      s"budgetSelect bucket table too large (${buckets.length}); " +
+        "quality must be low-cardinality (4dp-rounded)")
+    val thresholds = buckets
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        val sorted = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(-_._1)
+        var cum = 0L
+        var q4Star = Long.MinValue
+        var remaining = 0L
+        var crossed = false
+        sorted.foreach { case (q4, bytes) =>
+          if (!crossed) {
+            if (cum + bytes <= budget) cum += bytes
+            else { q4Star = q4; remaining = budget - cum; crossed = true }
+          }
+        }
+        (s, q4Star, remaining)
+      }
+      .toSeq
+    import spark.implicits._
+    val thr = broadcast(thresholds.toDF("_s", "_q4s", "_rem"))
+    val joined = q4d
+      .withColumn("_s", col(stratumCol).cast("string"))
+      .join(thr, "_s")
+    val out = Seq(col("doc_id"), col(stratumCol), col("quality"), col("n_chars"))
+    val full = joined.filter(col("_q4") > col("_q4s")).select(out: _*)
+    val boundary = joined
+      .filter(col("_q4") === col("_q4s"))
+      .withColumn(
+        "_cum",
+        sum(col("n_chars")).over(
+          Window
+            .partitionBy(col("_s"))
+            .orderBy(col("doc_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("_cum") <= col("_rem"))
+      .select(out: _*)
+    full.unionByName(boundary)
+  }
 }

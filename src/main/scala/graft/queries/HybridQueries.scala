@@ -105,6 +105,38 @@ SELECT qid, nid, score, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS INT) AS rnk
   FROM fs
 ) WHERE rnk <= $K""")),
+    // two-stage retrieve-and-rerank (the RAG retrieval shape): BM25
+    // proposes 50 candidates per query, the exact dense cosine rescores
+    // ONLY those — the bounded candidate set broadcasts into the base
+    // table, so the dense side reads nq × 50 vectors, never the corpus
+    GraftQuery(
+      "hybrid_rerank_knn",
+      (s, dir) => {
+        val cands = SparseSearch.searchBM25(
+          SparseQueries.queryPostings(s, dir), SparseQueries.model(s, dir), 50)
+        Fusion.retrieveRerank(cands, queryVecs(s, dir), baseVecs(s, dir), K,
+          Metric.Cosine, roundDist = ROUND)
+      },
+      Some(s"""${SparseQueries.bm25ScoredCte},
+$qdView,
+cands AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= 50
+),
+rr AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.cosine} AS dist
+  FROM cands c
+  JOIN qd q ON q.qid = c.qid
+  JOIN embeddings b ON b.vec_id = c.nid
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM rr
+) WHERE rnk <= $K""")),
     // group-by search: top-4 label groups per query, best 3 hits each —
     // groups ranked by their best hit; per-(qid,label) top via the bounded
     // heap, the window only ever sees nq × ngroups rows

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextAnalysis
+import graft.operators.{Sampling, TextAnalysis}
 import graft.sources.Tables
 
 /** Text-analysis pipeline operators over `documents`: token counting,
@@ -15,6 +15,13 @@ object TextQueries {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, len($tok)+1), i -> CAST(ascii(substr($tok, CAST(i AS INT), 1)) AS BIGINT))), " +
       s"(h, c) -> (h * 31 + c) % ${TextAnalysis.HashP})"
+
+  /** The doc_quality scoring expression (DuckDB side), shared by every
+    * quality-ordered query so they cannot drift apart. */
+  private val qualitySql =
+    """round(2.0 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+    - 3.0 * (CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t))
+    + 0.05 * (list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE))) / len(t)), 4)"""
 
   def all: Seq[GraftQuery] = Seq(
     // token counting (whitespace tokenizer + distinct + mean length)
@@ -29,10 +36,7 @@ FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""")),
     GraftQuery(
       "doc_quality",
       (s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir)),
-      Some("""SELECT doc_id,
-round(2.0 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
-    - 3.0 * (CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t))
-    + 0.05 * (list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE))) / len(t)), 4) AS quality
+      Some(s"""SELECT doc_id, $qualitySql AS quality
 FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""")),
     // language-ID heuristic (stop-list hit ratios, deterministic tie order)
     GraftQuery(
@@ -194,6 +198,31 @@ FROM d GROUP BY source""")),
 list_reduce(list_prepend(CAST(0 AS BIGINT),
   list_transform(string_split(text, ' '), tok -> ${sqlTokenHash("tok")})),
   (h, th) -> (h * ${TextAnalysis.TokenB} + th) % ${TextAnalysis.HashP}) AS fp
-FROM documents"""))
+FROM documents""")),
+    // token-budget corpus selection: per source, best-quality docs first
+    // until the char budget is spent. The oracle states the per-source
+    // window-cumsum rule; the Spark plan replaces the per-source global
+    // sort with a (source, 4dp-quality) bucket walk + broadcast threshold
+    // — only the boundary bucket pays a sort (operator Scaladoc)
+    GraftQuery(
+      "corpus_budget_select",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = docs
+          .join(TextAnalysis.qualityScore(docs), "doc_id")
+          .select(col("doc_id"), col("source"), col("n_chars"), col("quality"))
+        Sampling.budgetSelect(scored, budget = 3000L)
+      },
+      Some(s"""WITH ql AS (
+  SELECT doc_id, source, n_chars, $qualitySql AS quality
+  FROM (SELECT doc_id, source, n_chars, string_split(text, ' ') AS t FROM documents)
+),
+c AS (
+  SELECT doc_id, source, quality, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM ql
+)
+SELECT doc_id, source, quality, n_chars FROM c WHERE cum <= 3000"""))
   )
 }

@@ -67,6 +67,28 @@ class FusionSpec extends SparkSpec {
     assert(got == Map(1L -> 10L * N, 2L -> 10L * N))
   }
 
+  test("retrieveRerank equals exact knn restricted to the candidate set") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // candidate arm: an arbitrary deterministic subset per query
+    val cands = queries.select(col("qid"))
+      .crossJoin(base.select(col("id").as("nid")))
+      .filter((col("nid") + col("qid")) % 7 === 0)
+    val got = graft.operators.Fusion
+      .retrieveRerank(cands, queries, base, 5, Metric.L2, roundDist = Some(4))
+    // reference: exact knn over the base filtered to each query's candidates
+    val ref = BruteForce
+      .topK(
+        BruteForce.pairs(queries, base, Metric.L2, roundDist = Some(4))
+          .join(cands, Seq("qid", "nid")),
+        5,
+        ascending = true)
+    assert(got.count() == ref.count() && got.count() > 0)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
   private lazy val gBase = Seq(
     (0L, Array(0f, 0f), "a"),
     (1L, Array(1f, 0f), "a"),

@@ -325,6 +325,43 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet == again)
   }
 
+  test("budgetSelect: boundary bucket keeps by doc_id until the budget is spent") {
+    // src A: quality buckets 2.0 (docs 1,2: 40+40) and 1.0 (docs 3,4,5: 30
+    // each). Budget 120: bucket 2.0 fully kept (80), boundary = 1.0 with
+    // remaining 40 → doc 3 (cum 30) kept, doc 4 (cum 60) and doc 5 dropped.
+    val d = Seq(
+      (1L, "A", 40L, 2.0),
+      (2L, "A", 40L, 2.0),
+      (3L, "A", 30L, 1.0),
+      (4L, "A", 30L, 1.0),
+      (5L, "A", 30L, 1.0),
+      (6L, "B", 500L, 3.0), // alone over budget: excluded, and blocks B's tail
+      (7L, "B", 10L, 2.0)
+    ).toDF("doc_id", "source", "n_chars", "quality")
+    val got = Sampling.budgetSelect(d, budget = 120L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
+  test("budgetSelect equals the window-cumsum rule on real documents") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf0001)
+    val scored = docs
+      .join(TextAnalysis.qualityScore(docs), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("quality"))
+    val got = Sampling.budgetSelect(scored, budget = 3000L)
+    val ref = scored
+      .withColumn(
+        "cum",
+        sum(col("n_chars")).over(
+          Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= 3000L)
+      .select("doc_id", "source", "quality", "n_chars")
+    assert(got.count() > 0)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
   test("cosine LSH: an exact duplicate collides on every band and is reported") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
     val dup = emb.filter(col("vec_id") === 7L)
