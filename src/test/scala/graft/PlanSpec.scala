@@ -205,4 +205,53 @@ class PlanSpec extends SparkSpec {
       == packed.search(queries, 5, None).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
   }
+
+  test("grouped knn: bounded heap on (qid, group); the window sees only group bests") {
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val p = plan(GroupedSearch.knnGrouped(queries, base, k = 4, groupSize = 3,
+      Metric.L2, roundDist = Some(4)))
+    // the per-(qid,label) top-groupSize must ride the heap aggregate with a
+    // map-side partial (the shuffle carries ≤ groupSize rows per group)...
+    assert(p.contains("partial_topk_agg"), s"no map-side heap partial in:\n$p")
+    // ...and the only Window is the group ranking over the heap's bounded
+    // output — a row_number formulation over raw pairs would plan a second
+    // Window and no heap aggregate
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      s"expected exactly one Window operator (group ranking):\n$p")
+  }
+
+  test("retrieveRerank: candidates broadcast into the base scan, one top-k shuffle") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cands = emb.filter(col("vec_id") % 5 === 0)
+      .crossJoin(queries.select(col("qid")))
+      .select(col("qid"), col("vec_id").as("nid"))
+    val p = plan(Fusion.retrieveRerank(cands, queries, base, 5, Metric.Cosine,
+      roundDist = Some(4)))
+    assert(p.contains("BroadcastHashJoin"), s"candidates not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"base side must never sort-merge against candidates:\n$p")
+  }
+
+  test("budgetSelect: thresholds broadcast; no per-source window over the full corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val scored = docs
+      .join(TextAnalysis.qualityScore(docs), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("quality"))
+    val df = Sampling.budgetSelect(scored, budget = 3000L)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"threshold table not broadcast:\n$p")
+    // the only Window allowed is the boundary-bucket cumsum, which sits
+    // under a _q4 = threshold filter — assert the full-corpus branch
+    // (the `>` side) carries no Window at all by checking the union's
+    // first child… cheap proxy: exactly one Window in the whole plan
+    assert(p.linesIterator.count(_.contains("Window [")) <= 1,
+      s"more than one window (full-corpus sort leaked in):\n$p")
+  }
 }
