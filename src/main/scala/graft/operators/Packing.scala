@@ -68,4 +68,40 @@ object Packing {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("tokens_started"))
+
+  /** Overlapping sliding-window chunking — the retrieval/context-window
+    * sibling of [[packSequences]]: one chunk per `stride` offset while the
+    * offset lies inside the document, truncated to `window` tokens at the
+    * tail (so consecutive chunks share `window - stride` tokens of
+    * context). Emits the chunk's token span plus its rolling fingerprint
+    * ([[TextAnalysis.fingerprint]]) instead of the chunk text — at 100 TB
+    * the explode fans out only ⌈n/stride⌉ fixed-width rows per document,
+    * map-side, and the text column never leaves the scan.
+    */
+  def chunkOverlap(
+      docs: DataFrame, // (doc_id, text)
+      window: Int,
+      stride: Int,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(window > 0, s"chunk window must be positive, got $window")
+    require(
+      stride > 0 && stride <= window,
+      s"stride must be in [1, window], got stride=$stride window=$window")
+    val t = TextAnalysis.tokens(col(textCol))
+    val nTok = least(lit(window), col("_n") - col("_s"))
+    docs
+      .select(col("doc_id"), t.as("_t"), size(t).as("_n"))
+      .select(
+        col("doc_id"),
+        col("_t"),
+        col("_n"),
+        explode(sequence(lit(0), col("_n") - 1, lit(stride))).as("_s"))
+      .select(
+        col("doc_id"),
+        expr(s"CAST(_s DIV $stride AS INT)").as("chunk_idx"),
+        col("_s").cast("int").as("start_tok"),
+        nTok.cast("int").as("n_tokens"),
+        TextAnalysis.fingerprint(slice(col("_t"), col("_s") + 1, nTok)).as("chunk_fp"))
+  }
 }

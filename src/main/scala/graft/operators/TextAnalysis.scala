@@ -16,6 +16,15 @@ object TextAnalysis {
   /** Whitespace tokenization (corpus is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Canonical text normalization — the reference's case-fold helper
+    * (`include/knowhere/tolower.h`) widened to the C4/CCNet dedup canon:
+    * lowercase, strip everything outside [a-z0-9 ], collapse space runs,
+    * trim. Pure map-side column expression; feeding the result into the
+    * md5-grouped exact dedup catches re-encodings (case, punctuation,
+    * whitespace) that byte-exact dedup misses. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Polynomial character hash: fold (h·31 + ascii) mod P. The engine-side
     * analog of a BPE-ish stable token id — no global vocabulary join needed
     * (scale: per-row arithmetic only). Codegen'd (graft.plans.StrPolyHash);
@@ -149,6 +158,39 @@ object TextAnalysis {
     ).withColumn(
       "keep",
       col("flag_len") && col("flag_word_len") && col("flag_alpha") && col("flag_stop"))
+  }
+
+  /** Pairwise vocabulary overlap between corpus sources — the cross-source
+    * contamination/diversity dashboard (which feeds mixture weighting):
+    * Jaccard of the distinct-term sets of every source pair, in exact
+    * integer basis points (`inter·10000 DIV union`) so the matrix is
+    * reproducible bit-for-bit.
+    *
+    * Scale shape: per-doc `array_distinct` prunes the explode BEFORE the
+    * (source, term) distinct shuffle; the self-join keys on `term`, so a
+    * term shared by all S sources contributes at most S² rows — bounded by
+    * the vocabulary × S², never by corpus size; per-source sizes broadcast.
+    */
+  def sourceVocabOverlap(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val vocab = df
+      .select(col("source"), explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .distinct()
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("vsize"))
+    val inter = vocab
+      .select(col("source").as("src_a"), col("term"))
+      .join(vocab.select(col("source").as("src_b"), col("term")), Seq("term"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter_sz"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("vsize").as("va"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("vsize").as("vb"))), Seq("src_b"))
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("inter_sz"),
+        (col("va") + col("vb") - col("inter_sz")).as("union_sz"),
+        expr("CAST(inter_sz * 10000 DIV (va + vb - inter_sz) AS BIGINT)").as("jaccard_bp"))
   }
 
   /** Intra-document repetition stats — the Gopher-family repetition rules

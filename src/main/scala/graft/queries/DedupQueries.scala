@@ -80,6 +80,30 @@ j AS (
 CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS keep,
 CAST(count(*) OVER (PARTITION BY md5(text)) AS INT) AS n_copies
 FROM documents""")),
+    // normalization-canonical exact dedup (tolower.h case-fold widened to
+    // the C4/CCNet canon): lowercase + strip non-[a-z0-9 ] + collapse
+    // spaces BEFORE the md5 grouping — catches re-encoded copies that
+    // byte-exact dedup misses. Still one shuffle on the digest
+    GraftQuery(
+      "dedup_normalized",
+      (s, dir) => {
+        val w = Window.partitionBy(md5(TextAnalysis.normalize(col("text")).cast("binary")))
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            when(col("doc_id") === min(col("doc_id")).over(w), 1).otherwise(0).as("keep"),
+            count(lit(1)).over(w).cast("int").as("n_copies"))
+      },
+      Some("""WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+  FROM documents
+)
+SELECT doc_id,
+CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY nt) THEN 1 ELSE 0 END AS keep,
+CAST(count(*) OVER (PARTITION BY nt) AS INT) AS n_copies
+FROM n""")),
     // MinHash (16 perms) + LSH (4 bands × 4) candidate pairs, exact-Jaccard
     // verified at ≥ 0.5 — the standard near-dup pipeline at corpus scale
     GraftQuery(

@@ -17,7 +17,8 @@ object Registry {
   def all: Seq[GraftQuery] =
     VectorQueries.all ++ SparseQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ RelationalQueries.all ++ MultimodalQueries.all ++
-      PipelineQueries.all ++ TemporalQueries.all ++ HybridQueries.all
+      PipelineQueries.all ++ TemporalQueries.all ++ HybridQueries.all ++
+      EvalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

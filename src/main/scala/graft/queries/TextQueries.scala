@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Sampling, TextAnalysis}
+import graft.operators.{Packing, Sampling, TextAnalysis}
 import graft.sources.Tables
 
 /** Text-analysis pipeline operators over `documents`: token counting,
@@ -223,6 +223,45 @@ c AS (
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM ql
 )
-SELECT doc_id, source, quality, n_chars FROM c WHERE cum <= 3000"""))
+SELECT doc_id, source, quality, n_chars FROM c WHERE cum <= 3000""")),
+    // overlapping sliding-window chunking (the RAG/context-window shape):
+    // window 32, stride 24 — consecutive chunks share 8 tokens; each chunk
+    // emits its token span + rolling fingerprint, never the text. Map-side
+    // explode of ⌈n/stride⌉ rows per doc
+    GraftQuery(
+      "chunk_overlap",
+      (s, dir) => Packing.chunkOverlap(Tables.documents(s, dir), window = 32, stride = 24),
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (SELECT doc_id, t, unnest(range(0, len(t), 24)) AS st FROM d)
+SELECT doc_id,
+  CAST(st // 24 AS INT) AS chunk_idx,
+  CAST(st AS INT) AS start_tok,
+  CAST(least(32, len(t) - st) AS INT) AS n_tokens,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(t[CAST(st + 1 AS INT):CAST(st + least(32, len(t) - st) AS INT)],
+      tok -> ${sqlTokenHash("tok")})),
+    (h, th) -> (h * ${TextAnalysis.TokenB} + th) % ${TextAnalysis.HashP}) AS chunk_fp
+FROM s""")),
+    // pairwise source-vocabulary overlap (cross-source diversity matrix):
+    // Jaccard of distinct-term sets per source pair, exact integer basis
+    // points — per-doc array_distinct prunes before the (source, term)
+    // shuffle, the self-join keys on term, per-source sizes broadcast
+    GraftQuery(
+      "source_vocab_overlap",
+      (s, dir) => TextAnalysis.sourceVocabOverlap(Tables.documents(s, dir)),
+      Some("""WITH v AS (
+  SELECT DISTINCT source, term
+  FROM (SELECT source, unnest(list_distinct(string_split(text, ' '))) AS term FROM documents)
+),
+sz AS (SELECT source, count(*) AS vsize FROM v GROUP BY 1),
+i AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter_sz
+  FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, i.inter_sz,
+  sa.vsize + sb.vsize - i.inter_sz AS union_sz,
+  CAST(i.inter_sz * 10000 // (sa.vsize + sb.vsize - i.inter_sz) AS BIGINT) AS jaccard_bp
+FROM i JOIN sz sa ON sa.source = i.src_a JOIN sz sb ON sb.source = i.src_b"""))
   )
 }

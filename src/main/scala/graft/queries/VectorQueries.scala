@@ -506,10 +506,11 @@ SELECT qid, nid, dist, rnk FROM (
 ) WHERE rnk <= $k"""
     }
 
-    /** Explicit-centroid IVF probe (nprobe=2) — shared by the in-memory
-      * and the saved-then-loaded index queries (same semantics by V9's
-      * Serialize/Deserialize contract, index_node.h:371-401). */
-    lazy val ivfProbe: String = s"""WITH $qView,
+    /** CTE list of the explicit-centroid IVF probe (nprobe=2), ending in
+      * `ivfk` = the probed top-k — shared by [[ivfProbe]] and the recall
+      * evaluation oracle (EvalQueries), which joins `ivfk` against the
+      * exact arm. */
+    lazy val ivfProbeCtes: String = s"""$qView,
 c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 250 = 0),
 asn AS (
   SELECT vec_id, embedding, cid FROM (
@@ -531,15 +532,23 @@ probes AS (
     FROM q CROSS JOIN c
   ) WHERE rn <= 2
 ),
-pairs AS (
+ivfpairs AS (
   SELECT q.qid AS qid, b.vec_id AS nid, $l2 AS dist
   FROM q JOIN probes p ON p.qid = q.qid JOIN asn b ON b.cid = p.cid
-)
-SELECT qid, nid, dist, rnk FROM (
-  SELECT qid, nid, dist,
-         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
-  FROM pairs
-) WHERE rnk <= $K"""
+),
+ivfk AS (
+  SELECT qid, nid, dist, rnk FROM (
+    SELECT qid, nid, dist,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+    FROM ivfpairs
+  ) WHERE rnk <= $K
+)"""
+
+    /** Explicit-centroid IVF probe (nprobe=2) — shared by the in-memory
+      * and the saved-then-loaded index queries (same semantics by V9's
+      * Serialize/Deserialize contract, index_node.h:371-401). */
+    lazy val ivfProbe: String = s"""WITH $ivfProbeCtes
+SELECT qid, nid, dist, rnk FROM ivfk"""
 
     /** [[ivfProbe]] with every vector on a storage-cast grid — gates the
       * packed-list IVF rendering (IvfIndex.searchPacked): assignment,
