@@ -254,4 +254,44 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Window [")) <= 1,
       s"more than one window (full-corpus sort leaked in):\n$p")
   }
+
+  test("chunkOverlap is pure map-side: no shuffle, no window, one scan") {
+    val df = Packing.chunkOverlap(Tables.documents(spark, sf0001), window = 32, stride = 24)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(!p.contains("Window ["), s"chunking must not sort:\n$p")
+  }
+
+  test("sourceVocabOverlap: per-source sizes broadcast, self-join keyed on term") {
+    val df = TextAnalysis.sourceVocabOverlap(Tables.documents(spark, sf0001))
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"vocab sizes not broadcast:\n$p")
+    // the big join must be an equi-join KEYED on term (hash-shuffled or,
+    // at tiny SF, broadcast) — never an unkeyed cross product of the
+    // vocabularies
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"vocab self-join not keyed on term:\n$p")
+  }
+
+  test("recallAtK: both bounded arms broadcast — no wide shuffle of results") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val queries = embs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val base = embs.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = BruteForce.knn(queries, base, 5, Metric.L2, roundDist = Some(4))
+    val p = plan(Eval.recallAtK(exact, exact, 5))
+    assert(p.contains("BroadcastHashJoin"), s"approx arm not broadcast:\n$p")
+  }
+
+  test("hardNegatives: queries broadcast, one top-k shuffle — label filter below the heap") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val q = embs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val base = embs.select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    val p = plan(Eval.hardNegatives(q, base, 5, Metric.L2, roundDist = Some(4)))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$p")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 shuffle (top-k agg), got $shuffles:\n$p")
+  }
 }
