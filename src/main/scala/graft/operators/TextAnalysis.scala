@@ -160,6 +160,28 @@ object TextAnalysis {
       col("flag_len") && col("flag_word_len") && col("flag_alpha") && col("flag_stop"))
   }
 
+  /** BPE-ish subword statistics: a greedy regex tokenizer (≤4-char
+    * alphanumeric pieces, punctuation as single tokens — the shape of a
+    * byte-pair vocabulary without the learned merges) giving the
+    * token-count estimate training pipelines budget by. Greedy regex
+    * matching is deterministic and engine-portable, so the counts are
+    * exact; `chars_per_subtok_bp` stays in integer basis points. Pure
+    * map-side scan. */
+  def subwordStats(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(
+        col("doc_id"),
+        regexp_extract_all(col(textCol), lit("[a-z0-9]{1,4}|[^a-z0-9 ]"), lit(0)).as("_st"))
+      .select(
+        col("doc_id"),
+        size(col("_st")).as("n_subtok"),
+        size(array_distinct(col("_st"))).as("n_subtok_uniq"),
+        aggregate(col("_st"), lit(0L), (a, x) => a + length(x).cast("long")).as("_sl"))
+      .select(
+        col("doc_id"),
+        col("n_subtok"),
+        col("n_subtok_uniq"),
+        expr("CAST(_sl * 10000 DIV n_subtok AS BIGINT)").as("chars_per_subtok_bp"))
+
   /** Pairwise vocabulary overlap between corpus sources — the cross-source
     * contamination/diversity dashboard (which feeds mixture weighting):
     * Jaccard of the distinct-term sets of every source pair, in exact

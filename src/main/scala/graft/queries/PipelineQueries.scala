@@ -143,6 +143,46 @@ FROM o GROUP BY 1""")),
             round(expr("percentile(value, 0.95)"), 4).as("p95")),
       Some("""SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
 round(quantile_cont(value, 0.95), 4) AS p95
-FROM events GROUP BY 1"""))
+FROM events GROUP BY 1""")),
+    // robust outlier detection (median + MAD, the classic data-quality
+    // gate): flag events whose |value − median| exceeds 3×MAD of their
+    // event type. Exact interpolated medians (same percentile contract
+    // events_quantiles gates); per-type stats broadcast back onto the
+    // stream — at 100 TB the exact arm's per-type value collection is the
+    // known hot spot, and HistogramQuantileAgg (events_sketch_quantiles)
+    // is the sketch-based scale path for the same dashboard
+    GraftQuery(
+      "events_outliers_mad",
+      (s, dir) => {
+        val events = Tables.events(s, dir)
+        val med = events
+          .groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = events
+          .join(broadcast(med), Seq("event_type"))
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = dev
+          .groupBy(col("event_type"))
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev
+          .join(broadcast(mad), Seq("event_type"))
+          .filter(col("adev") > lit(3.0) * col("mad"))
+          .select(
+            col("event_id"),
+            col("event_type"),
+            round(col("value"), 4).as("value_r"),
+            round(col("adev"), 4).as("abs_dev"))
+      },
+      Some("""WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.event_id, d.event_type, round(d.value, 4) AS value_r, round(d.adev, 4) AS abs_dev
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+WHERE d.adev > 3 * m.mad"""))
   )
 }

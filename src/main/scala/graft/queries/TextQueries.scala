@@ -242,6 +242,70 @@ SELECT doc_id,
       tok -> ${sqlTokenHash("tok")})),
     (h, th) -> (h * ${TextAnalysis.TokenB} + th) % ${TextAnalysis.HashP}) AS chunk_fp
 FROM s""")),
+    // BPE-ish subword counting: greedy ≤4-char alphanumeric pieces +
+    // punctuation singletons — the byte-pair-shaped token budget estimate;
+    // greedy regex is deterministic on both engines, ratios in integer bp
+    GraftQuery(
+      "doc_token_bpe",
+      (s, dir) => TextAnalysis.subwordStats(Tables.documents(s, dir)),
+      Some("""WITH st AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]{1,4}|[^a-z0-9 ]') AS t FROM documents
+)
+SELECT doc_id,
+  CAST(len(t) AS INT) AS n_subtok,
+  CAST(len(list_distinct(t)) AS INT) AS n_subtok_uniq,
+  CAST(CAST(list_sum(list_transform(t, x -> CAST(len(x) AS BIGINT))) AS BIGINT) * 10000 // len(t) AS BIGINT)
+    AS chars_per_subtok_bp
+FROM st""")),
+    // streaming twin of chunk_overlap: the chunker is a stateless map-side
+    // transform, so it runs unchanged over micro-batches (append mode) and
+    // the union of batch outputs hash-matches the batch oracle — each doc
+    // lands in exactly one micro-batch, chunks depend only on that doc
+    GraftQuery(
+      "chunk_overlap_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Tables.documents(s, dir)
+        val median = docs.selectExpr("percentile(doc_id, 0.5)").head().getDouble(0).toLong
+        val stage = java.nio.file.Files.createTempDirectory("graft-chunk-stream")
+        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
+        docs.filter(col("doc_id") <= median)
+          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
+        docs.filter(col("doc_id") > median)
+          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
+        import java.nio.file.attribute.FileTime
+        def touch(p: java.nio.file.Path, t: Long): Unit =
+          java.nio.file.Files.walk(p).forEach(f =>
+            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
+        val now = System.currentTimeMillis()
+        touch(d1, now - 120000); touch(d2, now - 60000)
+        val src = s.readStream
+          .schema(s.read.parquet(d1.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$stage/b*")
+        val sink = s"chunk_overlap_stream_${System.nanoTime()}"
+        val q = Packing
+          .chunkOverlap(src, window = 32, stride = 24)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (SELECT doc_id, t, unnest(range(0, len(t), 24)) AS st FROM d)
+SELECT doc_id,
+  CAST(st // 24 AS INT) AS chunk_idx,
+  CAST(st AS INT) AS start_tok,
+  CAST(least(32, len(t) - st) AS INT) AS n_tokens,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(t[CAST(st + 1 AS INT):CAST(st + least(32, len(t) - st) AS INT)],
+      tok -> ${sqlTokenHash("tok")})),
+    (h, th) -> (h * ${TextAnalysis.TokenB} + th) % ${TextAnalysis.HashP}) AS chunk_fp
+FROM s""")),
     // pairwise source-vocabulary overlap (cross-source diversity matrix):
     // Jaccard of distinct-term sets per source pair, exact integer basis
     // points — per-doc array_distinct prunes before the (source, term)

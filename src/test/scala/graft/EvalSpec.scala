@@ -112,6 +112,16 @@ class EvalSpec extends SparkSpec {
     assert(byId(4L) == "unrelated text")
   }
 
+  test("subwordStats splits greedily into ≤4-char pieces with punct singletons") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefgh xy z9")).toDF("doc_id", "text")
+    val r = TextAnalysis.subwordStats(df).head()
+    // abcdefgh → abcd, efgh; xy; z9 → 4 subtokens, 12 chars
+    assert(r.getAs[Int]("n_subtok") == 4)
+    assert(r.getAs[Int]("n_subtok_uniq") == 4)
+    assert(r.getAs[Long]("chars_per_subtok_bp") == 12L * 10000L / 4L)
+  }
+
   test("sourceVocabOverlap is exact Jaccard in basis points on a toy corpus") {
     import spark.implicits._
     val df = Seq(
