@@ -42,6 +42,33 @@ object Eval {
         expr(s"CAST(coalesce(hits, 0) * 10000 DIV $k AS BIGINT)").as("recall_bp"))
   }
 
+  /** Per-vector SQ8 quantization reconstruction error — the evaluation a
+    * pipeline runs before committing a corpus to a quantized storage tier:
+    * L2 distance and max per-element deviation between each vector and its
+    * train→code→reconstruct round-trip ([[Quantization]]). The quantizer
+    * model is one broadcast row; errors compute map-side over the scan —
+    * no shuffle at any scale. Both outputs round at `roundDist` and are
+    * order-independent (a sum of squares per row, a max per row). */
+  def sq8ReconError(base: DataFrame, roundDist: Option[Int] = Some(4)): DataFrame = {
+    import graft.functions.VectorFunctions
+    val stats = Quantization.sq8Train(base)
+    val rv = Quantization.sq8Recon(
+      Quantization.sq8Code(col("vec"), col("mn"), col("mx")), col("mn"), col("mx"))
+    val rawL2 = VectorFunctions.l2(col("vec"), col("_rv"))
+    val rawMax = aggregate(
+      zip_with(col("vec"), col("_rv"), (a, b) => abs(a.cast("double") - b)),
+      lit(0.0d),
+      (m, x) => greatest(m, x))
+    def r(c: org.apache.spark.sql.Column) = roundDist.map(n => round(c, n)).getOrElse(c)
+    base
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("vec"), rv.as("_rv"))
+      .select(
+        col("id"),
+        r(rawL2).as("recon_err_l2"),
+        r(rawMax).as("recon_err_max"))
+  }
+
   /** Hard-negative mining: per query, the top-k nearest base vectors whose
     * label DIFFERS from the query's own. Same broadcast-queries /
     * map-side-distance / bounded-heap shape as [[BruteForce.knn]] — the

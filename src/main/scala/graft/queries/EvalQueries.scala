@@ -70,6 +70,52 @@ SELECT qid, nid, dist, rnk FROM (
   SELECT qid, nid, dist,
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
   FROM pairs
-) WHERE rnk <= $K"""))
+) WHERE rnk <= $K""")),
+    // SQ8 reconstruction-error dashboard: per-vector L2 + max-element
+    // deviation of the quantization round-trip — the pre-commit eval for a
+    // quantized storage tier. Model broadcast, errors map-side, no shuffle
+    GraftQuery(
+      "eval_sq8_error",
+      (s, dir) => Eval.sq8ReconError(baseVecs(s, dir).select(col("id"), col("vec")), ROUND),
+      Some(s"""WITH ${Sql.sq8ReconCtes}
+SELECT vec_id AS id,
+  round(sqrt(list_sum(list_transform(range(1, len(embedding)+1), i ->
+    (CAST(embedding[i] AS DOUBLE) - rv[i]) * (CAST(embedding[i] AS DOUBLE) - rv[i])))), 4) AS recon_err_l2,
+  round(list_max(list_transform(range(1, len(embedding)+1), i ->
+    abs(CAST(embedding[i] AS DOUBLE) - rv[i]))), 4) AS recon_err_max
+FROM recon""")),
+    // embedding outlier screen on peak element magnitude (the
+    // rogue-dimension / spiky-activation diagnostic — norms are vacuous on
+    // a unit-normalized corpus): per-vector max|x| on the 4dp contract,
+    // corpus p1/p99 bounds broadcast back over the scan — the vector-side
+    // sibling of events_outliers_mad
+    GraftQuery(
+      "embed_outliers",
+      (s, dir) => {
+        val peaks = Tables
+          .embeddings(s, dir)
+          .select(
+            col("vec_id"),
+            round(
+              aggregate(
+                col("embedding"),
+                lit(0.0d),
+                (m, x) => greatest(m, abs(x.cast("double")))),
+              4).as("peak"))
+        val bounds = peaks.agg(
+          expr("percentile(peak, 0.01)").as("lo"),
+          expr("percentile(peak, 0.99)").as("hi"))
+        peaks
+          .crossJoin(broadcast(bounds))
+          .filter(col("peak") < col("lo") || col("peak") > col("hi"))
+          .select(col("vec_id"), col("peak"))
+      },
+      Some("""WITH n AS (
+  SELECT vec_id,
+    round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4) AS peak
+  FROM embeddings
+),
+b AS (SELECT quantile_cont(peak, 0.01) AS lo, quantile_cont(peak, 0.99) AS hi FROM n)
+SELECT vec_id, peak FROM n CROSS JOIN b WHERE peak < lo OR peak > hi"""))
   )
 }

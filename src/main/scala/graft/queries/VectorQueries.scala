@@ -506,6 +506,28 @@ SELECT qid, nid, dist, rnk FROM (
 ) WHERE rnk <= $k"""
     }
 
+    /** CTE list of the SQ8 train→code→reconstruct grid over `embeddings`,
+      * ending in `recon` = (vec_id, embedding, rv) — shared by the
+      * SQ8-rerank oracle and the quantization-error evaluation oracle
+      * (EvalQueries). Mirrors Quantization.sq8Train/sq8Code/sq8Recon
+      * exactly: per-dim [mn,mx], 255-bucket floor code, midpoint recon. */
+    lazy val sq8ReconCtes: String = """stats AS (
+  SELECT CAST(r.range AS INT) AS i,
+         min(CAST(b.embedding[CAST(r.range AS INT)] AS DOUBLE)) AS mn,
+         max(CAST(b.embedding[CAST(r.range AS INT)] AS DOUBLE)) AS mx
+  FROM embeddings b CROSS JOIN range(1, 65) r GROUP BY 1
+),
+sv AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM stats),
+recon AS (
+  SELECT b.vec_id, b.embedding,
+    list_transform(range(1, len(b.embedding)+1), i ->
+      s.mn[i] + (LEAST(255.0, GREATEST(0.0,
+        CASE WHEN s.mx[i] = s.mn[i] THEN 0.0
+             ELSE floor((CAST(b.embedding[i] AS DOUBLE) - s.mn[i]) / (s.mx[i] - s.mn[i]) * 255.0) END
+      )) + 0.5) * (s.mx[i] - s.mn[i]) / 255.0) AS rv
+  FROM embeddings b CROSS JOIN sv s
+)"""
+
     /** CTE list of the explicit-centroid IVF probe (nprobe=2), ending in
       * `ivfk` = the probed top-k — shared by [[ivfProbe]] and the recall
       * evaluation oracle (EvalQueries), which joins `ivfk` against the
@@ -998,22 +1020,7 @@ FROM embeddings WHERE vec_id % 97 = 0""")),
           reorderK = 50,
           roundDist = ROUND),
       Some(s"""WITH ${Sql.qView},
-stats AS (
-  SELECT CAST(r.range AS INT) AS i,
-         min(CAST(b.embedding[CAST(r.range AS INT)] AS DOUBLE)) AS mn,
-         max(CAST(b.embedding[CAST(r.range AS INT)] AS DOUBLE)) AS mx
-  FROM embeddings b CROSS JOIN range(1, 65) r GROUP BY 1
-),
-sv AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM stats),
-recon AS (
-  SELECT b.vec_id, b.embedding,
-    list_transform(range(1, len(b.embedding)+1), i ->
-      s.mn[i] + (LEAST(255.0, GREATEST(0.0,
-        CASE WHEN s.mx[i] = s.mn[i] THEN 0.0
-             ELSE floor((CAST(b.embedding[i] AS DOUBLE) - s.mn[i]) / (s.mx[i] - s.mn[i]) * 255.0) END
-      )) + 0.5) * (s.mx[i] - s.mn[i]) / 255.0) AS rv
-  FROM embeddings b CROSS JOIN sv s
-),
+${Sql.sq8ReconCtes},
 cand AS (
   SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS crnk FROM (
     SELECT q.qid AS qid, r.vec_id AS nid,
