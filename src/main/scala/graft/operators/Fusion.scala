@@ -132,6 +132,87 @@ object Fusion {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("score"), col("rnk"))
   }
+
+  /** Maximal-marginal-relevance diversity rerank (Carbonell & Goldstein
+    * 1998) — the standard diversification step a RAG/serving stack runs
+    * above a retrieval arm: greedily pick `k` of the top-`r` candidates,
+    * each step maximizing `λ·relevance − (1−λ)·max-sim-to-selected`.
+    *
+    * Determinism: relevance and pairwise cosine are rounded (4dp) and
+    * scaled to longs; greedy scores are pure integer arithmetic
+    * (λ = lambdaNum/lambdaDen as integer weights), ties break on id —
+    * the DuckDB oracle unrolls the same `k` steps and matches under the
+    * hash gate.
+    *
+    * Scale shape: the candidate set is bounded (nq×r) BEFORE anything
+    * quadratic happens; pairwise sims are nq×r² bounded rows; each of
+    * the k unrolled steps windows over ≤ r rows per query. Only the
+    * initial kNN arm touches the corpus. */
+  def mmr(
+      queries: DataFrame, // (qid, qvec)
+      base: DataFrame, // (id, vec)
+      r: Int,
+      k: Int,
+      lambdaNum: Long = 7L,
+      lambdaDen: Long = 10L,
+      roundDist: Option[Int] = Some(4)
+  ): DataFrame = {
+    require(r >= k && k >= 1, s"need r >= k >= 1, got r=$r k=$k")
+    require(
+      lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"need 0 <= lambdaNum <= lambdaDen, got $lambdaNum/$lambdaDen")
+    import graft.functions.VectorFunctions.cosineSim
+    // materialize the two bounded frames ONCE: the corpus-touching kNN arm
+    // (nq×r rows) and the pairwise sims (nq×r² rows). Without this the
+    // k-step unrolled DAG re-executes the corpus scan and the sim join at
+    // every step, and the sel lineage compounds them further.
+    val rel = BruteForce
+      .knn(queries, base, r, Metric.Cosine, roundDist = roundDist)
+      .select(col("qid"), col("nid"), col("dist").as("rel"))
+      .localCheckpoint()
+    val cands = rel.withColumn("reli", round(col("rel") * 10000, 0).cast("long"))
+    val cv = cands
+      .select(col("qid"), col("nid"))
+      .join(base.select(col("id").as("nid"), col("vec")), "nid")
+    val sim4 = roundDist
+      .map(n => round(cosineSim(col("va"), col("vb")), n))
+      .getOrElse(cosineSim(col("va"), col("vb")))
+    val sims = cv
+      .select(col("qid"), col("nid").as("na"), col("vec").as("va"))
+      .join(cv.select(col("qid"), col("nid").as("nb"), col("vec").as("vb")), Seq("qid"))
+      .filter(col("na") =!= col("nb"))
+      .select(col("qid"), col("na"), col("nb"),
+        round(sim4 * 10000, 0).cast("long").as("simi"))
+      .localCheckpoint()
+    def pick(scored: DataFrame, rank: Int): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+      scored
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("qid"), col("nid"), lit(rank).as("mmr_rank"))
+    }
+    var sel = pick(cands.withColumn("score", col("reli")), 1)
+    for (i <- 2 to k) {
+      val rem = cands.join(sel.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+      val ms = sims
+        .join(sel.select(col("qid"), col("nid").as("nb")), Seq("qid", "nb"))
+        .groupBy(col("qid"), col("na"))
+        .agg(max(col("simi")).as("maxsim"))
+        .select(col("qid"), col("na").as("nid"), col("maxsim"))
+      val scored = rem
+        .join(ms, Seq("qid", "nid"), "left")
+        .withColumn(
+          "score",
+          lit(lambdaNum) * col("reli") -
+            lit(lambdaDen - lambdaNum) * coalesce(col("maxsim"), lit(0L)))
+      // truncate the per-step lineage (the CC fixpoint pattern): sel is
+      // ≤ nq·k rows, so the checkpoint is tiny
+      sel = sel.unionByName(pick(scored, i)).localCheckpoint()
+    }
+    sel
+      .join(rel, Seq("qid", "nid"))
+      .select(col("qid"), col("nid"), col("rel"), col("mmr_rank").cast("int").as("mmr_rank"))
+  }
 }
 
 /** Group-by search — top-k GROUPS per query, each group contributing its

@@ -111,6 +111,29 @@ FROM n""")),
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.5),
       Some(s"""$minhashPairsSql
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""")),
+    // cross-source contamination pairs: confirmed near-dups whose members
+    // live in DIFFERENT sources — the provenance dashboard deciding which
+    // source to keep a duplicate from (and measuring inter-source leakage).
+    // Same LSH plan; the 2-column source map broadcasts onto the bounded
+    // pair set
+    GraftQuery(
+      "dedup_cross_source",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5)
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(broadcast(src.select(col("doc_id").as("doc_a"), col("source").as("src_a"))), Seq("doc_a"))
+          .join(broadcast(src.select(col("doc_id").as("doc_b"), col("source").as("src_b"))), Seq("doc_b"))
+          .filter(col("src_a") =!= col("src_b"))
+          .select(col("doc_a"), col("doc_b"), col("src_a"), col("src_b"), col("jaccard"))
+      },
+      Some(s"""$minhashPairsSql
+SELECT j.doc_a, j.doc_b, da.source AS src_a, db.source AS src_b, j.jaccard
+FROM j
+JOIN documents da ON da.doc_id = j.doc_a
+JOIN documents db ON db.doc_id = j.doc_b
+WHERE j.jaccard >= 0.5 AND da.source <> db.source""")),
     // dedup materialization: documents surviving greedy near-dup removal
     // (drop every doc that appears as the higher id of a confirmed pair)
     GraftQuery(

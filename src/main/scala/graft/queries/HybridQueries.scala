@@ -41,7 +41,83 @@ object HybridQueries {
   FROM scored
 ) WHERE rnk <= $K"""
 
+  private val MmrR = 20
+  private val MmrK = 5
+
+  /** DuckDB cosine between two embedding-table aliases (4dp). */
+  private def cosBetween(ea: String, eb: String): String =
+    s"round(list_sum(list_transform(range(1, len($ea.embedding)+1), i -> " +
+      s"CAST($ea.embedding[i] AS DOUBLE) * CAST($eb.embedding[i] AS DOUBLE))) / (" +
+      s"sqrt(list_sum(list_transform($ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_transform($eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)"
+
+  /** The k-step unrolled greedy MMR oracle — mirrors Fusion.mmr's integer
+    * arithmetic step for step (sel_i = picks so far; each step scores the
+    * remaining candidates 7·reli − 3·max-sim-to-selected and takes the
+    * window top, ties on nid). */
+  private def mmrOracle: String = {
+    val steps = (2 to MmrK)
+      .map { i =>
+        val selUnion = (1 until i).map(j => s"SELECT qid, nid FROM s$j").mkString(" UNION ALL ")
+        s"""sel${i - 1} AS ($selUnion),
+s$i AS (
+  SELECT qid, nid, $i AS mmr_rank FROM (
+    SELECT c.qid AS qid, c.nid AS nid,
+      row_number() OVER (PARTITION BY c.qid
+        ORDER BY (7 * c.reli - 3 * coalesce(m.maxsim, 0)) DESC, c.nid ASC) AS rn
+    FROM candi c
+    LEFT JOIN (
+      SELECT s.qid AS qid, p.na AS nid, max(p.simi) AS maxsim
+      FROM sel${i - 1} s JOIN sims p ON p.qid = s.qid AND p.nb = s.nid
+      GROUP BY 1, 2
+    ) m ON m.qid = c.qid AND m.nid = c.nid
+    WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x WHERE x.qid = c.qid AND x.nid = c.nid)
+  ) WHERE rn = 1
+)"""
+      }
+      .mkString(",\n")
+    val allSteps = (1 to MmrK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH $qdView,
+cand AS (
+  SELECT qid, nid, dist AS rel FROM (
+    SELECT qid, nid, dist,
+      row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS rnk
+    FROM (SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.cosine} AS dist
+          FROM qd q CROSS JOIN embeddings b)
+  ) WHERE rnk <= $MmrR
+),
+candi AS (SELECT qid, nid, rel, CAST(round(rel * 10000, 0) AS BIGINT) AS reli FROM cand),
+sims AS (
+  SELECT a.qid AS qid, a.nid AS na, c.nid AS nb,
+    CAST(round(${cosBetween("ea", "ec")} * 10000, 0) AS BIGINT) AS simi
+  FROM cand a
+  JOIN embeddings ea ON ea.vec_id = a.nid
+  JOIN cand c ON c.qid = a.qid AND c.nid <> a.nid
+  JOIN embeddings ec ON ec.vec_id = c.nid
+),
+s1 AS (
+  SELECT qid, nid, 1 AS mmr_rank FROM (
+    SELECT qid, nid,
+      row_number() OVER (PARTITION BY qid ORDER BY reli DESC, nid ASC) AS rn
+    FROM candi
+  ) WHERE rn = 1
+),
+$steps
+SELECT u.qid, u.nid, c.rel, CAST(u.mmr_rank AS INT) AS mmr_rank
+FROM ($allSteps) u
+JOIN cand c ON c.qid = u.qid AND c.nid = u.nid"""
+  }
+
   def all: Seq[GraftQuery] = Seq(
+    // MMR diversity rerank: top-20 cosine candidates per query, greedy
+    // 5-pick maximizing 0.7·rel − 0.3·max-sim-to-selected — all integer
+    // arithmetic after the 4dp rounds, so the unrolled oracle hash-matches
+    GraftQuery(
+      "mmr_rerank_knn",
+      (s, dir) =>
+        Fusion.mmr(queryVecs(s, dir), baseVecs(s, dir), r = MmrR, k = MmrK,
+          roundDist = ROUND),
+      Some(mmrOracle)),
     // RRF hybrid: dense L2 kNN + sparse BM25 top-k over the same qid set,
     // fused by exact reciprocal-rank score Σ 1e12 DIV (60 + rnk) — rank-only,
     // so the L2/BM25 score-scale mismatch never matters
