@@ -417,6 +417,85 @@ object Dedup {
       sigs)
   }
 
+  /** Incremental (daily-ingest) dedup: flag each NEW document that
+    * duplicates the historical corpus — exactly (content digest) or
+    * nearly (any shared MinHash-LSH band key). The batch twin of
+    * [[graft.streaming.StreamingDedup]]'s collision updates, for the
+    * "don't re-dedup the world" shape: history is touched only as
+    * digests and band keys, never re-shingled against itself pair-wise.
+    *
+    * Scale shape: two key-only semi-joins (16-byte digest; (band, key)
+    * longs) — the new batch is typically ≪ history, so both probe sides
+    * stay small; history text never moves, only its derived keys. Output
+    * is one row per FLAGGED new doc (`dup_exact`, `dup_near`). */
+  def incrementalFlags(history: DataFrame, batch: DataFrame): DataFrame = {
+    def digests(d: DataFrame) = d.select(col("doc_id"), md5(col("text").cast("binary")).as("dg"))
+    def bandKeys(d: DataFrame) = {
+      val sigs = minhashSignatureDf(d)
+      val bandCols = (0 until Bands).map(b => struct(lit(b).as("band"), bandCol(b).as("bh")))
+      sigs
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+        .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+    }
+    val exact = digests(batch)
+      .join(digests(history).select(col("dg")).distinct(), Seq("dg"), "left_semi")
+      .select(col("doc_id"), lit(true).as("dup_exact"))
+    val near = bandKeys(batch)
+      .join(bandKeys(history).select(col("band"), col("bh")).distinct(), Seq("band", "bh"), "left_semi")
+      .select(col("doc_id"))
+      .distinct()
+      .select(col("doc_id"), lit(true).as("dup_near"))
+    exact
+      .join(near, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
+        coalesce(col("dup_near"), lit(false)).as("dup_near"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
+    * embedding space into clusters, then drop any vector with a
+    * same-cluster predecessor (lower id) at rounded cosine ≥ threshold.
+    * Clustering bounds the candidate pair set — the all-pairs cosine
+    * join that cannot run at 100 TB becomes per-cluster joins whose cost
+    * is Σ|cluster|², controlled by the centroid count.
+    *
+    * Output: (vec_id, cluster_id, keep) for every vector. Assignment =
+    * the same broadcast-centroid argmin the IVF family uses. */
+  def semanticDedup(
+      embeddings: DataFrame, // (vec_id, embedding)
+      centroidDf: DataFrame, // (cluster_id, centroid)
+      threshold: Double,
+      roundDist: Option[Int] = Some(4)
+  ): DataFrame = {
+    val asn = Cluster
+      .assignToCentroids(
+        embeddings.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        centroidDf,
+        roundDist)
+      .select(col("id").as("vec_id"), col("cluster_id"))
+      .join(embeddings, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = asn.select(col("cluster_id"), col("vec_id"), col("embedding").as("va"))
+    val b = asn.select(
+      col("cluster_id"),
+      col("vec_id").as("prev_id"),
+      col("embedding").as("vb"))
+    val cos = round(VectorFunctions.cosineSim(col("va"), col("vb")), 4)
+    val removed = a
+      .join(b, Seq("cluster_id"))
+      .filter(col("prev_id") < col("vec_id") && cos >= threshold)
+      .select(col("vec_id"))
+      .distinct()
+      .select(col("vec_id"), lit(false).as("keep"))
+    eager(
+      asn
+        .select(col("vec_id"), col("cluster_id"))
+        .join(removed, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster_id"), coalesce(col("keep"), lit(true)).as("keep")),
+      asn)
+  }
+
   /** Embedding-cosine nearest neighbor per vector (near-dup scan over an
     * embedding column): top-1 excluding self. All-pairs shape (nq = nb) ⇒
     * rides the fused per-partition scan (`BruteForce.knnFused`) — identical

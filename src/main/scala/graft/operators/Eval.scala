@@ -69,6 +69,56 @@ object Eval {
         r(rawMax).as("recon_err_max"))
   }
 
+  /** Scaled DCG discount table 1e6/log₂(i+1), i = 1..k. Computed ONCE here
+    * and embedded as literals in BOTH the Spark plan and the generated
+    * oracle SQL — libm log differences can never split the engines. */
+  def dcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Per-query NDCG@k of `approx` against ground-truth `exact` (both
+    * ranked (qid, nid, rnk)), binary relevance: an approx hit at rank i
+    * contributes the ppm-scaled discount 1e6/log₂(i+1). DCG stays an
+    * exact integer sum; NDCG divides by the constant ideal DCG in basis
+    * points. Bounded nq×k inputs — joins broadcast, no corpus scan. */
+  def ndcgAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val disc = dcgDiscounts(k)
+    val idcg = disc.sum
+    val rel = approx
+      .select(col("qid"), col("nid"), col("rnk"))
+      .join(broadcast(exact.select(col("qid"), col("nid"))), Seq("qid", "nid"), "left_semi")
+    val d = rel
+      .groupBy(col("qid"))
+      .agg(sum(element_at(array(disc.map(lit): _*), col("rnk").cast("int"))).as("dcg"))
+    exact
+      .select(col("qid"))
+      .distinct()
+      .join(broadcast(d), Seq("qid"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("dcg"), lit(0L)).as("dcg_ppm"),
+        expr(s"CAST(coalesce(dcg, 0) * 10000 DIV $idcg AS BIGINT)").as("ndcg_bp"))
+  }
+
+  /** Per-query reciprocal rank of the FIRST relevant approx hit (ppm,
+    * `1e6 DIV rank`; 0 when no hit in the window) — the MRR decomposition
+    * per query, exact rational arithmetic. */
+  def mrrAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val rel = approx
+      .select(col("qid"), col("nid"), col("rnk"))
+      .join(broadcast(exact.select(col("qid"), col("nid"))), Seq("qid", "nid"), "left_semi")
+    val m = rel.groupBy(col("qid")).agg(min(col("rnk")).as("fr"))
+    exact
+      .select(col("qid"))
+      .distinct()
+      .join(broadcast(m), Seq("qid"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("fr"), lit(0)).cast("int").as("first_rel_rank"),
+        expr("CAST(CASE WHEN fr IS NULL THEN 0 ELSE 1000000 DIV fr END AS BIGINT)")
+          .as("rr_ppm"))
+  }
+
   /** Hard-negative mining: per query, the top-k nearest base vectors whose
     * label DIFFERS from the query's own. Same broadcast-queries /
     * map-side-distance / bounded-heap shape as [[BruteForce.knn]] — the

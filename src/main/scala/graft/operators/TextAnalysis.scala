@@ -342,4 +342,151 @@ object TextAnalysis {
       round(best, 4).as("lang_score")
     )
   }
+
+  /** Unigram-LM rarity score — the integer-exact surrogate for the
+    * CCNet/KenLM perplexity filter a training pipeline runs before
+    * quality bucketing: per document, the tf-weighted mean of each
+    * term's inverse corpus frequency `total_tokens·10⁴ DIV count(term)`
+    * (large = the document is built from corpus-rare vocabulary).
+    * A true per-token `-log p` differs in the last ulp across libm
+    * implementations, which no round-then-hash contract can absorb —
+    * the rational surrogate is monotone in the same per-token
+    * probabilities and exact 64-bit arithmetic on any engine.
+    *
+    * Shape at 100 TB: tokenize → one (doc_id, term) partial-aggregated
+    * shuffle, one term-keyed vocabulary aggregate, one term-keyed join
+    * (text itself never moves past the tokenizer), one final doc_id
+    * roll-up. The corpus-total is a single broadcast row. */
+  def rarityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tf = df
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    def floorDiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    val rarity = floorDiv(col("total") * lit(10000L), col("cnt"))
+    tf.join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tf"), (col("tf") * rarity).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("int").as("n_tokens"),
+        floorDiv(sum(col("w")), sum(col("tf"))).as("mean_rarity"))
+  }
+
+  /** Head/mid/tail vocabulary-coverage buckets — the CCNet-style corpus
+    * positioning of each document: what fraction of its tokens (integer
+    * basis points) fall in the corpus head vocabulary (top `head` terms
+    * by total tf, ties term-asc), the mid band (next `mid` terms), and
+    * the long tail (everything else). Documents written almost entirely
+    * from head vocabulary are boilerplate-ish; tail-heavy ones are rare
+    * or noisy — the two-sided screen a mixture designer reads.
+    *
+    * Shape: the head+mid term list is a bounded `orderBy().limit()`
+    * (TakeOrderedAndProject — per-partition top-N, never a global window
+    * sort), its ranks recovered with the broadcast precedence self-join,
+    * then broadcast into the per-doc tf frame; bucket sums are one
+    * doc-keyed aggregate. */
+  def vocabCoverage(
+      df: DataFrame,
+      head: Int = 10,
+      mid: Int = 20,
+      textCol: String = "text"
+  ): DataFrame = {
+    val tf = df
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val top = vocab.orderBy(col("cnt").desc, col("term").asc).limit(head + mid)
+    val prior = top.select(col("term").as("t2"), col("cnt").as("c2"))
+    val ranked = top
+      .join(
+        broadcast(prior),
+        col("c2") > col("cnt") || (col("c2") === col("cnt") && col("t2") < col("term")),
+        "left")
+      .groupBy(col("term"), col("cnt"))
+      .agg((count(col("t2")) + 1).cast("int").as("rnk"))
+    val bucketed = tf
+      .join(broadcast(ranked.select(col("term"), col("rnk"))), Seq("term"), "left")
+      .select(
+        col("doc_id"),
+        col("tf"),
+        when(col("rnk") <= head, col("tf")).otherwise(0L).as("h"),
+        when(col("rnk") > head && col("rnk") <= head + mid, col("tf"))
+          .otherwise(0L)
+          .as("m"))
+    def bp(part: Column, n: Column): Column =
+      ((part * lit(10000L) - pmod(part * lit(10000L), n)) / n).cast("long")
+    bucketed
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("int").as("n_tokens"),
+        bp(sum(col("h")), sum(col("tf"))).as("head_bp"),
+        bp(sum(col("m")), sum(col("tf"))).as("mid_bp"),
+        bp(sum(col("tf")) - sum(col("h")) - sum(col("m")), sum(col("tf")))
+          .as("tail_bp"))
+  }
+
+  /** Nucleus vocabulary size — for each coverage target `p_bp` (basis
+    * points of total token mass), the smallest prefix of the vocabulary
+    * (ordered count-desc, term-asc) whose cumulative count reaches the
+    * target, plus the exact coverage it achieves. The tokenizer-design
+    * statistic: "how many types cover 90% of the corpus".
+    *
+    * Shape at 100 TB: the walk is NOT over terms — terms collapse into
+    * per-count buckets first (`(cnt, n_terms, mass)`), and the running
+    * sum runs over that tiny frame (distinct tf values ≪ vocabulary
+    * size; the window is documented as bounded by that). Inside the
+    * boundary bucket every term contributes the same `cnt`, so the
+    * number of terms needed is `ceil(remaining/cnt)` — pure integer
+    * arithmetic, no per-term scan. */
+  def nucleusVocab(
+      df: DataFrame,
+      targetsBp: Seq[Int] = Seq(5000, 9000, 9900),
+      textCol: String = "text"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val buckets = vocab
+      .groupBy(col("cnt"))
+      .agg(count(lit(1)).as("n_terms"))
+      .select(col("cnt"), col("n_terms"), (col("cnt") * col("n_terms")).as("mass"))
+    // running totals over the count-bucket frame (small by construction)
+    val w = Window.orderBy(col("cnt").desc).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = buckets.select(
+      col("cnt"),
+      col("n_terms"),
+      col("mass"),
+      sum(col("mass")).over(w).as("cum_mass"),
+      sum(col("n_terms")).over(w).as("cum_terms"))
+    val total = cum.agg(max(col("cum_mass")).as("total"))
+    val session = df.sparkSession
+    import session.implicits._
+    val tdf = targetsBp.toDF("p_bp")
+    def ceilDiv(num: Column, den: Column): Column =
+      ((num + den - lit(1L) - pmod(num + den - lit(1L), den)) / den).cast("long")
+    def floorDiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    val need = ceilDiv(col("p_bp").cast("long") * col("total"), lit(10000L))
+    cum
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(tdf))
+      // the unique boundary bucket: first (in cnt-desc walk) to reach need
+      .filter(col("cum_mass") >= need && col("cum_mass") - col("mass") < need)
+      .select(
+        col("p_bp").cast("int").as("p_bp"),
+        (col("cum_terms") - col("n_terms") +
+          ceilDiv(need - (col("cum_mass") - col("mass")), col("cnt"))).as("n_terms"),
+        floorDiv(
+          (col("cum_mass") - col("mass") +
+            ceilDiv(need - (col("cum_mass") - col("mass")), col("cnt")) * col("cnt")) *
+            lit(10000L),
+          col("total")).as("covered_bp"))
+  }
 }

@@ -635,6 +635,81 @@ c AS (
 SELECT shard, CAST(start_tok // 2048 AS BIGINT) AS seq_no,
        count(*) AS n_docs,
        CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS tokens_started
-FROM c GROUP BY 1, 2"""))
+FROM c GROUP BY 1, 2""")),
+    // incremental (daily-ingest) dedup: new half of the corpus flagged
+    // against the historical half — exact by content digest, near by any
+    // shared MinHash-LSH band key. History is touched as keys only; both
+    // probes are semi-joins on 16-byte/long keys, text never moves
+    GraftQuery(
+      "dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val piv = docs.agg(expr("CAST((max(doc_id) + 1) DIV 2 AS BIGINT)").as("p"))
+        val withP = docs.crossJoin(broadcast(piv))
+        Dedup.incrementalFlags(
+          withP.filter(col("doc_id") < col("p")).drop("p"),
+          withP.filter(col("doc_id") >= col("p")).drop("p"))
+      },
+      Some(s"""WITH piv AS (SELECT (max(doc_id) + 1) // 2 AS p FROM documents),
+$shCte,
+sig AS (
+  SELECT doc_id, list_transform(range(0, 16), i ->
+    list_min(list_transform(sh, x -> ((2*i + 3) * x + (97 + 31*i)) % $P))) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b.range AS band,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      sig[CAST(b.range*4 + 1 AS INT):CAST(b.range*4 + 4 AS INT)]),
+      (h, x) -> (h * 31 + x) % $P) AS bh
+  FROM sig CROSS JOIN range(0, 4) b
+),
+dg AS (SELECT doc_id, md5(text) AS dg FROM documents),
+flags AS (
+  SELECT d.doc_id,
+    EXISTS(SELECT 1 FROM dg h, piv WHERE h.dg = dn.dg AND h.doc_id < piv.p) AS dup_exact,
+    EXISTS(SELECT 1 FROM bands h, bands n, piv
+           WHERE n.doc_id = d.doc_id AND h.doc_id < piv.p
+             AND h.band = n.band AND h.bh = n.bh) AS dup_near
+  FROM documents d JOIN dg dn ON dn.doc_id = d.doc_id CROSS JOIN piv
+  WHERE d.doc_id >= piv.p
+)
+SELECT doc_id, dup_exact, dup_near FROM flags WHERE dup_exact OR dup_near""")),
+    // SemDeDup (Abbas et al. 2023): cluster the embedding space, drop any
+    // vector with a same-cluster lower-id neighbor at cosine ≥ 0.35 —
+    // clustering turns the impossible all-pairs cosine join into
+    // per-cluster joins bounded by the centroid count
+    GraftQuery(
+      "dedup_semantic",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        Dedup.semanticDedup(emb, cents, threshold = 0.35)
+      },
+      Some("""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 250 = 0),
+asn AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT b.vec_id, b.embedding, c.cid,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i ->
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+          (CAST(b.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))))), 4) ASC, c.cid ASC) AS rn
+    FROM embeddings b CROSS JOIN c
+  ) WHERE rn = 1
+),
+rm AS (
+  SELECT DISTINCT a.vec_id FROM asn a JOIN asn b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE round(list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+      CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+    >= 0.35
+)
+SELECT a.vec_id AS vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+  (rm.vec_id IS NULL) AS keep
+FROM asn a LEFT JOIN rm ON rm.vec_id = a.vec_id"""))
   )
 }

@@ -116,6 +116,190 @@ FROM recon""")),
   FROM embeddings
 ),
 b AS (SELECT quantile_cont(peak, 0.01) AS lo, quantile_cont(peak, 0.99) AS hi FROM n)
-SELECT vec_id, peak FROM n CROSS JOIN b WHERE peak < lo OR peak > hi"""))
+SELECT vec_id, peak FROM n CROSS JOIN b WHERE peak < lo OR peak > hi""")),
+    // NDCG@k of the probed IVF arm vs the exact ranking, binary relevance
+    // with ppm-scaled log₂ discounts — the discount table is computed once
+    // in Scala and embedded as literals in BOTH engines, so libm log
+    // differences cannot split them. DCG is an exact integer sum
+    GraftQuery(
+      "eval_ndcg_ivf",
+      (s, dir) => {
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val index = IvfIndex.build(base, cents, ROUND)
+        val approx =
+          IvfIndex.search(queryVecs(s, dir), index, cents, K, nprobe = 2, Metric.L2, ROUND)
+        val exact = BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.L2, roundDist = ROUND)
+        Eval.ndcgAtK(approx, exact, K)
+      },
+      Some {
+        val disc = Eval.dcgDiscounts(K)
+        val idcg = disc.sum
+        val caseExpr = disc.zipWithIndex
+          .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }
+          .mkString("CASE a.rnk ", " ", " END")
+        s"""WITH ${Sql.ivfProbeCtes},
+ex AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid AS qid, b.vec_id AS nid,
+      CAST(row_number() OVER (PARTITION BY q.qid ORDER BY ${Sql.l2} ASC, b.vec_id ASC) AS INT) AS rnk
+    FROM q CROSS JOIN embeddings b
+  ) WHERE rnk <= $K
+),
+d AS (
+  SELECT a.qid AS qid, sum($caseExpr) AS dcg
+  FROM ivfk a JOIN ex e ON e.qid = a.qid AND e.nid = a.nid
+  GROUP BY 1
+)
+SELECT q0.qid, CAST(coalesce(d.dcg, 0) AS BIGINT) AS dcg_ppm,
+  CAST(coalesce(d.dcg, 0) * 10000 // $idcg AS BIGINT) AS ndcg_bp
+FROM (SELECT DISTINCT qid FROM ex) q0 LEFT JOIN d ON d.qid = q0.qid"""
+      }),
+    // per-query reciprocal rank of the first relevant IVF hit (the MRR
+    // decomposition): exact rational ppm, 0 when the probe window misses
+    GraftQuery(
+      "eval_mrr_ivf",
+      (s, dir) => {
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val index = IvfIndex.build(base, cents, ROUND)
+        val approx =
+          IvfIndex.search(queryVecs(s, dir), index, cents, K, nprobe = 2, Metric.L2, ROUND)
+        val exact = BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.L2, roundDist = ROUND)
+        Eval.mrrAtK(approx, exact)
+      },
+      Some(s"""WITH ${Sql.ivfProbeCtes},
+ex AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid AS qid, b.vec_id AS nid,
+      CAST(row_number() OVER (PARTITION BY q.qid ORDER BY ${Sql.l2} ASC, b.vec_id ASC) AS INT) AS rnk
+    FROM q CROSS JOIN embeddings b
+  ) WHERE rnk <= $K
+),
+m AS (
+  SELECT a.qid AS qid, min(a.rnk) AS fr
+  FROM ivfk a JOIN ex e ON e.qid = a.qid AND e.nid = a.nid
+  GROUP BY 1
+)
+SELECT q0.qid, CAST(coalesce(m.fr, 0) AS INT) AS first_rel_rank,
+  CAST(CASE WHEN m.fr IS NULL THEN 0 ELSE 1000000 // m.fr END AS BIGINT) AS rr_ppm
+FROM (SELECT DISTINCT qid FROM ex) q0 LEFT JOIN m ON m.qid = q0.qid""")),
+    // matryoshka truncation eval: recall@k of exact search over the FIRST
+    // 32 of 64 dims vs the full-dim ground truth — the dimension-budget
+    // decision (matryoshka embeddings / cheap prefilter tiers) measured in
+    // the engine. Both arms bounded nq×k; the truncation is a map-side
+    // slice, so the approx arm scans half the bytes
+    GraftQuery(
+      "eval_recall_matryoshka",
+      (s, dir) => {
+        val half = 32
+        val qT = queryVecs(s, dir).select(col("qid"), slice(col("qvec"), 1, half).as("qvec"))
+        val bT = baseVecs(s, dir).select(col("id"), slice(col("vec"), 1, half).as("vec"))
+        val approx = BruteForce.knn(qT, bT, K, Metric.Cosine, roundDist = ROUND)
+        val exact =
+          BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.Cosine, roundDist = ROUND)
+        Eval.recallAtK(approx, exact, K)
+      },
+      Some(s"""WITH ${Sql.qView},
+ex AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid AS qid, b.vec_id AS nid,
+      CAST(row_number() OVER (PARTITION BY q.qid ORDER BY ${Sql.cosine} DESC, b.vec_id ASC) AS INT) AS rnk
+    FROM q CROSS JOIN embeddings b
+  ) WHERE rnk <= $K
+),
+qt AS (SELECT vec_id AS qid, embedding[1:32] AS qv FROM embeddings WHERE vec_id % $QMOD = 0),
+bt AS (SELECT vec_id, embedding[1:32] AS bv FROM embeddings),
+ax AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid AS qid, b.vec_id AS nid,
+      CAST(row_number() OVER (PARTITION BY q.qid ORDER BY
+        round(list_sum(list_transform(range(1, len(q.qv)+1), i ->
+          CAST(q.qv[i] AS DOUBLE) * CAST(b.bv[i] AS DOUBLE))) / (
+          sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          sqrt(list_sum(list_transform(b.bv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+        DESC, b.vec_id ASC) AS INT) AS rnk
+    FROM qt q CROSS JOIN bt b
+  ) WHERE rnk <= $K
+),
+h AS (
+  SELECT e.qid AS qid, count(*) AS hits
+  FROM ex e JOIN ax a ON a.qid = e.qid AND a.nid = e.nid
+  GROUP BY 1
+)
+SELECT q0.qid, CAST(coalesce(h.hits, 0) AS INT) AS hits,
+  CAST(coalesce(h.hits, 0) * 10000 // $K AS BIGINT) AS recall_bp
+FROM (SELECT DISTINCT qid FROM ex) q0 LEFT JOIN h ON h.qid = q0.qid""")),
+    // contrastive triplet assembly: per anchor, nearest SAME-label vector
+    // (positive, self excluded) and nearest DIFFERENT-label vector (hard
+    // negative), with the L2 margin between them — the training-pair
+    // construction step downstream of hard-negative mining. Both arms are
+    // broadcast-query bounded-heap scans; the final join is nq×1 vs nq×1
+    GraftQuery(
+      "eval_triplets",
+      (s, dir) => {
+        val q = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % QMOD === 0)
+          .select(
+            col("vec_id").as("qid"),
+            col("embedding").as("qvec"),
+            col("label").as("qlabel"))
+        val base = baseVecs(s, dir)
+        val d = round(graft.functions.VectorFunctions.l2(col("qvec"), col("vec")), 4)
+        val posPairs = broadcast(q)
+          .crossJoin(base)
+          .filter(col("label") === col("qlabel") && col("id") =!= col("qid"))
+          .select(col("qid"), col("id").as("nid"), d.as("dist"))
+        val pos = BruteForce
+          .topK(posPairs, 1, ascending = true)
+          .select(col("qid"), col("nid").as("pos_id"), col("dist").as("pos_dist"))
+        val neg = Eval
+          .hardNegatives(q, base, 1, Metric.L2, ROUND)
+          .select(col("qid"), col("nid").as("neg_id"), col("dist").as("neg_dist"))
+        pos
+          .join(neg, "qid")
+          .select(
+            col("qid"),
+            col("pos_id"),
+            col("pos_dist"),
+            col("neg_id"),
+            col("neg_dist"),
+            round(col("neg_dist") - col("pos_dist"), 4).as("margin"))
+      },
+      Some(s"""WITH ql AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS qlabel FROM embeddings WHERE vec_id % $QMOD = 0
+),
+pp AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.l2} AS dist
+  FROM ql q JOIN embeddings b ON b.label = q.qlabel AND b.vec_id <> q.qid
+),
+pos AS (
+  SELECT qid, nid AS pos_id, dist AS pos_dist FROM (
+    SELECT qid, nid, dist,
+      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rn
+    FROM pp
+  ) WHERE rn = 1
+),
+np AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.l2} AS dist
+  FROM ql q JOIN embeddings b ON b.label <> q.qlabel
+),
+neg AS (
+  SELECT qid, nid AS neg_id, dist AS neg_dist FROM (
+    SELECT qid, nid, dist,
+      row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rn
+    FROM np
+  ) WHERE rn = 1
+)
+SELECT pos.qid AS qid, pos_id, pos_dist, neg_id, neg_dist,
+  round(neg_dist - pos_dist, 4) AS margin
+FROM pos JOIN neg ON neg.qid = pos.qid"""))
   )
 }

@@ -54,6 +54,8 @@ FROM events GROUP BY 1, 2"""
         val ev = raw.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType =>
             raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
           case _ => raw
         }
         val sink = s"events_hourly_stream_${System.nanoTime()}"

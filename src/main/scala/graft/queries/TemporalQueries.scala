@@ -112,12 +112,16 @@ GROUP BY 1, 2""")),
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           stage.resolve("events.parquet"))
-        // same nanos-as-long → TIMESTAMP normalization as Tables.events
+        // same nanos-as-long / NTZ → TIMESTAMP normalization as Tables.events
         def src = {
           val raw = s.readStream.schema(schema).parquet(stage.toString)
-          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          else raw
+          schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+            case _ => raw
+          }
         }
         val clicks = src
           .filter(col("event_type") === "click")

@@ -326,6 +326,76 @@ i AS (
 SELECT i.src_a, i.src_b, i.inter_sz,
   sa.vsize + sb.vsize - i.inter_sz AS union_sz,
   CAST(i.inter_sz * 10000 // (sa.vsize + sb.vsize - i.inter_sz) AS BIGINT) AS jaccard_bp
-FROM i JOIN sz sa ON sa.source = i.src_a JOIN sz sb ON sb.source = i.src_b"""))
+FROM i JOIN sz sa ON sa.source = i.src_a JOIN sz sb ON sb.source = i.src_b""")),
+    // unigram-LM rarity (the CCNet/KenLM perplexity-filter surrogate):
+    // tf-weighted mean inverse corpus frequency per doc, exact 64-bit
+    // integer arithmetic — ln differs in the last ulp across libms, the
+    // rational surrogate cannot. Text never moves past the tokenizer
+    GraftQuery(
+      "doc_rarity",
+      (s, dir) => TextAnalysis.rarityScore(Tables.documents(s, dir)),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+v AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM v)
+SELECT tf.doc_id AS doc_id, CAST(sum(tf.tf) AS INT) AS n_tokens,
+  CAST(sum(tf.tf * (tot.total * 10000 // v.cnt)) // sum(tf.tf) AS BIGINT) AS mean_rarity
+FROM tf JOIN v ON v.term = tf.term CROSS JOIN tot
+GROUP BY 1""")),
+    // head/mid/tail vocabulary-coverage buckets: where each document's
+    // tokens sit in the corpus frequency spectrum, integer basis points;
+    // head+mid list is a bounded TakeOrdered + broadcast, one doc roll-up
+    GraftQuery(
+      "doc_vocab_buckets",
+      (s, dir) => TextAnalysis.vocabCoverage(Tables.documents(s, dir), head = 10, mid = 20),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+v AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+top AS (
+  SELECT term, rnk FROM (
+    SELECT term, CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS INT) AS rnk FROM v
+  ) WHERE rnk <= 30
+),
+b AS (
+  SELECT tf.doc_id AS doc_id, tf.tf AS tf,
+    CASE WHEN t.rnk <= 10 THEN tf.tf ELSE 0 END AS h,
+    CASE WHEN t.rnk > 10 AND t.rnk <= 30 THEN tf.tf ELSE 0 END AS m
+  FROM tf LEFT JOIN top t ON t.term = tf.term
+)
+SELECT doc_id, CAST(sum(tf) AS INT) AS n_tokens,
+  CAST(sum(h) * 10000 // sum(tf) AS BIGINT) AS head_bp,
+  CAST(sum(m) * 10000 // sum(tf) AS BIGINT) AS mid_bp,
+  CAST((sum(tf) - sum(h) - sum(m)) * 10000 // sum(tf) AS BIGINT) AS tail_bp
+FROM b GROUP BY 1""")),
+    // nucleus vocabulary size (tokenizer-design stat: types covering P% of
+    // token mass): the walk collapses terms into per-count buckets first,
+    // so the running sum never touches the vocabulary row-by-row; the
+    // boundary bucket resolves in pure integer arithmetic
+    GraftQuery(
+      "vocab_nucleus",
+      (s, dir) => TextAnalysis.nucleusVocab(Tables.documents(s, dir)),
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+v AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+bk AS (SELECT cnt, count(*) AS n_terms, cnt * count(*) AS mass FROM v GROUP BY 1),
+c AS (
+  SELECT cnt, n_terms, mass,
+    sum(mass) OVER (ORDER BY cnt DESC) AS cum_mass,
+    sum(n_terms) OVER (ORDER BY cnt DESC) AS cum_terms
+  FROM bk
+),
+tot AS (SELECT max(cum_mass) AS total FROM c),
+tv AS (SELECT unnest([5000, 9000, 9900]) AS p_bp),
+sel AS (
+  SELECT tv.p_bp AS p_bp, c.cnt, c.n_terms, c.mass, c.cum_mass, c.cum_terms,
+    (tv.p_bp * tot.total + 9999) // 10000 AS need, tot.total AS total
+  FROM c CROSS JOIN tot CROSS JOIN tv
+  WHERE c.cum_mass >= (tv.p_bp * tot.total + 9999) // 10000
+    AND c.cum_mass - c.mass < (tv.p_bp * tot.total + 9999) // 10000
+)
+SELECT CAST(p_bp AS INT) AS p_bp,
+  CAST(cum_terms - n_terms + (need - (cum_mass - mass) + cnt - 1) // cnt AS BIGINT) AS n_terms,
+  CAST((cum_mass - mass + ((need - (cum_mass - mass) + cnt - 1) // cnt) * cnt) * 10000 // total AS BIGINT)
+    AS covered_bp
+FROM sel"""))
   )
 }

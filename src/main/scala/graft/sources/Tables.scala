@@ -18,15 +18,23 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark 4 only reads as
-    * LONG (spark.sql.legacy.parquet.nanosAsLong=true, set by Verify/Bench
-    * sessions); normalize back to a microsecond TIMESTAMP column here. */
+  /** events.parquet's `ts` physical type has varied across driver data
+    * generations: TIMESTAMP(NANOS) (readable only as LONG under
+    * spark.sql.legacy.parquet.nanosAsLong=true, set by Verify/Bench
+    * sessions) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ). Normalize either to a microsecond TIMESTAMP column —
+    * sessions run with spark.sql.session.timeZone=UTC, so the NTZ cast is
+    * the identity on the stored instant. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

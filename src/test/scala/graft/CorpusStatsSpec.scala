@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Hand-computed toy cases for the round-5 corpus-statistics and
+  * incremental/semantic dedup operators.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rarityScore: tf-weighted mean inverse corpus frequency, exact integers") {
+    // vocab: a=2, b=2, c=1, total=5 → rarity a=b=25000, c=50000
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .rarityScore(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == ((3, 25000L))) // (2·25000 + 25000) div 3
+    assert(got(2L) == ((2, 37500L))) // (25000 + 50000) div 2
+  }
+
+  test("vocabCoverage: head/mid/tail basis points with count-then-term rank order") {
+    // counts: a=2, b=2, c=1 → rank a=1 (head), b=2 (mid), c=3 (tail)
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .vocabCoverage(docs, head = 1, mid = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((3, 6666L, 3333L, 0L)))
+    assert(got(2L) == ((2, 0L, 5000L, 5000L)))
+  }
+
+  test("nucleusVocab: boundary bucket resolves in integer arithmetic") {
+    // buckets: cnt=2 ×2 terms (mass 4), cnt=1 ×1 (mass 1); total 5.
+    // target 50% → need ceil(2.5)=3 → 2 head terms cover 4/5 = 8000 bp
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.nucleusVocab(docs, targetsBp = Seq(5000)).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getInt(0) == 5000)
+    assert(rows.head.getLong(1) == 2L)
+    assert(rows.head.getLong(2) == 8000L)
+  }
+
+  test("incrementalFlags: exact and near collisions against history only") {
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different historical content about databases")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog today"), // exact copy of 1
+      (4L, "zz yy xx ww vv uu tt ss rr qq") // nothing shared
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .incrementalFlags(history, batch)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2))))
+      .toMap
+    assert(got(3L) == ((true, true)))
+    assert(!got.contains(4L)) // unflagged docs are not emitted
+  }
+
+  test("ndcgAtK / mrrAtK: identity is perfect, disjoint is zero, partial by hand") {
+    val exact = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3)).toDF("qid", "nid", "rnk")
+    val idcg = Eval.dcgDiscounts(3).sum
+    // identity
+    val idN = Eval.ndcgAtK(exact, exact, 3).head()
+    assert(idN.getLong(1) == idcg && idN.getLong(2) == 10000L)
+    assert(Eval.mrrAtK(exact, exact).head().getLong(2) == 1000000L)
+    // disjoint
+    val other = Seq((1L, 91L, 1), (1L, 92L, 2), (1L, 93L, 3)).toDF("qid", "nid", "rnk")
+    val djN = Eval.ndcgAtK(other, exact, 3).head()
+    assert(djN.getLong(1) == 0L && djN.getLong(2) == 0L)
+    val djM = Eval.mrrAtK(other, exact).head()
+    assert(djM.getInt(1) == 0 && djM.getLong(2) == 0L)
+    // partial: hits at approx ranks 2 and 3 only
+    val approx = Seq((1L, 99L, 1), (1L, 10L, 2), (1L, 30L, 3)).toDF("qid", "nid", "rnk")
+    val d = Eval.dcgDiscounts(3)
+    val pN = Eval.ndcgAtK(approx, exact, 3).head()
+    assert(pN.getLong(1) == d(1) + d(2))
+    assert(pN.getLong(2) == (d(1) + d(2)) * 10000L / idcg)
+    val pM = Eval.mrrAtK(approx, exact).head()
+    assert(pM.getInt(1) == 2 && pM.getLong(2) == 500000L)
+  }
+
+  test("semanticDedup: same-cluster lower-id neighbor above threshold is dropped") {
+    val emb = Seq(
+      (1L, Array(1f, 0.01f)),
+      (2L, Array(0.99f, 0f)), // cos(1,2) ≈ 1 → removed (1 survives)
+      (3L, Array(0.01f, 1f)), // alone in cluster 2
+      (4L, Array(0.7f, -0.7f)) // cluster 1, cos vs 1/2 ≈ 0.7 < 0.9 → kept
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((10L, Array(1f, 0f)), (20L, Array(0f, 1f))).toDF("cluster_id", "centroid")
+    val got = Dedup
+      .semanticDedup(emb, cents, threshold = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got(1L) == ((10L, true)))
+    assert(got(2L) == ((10L, false)))
+    assert(got(3L) == ((20L, true)))
+    assert(got(4L) == ((10L, true)))
+  }
+}
