@@ -294,4 +294,69 @@ class PlanSpec extends SparkSpec {
     val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(shuffles == 1, s"expected 1 shuffle (top-k agg), got $shuffles:\n$p")
   }
+
+  test("rarityScore: text never crosses a shuffle; corpus total broadcast") {
+    val p = plan(TextAnalysis.rarityScore(Tables.documents(spark, sf0001)))
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      s"text column crossed a shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus total not broadcast:\n$p")
+  }
+
+  test("vocabCoverage: head list via bounded TakeOrdered + broadcast, no window") {
+    val p = plan(TextAnalysis.vocabCoverage(Tables.documents(spark, sf0001), head = 10, mid = 20))
+    assert(p.contains("TakeOrderedAndProject"), s"head list not a bounded top-N:\n$p")
+    assert(!p.contains("Window"), s"unexpected window sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"head list not broadcast into tf:\n$p")
+  }
+
+  test("nucleusVocab: running sum windows only the per-count buckets, not the vocab") {
+    val docs = Tables.documents(spark, sf0001)
+    val df = TextAnalysis.nucleusVocab(docs, targetsBp = Seq(5000, 9000))
+    val p = plan(df)
+    // the Window must consume the (cnt, n_terms) bucket aggregate, i.e.
+    // sit ABOVE two HashAggregates (term count, then count buckets)
+    val wIdx = p.linesIterator.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0, s"no running-sum window found:\n$p")
+    val below = p.linesIterator.toSeq.drop(wIdx)
+    assert(below.count(_.contains("HashAggregate")) >= 2,
+      s"window does not sit above the bucket roll-up:\n$p")
+  }
+
+  test("incrementalFlags: key-only semi-joins; text never crosses a shuffle") {
+    val docs = Tables.documents(spark, sf0001)
+    val piv = docs.agg(expr("CAST((max(doc_id) + 1) DIV 2 AS BIGINT)").as("p"))
+    val withP = docs.crossJoin(broadcast(piv))
+    val df = Dedup.incrementalFlags(
+      withP.filter(col("doc_id") < col("p")).drop("p"),
+      withP.filter(col("doc_id") >= col("p")).drop("p"))
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), s"no semi-join against history keys:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      s"text column crossed a shuffle:\n$p")
+  }
+
+  test("semanticDedup: centroids broadcast for assignment; pair join keyed on cluster") {
+    val emb = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val cents = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+    val df = Dedup.semanticDedup(emb, cents, threshold = 0.35)
+    df.collect() // materialize (operator persists + finalizes AQE)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroids not broadcast:\n$p")
+  }
+
+  test("ndcgAtK / mrrAtK: bounded arms broadcast like recallAtK") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val queries = embs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val base = embs.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = BruteForce.knn(queries, base, 5, Metric.L2, roundDist = Some(4))
+    val pN = plan(Eval.ndcgAtK(exact, exact, 5))
+    assert(pN.contains("BroadcastHashJoin"), s"ndcg arms not broadcast:\n$pN")
+    val pM = plan(Eval.mrrAtK(exact, exact))
+    assert(pM.contains("BroadcastHashJoin"), s"mrr arms not broadcast:\n$pM")
+  }
 }
