@@ -143,6 +143,18 @@ object Capabilities {
     case t => IndexTypes.contains(t)
   }
 
+  /** Additional-scalar (materialized-view) support bit
+    * (`index_node.h` IsAdditionalScalarSupported, default false;
+    * `src/index/hnsw/faiss_hnsw.cc` overrides to true when the view is
+    * mv-ONLY): whether the index can serve a search whose filter is
+    * fully answered by an attached scalar view. Only the HNSW family
+    * registers the override in the reference. */
+  def supportsAdditionalScalar(indexType: String, isMvOnly: Boolean): Boolean =
+    indexType match {
+      case "HNSW" | "HNSW_SQ" | "HNSW_PQ" | "HNSW_PRQ" => isMvOnly
+      case _ => false
+    }
+
   /** Index-version gating (`include/knowhere/version.h:23-57`: versions
     * 0..6 with `VersionSupport`/min/current/default): factories accept a
     * version and refuse out-of-range ones. All kinds in [[IndexTypes]]

@@ -1783,35 +1783,36 @@ min(vec_id) AS min_id, max(vec_id) AS max_id FROM embeddings""")),
           (t, m, Capabilities.supportsMetric(t, m), Capabilities.hasRawData(t, m),
             Capabilities.supportsConcurrentAppend(t), Capabilities.supportsMmap(t),
             Capabilities.versionSupported(Capabilities.CurrentVersion) &&
-              Capabilities.versionSupported(Capabilities.MinVersion))
+              Capabilities.versionSupported(Capabilities.MinVersion),
+            Capabilities.supportsAdditionalScalar(t, isMvOnly = true))
         }.toDF("index_type", "metric", "supports_metric", "has_raw_data",
-          "concurrent_append", "supports_mmap", "version_ok")
+          "concurrent_append", "supports_mmap", "version_ok", "mv_scalar")
       },
       Some("""SELECT * FROM (VALUES
-('FLAT', 'l2', true, true, true, true, true),
-('BIN_FLAT', 'hamming', true, true, false, true, true),
-('IVF_FLAT', 'l2', true, true, true, true, true),
-('IVF_FLAT_CC', 'l2', true, true, true, true, true),
-('BIN_IVF_FLAT', 'hamming', true, true, false, true, true),
-('IVF_SQ8', 'l2', true, true, false, true, true),
-('IVF_SQ_CC', 'l2', true, true, true, true, true),
-('IVF_PQ', 'l2', true, true, false, true, true),
-('SCANN', 'l2', true, true, false, true, true),
-('HNSW', 'l2', true, true, false, true, true),
-('HNSW', 'cosine', true, true, false, true, true),
-('HNSW_SQ', 'l2', true, true, false, true, true),
-('HNSW_PQ', 'l2', true, true, false, true, true),
-('HNSW_PRQ', 'l2', true, true, false, true, true),
-('DISKANN', 'l2', true, true, false, false, true),
-('GPU_CAGRA', 'l2', true, false, false, false, true),
-('GPU_CAGRA', 'cosine', true, false, false, false, true),
-('SPARSE_INVERTED_INDEX', 'ip', true, true, true, true, true),
-('SPARSE_INVERTED_INDEX', 'bm25', true, false, true, true, true),
-('SPARSE_INVERTED_INDEX_CC', 'ip', true, true, true, true, true),
-('SPARSE_WAND', 'ip', true, true, true, true, true),
-('SPARSE_WAND', 'bm25', true, false, true, true, true),
-('SPARSE_WAND_CC', 'bm25', true, false, true, true, true)
-) AS t(index_type, metric, supports_metric, has_raw_data, concurrent_append, supports_mmap, version_ok)""")),
+('FLAT', 'l2', true, true, true, true, true, false),
+('BIN_FLAT', 'hamming', true, true, false, true, true, false),
+('IVF_FLAT', 'l2', true, true, true, true, true, false),
+('IVF_FLAT_CC', 'l2', true, true, true, true, true, false),
+('BIN_IVF_FLAT', 'hamming', true, true, false, true, true, false),
+('IVF_SQ8', 'l2', true, true, false, true, true, false),
+('IVF_SQ_CC', 'l2', true, true, true, true, true, false),
+('IVF_PQ', 'l2', true, true, false, true, true, false),
+('SCANN', 'l2', true, true, false, true, true, false),
+('HNSW', 'l2', true, true, false, true, true, true),
+('HNSW', 'cosine', true, true, false, true, true, true),
+('HNSW_SQ', 'l2', true, true, false, true, true, true),
+('HNSW_PQ', 'l2', true, true, false, true, true, true),
+('HNSW_PRQ', 'l2', true, true, false, true, true, true),
+('DISKANN', 'l2', true, true, false, false, true, false),
+('GPU_CAGRA', 'l2', true, false, false, false, true, false),
+('GPU_CAGRA', 'cosine', true, false, false, false, true, false),
+('SPARSE_INVERTED_INDEX', 'ip', true, true, true, true, true, false),
+('SPARSE_INVERTED_INDEX', 'bm25', true, false, true, true, true, false),
+('SPARSE_INVERTED_INDEX_CC', 'ip', true, true, true, true, true, false),
+('SPARSE_WAND', 'ip', true, true, true, true, true, false),
+('SPARSE_WAND', 'bm25', true, false, true, true, true, false),
+('SPARSE_WAND_CC', 'bm25', true, false, true, true, true, false)
+) AS t(index_type, metric, supports_metric, has_raw_data, concurrent_append, supports_mmap, version_ok, mv_scalar)""")),
     // S7/S8 graph BUILD at the 100-TB shape: candidates from the nprobe
     // nearest IVF lists only (co-located shuffle join on cluster_id) —
     // never an all-pairs scan; deterministic centroids ⇒ hash-gated

@@ -272,6 +272,12 @@ class CapabilitiesSpec extends SparkSpec {
     assert(!Capabilities.hasRawData("NOT_AN_INDEX"))
     assert(Capabilities.supportsConcurrentAppend("IVF_FLAT"))
     assert(!Capabilities.supportsConcurrentAppend("IVF_SQ8"))
+    // IsAdditionalScalarSupported: default false; HNSW family true only
+    // when the scalar view is mv-ONLY (faiss_hnsw.cc override)
+    assert(Capabilities.supportsAdditionalScalar("HNSW", isMvOnly = true))
+    assert(Capabilities.supportsAdditionalScalar("HNSW_PRQ", isMvOnly = true))
+    assert(!Capabilities.supportsAdditionalScalar("HNSW", isMvOnly = false))
+    assert(!Capabilities.supportsAdditionalScalar("IVF_FLAT", isMvOnly = true))
   }
 }
 
