@@ -211,6 +211,25 @@ object Scale {
     time("bf_knn packed fp16 k=10 (decode-inline kernel)")(
       BruteForce.knnPacked(packedQ, packedBase, 10, Metric.L2, bf16 = false).count())
     packedBase.unpersist()
+
+    // ---- SemDeDup: cluster count is the pair-join budget knob ----
+    // Σ|cluster|² drives the cost: with c uniform clusters the pair set is
+    // ≈ nb²/c, so the centroid count must grow with the corpus. Measure
+    // the same operator under a deliberately-too-coarse clustering and a
+    // √-scaled one to pin the sizing rule (mirrors the LSH band-width
+    // probe above).
+    val semCents = cents.select(col("cluster_id"), col("centroid"))
+    val nSem = time(s"semanticDedup (nlist=$nlist kmeans centroids)")(
+      graft.operators.Dedup.semanticDedup(embTbl, semCents, threshold = 0.9)
+        .filter(!col("keep")).count())
+    println(s"semantic dedup removed (nlist=$nlist): $nSem")
+    val fineCents = IvfIndex.trainKMeans(spark, base.sample(0.05, 43),
+      math.max(nlist, math.sqrt(nb.toDouble).toInt))
+    val nSemF = time(s"semanticDedup (~sqrt(nb) centroids)")(
+      graft.operators.Dedup.semanticDedup(embTbl,
+        fineCents.select(col("cluster_id"), col("centroid")), threshold = 0.9)
+        .filter(!col("keep")).count())
+    println(s"semantic dedup removed (sqrt sizing): $nSemF")
     spark.stop()
   }
 }
