@@ -430,6 +430,70 @@ object TextAnalysis {
           .as("tail_bp"))
   }
 
+  /** PMI bigram collocations — phrase mining / tokenizer-merge signal:
+    * the top-k adjacent token pairs by pointwise mutual information,
+    * restated as the exact rational surrogate
+    * `c_ab · N_uni · 10⁴ DIV (c_a · c_b)` (PMI's log is monotone in
+    * that ratio; the global constants only shift the scale, so the
+    * ranking is PMI's ranking and the score is exact 64-bit integer
+    * arithmetic on both engines). `minCount` drops noise pairs the way
+    * every collocation pipeline does.
+    *
+    * Shape at 100 TB: bigram and unigram counts are two hash-keyed
+    * partial-aggregated shuffles off the same tokenized scan; the two
+    * unigram joins key on term; the top-k is a bounded
+    * `orderBy().limit()` (TakeOrderedAndProject) with rank recovered by
+    * the broadcast precedence self-join — no global window. (Counts
+    * here fit longs; past ~10¹³ tokens the score product needs the
+    * DECIMAL(38) widening.) */
+  def pmiBigrams(
+      df: DataFrame,
+      minCount: Int = 5,
+      k: Int = 20,
+      textCol: String = "text"
+  ): DataFrame = {
+    val t = tokens(col(textCol))
+    val bi = df
+      .filter(size(t) >= 2)
+      .select(explode(shingles(t, 2)).as("bg"))
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val totalUni = uni.agg(sum(col("cnt")).as("n_uni"))
+    def floorDiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    val scored = bi
+      .select(
+        col("bg"),
+        col("c_ab"),
+        split(col("bg"), " ").getItem(0).as("ta"),
+        split(col("bg"), " ").getItem(1).as("tb"))
+      .join(uni.select(col("term").as("ta"), col("cnt").as("c_a")), "ta")
+      .join(uni.select(col("term").as("tb"), col("cnt").as("c_b")), "tb")
+      .crossJoin(broadcast(totalUni))
+      .select(
+        col("bg"),
+        col("c_ab"),
+        col("c_a"),
+        col("c_b"),
+        floorDiv(col("c_ab") * col("n_uni") * lit(10000L), col("c_a") * col("c_b"))
+          .as("pmi_score"))
+    val top = scored.orderBy(col("pmi_score").desc, col("bg").asc).limit(k)
+    val prior = top.select(col("bg").as("b2"), col("pmi_score").as("s2"))
+    top
+      .join(
+        broadcast(prior),
+        col("s2") > col("pmi_score") ||
+          (col("s2") === col("pmi_score") && col("b2") < col("bg")),
+        "left")
+      .groupBy(col("bg"), col("c_ab"), col("c_a"), col("c_b"), col("pmi_score"))
+      .agg((count(col("b2")) + 1).cast("int").as("rnk"))
+  }
+
   /** Nucleus vocabulary size — for each coverage target `p_bp` (basis
     * points of total token mass), the smallest prefix of the vocabulary
     * (ordered count-desc, term-asc) whose cumulative count reaches the

@@ -367,6 +367,42 @@ SELECT doc_id, CAST(sum(tf) AS INT) AS n_tokens,
   CAST(sum(m) * 10000 // sum(tf) AS BIGINT) AS mid_bp,
   CAST((sum(tf) - sum(h) - sum(m)) * 10000 // sum(tf) AS BIGINT) AS tail_bp
 FROM b GROUP BY 1""")),
+    // PMI bigram collocations (phrase mining / tokenizer-merge signal):
+    // top-20 adjacent pairs by the exact rational PMI surrogate
+    // c_ab·N·10⁴ DIV (c_a·c_b) — log is monotone in the ratio, so the
+    // ranking is PMI's; the score never touches float. Bounded
+    // TakeOrdered + precedence rank, no global window
+    GraftQuery(
+      "vocab_pmi_bigrams",
+      (s, dir) => TextAnalysis.pmiBigrams(Tables.documents(s, dir), minCount = 5, k = 20),
+      Some("""WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+bg0 AS (
+  SELECT unnest(list_transform(range(1, len(t)), i ->
+    array_to_string(t[CAST(i AS INT):CAST(i + 1 AS INT)], ' '))) AS bg
+  FROM toks
+),
+bi AS (SELECT bg, count(*) AS c_ab FROM bg0 GROUP BY 1 HAVING count(*) >= 5),
+uni AS (
+  SELECT term, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY 1
+),
+tot AS (SELECT sum(cnt) AS n_uni FROM uni),
+sc AS (
+  SELECT bi.bg AS bg, bi.c_ab AS c_ab, ua.cnt AS c_a, ub.cnt AS c_b,
+    CAST(bi.c_ab * tot.n_uni * 10000 // (ua.cnt * ub.cnt) AS BIGINT) AS pmi_score
+  FROM bi
+  JOIN uni ua ON ua.term = string_split(bi.bg, ' ')[1]
+  JOIN uni ub ON ub.term = string_split(bi.bg, ' ')[2]
+  CROSS JOIN tot
+)
+SELECT bg, c_ab, c_a, c_b, pmi_score, rnk FROM (
+  SELECT bg, c_ab, c_a, c_b, pmi_score,
+    CAST(row_number() OVER (ORDER BY pmi_score DESC, bg ASC) AS INT) AS rnk
+  FROM sc
+) WHERE rnk <= 20""")),
     // nucleus vocabulary size (tokenizer-design stat: types covering P% of
     // token mass): the walk collapses terms into per-count buckets first,
     // so the running sum never touches the vocabulary row-by-row; the

@@ -45,6 +45,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.head.getLong(2) == 8000L)
   }
 
+  test("pmiBigrams: exact rational scores, tie order, minCount filter") {
+    // unigrams: x=3, y=3, z=1 (N=7); bigrams: "x y"=3, "y x"=1, "y z"=1
+    val docs = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .pmiBigrams(docs, minCount = 1, k = 3)
+      .collect()
+      .map(r => r.getAs[String]("bg") -> ((r.getAs[Long]("pmi_score"), r.getAs[Int]("rnk"))))
+      .toMap
+    assert(got("x y") == ((3L * 7 * 10000 / 9, 1))) // 23333
+    assert(got("y z") == ((1L * 7 * 10000 / 3, 2))) // 23333, tie broken bg asc
+    assert(got("y x") == ((1L * 7 * 10000 / 9, 3))) // 7777
+    // minCount prunes the singletons
+    assert(TextAnalysis.pmiBigrams(docs, minCount = 2, k = 3).count() == 1)
+  }
+
   test("incrementalFlags: exact and near collisions against history only") {
     val history = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

@@ -348,6 +348,14 @@ class PlanSpec extends SparkSpec {
       s"centroids not broadcast:\n$p")
   }
 
+  test("pmiBigrams: bounded TakeOrdered top-k, no global window, text stays behind the tokenizer") {
+    val p = plan(TextAnalysis.pmiBigrams(Tables.documents(spark, sf0001)))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not a bounded TakeOrdered:\n$p")
+    assert(!p.contains("Window"), s"unexpected global window:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      s"text column crossed a shuffle:\n$p")
+  }
+
   test("ndcgAtK / mrrAtK: bounded arms broadcast like recallAtK") {
     val embs = Tables.embeddings(spark, sf0001)
     val queries = embs.filter(col("vec_id") % 100 === 0)
