@@ -79,18 +79,18 @@ object Dedup {
     out
   }
 
-  /** Candidate pairs sharing any LSH band, then exact-Jaccard verified.
-    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
-    */
-  def minhashLshPairs(
-      docs: DataFrame, // (doc_id, text)
-      threshold: Double,
-      numPerm: Int = NumPerm,
-      bands: Int = Bands
-  ): DataFrame = {
+  /** LSH band-blocked candidate pairs with both shingle arrays attached:
+    * the shared front half of every banded verify stage. Returns the
+    * candidate frame (doc_a < doc_b, sha, shb) and the cached shingle
+    * frame the caller must release (via [[eager]]). The band join carries
+    * only (doc_id, band, key); shingle arrays rejoin candidates only. */
+  private def lshCandidatesWithShingles(
+      docs: DataFrame,
+      numPerm: Int,
+      bands: Int
+  ): (DataFrame, DataFrame) = {
     // shingle ONCE (cached); signatures, band keys and the verify stage
-    // all derive from the cached frame. The LSH band join still carries
-    // only (doc_id, band, key); shingle arrays rejoin candidates only.
+    // all derive from the cached frame.
     val shDf = docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shRows = shDf.select(col("doc_id"), explode(col("sh")).as("sh"))
@@ -111,6 +111,19 @@ object Dedup {
     val pairs = cand
       .join(shDf.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(shDf.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+    (pairs, shDf)
+  }
+
+  /** Candidate pairs sharing any LSH band, then exact-Jaccard verified.
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, // (doc_id, text)
+      threshold: Double,
+      numPerm: Int = NumPerm,
+      bands: Int = Bands
+  ): DataFrame = {
+    val (pairs, shDf) = lshCandidatesWithShingles(docs, numPerm, bands)
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     val jac = inter / (size(col("sha")) + size(col("shb")) - inter).cast("double")
     eager(
@@ -118,6 +131,45 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
         .filter(col("jaccard") >= threshold),
       shDf)
+  }
+
+  /** Asymmetric CONTAINMENT dedup — `|A∩B| / |A| ≥ threshold` flags A as
+    * (near-)contained in B: the quote-inclusion / wholesale-copy mode
+    * symmetric Jaccard misses (a short doc pasted into a long one has
+    * low Jaccard but containment ≈ 1). Same LSH band blocking as
+    * [[minhashLshPairs]]; the verify stage emits DIRECTED rows, both
+    * directions checked per candidate pair.
+    *
+    * Known recall bound, deliberate: MinHash bands sample the UNION, so
+    * a tiny-doc-in-huge-doc pair can miss the blocking — the reference
+    * trade every LSH dedup pipeline makes; an exact containment join
+    * would be the all-pairs scan this operator exists to avoid. */
+  def containmentPairs(
+      docs: DataFrame, // (doc_id, text)
+      threshold: Double,
+      numPerm: Int = NumPerm,
+      bands: Int = Bands
+  ): DataFrame = {
+    val (pairs, shDf) = lshCandidatesWithShingles(docs, numPerm, bands)
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val scored = pairs.select(
+      col("doc_a"),
+      col("doc_b"),
+      round(inter / size(col("sha")).cast("double"), 4).as("ca"),
+      round(inter / size(col("shb")).cast("double"), 4).as("cb"))
+    val d1 = scored
+      .filter(col("ca") >= threshold)
+      .select(
+        col("doc_a").as("doc_contained"),
+        col("doc_b").as("doc_container"),
+        col("ca").as("containment"))
+    val d2 = scored
+      .filter(col("cb") >= threshold)
+      .select(
+        col("doc_b").as("doc_contained"),
+        col("doc_a").as("doc_container"),
+        col("cb").as("containment"))
+    eager(d1.unionByName(d2), shDf)
   }
 
   /** n-gram Jaccard near-dup with 1-permutation min-hash blocking: block on

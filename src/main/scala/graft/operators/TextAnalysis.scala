@@ -430,6 +430,34 @@ object TextAnalysis {
           .as("tail_bp"))
   }
 
+  /** Vocabulary frequency spectrum — for each occurrence count `cnt`,
+    * how many types have it and what share of types / token mass they
+    * carry (integer basis points): the Zipf-curve view a corpus
+    * linguist reads (hapax share = the `cnt = 1` row). Same per-count
+    * bucket collapse as [[nucleusVocab]]: two hash aggregates, output
+    * rows bounded by |distinct tf values| ≪ |vocab|. */
+  def freqSpectrum(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val vocab = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val buckets = vocab
+      .groupBy(col("cnt"))
+      .agg(count(lit(1)).as("n_types"))
+    val totals = buckets.agg(
+      sum(col("n_types")).as("total_types"),
+      sum(col("cnt") * col("n_types")).as("total_mass"))
+    def bp(num: Column, den: Column): Column =
+      ((num * lit(10000L) - pmod(num * lit(10000L), den)) / den).cast("long")
+    buckets
+      .crossJoin(broadcast(totals))
+      .select(
+        col("cnt"),
+        col("n_types"),
+        bp(col("n_types"), col("total_types")).as("types_bp"),
+        bp(col("cnt") * col("n_types"), col("total_mass")).as("mass_bp"))
+  }
+
   /** PMI bigram collocations — phrase mining / tokenizer-merge signal:
     * the top-k adjacent token pairs by pointwise mutual information,
     * restated as the exact rational surrogate

@@ -675,6 +675,41 @@ flags AS (
   WHERE d.doc_id >= piv.p
 )
 SELECT doc_id, dup_exact, dup_near FROM flags WHERE dup_exact OR dup_near""")),
+    // asymmetric containment dedup: |A∩B|/|A| ≥ 0.8 flags A as contained
+    // in B — the quote-inclusion/wholesale-copy mode symmetric Jaccard
+    // misses. Same band blocking as dedup_minhash_lsh; directed output
+    GraftQuery(
+      "dedup_containment",
+      (s, dir) => Dedup.containmentPairs(Tables.documents(s, dir), threshold = 0.8),
+      Some(s"""WITH $shCte,
+sig AS (
+  SELECT doc_id, list_transform(range(0, 16), i ->
+    list_min(list_transform(sh, x -> ((2*i + 3) * x + (97 + 31*i)) % $P))) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b.range AS band,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      sig[CAST(b.range*4 + 1 AS INT):CAST(b.range*4 + 4 AS INT)]),
+      (h, x) -> (h * 31 + x) % $P) AS bh
+  FROM sig CROSS JOIN range(0, 4) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+),
+cj AS (
+  SELECT c.doc_a, c.doc_b,
+    len(list_intersect(sa.sh, sb.sh)) AS inter, len(sa.sh) AS la, len(sb.sh) AS lb
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a AS doc_contained, doc_b AS doc_container,
+  round(CAST(inter AS DOUBLE) / la, 4) AS containment
+FROM cj WHERE round(CAST(inter AS DOUBLE) / la, 4) >= 0.8
+UNION ALL
+SELECT doc_b AS doc_contained, doc_a AS doc_container,
+  round(CAST(inter AS DOUBLE) / lb, 4) AS containment
+FROM cj WHERE round(CAST(inter AS DOUBLE) / lb, 4) >= 0.8""")),
     // SemDeDup (Abbas et al. 2023): cluster the embedding space, drop any
     // vector with a same-cluster lower-id neighbor at cosine ≥ 0.35 —
     // clustering turns the impossible all-pairs cosine join into

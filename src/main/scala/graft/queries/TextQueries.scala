@@ -367,6 +367,20 @@ SELECT doc_id, CAST(sum(tf) AS INT) AS n_tokens,
   CAST(sum(m) * 10000 // sum(tf) AS BIGINT) AS mid_bp,
   CAST((sum(tf) - sum(h) - sum(m)) * 10000 // sum(tf) AS BIGINT) AS tail_bp
 FROM b GROUP BY 1""")),
+    // vocabulary frequency spectrum (Zipf-curve view; hapax share = the
+    // cnt=1 row): per occurrence count, type count + shares of types and
+    // token mass in integer bp — rows bounded by |distinct tf values|
+    GraftQuery(
+      "vocab_freq_spectrum",
+      (s, dir) => TextAnalysis.freqSpectrum(Tables.documents(s, dir)),
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+v AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+bk AS (SELECT cnt, count(*) AS n_types FROM v GROUP BY 1),
+tot AS (SELECT sum(n_types) AS total_types, sum(cnt * n_types) AS total_mass FROM bk)
+SELECT cnt, n_types,
+  CAST(n_types * 10000 // tot.total_types AS BIGINT) AS types_bp,
+  CAST(cnt * n_types * 10000 // tot.total_mass AS BIGINT) AS mass_bp
+FROM bk CROSS JOIN tot""")),
     // PMI bigram collocations (phrase mining / tokenizer-merge signal):
     // top-20 adjacent pairs by the exact rational PMI surrogate
     // c_ab·N·10⁴ DIV (c_a·c_b) — log is monotone in the ratio, so the

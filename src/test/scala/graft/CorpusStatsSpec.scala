@@ -101,6 +101,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(pM.getInt(1) == 2 && pM.getLong(2) == 500000L)
   }
 
+  test("freqSpectrum: per-count buckets with type/mass shares") {
+    // counts a=2, b=2, c=1 → bucket cnt=2 ×2 types, cnt=1 ×1; types=3, mass=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .freqSpectrum(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(2L) == ((2L, 6666L, 8000L)))
+    assert(got(1L) == ((1L, 3333L, 2000L)))
+  }
+
+  test("containmentPairs: directed flag for a doc pasted into a longer one") {
+    // B = A plus a tail: every shingle of A appears in B → containment(A⊂B)=1,
+    // while Jaccard(A,B) < 1 and containment(B⊂A) < 1
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = a + " iota kappa lambda"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup
+      .containmentPairs(docs, threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("semanticDedup: same-cluster lower-id neighbor above threshold is dropped") {
     val emb = Seq(
       (1L, Array(1f, 0.01f)),
