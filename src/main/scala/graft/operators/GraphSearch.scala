@@ -187,6 +187,39 @@ object GraphSearch {
     finish(BruteForce.topK(frontier, k, metric.ascending), persisted)
   }
 
+  /** FILTERED beam search — the bitset-filtered graph search that is the
+    * reference's hot path under Milvus scalar predicates
+    * (`faiss_hnsw.cc:734-779`: the traversal walks filtered nodes as
+    * routing waypoints, only unfiltered ids enter the result set;
+    * `index_node.h` Search takes a BitsetView on every index). Batch
+    * analog: the beam traverses the FULL graph (filtered nodes keep
+    * routing, exactly like the reference — dropping them from the walk
+    * disconnects the graph at high filter rates), and `allowed` is
+    * applied when the final frontier is collected into top-k. Fixed
+    * unrolling keeps the whole composition hash-gateable; queries whose
+    * ef-frontier holds fewer than k allowed ids return fewer rows (the
+    * reference's iterator-fallback threshold `kHnswSearchKnnBFFilterThreshold`
+    * flips to brute-force in that regime — [[AdaptiveSearch]] owns that
+    * decision here). */
+  def beamSearchFiltered(
+      graph: DataFrame, // (src, dst) directed edges
+      base: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      entries: DataFrame, // (nid) entry point ids
+      allowed: DataFrame, // (nid) ids the filter admits
+      k: Int,
+      ef: Int,
+      iters: Int,
+      metric: Metric = Metric.L2,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    require(ef >= k, "beam width ef must be >= k")
+    val (frontier, persisted) = beamLoop(graph, base, queries, entries, ef, iters, metric, roundDist)
+    val admitted = frontier.join(
+      broadcast(allowed.select(col("nid")).distinct()), Seq("nid"), "left_semi")
+    finish(BruteForce.topK(admitted, k, metric.ascending), persisted)
+  }
+
   /** Beam search iterated to a FIXPOINT — the batch analog of the
     * reference's per-query termination (hnswlib stops a query when its
     * candidate queue cannot improve the result set,

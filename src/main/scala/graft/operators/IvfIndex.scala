@@ -138,6 +138,75 @@ object IvfIndex {
     BruteForce.topK(pairs, k, metric.ascending)
   }
 
+  /** RangeSearch on the IVF index (`ivf.cc:812-917`): probe the `nprobe`
+    * nearest lists, scan ONLY those lists, keep rows inside the two-sided
+    * `(range_filter, radius)` bound — per-metric direction exactly as
+    * [[BruteForce.rangeSearch]]. Approximate by construction (vectors in
+    * unprobed lists are invisible), which is the reference's IVF range
+    * contract too; `nprobe = nlist` recovers the exact result. `capK`
+    * mirrors `range_search_k` (`config.h:599-601`): ≥0 keeps each query's
+    * best capK in-range rows. The probed scan is the only base-table
+    * touch, so a range query over a 100 TB index reads nprobe/nlist of
+    * the files, same as kNN. */
+  def rangeSearch(
+      queries: DataFrame, // (qid, qvec)
+      index: DataFrame, // (id, vec, cluster_id) from build()
+      centroids: DataFrame,
+      nprobe: Int,
+      metric: Metric,
+      radius: Double,
+      rangeFilter: Double,
+      roundDist: Option[Int] = None,
+      capK: Int = -1
+  ): DataFrame = {
+    val (probes, pruned) =
+      probeAndPrune(queries, index, centroids, nprobe, roundDist, metric = metric)
+    val raw = metric.dist(col("qvec"), col("vec"))
+    val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
+    val pairs = broadcast(probes.join(queries, "qid"))
+      .join(pruned, "cluster_id")
+      .select(col("qid"), col("id").as("nid"), d.as("dist"))
+    val keep =
+      if (metric.ascending) col("dist") >= rangeFilter && col("dist") < radius
+      else col("dist") > radius && col("dist") <= rangeFilter
+    val r = pairs.filter(keep)
+    if (capK < 0) r
+    else BruteForce.topK(r, capK, metric.ascending).select(col("qid"), col("nid"), col("dist"))
+  }
+
+  /** AnnIterator over the IVF index (`ivf.cc:927-946` — IVFFlat/IVF_SQ8/
+    * SCANN expose the iterator workflow; the faiss workspace streams
+    * batches from the probed lists): the ranked stream is opened over the
+    * PROBED pairs only — stream quality is nprobe-bounded exactly as the
+    * reference's iterator quality is, and the open cost is the probed
+    * scan, not a full-corpus ranking. Pages/refine/close ride the shared
+    * [[AnnIteratorSession]] machinery. */
+  def annIterator(
+      queries: DataFrame, // (qid, qvec)
+      index: DataFrame, // (id, vec, cluster_id) from build()
+      centroids: DataFrame,
+      nprobe: Int,
+      metric: Metric = Metric.L2,
+      roundDist: Option[Int] = None
+  ): AnnIteratorSession = {
+    val (probes, pruned) =
+      probeAndPrune(queries, index, centroids, nprobe, roundDist, metric = metric)
+    val raw = metric.dist(col("qvec"), col("vec"))
+    val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
+    val pairs = broadcast(probes.join(queries, "qid"))
+      .join(pruned, "cluster_id")
+      .select(col("qid"), col("id").as("nid"), d.as("dist"))
+    val ord =
+      if (metric.ascending) Seq(col("dist").asc, col("nid").asc)
+      else Seq(col("dist").desc, col("nid").asc)
+    val ranked = pairs
+      .withColumn("rnk",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid")).orderBy(ord: _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    new AnnIteratorSession(ranked)
+  }
+
   /** [[search]] over TRUE half-width packed lists — the IVF shape the
     * reference's fp16/bf16 element types exist for (`operands.h:48-147`:
     * lists store 2-byte elements, compute widens to fp32): the index

@@ -219,7 +219,8 @@ SELECT qid, nid, dist, rnk FROM (
       * iteration count ⇒ plain SQL; mirrors GraphSearch.beamSearch).
       * `graphCtes` overrides the default exact-5NN graph CTE — it must
       * end in a CTE named `g` exposing (src, dst). */
-    def graphBeam(ef: Int, k: Int, graphCtes: Option[String] = None): String = {
+    def graphBeam(ef: Int, k: Int, graphCtes: Option[String] = None,
+        allowedPred: Option[String] = None): String = {
       def topEf(src: String): String =
         s"""SELECT qid, nid, dist FROM (
   SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rn
@@ -258,11 +259,13 @@ s2 AS (
   FROM c2 c JOIN q ON q.qid = c.qid JOIN embeddings b ON b.vec_id = c.nid
 ),
 u2 AS (SELECT DISTINCT qid, nid, dist FROM (SELECT * FROM f1 UNION ALL SELECT * FROM s2)),
-f2 AS (${topEf("u2")})
+f2 AS (${topEf("u2")}),
+fin AS (${allowedPred.fold("SELECT qid, nid, dist FROM f2")(p =>
+        s"SELECT f.qid, f.nid, f.dist FROM f2 f JOIN embeddings al ON al.vec_id = f.nid WHERE $p")})
 SELECT qid, nid, dist, rnk FROM (
   SELECT qid, nid, dist,
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
-  FROM f2
+  FROM fin
 ) WHERE rnk <= $k"""
     }
 
@@ -1432,6 +1435,74 @@ SELECT src, dst, dist, rnk FROM (
       },
       Some(Sql.graphBeam(ef = 16, k = 10)
         .replace("WHERE rnk <= 10", "WHERE rnk <= 10 AND rnk > 5"))),
+    // S7 × S17 — FILTERED graph search (faiss_hnsw.cc:734-779: the bitset
+    // walk keeps filtered nodes as routing waypoints; only admitted ids
+    // enter the result). Batch analog: full-graph beam, `allowed` applied
+    // at final collection — fixed unrolling keeps it hash-gated. Filter =
+    // even-label vectors (~half the corpus).
+    GraftQuery(
+      "knn_graph_search_filtered",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val all = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val graph = BruteForce
+          .knnFused(all, base, 5, Metric.L2, roundDist = ROUND, excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"))
+        val entries = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("nid"))
+        val allowed = Tables
+          .embeddings(s, dir)
+          .filter(col("label") % 2 === 0)
+          .select(col("vec_id").as("nid"))
+        GraphSearch.beamSearchFiltered(graph, base, queryVecs(s, dir), entries, allowed,
+          K, ef = 16, iters = 2, Metric.L2, ROUND)
+      },
+      Some(Sql.graphBeam(ef = 16, k = K, allowedPred = Some("al.label % 2 = 0")))),
+    // V5 × S6 — RangeSearch on the IVF index (ivf.cc:812-917): probe
+    // nprobe=2 lists, scan only those, two-sided range bound. The probed
+    // scan is the only base touch — at 100 TB a range query reads
+    // nprobe/nlist of the files, same as kNN.
+    GraftQuery(
+      "ivf_range_probe",
+      (s, dir) => {
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val index = IvfIndex.build(base, cents, ROUND)
+        IvfIndex.rangeSearch(queryVecs(s, dir), index, cents, nprobe = 2, Metric.L2,
+          radius = 1.33, rangeFilter = 0.5, roundDist = ROUND)
+      },
+      Some(s"""WITH ${Sql.ivfProbeCtes}
+SELECT qid, nid, dist FROM ivfpairs WHERE dist >= 0.5 AND dist < 1.33""")),
+    // S4/V6 × S6 — AnnIterator over the IVF index (ivf.cc:927-946:
+    // IVFFlat/SQ8/SCANN stream iterator batches from the probed lists):
+    // the ranked stream is opened on the PROBED pairs only — page 2 of
+    // size 5 is ranks (5, 10] of that nprobe-bounded stream.
+    GraftQuery(
+      "ivf_iter_page2",
+      (s, dir) => {
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val index = IvfIndex.build(base, cents, ROUND)
+        IvfIndex
+          .annIterator(queryVecs(s, dir), index, cents, nprobe = 2, Metric.L2, ROUND)
+          .page(2, 5)
+      },
+      Some(s"""WITH ${Sql.ivfProbeCtes}
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+  FROM ivfpairs
+) WHERE rnk > 5 AND rnk <= 10""")),
     // S18 — Feder graph introspection (include/knowhere/feder/,
     // hnsw.h:212-257, test_feder.cc): graph overview (node/edge/entry
     // counts, degree histogram) + the beam's per-hop visit counts — the
