@@ -124,6 +124,70 @@ object Eval {
     * map-side-distance / bounded-heap shape as [[BruteForce.knn]] — the
     * label predicate filters pairs before anything is ranked, so only
     * nq×k candidates per partition survive to the reduction. */
+  /** kNN majority-vote classification — the weak-labeling / label-
+    * propagation shape a training pipeline runs to label new data from an
+    * embedded seed set (the pipeline twin of the reference's search verb:
+    * neighbors in, votes out). Self-matches are excluded pair-level
+    * (`excludeSelf`, the `BruteForce::Search` self-hit convention when
+    * queries are drawn from the base). Vote ties break to the SMALLER
+    * label — deterministic, so the whole output hash-gates.
+    *
+    * Scale shape: the kNN arm is the fused bounded-heap scan (one pass
+    * over the base per query chunk); votes aggregate nq×k rows, so
+    * everything above the scan broadcasts. */
+  def knnClassify(
+      queries: DataFrame, // (qid, qvec)
+      base: DataFrame, // (id, vec, label)
+      k: Int,
+      metric: Metric = Metric.L2,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val nn = BruteForce.knnFused(
+      queries, base.select(col("id"), col("vec")), k, metric,
+      roundDist = roundDist, excludeSelf = true)
+    val voted = nn
+      .join(broadcast(base.select(col("id").as("nid"), col("label"))), "nid")
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("label").asc)
+    voted
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+  }
+
+  /** Per-dimension embedding statistics — the whitening / normalization
+    * diagnostic (per-dim mean, second moment, min/max) a pipeline computes
+    * before standardizing or pruning dimensions (the rogue-dimension
+    * screen `embed_outliers` looks at magnitudes; this is the per-axis
+    * view). Determinism contract: elements are 4dp-rounded then summed as
+    * scaled longs (order-independent), means rendered by the integer
+    * half-up division ([[TextAnalysis.halfUpMeanScaled]]) — fp summation
+    * order can never flip a reported mean. Scale shape: posexplode fans
+    * out nb×dim rows but carries only (dim, scaled-long); the groupBy on
+    * `dim` has dim keys — map-side partials collapse everything before
+    * one tiny shuffle. */
+  def dimStats(
+      df: DataFrame, // (…, vecCol ARRAY<FLOAT>)
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val scaled = (round(col("x").cast("double"), 4).cast("decimal(18,4)") * lit(10000))
+      .cast("long")
+    df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), scaled.as("xs"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        TextAnalysis.halfUpMeanScaled(sum(col("xs")), count(lit(1)), 4).as("mean"),
+        TextAnalysis
+          .halfUpMeanScaled(sum(col("xs") * col("xs")), count(lit(1)) * lit(10000L), 4)
+          .as("mean_sq"),
+        (min(col("xs")).cast("double") / lit(10000.0d)).as("mn"),
+        (max(col("xs")).cast("double") / lit(10000.0d)).as("mx"))
+  }
+
   def hardNegatives(
       queries: DataFrame, // (qid, qvec, qlabel)
       base: DataFrame, // (id, vec, label)

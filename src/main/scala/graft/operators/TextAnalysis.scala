@@ -257,7 +257,7 @@ object TextAnalysis {
     * (Rounding a double quotient instead is engine-dependent: Spark rounds
     * the shortest decimal rep, DuckDB the binary value — boundary quotients
     * …xx5 round apart. This was round 4's only red oracle row.) */
-  private def halfUpMeanScaled(sumScaled: Column, n: Column, scale: Int): Column = {
+  private[operators] def halfUpMeanScaled(sumScaled: Column, n: Column, scale: Int): Column = {
     val s = sumScaled.cast("long")
     val nn = n.cast("long")
     val total = abs(s) * lit(2L) + nn

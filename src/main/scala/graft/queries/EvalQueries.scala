@@ -300,6 +300,55 @@ neg AS (
 )
 SELECT pos.qid AS qid, pos_id, pos_dist, neg_id, neg_dist,
   round(neg_dist - pos_dist, 4) AS margin
-FROM pos JOIN neg ON neg.qid = pos.qid"""))
+FROM pos JOIN neg ON neg.qid = pos.qid""")),
+    // kNN majority-vote classification (weak labeling / label propagation):
+    // neighbors from the fused bounded-heap scan (self-hits excluded
+    // pair-level), votes aggregate nq×k rows, ties break to the smaller
+    // label — fully deterministic, whole output hash-gated
+    GraftQuery(
+      "knn_classify",
+      (s, dir) =>
+        Eval.knnClassify(
+          queryVecs(s, dir),
+          baseVecs(s, dir).select(col("id"), col("vec"), col("label")),
+          K, Metric.L2, ROUND),
+      Some(s"""WITH ${Sql.qView},
+nn AS (
+  SELECT qid, nid, lab FROM (
+    SELECT q.qid AS qid, b.vec_id AS nid, b.label AS lab,
+      row_number() OVER (PARTITION BY q.qid ORDER BY ${Sql.l2} ASC, b.vec_id ASC) AS rnk
+    FROM q CROSS JOIN embeddings b WHERE b.vec_id <> q.qid
+  ) WHERE rnk <= $K
+),
+v AS (SELECT qid, lab, count(*) AS votes FROM nn GROUP BY 1, 2)
+SELECT qid, lab AS pred_label, votes FROM (
+  SELECT qid, lab, votes,
+    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, lab ASC) AS rn
+  FROM v
+) WHERE rn = 1""")),
+    // per-dimension embedding stats (whitening/normalization diagnostic):
+    // 4dp-round → scaled-long sums (order-independent), integer half-up
+    // means — the corpus_source_stats determinism contract per axis
+    GraftQuery(
+      "embed_dim_stats",
+      (s, dir) => Eval.dimStats(Tables.embeddings(s, dir)),
+      Some("""WITH dims AS (
+  SELECT unnest(range(1, len(embedding) + 1)) AS dim
+  FROM (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
+),
+e AS (
+  SELECT d.dim AS dim,
+    CAST(CAST(round(CAST(b.embedding[d.dim] AS DOUBLE), 4) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xs
+  FROM embeddings b CROSS JOIN dims d
+)
+SELECT dim, count(*) AS n,
+  CAST((CASE WHEN sum(xs) < 0 THEN -1 WHEN sum(xs) > 0 THEN 1 ELSE 0 END)
+    * ((2 * abs(CAST(sum(xs) AS BIGINT)) + count(*)) // (2 * count(*)))
+    AS DOUBLE) / 10000.0 AS mean,
+  CAST((2 * CAST(sum(xs * xs) AS BIGINT) + count(*) * 10000) // (2 * count(*) * 10000)
+    AS DOUBLE) / 10000.0 AS mean_sq,
+  CAST(min(xs) AS DOUBLE) / 10000.0 AS mn,
+  CAST(max(xs) AS DOUBLE) / 10000.0 AS mx
+FROM e GROUP BY dim"""))
   )
 }

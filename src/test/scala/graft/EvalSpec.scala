@@ -139,4 +139,41 @@ class EvalSpec extends SparkSpec {
     // s3 shares nothing → pair absent (inner join on term)
     assert(!got.exists(r => r.getString(1) == "s3" || r.getString(0) == "s3"))
   }
+
+  test("knnClassify majority vote with smaller-label tie-break, self excluded") {
+    import spark.implicits._
+    // query at origin; 2 neighbors labeled 1 at d=1, 2 neighbors labeled 0
+    // at d=2 → k=3 sees {1,1,0} → majority 1; k=4 ties 2-2 → label 0 wins
+    val base = Seq(
+      (0L, Array(0f, 0f), 9), // the query itself (label must not vote)
+      (1L, Array(1f, 0f), 1),
+      (2L, Array(0f, 1f), 1),
+      (3L, Array(2f, 0f), 0),
+      (4L, Array(0f, 2f), 0)
+    ).toDF("id", "vec", "label")
+    val q = Seq((0L, Array(0f, 0f))).toDF("qid", "qvec")
+    val k3 = Eval.knnClassify(q, base, 3, Metric.L2, Some(4)).collect().head
+    assert(k3.getAs[Int]("pred_label") == 1 && k3.getAs[Long]("votes") == 2L)
+    val k4 = Eval.knnClassify(q, base, 4, Metric.L2, Some(4)).collect().head
+    assert(k4.getAs[Int]("pred_label") == 0 && k4.getAs[Long]("votes") == 2L)
+  }
+
+  test("dimStats per-dim mean/mean_sq/min/max are exact on a toy frame") {
+    import spark.implicits._
+    val df = Seq(
+      Tuple1(Array(1.0f, -2.0f)),
+      Tuple1(Array(3.0f, 4.0f))
+    ).toDF("embedding")
+    val got = Eval.dimStats(df).collect().map(r =>
+      r.getAs[Long]("dim") -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getAs[Long]("n") == 2L)
+    assert(d1.getAs[Double]("mean") == 2.0) // (1+3)/2
+    assert(d1.getAs[Double]("mean_sq") == 5.0) // (1+9)/2
+    assert(d1.getAs[Double]("mn") == 1.0 && d1.getAs[Double]("mx") == 3.0)
+    val d2 = got(2L)
+    assert(d2.getAs[Double]("mean") == 1.0) // (-2+4)/2
+    assert(d2.getAs[Double]("mean_sq") == 10.0) // (4+16)/2
+    assert(d2.getAs[Double]("mn") == -2.0 && d2.getAs[Double]("mx") == 4.0)
+  }
 }
