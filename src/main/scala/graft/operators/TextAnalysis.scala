@@ -280,7 +280,35 @@ object TextAnalysis {
     * (which differs across partitionings) can never flip the reported mean —
     * and the means themselves are rounded in integer arithmetic
     * (halfUpMeanScaled), never on a double quotient. */
-  def corpusSourceStats(df: DataFrame): DataFrame = {
+  def corpusSourceStats(df: DataFrame): DataFrame =
+    renderSourceStats(
+      sourceStatsPerDoc(df)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("qi")).as("sum_qi"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("lang_hit")).as("lang_hits")))
+
+  /** Render the per-source EXACT sums into the dashboard means — the one
+    * place division happens, in integer half-up arithmetic. Split out so
+    * the STREAMING twin (whose state carries the same five sums across
+    * micro-batches) renders identically. */
+  private[graft] def renderSourceStats(grouped: DataFrame): DataFrame =
+    grouped.select(
+      col("source"),
+      col("n_docs"),
+      col("total_tokens"),
+      halfUpMeanScaled(col("sum_qi"), col("n_docs"), 4).as("avg_quality"),
+      halfUpMeanScaled(col("sum_chars") * lit(100L), col("n_docs"), 2).as("avg_chars"),
+      halfUpMeanScaled(col("lang_hits") * lit(10000L), col("n_docs"), 4)
+        .as("langid_agreement"))
+
+  /** Per-document metric projection feeding [[corpusSourceStats]] — all
+    * values exact longs (quality 4dp-rounded then scaled), so any
+    * grouping/merging order yields identical sums. */
+  private[graft] def sourceStatsPerDoc(df: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t).cast("double")
     val ttr = size(array_distinct(t)).cast("double") / n
@@ -304,15 +332,6 @@ object TextAnalysis {
       (quality.cast("decimal(18,4)") * lit(10000)).cast("long").as("qi"),
       col("n_chars"),
       when(pred === col("lang"), 1L).otherwise(0L).as("lang_hit"))
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        halfUpMeanScaled(sum(col("qi")), count(lit(1)), 4).as("avg_quality"),
-        halfUpMeanScaled(sum(col("n_chars")) * lit(100L), count(lit(1)), 2)
-          .as("avg_chars"),
-        halfUpMeanScaled(sum(col("lang_hit")) * lit(10000L), count(lit(1)), 4)
-          .as("langid_agreement"))
   }
 
   /** Language-ID n-gram heuristic: score per language = fraction of tokens

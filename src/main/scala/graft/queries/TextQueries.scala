@@ -23,6 +23,57 @@ object TextQueries {
     - 3.0 * (CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t))
     + 0.05 * (list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE))) / len(t)), 4)"""
 
+  private val sourceStatsSql: String = """WITH tok AS (
+  SELECT source, lang, n_chars, string_split(text, ' ') AS t FROM documents
+),
+d AS (
+  SELECT source, n_chars, CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(CAST(round(2.0 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+      - 3.0 * (CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t))
+      + 0.05 * (list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE))) / len(t)), 4)
+      AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qi,
+    CASE WHEN (CASE
+      WHEN CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t) =
+        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
+      THEN 'en'
+      WHEN CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t) =
+        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
+      THEN 'de'
+      WHEN CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t) =
+        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
+      THEN 'fr'
+      WHEN CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t) =
+        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
+                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
+      THEN 'es'
+      ELSE 'zh' END) = lang THEN 1 ELSE 0 END AS lang_hit
+  FROM tok
+)
+SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+  CAST((CASE WHEN sum(qi) < 0 THEN -1 WHEN sum(qi) > 0 THEN 1 ELSE 0 END)
+    * ((2 * abs(CAST(sum(qi) AS BIGINT)) + count(*)) // (2 * count(*)))
+    AS DOUBLE) / 10000.0 AS avg_quality,
+  CAST((2 * CAST(sum(n_chars) AS BIGINT) * 100 + count(*)) // (2 * count(*))
+    AS DOUBLE) / 100.0 AS avg_chars,
+  CAST((2 * CAST(sum(lang_hit) AS BIGINT) * 10000 + count(*)) // (2 * count(*))
+    AS DOUBLE) / 10000.0 AS langid_agreement
+FROM d GROUP BY source"""
+
   def all: Seq[GraftQuery] = Seq(
     // token counting (whitespace tokenizer + distinct + mean length)
     GraftQuery(
@@ -137,56 +188,46 @@ FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id""")),
     GraftQuery(
       "corpus_source_stats",
       (s, dir) => TextAnalysis.corpusSourceStats(Tables.documents(s, dir)),
-      Some("""WITH tok AS (
-  SELECT source, lang, n_chars, string_split(text, ' ') AS t FROM documents
-),
-d AS (
-  SELECT source, n_chars, CAST(len(t) AS BIGINT) AS n_tokens,
-    CAST(CAST(round(2.0 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
-      - 3.0 * (CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t))
-      + 0.05 * (list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE))) / len(t)), 4)
-      AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qi,
-    CASE WHEN (CASE
-      WHEN CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t) =
-        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
-      THEN 'en'
-      WHEN CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t) =
-        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
-      THEN 'de'
-      WHEN CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t) =
-        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
-      THEN 'fr'
-      WHEN CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t) =
-        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
-      THEN 'es'
-      ELSE 'zh' END) = lang THEN 1 ELSE 0 END AS lang_hit
-  FROM tok
-)
-SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-  CAST((CASE WHEN sum(qi) < 0 THEN -1 WHEN sum(qi) > 0 THEN 1 ELSE 0 END)
-    * ((2 * abs(CAST(sum(qi) AS BIGINT)) + count(*)) // (2 * count(*)))
-    AS DOUBLE) / 10000.0 AS avg_quality,
-  CAST((2 * CAST(sum(n_chars) AS BIGINT) * 100 + count(*)) // (2 * count(*))
-    AS DOUBLE) / 100.0 AS avg_chars,
-  CAST((2 * CAST(sum(lang_hit) AS BIGINT) * 10000 + count(*)) // (2 * count(*))
-    AS DOUBLE) / 10000.0 AS langid_agreement
-FROM d GROUP BY source""")),
+      Some(sourceStatsSql)),
+    // STREAMING per-source dashboard twin: the five exact sums ride
+    // GroupState across micro-batches (per-doc metrics are exact longs, so
+    // any batch split yields the same state); final render = the same
+    // integer half-up means — hash-matches the batch oracle above
+    GraftQuery(
+      "corpus_source_stats_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Tables.documents(s, dir)
+        val median = docs.selectExpr("percentile(doc_id, 0.5)").head().getDouble(0).toLong
+        val stage = java.nio.file.Files.createTempDirectory("graft-srcstats-stream")
+        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
+        docs.filter(col("doc_id") <= median)
+          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
+        docs.filter(col("doc_id") > median)
+          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
+        import java.nio.file.attribute.FileTime
+        def touch(p: java.nio.file.Path, t: Long): Unit =
+          java.nio.file.Files.walk(p).forEach(f =>
+            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
+        val now = System.currentTimeMillis()
+        touch(d1, now - 120000); touch(d2, now - 60000)
+        val src = s.readStream
+          .schema(s.read.parquet(d1.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$stage/b*")
+        val sink = s"corpus_source_stats_stream_${System.nanoTime()}"
+        val q = graft.streaming.StreamingCorpusStats
+          .sourceStatsUpdates(src)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.StreamingCorpusStats.renderFinal(s.table(sink))
+      },
+      Some(sourceStatsSql)),
     // document fingerprint (rolling polynomial hash over ordered tokens)
     GraftQuery(
       "doc_fingerprint",
