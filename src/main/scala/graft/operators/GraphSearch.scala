@@ -187,6 +187,34 @@ object GraphSearch {
     finish(BruteForce.topK(frontier, k, metric.ascending), persisted)
   }
 
+  /** Beam-backed RangeSearch — the reference's HNSW range path
+    * (`faiss_hnsw.cc:1319-1478`: range results come from the ef-bounded
+    * iterator stream, filtered to the radius; a brute-force fallback
+    * covers hostile bitsets — that arm is [[graft.HnswIndex]]'s exact
+    * `rangeSearch`). Batch analog: the fixed-unroll beam's ef-frontier,
+    * two-sided-bounded per [[BruteForce.rangeSearch]]'s per-metric
+    * direction. Result quality is ef-bounded exactly like the reference's
+    * (a neighbor the beam never admitted cannot be returned), and the
+    * composition is fully hash-gateable. */
+  def rangeSearch(
+      graph: DataFrame, // (src, dst) directed edges
+      base: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      entries: DataFrame, // (nid) entry point ids
+      ef: Int,
+      iters: Int,
+      metric: Metric,
+      radius: Double,
+      rangeFilter: Double,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val (frontier, persisted) = beamLoop(graph, base, queries, entries, ef, iters, metric, roundDist)
+    val keep =
+      if (metric.ascending) col("dist") >= rangeFilter && col("dist") < radius
+      else col("dist") > radius && col("dist") <= rangeFilter
+    finish(frontier.filter(keep).select(col("qid"), col("nid"), col("dist")), persisted)
+  }
+
   /** FILTERED beam search — the bitset-filtered graph search that is the
     * reference's hot path under Milvus scalar predicates
     * (`faiss_hnsw.cc:734-779`: the traversal walks filtered nodes as

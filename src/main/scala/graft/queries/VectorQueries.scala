@@ -220,7 +220,8 @@ SELECT qid, nid, dist, rnk FROM (
       * `graphCtes` overrides the default exact-5NN graph CTE — it must
       * end in a CTE named `g` exposing (src, dst). */
     def graphBeam(ef: Int, k: Int, graphCtes: Option[String] = None,
-        allowedPred: Option[String] = None): String = {
+        allowedPred: Option[String] = None,
+        rangeBound: Option[(Double, Double)] = None): String = {
       def topEf(src: String): String =
         s"""SELECT qid, nid, dist FROM (
   SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rn
@@ -262,11 +263,13 @@ u2 AS (SELECT DISTINCT qid, nid, dist FROM (SELECT * FROM f1 UNION ALL SELECT * 
 f2 AS (${topEf("u2")}),
 fin AS (${allowedPred.fold("SELECT qid, nid, dist FROM f2")(p =>
         s"SELECT f.qid, f.nid, f.dist FROM f2 f JOIN embeddings al ON al.vec_id = f.nid WHERE $p")})
-SELECT qid, nid, dist, rnk FROM (
+${rangeBound.fold(
+        s"""SELECT qid, nid, dist, rnk FROM (
   SELECT qid, nid, dist,
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
   FROM fin
-) WHERE rnk <= $k"""
+) WHERE rnk <= $k""") { case (rf, r) =>
+        s"SELECT qid, nid, dist FROM fin WHERE dist >= $rf AND dist < $r" }}"""
     }
 
     /** CAGRA graph-optimization CTEs (mirrors Cagra.optimize): exact
@@ -1462,6 +1465,29 @@ SELECT src, dst, dist, rnk FROM (
           K, ef = 16, iters = 2, Metric.L2, ROUND)
       },
       Some(Sql.graphBeam(ef = 16, k = K, allowedPred = Some("al.label % 2 = 0")))),
+    // V5 × S7 — beam-backed RangeSearch on the graph index
+    // (faiss_hnsw.cc:1319-1478: range results stream from the ef-bounded
+    // iterator, radius-filtered; the brute-force fallback arm is the
+    // HnswIndex handle's exact rangeSearch). ef-bounded result quality,
+    // fixed unroll ⇒ hash-gated.
+    GraftQuery(
+      "graph_range",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val all = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val graph = BruteForce
+          .knnFused(all, base, 5, Metric.L2, roundDist = ROUND, excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"))
+        val entries = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("nid"))
+        GraphSearch.rangeSearch(graph, base, queryVecs(s, dir), entries,
+          ef = 16, iters = 2, Metric.L2, radius = 1.33, rangeFilter = 0.5, ROUND)
+      },
+      Some(Sql.graphBeam(ef = 16, k = K, rangeBound = Some((0.5, 1.33))))),
     // V5 × S6 — RangeSearch on the IVF index (ivf.cc:812-917): probe
     // nprobe=2 lists, scan only those, two-sided range bound. The probed
     // scan is the only base touch — at 100 TB a range query reads

@@ -62,6 +62,21 @@ class IvfExtrasSpec extends SparkSpec {
     } finally sess.close()
   }
 
+  test("graph rangeSearch rows all lie inside the bound and inside the exact range set") {
+    val graph = BruteForce
+      .knnFused(
+        emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        base, 5, Metric.L2, roundDist = Some(4), excludeSelf = true)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+    val entries = emb.filter(col("vec_id") % 250 === 0).select(col("vec_id").as("nid"))
+    val got = GraphSearch.rangeSearch(graph, base, queries, entries,
+      ef = 16, iters = 2, Metric.L2, radius = 1.33, rangeFilter = 0.5, Some(4))
+    assert(got.filter(col("dist") < 0.5 || col("dist") >= 1.33).isEmpty)
+    val exact = BruteForce.rangeSearch(queries, base, Metric.L2,
+      radius = 1.33, rangeFilter = 0.5, roundDist = Some(4))
+    assert(got.select("qid", "nid").exceptAll(exact.select("qid", "nid")).isEmpty)
+  }
+
   test("filtered beam returns only allowed ids, subset of the unfiltered frontier") {
     val graph = BruteForce
       .knnFused(
