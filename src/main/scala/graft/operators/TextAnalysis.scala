@@ -215,6 +215,48 @@ object TextAnalysis {
         expr("CAST(inter_sz * 10000 DIV (va + vb - inter_sz) AS BIGINT)").as("jaccard_bp"))
   }
 
+  /** Per-source token-distribution DRIFT from the corpus — the
+    * domain-shift / mixture-monitoring statistic a training pipeline
+    * watches when a new crawl source lands: total-variation distance
+    * between each source's unigram distribution p_s and the whole-corpus
+    * distribution p, held EXACT as integer rationals (the repo contract —
+    * no float p whose summation order could flip a reported bp):
+    *
+    *   TV(p_s, p)·2·N_s·N = Σ_{t∈V_s} |c_st·N − c_t·N_s|
+    *                        + (N − Σ_{t∈V_s} c_t)·N_s
+    *
+    * (the second term is the mass of terms the source never uses). Output
+    * `tv_bp = TVnum·10⁴ DIV (2·N_s·N)` — 0 means the source mirrors the
+    * corpus mix, 10⁴ means disjoint vocabulary.
+    *
+    * Scale shape: one (source, term) shuffle builds c_st; corpus counts
+    * c_t roll up FROM c_st (terms ≪ tokens — the corpus is never
+    * re-scanned); per-source totals and the corpus total broadcast. The
+    * driver-side scalar N is one tiny aggregate. */
+  def sourceVocabDrift(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val st = df
+      .select(col("source"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val nTotal = ns.agg(sum(col("n_s"))).head().getLong(0)
+    st
+      .join(ct, "term")
+      .join(broadcast(ns), "source")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        max(col("n_s")).as("n_s"),
+        sum(abs(col("c_st") * lit(nTotal) - col("c_t") * col("n_s"))).as("inn"),
+        sum(col("c_t")).as("cov"))
+      .select(
+        col("source"),
+        col("n_terms"),
+        expr(s"CAST((inn + ($nTotal - cov) * n_s) * 10000 DIV (2 * n_s * $nTotal) AS BIGINT)")
+          .as("tv_bp"))
+  }
+
   /** Intra-document repetition stats — the Gopher-family repetition rules
     * (top-n-gram fraction, duplicate-n-gram fraction) used to drop
     * boilerplate/templated docs from training corpora:

@@ -144,6 +144,34 @@ FROM o GROUP BY 1""")),
       Some("""SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
 round(quantile_cont(value, 0.95), 4) AS p95
 FROM events GROUP BY 1""")),
+    // strict-ordering conversion funnel (view → click → purchase): step i
+    // counts users whose first step-i event follows their first qualifying
+    // step-(i−1) event; conversion = integer bp off step 1. Every shuffle
+    // keys on user_id; per-step frames shrink monotonically
+    GraftQuery(
+      "events_funnel",
+      (s, dir) =>
+        graft.operators.Funnel.steps(
+          Tables.events(s, dir), Seq("view", "click", "purchase")),
+      Some("""WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+),
+c AS (
+  SELECT 'view' AS step, 1 AS step_ord, count(*) AS users FROM s1
+  UNION ALL SELECT 'click', 2, count(*) FROM s2
+  UNION ALL SELECT 'purchase', 3, count(*) FROM s3
+),
+b AS (SELECT users AS base FROM c WHERE step_ord = 1)
+SELECT step, step_ord, users, CAST(users * 10000 // base AS BIGINT) AS conv_bp
+FROM c CROSS JOIN b""")),
     // robust outlier detection (median + MAD, the classic data-quality
     // gate): flag events whose |value − median| exceeds 3×MAD of their
     // event type. Exact interpolated medians (same percentile contract

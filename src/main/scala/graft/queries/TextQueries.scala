@@ -368,6 +368,32 @@ SELECT i.src_a, i.src_b, i.inter_sz,
   sa.vsize + sb.vsize - i.inter_sz AS union_sz,
   CAST(i.inter_sz * 10000 // (sa.vsize + sb.vsize - i.inter_sz) AS BIGINT) AS jaccard_bp
 FROM i JOIN sz sa ON sa.source = i.src_a JOIN sz sb ON sb.source = i.src_b""")),
+    // per-source token-distribution drift (domain-shift monitor): exact
+    // total-variation distance between the source's unigram mix and the
+    // corpus mix, integer rationals end to end — c_t rolls up from the
+    // same (source, term) counts, never a second corpus scan
+    GraftQuery(
+      "source_vocab_drift",
+      (s, dir) => TextAnalysis.sourceVocabDrift(Tables.documents(s, dir)),
+      Some("""WITH st AS (
+  SELECT source, term, count(*) AS c_st
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY 1, 2
+),
+ct AS (SELECT term, sum(c_st) AS c_t FROM st GROUP BY 1),
+ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+tot AS (SELECT sum(n_s) AS n FROM ns),
+agg AS (
+  SELECT st.source AS source, count(*) AS n_terms, max(ns.n_s) AS n_s,
+    sum(abs(st.c_st * tot.n - ct.c_t * ns.n_s)) AS inn,
+    sum(ct.c_t) AS cov, max(tot.n) AS n
+  FROM st JOIN ct ON ct.term = st.term
+  JOIN ns ON ns.source = st.source CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT source, n_terms,
+  CAST((inn + (n - cov) * n_s) * 10000 // (2 * n_s * n) AS BIGINT) AS tv_bp
+FROM agg""")),
     // unigram-LM rarity (the CCNet/KenLM perplexity-filter surrogate):
     // tf-weighted mean inverse corpus frequency per doc, exact 64-bit
     // integer arithmetic — ln differs in the last ulp across libms, the

@@ -144,4 +144,40 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(3L) == ((20L, true)))
     assert(got(4L) == ((10L, true)))
   }
+
+  test("sourceVocabDrift: mirror source → 0 bp, disjoint-vocab source → high bp") {
+    // s1+s2 share the corpus mix exactly when they are identical; s3 is
+    // disjoint. N = 12: s1 "a b", s2 "a b", s3 "x y" → each n_s = 2? Use
+    // heavier counts for a non-trivial check.
+    val df = Seq(
+      (1L, "s1", "a b a b"),
+      (2L, "s2", "a b a b"),
+      (3L, "s3", "x y x y")
+    ).toDF("doc_id", "source", "text")
+    val drift = TextAnalysis.sourceVocabDrift(df).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // corpus: a=4,b=4,x=2,y=2, N=12. s1: p(a)=p(b)=1/2 vs corpus 1/3 each;
+    // TV = (|1/2-1/3|·2 + (1/6+1/6))/2 = 1/3 → 3333 bp
+    assert(drift("s1") == 3333L && drift("s2") == 3333L)
+    // s3: p(x)=p(y)=1/2 vs corpus 1/6 → TV = (2·1/3 + 2/3)/2 = 2/3 → 6666 bp
+    assert(drift("s3") == 6666L)
+  }
+
+  test("Funnel.steps strict ordering: later step requires an event after the previous step") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1 completes the funnel in order
+      (1L, 1L, "view", ts(1)), (2L, 1L, "click", ts(2)), (3L, 1L, "purchase", ts(3)),
+      // user 2: purchase BEFORE click → stops at click
+      (4L, 2L, "view", ts(1)), (5L, 2L, "purchase", ts(2)), (6L, 2L, "click", ts(3)),
+      // user 3: only view
+      (7L, 3L, "view", ts(5))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Funnel.steps(ev, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1) == ((3L, 10000L)))
+    assert(got(2) == ((2L, 6666L)))
+    assert(got(3) == ((1L, 3333L)))
+  }
 }
