@@ -221,6 +221,22 @@ final class IvfFlatIndex(
       typeName = indexType)
   }
 
+  /** Segment MERGE — the compaction verb the reference's host system runs
+    * over sealed segments built against one trained codebook (the CC
+    * family's lists are FIXED at train time, `ivf.cc:1250-1262`, so two
+    * same-codebook indexes merge list-wise — a union, no retrain; the
+    * same contract [[append]] rides for single rows). List-population
+    * metadata is recomputed from the union so `ensure_topk_full` stays
+    * build-time. */
+  def merge(other: IvfFlatIndex): IvfFlatIndex = {
+    require(other.indexType == indexType && other.metric == metric,
+      s"cannot merge $indexType/$metric with ${other.indexType}/${other.metric}")
+    val merged = index.unionByName(other.index)
+    new IvfFlatIndex(merged, centroids, metric, nprobe, roundDist,
+      listSizesMeta = listSizesMeta.map(_ => IvfIndex.listSizes(merged)),
+      typeName = indexType)
+  }
+
   /** Range search scans all lists — nprobe=nlist, exact within bound
     * (`ivf.cc:854-868`). */
   override def rangeSearch(queries: DataFrame, radius: Double, rangeFilter: Double,

@@ -252,6 +252,31 @@ object Dedup {
     * initially; a neighbor's label by induction; a label's label likewise),
     * so shortcutting never crosses components. One tiny count action per
     * round detects the fixpoint. */
+  /** Quality-based SURVIVOR selection over dedup groups — production
+    * dedup keeps the BEST group member (longest / highest-quality doc),
+    * not the smallest id (the C4/RefinedWeb convention). `groups` is
+    * [[connectedComponents]] output (doc_id, group_id); `quality` any
+    * deterministic per-doc score. Survivor = max quality, ties to the
+    * SMALLER id. Shape: one max_by aggregate per group (map-side
+    * partials; groups ≪ corpus) + a broadcast join back — no per-group
+    * window over the corpus. */
+  def keepBestInGroup(
+      groups: DataFrame, // (doc_id, group_id)
+      quality: DataFrame // (doc_id, q) — any orderable numeric
+  ): DataFrame = {
+    val scored = groups.join(quality, "doc_id")
+    // lexicographic max of (q, -doc_id) = highest quality, then lowest id
+    val best = scored
+      .groupBy(col("group_id"))
+      .agg(max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("survivor"))
+    scored
+      .join(broadcast(best), "group_id")
+      .select(
+        col("doc_id"),
+        col("group_id"),
+        (col("doc_id") === col("survivor")).as("kept"))
+  }
+
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))

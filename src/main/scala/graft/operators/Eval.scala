@@ -124,6 +124,33 @@ object Eval {
     * map-side-distance / bounded-heap shape as [[BruteForce.knn]] — the
     * label predicate filters pairs before anything is ranked, so only
     * nq×k candidates per partition survive to the reduction. */
+  /** Spearman rank agreement between two ranked arms over the SAME
+    * per-query item set — the metric-sensitivity probe (does L2 order
+    * differ from cosine order? does the quantized arm reorder the exact
+    * arm?) next to [[recallAtK]]'s set view. Exact integer surrogate of
+    * ρ = 1 − 6Σd²/(n(n²−1)): `rho_bp = 10⁴ − 6·10⁴·Σd² DIV (n(n²−1))`
+    * (−10⁴ … 10⁴). Inputs are bounded nq×k frames, so the join and the
+    * per-query aggregate broadcast; queries with n < 2 report 10⁴ (a
+    * single shared item cannot disagree). */
+  def rankCorrelation(
+      armA: DataFrame, // (qid, nid, rnk)
+      armB: DataFrame // (qid, nid, rnk)
+  ): DataFrame = {
+    val d = col("ra").cast("long") - col("rb").cast("long")
+    armA
+      .select(col("qid"), col("nid"), col("rnk").as("ra"))
+      .join(armB.select(col("qid"), col("nid"), col("rnk").as("rb")), Seq("qid", "nid"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n"), sum(d * d).as("sum_d2"))
+      .select(
+        col("qid"),
+        col("n"),
+        col("sum_d2"),
+        when(col("n") < 2, lit(10000L))
+          .otherwise(expr("CAST(10000 - (60000 * sum_d2) DIV (n * (n * n - 1)) AS BIGINT)"))
+          .as("rho_bp"))
+  }
+
   /** kNN majority-vote classification — the weak-labeling / label-
     * propagation shape a training pipeline runs to label new data from an
     * embedded seed set (the pipeline twin of the reference's search verb:

@@ -167,4 +167,42 @@ object Sampling {
       .select(out: _*)
     full.unionByName(boundary)
   }
+
+  /** Deterministic GLOBAL shuffle rank — "shuffle the training data" as a
+    * reproducible permutation: every document gets its position in
+    * content-hash order (seedless, layout-independent, identical on every
+    * run). The 100 TB shape is the point: a naive
+    * `row_number() OVER (ORDER BY hash)` funnels the corpus through ONE
+    * sorted partition; here the rank is two-phase — (1) range-bucket the
+    * key space (order-preserving `key·B DIV P`), count per bucket, prefix-
+    * sum the ≤B counts driver-side; (2) rank WITHIN each bucket (B
+    * concurrent partitioned sorts) and add the broadcast offset. Same
+    * answer, no single-reducer sort. Ties (identical texts) break by id. */
+  def shuffleRank(
+      docs: DataFrame, // (idCol, textCol)
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 64
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = TextAnalysis.HashP
+    val keyed = docs.select(
+      col(idCol),
+      TextAnalysis.tokenHash(md5(col(textCol).cast("binary"))).as("_k"))
+      .withColumn("_b", expr(s"CAST(_k * $buckets DIV $p AS BIGINT)"))
+    val counts = keyed.groupBy(col("_b")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("_b", "_off"))
+    keyed
+      .join(offDf, "_b")
+      .withColumn(
+        "_rn",
+        row_number().over(
+          Window.partitionBy(col("_b")).orderBy(col("_k").asc, col(idCol).asc)))
+      .select(col(idCol), (col("_off") + col("_rn")).as("shuffle_rank"))
+  }
 }

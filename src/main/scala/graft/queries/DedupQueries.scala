@@ -169,6 +169,54 @@ reach(u, v) AS (
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
 )
 SELECT u AS doc_id, min(v) AS group_id FROM reach GROUP BY 1""")),
+    // quality-based survivor per dup group (the C4/RefinedWeb keep-best
+    // convention): survivor = max n_chars, ties to the smaller id; one
+    // max_by per group + broadcast join back — no per-group window
+    GraftQuery(
+      "dedup_groups_keep_best",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val groups = Dedup.connectedComponents(
+          Dedup.minhashLshPairs(docs, threshold = 0.5))
+        Dedup.keepBestInGroup(groups, docs.select(col("doc_id"), col("n_chars").as("q")))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSqlBody,
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM j WHERE jaccard >= 0.5
+  UNION ALL SELECT doc_b, doc_a FROM j WHERE jaccard >= 0.5
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+g AS (SELECT u AS doc_id, min(v) AS group_id FROM reach GROUP BY 1),
+sc AS (
+  SELECT g.doc_id AS doc_id, g.group_id AS group_id, d.n_chars AS q
+  FROM g JOIN documents d ON d.doc_id = g.doc_id
+),
+best AS (
+  SELECT group_id, doc_id AS survivor FROM (
+    SELECT group_id, doc_id,
+      row_number() OVER (PARTITION BY group_id ORDER BY q DESC, doc_id ASC) AS rn
+    FROM sc
+  ) WHERE rn = 1
+)
+SELECT sc.doc_id, sc.group_id, sc.doc_id = best.survivor AS kept
+FROM sc JOIN best ON best.group_id = sc.group_id""")),
+    // deterministic global shuffle rank (reproducible training-data
+    // permutation): two-phase — order-preserving range buckets + driver
+    // prefix sums + per-bucket ranks — same answer as the global-sort
+    // row_number, without the single-reducer sort
+    GraftQuery(
+      "corpus_shuffle_rank",
+      (s, dir) => graft.operators.Sampling.shuffleRank(Tables.documents(s, dir)),
+      Some(s"""WITH keyed AS (
+  SELECT doc_id, ${sqlTokenHash("md5(text)")} AS h FROM documents
+)
+SELECT doc_id,
+  CAST(row_number() OVER (ORDER BY h ASC, doc_id ASC) AS BIGINT) AS shuffle_rank
+FROM keyed""")),
     // n-gram Jaccard with 1-permutation (min shingle hash) blocking
     GraftQuery(
       "dedup_ngram_jaccard",

@@ -301,6 +301,53 @@ neg AS (
 SELECT pos.qid AS qid, pos_id, pos_dist, neg_id, neg_dist,
   round(neg_dist - pos_dist, 4) AS margin
 FROM pos JOIN neg ON neg.qid = pos.qid""")),
+    // Spearman rank agreement between the L2 ordering and the cosine
+    // re-ordering of the SAME top-K candidate set (metric-sensitivity
+    // probe) — exact integer rho surrogate, bounded nq×K arms
+    GraftQuery(
+      "eval_rank_corr",
+      (s, dir) => {
+        val ca = BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.L2,
+          roundDist = ROUND)
+        val cosRaw = graft.functions.VectorFunctions.cosineSim(col("qvec"), col("vec"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(round(cosRaw, 4).desc, col("nid").asc)
+        val cb = ca
+          .select(col("qid"), col("nid"))
+          .join(baseVecs(s, dir).select(col("id").as("nid"), col("vec")), "nid")
+          .join(broadcast(queryVecs(s, dir)), "qid")
+          .withColumn("rnk", row_number().over(w))
+          .select(col("qid"), col("nid"), col("rnk"))
+        Eval.rankCorrelation(ca, cb)
+      },
+      Some(s"""WITH ${Sql.qView},
+pa AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.l2} AS dist
+  FROM q CROSS JOIN embeddings b
+),
+ca AS (
+  SELECT qid, nid, rnk AS ra FROM (
+    SELECT qid, nid,
+      CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+    FROM pa
+  ) WHERE rnk <= $K
+),
+cb AS (
+  SELECT c.qid AS qid, c.nid AS nid,
+    row_number() OVER (PARTITION BY c.qid ORDER BY ${Sql.cosine} DESC, c.nid ASC) AS rb
+  FROM ca c JOIN q ON q.qid = c.qid JOIN embeddings b ON b.vec_id = c.nid
+),
+gg AS (
+  SELECT ca.qid AS qid, count(*) AS n,
+    sum((ca.ra - cb.rb) * (ca.ra - cb.rb)) AS sum_d2
+  FROM ca JOIN cb ON cb.qid = ca.qid AND cb.nid = ca.nid
+  GROUP BY 1
+)
+SELECT qid, n, CAST(sum_d2 AS BIGINT) AS sum_d2,
+  CAST(CASE WHEN n < 2 THEN 10000
+       ELSE 10000 - (60000 * sum_d2) // (n * (n * n - 1)) END AS BIGINT) AS rho_bp
+FROM gg""")),
     // kNN majority-vote classification (weak labeling / label propagation):
     // neighbors from the fused bounded-heap scan (self-hits excluded
     // pair-level), votes aggregate nq×k rows, ties break to the smaller

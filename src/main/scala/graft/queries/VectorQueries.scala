@@ -1126,6 +1126,27 @@ SELECT id, cluster_id, dist FROM (
           .search(queryVecs(s, dir), K, None)
       },
       Some(Sql.ivfProbe)),
+    // V3 × V12 — segment MERGE (compaction): two same-codebook halves
+    // merged list-wise (no retrain — the CC fixed-lists contract,
+    // ivf.cc:1250-1262); searching the merged index answers exactly as
+    // the single build, so the same oracle gates it
+    GraftQuery(
+      "ivf_knn_probe_merged",
+      (s, dir) => {
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val median = base.selectExpr("percentile(id, 0.5)").head().getDouble(0).toLong
+        def half(pred: org.apache.spark.sql.Column) = new graft.IvfFlatIndex(
+          IvfIndex.build(base.filter(pred), cents, ROUND), cents, Metric.L2,
+          nprobe = 2, ROUND)
+        half(col("id") <= median)
+          .merge(half(col("id") > median))
+          .search(queryVecs(s, dir), K, None)
+      },
+      Some(Sql.ivfProbe)),
     // S6 BIN_IVF_FLAT — the IVF family over bit-packed binary vectors
     // with HAMMING assignment/probing (`ivf.cc:1244-1276` registers
     // BIN_IVF_FLAT): same probe-and-prune mechanics, binary metric

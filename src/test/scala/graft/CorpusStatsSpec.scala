@@ -163,6 +163,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(drift("s3") == 6666L)
   }
 
+  test("keepBestInGroup: survivor is max quality, ties to smaller id") {
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "group_id")
+    val quality = Seq((1L, 10L), (2L, 30L), (3L, 30L), (5L, 7L), (6L, 7L))
+      .toDF("doc_id", "q")
+    val kept = Dedup.keepBestInGroup(groups, quality).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(kept == Map(1L -> false, 2L -> true, 3L -> false, 5L -> true, 6L -> false))
+  }
+
+  test("shuffleRank equals the global-sort row_number on the sf0.001 corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val got = Sampling.shuffleRank(docs, buckets = 8)
+    val key = TextAnalysis.tokenHash(md5(col("text").cast("binary")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(key.asc, col("doc_id").asc)
+    val ref = docs.select(col("doc_id"), row_number().over(w).cast("long").as("shuffle_rank"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
   test("Funnel.steps strict ordering: later step requires an event after the previous step") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")

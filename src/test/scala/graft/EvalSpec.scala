@@ -140,6 +140,17 @@ class EvalSpec extends SparkSpec {
     assert(!got.exists(r => r.getString(1) == "s3" || r.getString(0) == "s3"))
   }
 
+  test("rankCorrelation: identical arms → 10000 bp, fully reversed arms → -10000 bp") {
+    import spark.implicits._
+    val armA = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("qid", "nid", "rnk")
+    val same = Eval.rankCorrelation(armA, armA).collect().head
+    assert(same.getAs[Long]("rho_bp") == 10000L && same.getAs[Long]("sum_d2") == 0L)
+    val armB = Seq((1L, 10L, 3), (1L, 11L, 2), (1L, 12L, 1)).toDF("qid", "nid", "rnk")
+    val rev = Eval.rankCorrelation(armA, armB).collect().head
+    // sum_d2 = 4+0+4 = 8; rho = 1 - 6*8/(3*8) = -1
+    assert(rev.getAs[Long]("sum_d2") == 8L && rev.getAs[Long]("rho_bp") == -10000L)
+  }
+
   test("knnClassify majority vote with smaller-label tie-break, self excluded") {
     import spark.implicits._
     // query at origin; 2 neighbors labeled 1 at d=1, 2 neighbors labeled 0

@@ -62,6 +62,18 @@ class IvfExtrasSpec extends SparkSpec {
     } finally sess.close()
   }
 
+  test("segment merge: two same-codebook halves search identically to the whole build") {
+    val median = base.selectExpr("percentile(id, 0.5)").head().getDouble(0).toLong
+    def half(pred: org.apache.spark.sql.Column) = new graft.IvfFlatIndex(
+      IvfIndex.build(base.filter(pred), cents, Some(4)), cents, Metric.L2,
+      nprobe = 2, Some(4))
+    val merged = half(col("id") <= median).merge(half(col("id") > median))
+      .search(queries, 10, None)
+    val whole = new graft.IvfFlatIndex(index, cents, Metric.L2, nprobe = 2, Some(4))
+      .search(queries, 10, None)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
   test("graph rangeSearch rows all lie inside the bound and inside the exact range set") {
     val graph = BruteForce
       .knnFused(
