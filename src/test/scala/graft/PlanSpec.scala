@@ -367,4 +367,45 @@ class PlanSpec extends SparkSpec {
     val pM = plan(Eval.mrrAtK(exact, exact))
     assert(pM.contains("BroadcastHashJoin"), s"mrr arms not broadcast:\n$pM")
   }
+
+  test("knnClassify: neighbor labels broadcast onto the bounded kNN arm") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val queries = embs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val base = embs.select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    val p = plan(Eval.knnClassify(queries, base, 5, Metric.L2, Some(4)))
+    assert(p.contains("BroadcastHashJoin"), s"label join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sort-merge join crept in:\n$p")
+  }
+
+  test("dimStats: map-side partial aggregate before the tiny dim-keyed shuffle") {
+    val p = plan(Eval.dimStats(Tables.embeddings(spark, sf0001)))
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 shuffle (dim groupBy), got $shuffles:\n$p")
+    assert(p.contains("partial"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("shuffleRank: per-bucket sorts, offsets broadcast, no global single-partition sort") {
+    val p = plan(Sampling.shuffleRank(Tables.documents(spark, sf0001), buckets = 8))
+    assert(p.contains("BroadcastHashJoin"), s"offset join not broadcast:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange rangepartitioning")),
+      s"global range sort crept in (single-reducer hazard):\n$p")
+  }
+
+  test("funnel: every shuffle lands on the user key — no event-wide exchange") {
+    val p = plan(Funnel.steps(Tables.events(spark, sf0001), Seq("view", "click", "purchase")))
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"funnel joins neither broadcast nor co-keyed:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange hashpartitioning(event_id")),
+      s"shuffle on event_id (should key on user_id):\n$p")
+  }
+
+  test("keepBestInGroup: survivor table broadcast back, no per-group window") {
+    import spark.implicits._
+    val groups = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "group_id")
+    val quality = Seq((1L, 10L), (2L, 30L)).toDF("doc_id", "q")
+    val p = plan(Dedup.keepBestInGroup(groups, quality))
+    assert(p.contains("BroadcastHashJoin"), s"survivor join not broadcast:\n$p")
+    assert(!p.contains("Window"), s"window sneaked into survivor selection:\n$p")
+  }
 }
