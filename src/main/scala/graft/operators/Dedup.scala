@@ -454,8 +454,17 @@ object Dedup {
       projections: DataFrame, // (pid, pvec)
       threshold: Double,
       bands: Int = 2,
-      rowsPerBand: Int = 8
+      rowsPerBand: Int = 8,
+      // MULTI-PROBE (Lv et al., VLDB'07): also probe every band key at
+      // Hamming distance 1 (flip each of the first `probeBits` bits) —
+      // near-boundary sign flips stop costing a missed candidate, so the
+      // same recall needs fewer bands/tables (fewer shuffled key rows at
+      // 100 TB). 0 = classic single-probe. Probing only widens the
+      // candidate set; exact verification is unchanged.
+      probeBits: Int = 0
   ): DataFrame = {
+    require(probeBits >= 0 && probeBits <= rowsPerBand,
+      s"probeBits $probeBits outside [0, $rowsPerBand]")
     val bits = embeddings
       .crossJoin(broadcast(projections))
       .select(col("vec_id"), col("pid"),
@@ -477,7 +486,19 @@ object Dedup {
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), col(s"k$b").as("key"))): _*)).as("x"))
       .select(col("vec_id"), col("x.band").as("band"), col("x.key").as("key"))
-    val cand = banded.select(col("vec_id").as("id_a"), col("band"), col("key"))
+    // probe side: the exact key plus (optionally) its 1-bit-flipped
+    // neighbors; the build side keeps exact keys only, so a Hamming-1
+    // pair is still found (one side's flip meets the other's exact key)
+    val probeSide =
+      if (probeBits == 0) banded
+      else banded.select(
+        col("vec_id"),
+        col("band"),
+        explode(array((0 to probeBits).map {
+          case 0 => col("key")
+          case j => expr(s"CAST(key AS BIGINT) ^ ${1L << (j - 1)}")
+        }: _*)).as("key"))
+    val cand = probeSide.select(col("vec_id").as("id_a"), col("band"), col("key"))
       .join(banded.select(col("vec_id").as("id_b"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

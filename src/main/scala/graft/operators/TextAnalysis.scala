@@ -125,6 +125,49 @@ object TextAnalysis {
     )
   }
 
+  /** Per-source quality-percentile CALIBRATION — quality scores are not
+    * comparable across domains (news prose vs forum posts score on
+    * different scales), so per-source filtering thresholds are set on the
+    * source-relative percentile, not the raw score. `pct_bp` = fraction
+    * of same-source docs with STRICTLY smaller 4dp quality, in integer
+    * basis points over (n_s − 1) — 0 for a source's worst doc, 10⁴ for
+    * its unique best.
+    *
+    * Scale shape (the nucleusVocab bucket trick): docs collapse into
+    * (source, 4dp-quality) buckets FIRST; the running sum windows only
+    * the per-source bucket rows (distinct 4dp values ≪ docs — never a
+    * per-doc window over the corpus), and the bucket ranks broadcast back
+    * onto the scan. */
+  def qualityPercentile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col(textCol))
+    val n = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / n
+    val stop = size(filter(t, x => x === "a" || x === "the")).cast("double") / n
+    val avgLen = aggregate(t, lit(0.0d), (a, x) => a + length(x).cast("double")) / n
+    val quality = round(lit(2.0d) * ttr - lit(3.0d) * stop + lit(0.05d) * avgLen, 4)
+    val scored = df.select(
+      col("doc_id"),
+      col("source"),
+      quality.as("quality"),
+      (quality.cast("decimal(18,4)") * lit(10000)).cast("long").as("_qi"))
+    val buckets = scored.groupBy(col("source"), col("_qi")).agg(count(lit(1)).as("_c"))
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("_qi").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = buckets
+      .withColumn("_less", coalesce(sum(col("_c")).over(w), lit(0L)))
+      .join(
+        scored.groupBy(col("source")).agg(count(lit(1)).as("_ns")),
+        "source")
+      .select(col("source"), col("_qi"),
+        expr("CAST(_less * 10000 DIV greatest(_ns - 1, 1) AS BIGINT)").as("pct_bp"))
+    scored
+      .join(broadcast(ranked), Seq("source", "_qi"))
+      .select(col("doc_id"), col("source"), col("quality"), col("pct_bp"))
+  }
+
   /** Gopher-style quality GATE: the rule flags of the Gopher/C4 family
     * (doc length window, mean-word-length window, alphabetic-word ratio,
     * required-stopword presence) as boolean columns plus the conjunction.

@@ -345,6 +345,56 @@ scored AS (
   FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b
 )
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.35""")),
+    // MULTI-PROBE embedding LSH (Lv et al., VLDB'07): each band key is
+    // probed at Hamming distance ≤ 1 (flip each of the 8 bits) — a
+    // near-boundary sign flip no longer costs a missed candidate, so the
+    // same recall needs fewer bands/tables (fewer shuffled key rows at
+    // 100 TB). Verification unchanged; candidates a strict superset of
+    // the single-probe run
+    GraftQuery(
+      "embed_nn_lsh_multiprobe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val proj = emb
+          .filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("pid"), col("embedding").as("pvec"))
+        Dedup.cosineLshPairs(emb, proj, threshold = 0.35, probeBits = 8)
+      },
+      Some("""WITH p AS (SELECT CAST(vec_id AS INT) AS pid, embedding AS pvec FROM embeddings WHERE vec_id < 16),
+bits AS (
+  SELECT e.vec_id, p.pid,
+    CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1), i ->
+      CAST(e.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN p
+),
+sigs AS (
+  SELECT vec_id,
+    sum(CASE WHEN pid BETWEEN 0 AND 7 THEN bit << pid ELSE 0 END) AS k0,
+    sum(CASE WHEN pid BETWEEN 8 AND 15 THEN bit << (pid - 8) ELSE 0 END) AS k1
+  FROM bits GROUP BY 1
+),
+banded AS (
+  SELECT vec_id, 0 AS band, k0 AS key FROM sigs
+  UNION ALL SELECT vec_id, 1 AS band, k1 AS key FROM sigs
+),
+probes AS (
+  SELECT vec_id, band,
+    xor(CAST(key AS BIGINT), CASE WHEN r.j = 0 THEN 0 ELSE 1 << (r.j - 1) END) AS key
+  FROM banded CROSS JOIN range(0, 9) r(j)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM probes a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    round(list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+      CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+      (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.35""")),
     // connected-components grouping over the embedding near-dup pairs —
     // the same transitive-closure stage as dedup_groups, on the LSH-
     // verified cosine pairs (the 100-TB embedding-dedup path end to end)

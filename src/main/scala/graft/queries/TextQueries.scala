@@ -89,6 +89,22 @@ FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""")),
       (s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir)),
       Some(s"""SELECT doc_id, $qualitySql AS quality
 FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""")),
+    // per-source quality-percentile calibration: pct_bp = strictly-lower
+    // same-source share over (n_s − 1) — thresholds become source-relative
+    // (raw scores aren't comparable across domains). Plan walks (source,
+    // 4dp-quality) buckets, never a per-doc window over the corpus
+    GraftQuery(
+      "doc_quality_pct",
+      (s, dir) => TextAnalysis.qualityPercentile(Tables.documents(s, dir)),
+      Some(s"""WITH d AS (
+  SELECT doc_id, source, $qualitySql AS quality
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+),
+n AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1)
+SELECT d.doc_id, d.source, d.quality,
+  CAST((rank() OVER (PARTITION BY d.source ORDER BY d.quality ASC) - 1) * 10000
+    // greatest(n.n_s - 1, 1) AS BIGINT) AS pct_bp
+FROM d JOIN n ON n.source = d.source""")),
     // language-ID heuristic (stop-list hit ratios, deterministic tie order)
     GraftQuery(
       "doc_lang_id",

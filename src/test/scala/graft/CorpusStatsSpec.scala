@@ -163,6 +163,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert(drift("s3") == 6666L)
   }
 
+  test("qualityPercentile: strictly-less share per source, ties share a percentile") {
+    // single-word docs: quality = 2·1 − 3·stop + 0.05·len
+    // "zz" → 2 + 0.1 = 2.1 ; "the" → 2 − 3 + 0.15 = −0.85 ; "a" → 2 − 3 + 0.05 = −0.95
+    val df = Seq(
+      (1L, "s1", "a"), (2L, "s1", "the"), (3L, "s1", "zz"), (4L, "s1", "zz"),
+      (5L, "s2", "zz")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.qualityPercentile(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // s1: n=4; a:0 less → 0; the:1 less → 3333; zz,zz: 2 less → 6666 each
+    assert(got(1L) == 0L && got(2L) == 3333L)
+    assert(got(3L) == 6666L && got(4L) == 6666L)
+    // s2 singleton: 0 less over max(n−1,1)=1 → 0
+    assert(got(5L) == 0L)
+  }
+
+  test("multi-probe LSH candidates are a superset of single-probe at the same bands") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val proj = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("pid"), col("embedding").as("pvec"))
+    val single = Dedup.cosineLshPairs(emb, proj, threshold = 0.35)
+      .select("id_a", "id_b")
+    val multi = Dedup.cosineLshPairs(emb, proj, threshold = 0.35, probeBits = 8)
+      .select("id_a", "id_b")
+    assert(single.exceptAll(multi).isEmpty, "single-probe pair missing under multi-probe")
+    assert(multi.count() >= single.count())
+  }
+
   test("keepBestInGroup: survivor is max quality, ties to smaller id") {
     val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
       .toDF("doc_id", "group_id")
