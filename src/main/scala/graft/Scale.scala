@@ -230,6 +230,25 @@ object Scale {
         fineCents.select(col("cluster_id"), col("centroid")), threshold = 0.9)
         .filter(!col("keep")).count())
     println(s"semantic dedup removed (sqrt sizing): $nSemF")
+
+    // ---- multi-probe LSH: recall from probes instead of bands ----
+    // at corpus-sized keys (16 bits) each probe adds 16 key rows per
+    // (vec, band) — keys only, never payloads; compare candidate volume
+    // and verified pairs vs the single-probe run above (same bands)
+    val nPairsMp = time("cosine LSH multi-probe (2 bands x 16 bits, 16 probe bits)")(
+      graft.operators.Dedup.cosineLshPairs(embTbl, proj, threshold = 0.8,
+        bands = 2, rowsPerBand = 16, probeBits = 16).count())
+    println(s"multi-probe verified pairs: $nPairsMp (single-probe: $nPairs)")
+
+    // ---- two-phase global shuffle rank: no single-reducer sort ----
+    // rank 200k synthetic docs (vec ids as text) through the bucketed
+    // path; the probe is the wall time of B concurrent per-bucket sorts
+    // vs the corpus-wide window the naive formulation would run
+    val fakeDocs = base.select(col("id").as("doc_id"),
+      concat_ws(" ", col("id").cast("string"), col("id").cast("string")).as("text"))
+    val nRanked = time("shuffleRank (64 range buckets, 200k rows)")(
+      graft.operators.Sampling.shuffleRank(fakeDocs).count())
+    println(s"shuffle-ranked rows: $nRanked")
     spark.stop()
   }
 }
