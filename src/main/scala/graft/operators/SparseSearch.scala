@@ -46,6 +46,42 @@ final class SparseIndexModel(
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Segment MERGE — the compaction verb over two sealed sparse segments
+    * (the CC kinds append into one growing index, `sparse_index_node.cc:
+    * 431-470`; compaction above the verbs merges sealed ones): postings
+    * concatenate (disjoint doc-id segments), term stats merge
+    * ALGEBRAICALLY (df adds, max/min fold) — no postings re-scan. Corpus
+    * stats (N, avgdl) are recomputed lazily from the merged postings (one
+    * aggregate, the exact same fold a fresh build runs — avgdl is
+    * sum/count, and re-deriving it beats merging two rounded means);
+    * BM25 per-term bounds depend on avgdl, so they lazily rebuild on the
+    * merged corpus. Search over the merged model answers exactly as a
+    * single build over the union. */
+  def merge(other: SparseIndexModel): SparseIndexModel = {
+    require(k1 == other.k1 && b == other.b,
+      s"cannot merge BM25 params ($k1,$b) with (${other.k1},${other.b})")
+    val mergedPostings = postings.unionByName(other.postings)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mergedStats = termStats
+      .select(col("term"), col("df"), col("max_tf"), col("min_tf"))
+      .unionByName(
+        other.termStats.select(col("term"), col("df"), col("max_tf"), col("min_tf")))
+      .groupBy(col("term"))
+      .agg(
+        sum(col("df")).as("df"),
+        max(col("max_tf")).as("max_tf"),
+        min(col("min_tf")).as("min_tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def corpus: (Long, Double) = {
+      val org.apache.spark.sql.Row(nDocs: Long, sumDl: Double) = mergedPostings
+        .groupBy(col("id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)), sum(col("dl")).cast("double"))
+        .head()
+      (nDocs, sumDl / nDocs)
+    }
+    new SparseIndexModel(mergedPostings, mergedStats, corpus, k1, b)
+  }
+
   /** Release the cached index tables (Serialize-free teardown). */
   def drop(): Unit = {
     postings.unpersist()

@@ -24,6 +24,29 @@ object RelationalQueries {
         count(lit(1)).as("n"),
         round(sum(round(col("value"), 6).cast("decimal(28,6)")).cast("double"), 4).as("total"))
 
+  // sliding (hopping) windows: 1 h window, 15 min hop — each event lands
+  // in 4 overlapping windows; same decimal-sum determinism contract
+  private def slidingAgg(ev: org.apache.spark.sql.DataFrame) =
+    ev.groupBy(
+      window(col("ts"), "1 hour", "15 minutes"),
+      col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(round(col("value"), 6).cast("decimal(28,6)")).cast("double"), 4).as("total"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"), col("total"))
+
+  private val slidingSql =
+    """WITH w AS (
+  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - j.j * 900000000) AS ws,
+    event_type, value
+  FROM events CROSS JOIN range(0, 4) j(j)
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type, count(*) AS n,
+  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS total
+FROM w GROUP BY 1, 2"""
+
   private val hourlySql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
 count(*) AS n, round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS total
@@ -69,6 +92,43 @@ FROM events GROUP BY 1, 2"""
         s.table(sink)
       },
       Some(hourlySql)),
+    // SLIDING-window aggregation (1 h / 15 min hop): the overlap fan-out
+    // is map-side (window() explodes 4 rows per event before the partial
+    // agg), so the shuffle still carries only (window, type) partials
+    GraftQuery(
+      "events_sliding",
+      (s, dir) => slidingAgg(Tables.events(s, dir)),
+      Some(slidingSql)),
+    // the same sliding aggregation through Structured Streaming
+    // (complete-mode memory sink) — hash-matches the batch oracle
+    GraftQuery(
+      "events_sliding_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val stage = java.nio.file.Files.createTempDirectory("graft-sliding-stream")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"))
+        val raw = s.readStream.schema(schema).parquet(stage.toString)
+        val ev = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          case _ => raw
+        }
+        val sink = s"events_sliding_stream_${System.nanoTime()}"
+        val q = slidingAgg(ev).writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      },
+      Some(slidingSql)),
     // classic aggregation over the largest table (map-side partial agg +
     // single shuffle on the group keys)
     GraftQuery(

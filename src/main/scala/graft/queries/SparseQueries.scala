@@ -359,6 +359,22 @@ FROM tf WHERE doc_id % 97 = 0 GROUP BY 1""")),
         SparseSearch.searchBM25(queryPostings(s, dir), m, K)
       },
       Some(bm25Oracle)),
+    // V3 × S16 — sparse segment MERGE (compaction): two doc-id-disjoint
+    // half-corpus models merged (postings concat, term stats folded
+    // algebraically, avgdl re-derived on the union) — BM25 over the
+    // merged model answers exactly as the single build, so the same
+    // oracle gates the compaction verb
+    GraftQuery(
+      "sparse_bm25_knn_merged",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val median = docs.selectExpr("percentile(doc_id, 0.5)").head().getDouble(0).toLong
+        val m = SparseIndexModel
+          .build(docs.filter(col("doc_id") <= median), "doc_id", "text")
+          .merge(SparseIndexModel.build(docs.filter(col("doc_id") > median), "doc_id", "text"))
+        SparseSearch.searchBM25(queryPostings(s, dir), m, K)
+      },
+      Some(bm25Oracle)),
     // S16 × S9 — BM25 under MaxScore pruning with max-score-ratio bounds
     // (sparse_inverted_index.h:384-392): identical output to plain BM25
     GraftQuery(

@@ -138,6 +138,28 @@ class SparseSearchSpec extends SparkSpec {
     model.drop(); loaded.drop()
   }
 
+  test("sparse segment merge: merged halves answer exactly as the single build") {
+    val corpus = graft.sources.Tables.documents(spark, sf0001)
+    val median = corpus.selectExpr("percentile(doc_id, 0.5)").head().getDouble(0).toLong
+    val whole = graft.operators.SparseIndexModel.build(corpus, "doc_id", "text")
+    val merged = graft.operators.SparseIndexModel
+      .build(corpus.filter(col("doc_id") <= median), "doc_id", "text")
+      .merge(graft.operators.SparseIndexModel
+        .build(corpus.filter(col("doc_id") > median), "doc_id", "text"))
+    assert(merged.n == whole.n && merged.avgdl == whole.avgdl)
+    val q = SparseSearch
+      .postings(corpus.filter(col("doc_id") % 100 === 0), "doc_id", "text")
+      .select(col("id").as("qid"), col("term"), col("tf").as("qtf"))
+    val a = SparseSearch.searchBM25(q, whole, 10)
+    val b = SparseSearch.searchBM25(q, merged, 10)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // algebraic stats fold == recomputed stats
+    val sa = whole.termStats.select("term", "df", "max_tf", "min_tf")
+    val sb = merged.termStats.select("term", "df", "max_tf", "min_tf")
+    assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty)
+    whole.drop(); merged.drop()
+  }
+
   test("candidate-pruning branch (no fallback) is exact on every pruned path") {
     // fallbackRatio > 1 forces the essential-list candidate machinery even
     // on the degenerate test corpus — the branch that runs on real
