@@ -11,8 +11,11 @@ import graft.plans.{KnnJoinNode, KnnJoinStrategy}
   * registration path for deployments that cannot call
   * [[KnnJoin.register]] imperatively. */
 class GraftSparkExtensionsImpl extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => KnnJoinStrategy)
+    // naive window-top-k kNN → KnnJoinNode (the Rule[LogicalPlan] rung)
+    ext.injectOptimizerRule(_ => graft.plans.KnnWindowRewrite)
+  }
 }
 
 /** The kNN join as a first-class operator: a custom logical node planned by
@@ -21,11 +24,14 @@ class GraftSparkExtensionsImpl extends (SparkSessionExtensions => Unit) {
   * asserted by spec and gated by the `knn_join_exec` oracle query. */
 object KnnJoin {
 
-  /** Idempotently install the planner strategy on a live session. */
+  /** Idempotently install the planner strategy (and the window-top-k
+    * rewrite rule) on a live session. */
   def register(spark: SparkSession): Unit = {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!exp.extraStrategies.contains(KnnJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ KnnJoinStrategy
+    if (!exp.extraOptimizations.contains(graft.plans.KnnWindowRewrite))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.KnnWindowRewrite
   }
 
   /** queries (qid, qvec) × base (id, vec) → (qid, nid, dist, rnk), top-k

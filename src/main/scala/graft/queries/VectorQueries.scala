@@ -757,6 +757,25 @@ SELECT qid, nid, dist, rnk FROM (
         queryVecs(s, dir), baseVecs(s, dir).select(col("id"), col("vec")),
         K, Metric.L2, roundDist = ROUND),
       Some(Sql.knn(Sql.l2, desc = false))),
+    // the OPTIMIZER-REWRITE path to the same exec: the user writes the
+    // textbook cross-join + window top-k; graft.plans.KnnWindowRewrite
+    // (Rule[LogicalPlan]) replaces the stack with KnnJoinNode — gated by
+    // the same oracle, PlanSpec asserts the rewrite actually fires
+    GraftQuery(
+      "knn_window_rewrite",
+      (s, dir) => {
+        KnnJoin.register(s)
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.VectorFunctions.{l2 => l2f}
+        queryVecs(s, dir)
+          .crossJoin(baseVecs(s, dir).select(col("id"), col("vec")))
+          .select(col("qid"), col("id").as("nid"),
+            round(l2f(col("qvec"), col("vec")), 4).as("dist"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("nid").asc)))
+          .filter(col("rnk") <= K)
+      },
+      Some(Sql.knn(Sql.l2, desc = false))),
     GraftQuery(
       "bf_knn_ip",
       (s, dir) => BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.IP, roundDist = ROUND),

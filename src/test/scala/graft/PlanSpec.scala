@@ -368,6 +368,32 @@ class PlanSpec extends SparkSpec {
     assert(pM.contains("BroadcastHashJoin"), s"mrr arms not broadcast:\n$pM")
   }
 
+  test("KnnWindowRewrite: naive window-top-k plans to KnnJoinExec, equal answers") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import graft.functions.VectorFunctions.l2
+    graft.operators.KnnJoin.register(spark)
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val b = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def naive = q.crossJoin(b)
+      .select(col("qid"), col("id").as("nid"), round(l2(col("qvec"), col("vec")), 4).as("dist"))
+      .withColumn("rnk", row_number().over(
+        W.partitionBy(col("qid")).orderBy(col("dist").asc, col("nid").asc)))
+      .filter(col("rnk") <= 10)
+    val p = plan(naive)
+    assert(p.contains("KnnJoin"), s"naive window-top-k not rewritten:\n$p")
+    val ref = BruteForce.knn(q, b, 10, Metric.L2, roundDist = Some(4))
+    assert(naive.exceptAll(ref).isEmpty && ref.exceptAll(naive).isEmpty)
+    // conservative matching: a non-standard tie-break must NOT rewrite
+    val odd = q.crossJoin(b)
+      .select(col("qid"), col("id").as("nid"), round(l2(col("qvec"), col("vec")), 4).as("dist"))
+      .withColumn("rnk", row_number().over(
+        W.partitionBy(col("qid")).orderBy(col("dist").asc, col("nid").desc)))
+      .filter(col("rnk") <= 10)
+    assert(!plan(odd).contains("KnnJoin"), "non-standard tie-break must not rewrite")
+  }
+
   test("knnClassify: neighbor labels broadcast onto the bounded kNN arm") {
     val embs = Tables.embeddings(spark, sf0001)
     val queries = embs.filter(col("vec_id") % 100 === 0)
