@@ -1211,6 +1211,48 @@ SELECT qid, nid, dist, rnk FROM (
   FROM pairs
 ) WHERE rnk <= $K"""
       }),
+    // V5 × S6 × S19 — BIN_IVF range search: probed lists, HAMMING metric,
+    // two-sided bound (ivf.cc:812-917 registers RangeSearch for the
+    // binary IVF kinds too) — self-distance excluded by the near bound
+    GraftQuery(
+      "bin_ivf_range_hamming",
+      (s, dir) => {
+        val q = queryVecs(s, dir).select(col("qid"), signBits(col("qvec")).as("qvec"))
+        val b = baseVecs(s, dir).select(col("id"), signBits(col("vec")).as("vec"))
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), signBits(col("embedding")).as("centroid"))
+        val index = IvfIndex.build(b, cents, None, Metric.Hamming)
+        IvfIndex.rangeSearch(q, index, cents, nprobe = 1, Metric.Hamming,
+          radius = 26.0, rangeFilter = 1.0)
+      },
+      Some {
+        def ham(x: String, y: String): String =
+          s"CAST(list_sum(list_transform(range(1, len($x)+1), i -> " +
+            s"CASE WHEN ($x[i] > 0) <> ($y[i] > 0) THEN 1 ELSE 0 END)) AS DOUBLE)"
+        s"""WITH ${Sql.qView},
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 250 = 0),
+asn AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT b.vec_id, b.embedding, c.cid,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY ${ham("b.embedding", "c.cv")} ASC, c.cid ASC) AS rn
+    FROM embeddings b CROSS JOIN c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+      row_number() OVER (PARTITION BY q.qid ORDER BY ${ham("q.qv", "c.cv")} ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 1
+),
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${ham("q.qv", "b.embedding")} AS dist
+  FROM q JOIN probes p ON p.qid = q.qid JOIN asn b ON b.cid = p.cid
+)
+SELECT qid, nid, dist FROM pairs WHERE dist >= 1.0 AND dist < 26.0"""
+      }),
     // S17 — adaptive filtered search, oracle-gated: the selectivity-driven
     // strategy picks the IVF branch and filter-scales nprobe to nlist
     // (ivf.cc:750-760), recovering the exact filtered answer — the hash

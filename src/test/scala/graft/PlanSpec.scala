@@ -385,6 +385,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("KnnJoin"), s"naive window-top-k not rewritten:\n$p")
     val ref = BruteForce.knn(q, b, 10, Metric.L2, roundDist = Some(4))
     assert(naive.exceptAll(ref).isEmpty && ref.exceptAll(naive).isEmpty)
+    // IP arm: similarity metrics order DESC — also rewritten
+    import graft.functions.VectorFunctions.{dot => dotF}
+    val ipNaive = q.crossJoin(b)
+      .select(col("qid"), col("id").as("nid"), round(dotF(col("qvec"), col("vec")), 4).as("dist"))
+      .withColumn("rnk", row_number().over(
+        W.partitionBy(col("qid")).orderBy(col("dist").desc, col("nid").asc)))
+      .filter(col("rnk") <= 10)
+    assert(plan(ipNaive).contains("KnnJoin"), "ip desc formulation not rewritten")
+    val ipRef = BruteForce.knn(q, b, 10, Metric.IP, roundDist = Some(4))
+    assert(ipNaive.exceptAll(ipRef).isEmpty && ipRef.exceptAll(ipNaive).isEmpty)
     // conservative matching: a non-standard tie-break must NOT rewrite
     val odd = q.crossJoin(b)
       .select(col("qid"), col("id").as("nid"), round(l2(col("qvec"), col("vec")), 4).as("dist"))
