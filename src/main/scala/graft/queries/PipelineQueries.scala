@@ -172,6 +172,63 @@ c AS (
 b AS (SELECT users AS base FROM c WHERE step_ord = 1)
 SELECT step, step_ord, users, CAST(users * 10000 // base AS BIGINT) AS conv_bp
 FROM c CROSS JOIN b""")),
+    // the funnel as a STATEFUL STREAM (per-user GroupState carries the
+    // first qualifying ts per step; time-aligned micro-batches, the
+    // sessions-stream contract) — hash-matches the batch oracle
+    GraftQuery(
+      "events_funnel_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Tables.events(s, dir)
+        val median = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
+        val stage = java.nio.file.Files.createTempDirectory("graft-funnel-stream")
+        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
+        ev.filter(unix_micros(col("ts")) <= median)
+          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
+        ev.filter(unix_micros(col("ts")) > median)
+          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
+        import java.nio.file.attribute.FileTime
+        def touch(p: java.nio.file.Path, t: Long): Unit =
+          java.nio.file.Files.walk(p).forEach(f =>
+            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
+        val now = System.currentTimeMillis()
+        touch(d1, now - 120000); touch(d2, now - 60000)
+        val src = s.readStream
+          .schema(s.read.parquet(d1.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$stage/b*")
+        val steps = Seq("view", "click", "purchase")
+        val sink = s"events_funnel_stream_${System.nanoTime()}"
+        val q = graft.streaming.StreamingFunnel
+          .funnelUpdates(src, steps)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.StreamingFunnel.renderFinal(s.table(sink), steps)
+      },
+      Some("""WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+),
+c AS (
+  SELECT 'view' AS step, 1 AS step_ord, count(*) AS users FROM s1
+  UNION ALL SELECT 'click', 2, count(*) FROM s2
+  UNION ALL SELECT 'purchase', 3, count(*) FROM s3
+),
+b AS (SELECT users AS base FROM c WHERE step_ord = 1)
+SELECT step, step_ord, users, CAST(users * 10000 // base AS BIGINT) AS conv_bp
+FROM c CROSS JOIN b""")),
     // robust outlier detection (median + MAD, the classic data-quality
     // gate): flag events whose |value − median| exceeds 3×MAD of their
     // event type. Exact interpolated medians (same percentile contract
