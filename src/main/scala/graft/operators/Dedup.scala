@@ -133,6 +133,44 @@ object Dedup {
       shDf)
   }
 
+  /** MinHash estimator accuracy — the calibration eval run before trusting
+    * banded signatures at corpus scale: per LSH candidate pair, the
+    * signature-agreement Jaccard estimate (share of the numPerm permutations
+    * whose minima agree) next to the exact shingle Jaccard, both integer
+    * basis points, plus the absolute error. All integer arithmetic (the
+    * estimator is a rational with denominator numPerm), candidate-bounded
+    * like every banded verify stage. */
+  def minhashAccuracy(
+      docs: DataFrame,
+      numPerm: Int = NumPerm,
+      bands: Int = Bands
+  ): DataFrame = {
+    val (pairs, shDf) = lshCandidatesWithShingles(docs, numPerm, bands)
+    val agree = (0 until numPerm)
+      .map { i =>
+        val ma = array_min(transform(col("sha"), x => perm(lit(i.toLong), x)))
+        val mb = array_min(transform(col("shb"), x => perm(lit(i.toLong), x)))
+        when(ma === mb, 1L).otherwise(0L)
+      }
+      .reduce(_ + _)
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
+    eager(
+      pairs
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          agree.as("_ag"),
+          inter.as("_in"),
+          (size(col("sha")) + size(col("shb"))).cast("long").as("_ab"))
+        .selectExpr(
+          "doc_a",
+          "doc_b",
+          s"CAST(_ag * 10000 DIV $numPerm AS BIGINT) AS est_bp",
+          "CAST(_in * 10000 DIV (_ab - _in) AS BIGINT) AS jac_bp")
+        .withColumn("err_bp", abs(col("est_bp") - col("jac_bp"))),
+      shDf)
+  }
+
   /** Asymmetric CONTAINMENT dedup — `|A∩B| / |A| ≥ threshold` flags A as
     * (near-)contained in B: the quote-inclusion / wholesale-copy mode
     * symmetric Jaccard misses (a short doc pasted into a long one has

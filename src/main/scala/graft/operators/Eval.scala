@@ -119,6 +119,74 @@ object Eval {
           .as("rr_ppm"))
   }
 
+  /** Per-query average precision@k (the MAP decomposition) of `approx`
+    * against ground-truth `exact`, both ranked (qid, nid, rnk): AP =
+    * (Σ over relevant approx ranks i of precision@i) / R, R = the query's
+    * ground-truth size. Exact integer arithmetic: precision@i = h_i/i is
+    * scaled by L = lcm(1..k) so every term is an integer — no float sum
+    * can reorder. Bounded nq×k inputs; the per-query window ranks ≤ k
+    * rows. */
+  /** lcm(1..k) — the precision@i common denominator, embedded as a literal
+    * in BOTH engines' arithmetic. */
+  def lcmTo(k: Int): Long = (1 to k).foldLeft(1L)((a, i) => a / gcd(a, i) * i)
+
+  def apAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0 && k <= 20, s"k must be in [1, 20] (scaled-sum overflow above), got $k")
+    val L = lcmTo(k)
+    val rel = approx
+      .select(col("qid"), col("nid"), col("rnk"))
+      .join(broadcast(exact.select(col("qid"), col("nid"))), Seq("qid", "nid"), "left_semi")
+    // hits-so-far at a relevant rank = its position among the query's
+    // relevant ranks (row_number over ≤ k rows per query)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rnk").asc)
+    val s = rel
+      .withColumn("h", row_number().over(w).cast("long"))
+      .groupBy(col("qid"))
+      .agg(sum(col("h") * expr(s"$L DIV rnk")).as("s"))
+    val r = exact.groupBy(col("qid")).agg(count(lit(1)).as("r"))
+    r.join(broadcast(s), Seq("qid"), "left")
+      .select(
+        col("qid"),
+        expr(s"CAST(coalesce(s, 0) * 10000 DIV ($L * r) AS BIGINT)").as("ap_bp"))
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** Cohen's kappa agreement between a label column and a prediction
+    * column — the chance-corrected classifier-vs-ground-truth view next to
+    * the raw agreement rate (`corpus_source_stats.langid_agreement`).
+    * Exact integer rational: κ = (p_o − p_e)/(1 − p_e) computed as
+    * `(hits·n − Σ_c row_c·col_c) / (n² − Σ_c row_c·col_c)` in basis points
+    * — no float division anywhere, so any engine agrees bit-for-bit.
+    * Scale shape: the confusion matrix is ≤ |classes|² rows off ONE
+    * (label, pred)-keyed aggregate with map-side partials; everything
+    * after is arithmetic on that tiny frame. The n² term bounds exactness
+    * to n ≤ 3·10⁹ rows per call (64-bit); shard by stratum beyond that
+    * and pool the confusion matrices. Output: one row
+    * (n, hits, kappa_bp); degenerate p_e = 1 (single shared class)
+    * reports 10000 — total agreement with itself. */
+  def cohenKappa(pairs: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val conf = pairs
+      .groupBy(col(labelCol).as("l"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("c"))
+    val rowm = conf.groupBy(col("l")).agg(sum(col("c")).as("rc"))
+    val colm = conf.groupBy(col("p")).agg(sum(col("c")).as("cc"))
+    val pe = rowm
+      .join(broadcast(colm), col("l") === col("p"))
+      .agg(coalesce(sum(col("rc") * col("cc")), lit(0L)).as("pe_n2"))
+    conf
+      .agg(
+        sum(col("c")).as("n"),
+        sum(when(col("l") === col("p"), col("c")).otherwise(0L)).as("hits"))
+      .crossJoin(pe)
+      .selectExpr(
+        "n",
+        "hits",
+        "CAST(CASE WHEN n * n = pe_n2 THEN 10000 " +
+          "ELSE (hits * n - pe_n2) * 10000 DIV (n * n - pe_n2) END AS BIGINT) AS kappa_bp")
+  }
+
   /** Hard-negative mining: per query, the top-k nearest base vectors whose
     * label DIFFERS from the query's own. Same broadcast-queries /
     * map-side-distance / bounded-heap shape as [[BruteForce.knn]] — the

@@ -174,6 +174,60 @@ object IvfIndex {
     else BruteForce.topK(r, capK, metric.ascending).select(col("qid"), col("nid"), col("dist"))
   }
 
+  /** Build-time per-list BALL RADII (cluster_id, r): the max UNROUNDED
+    * centroid distance over list members — metadata pinned local like
+    * [[listSizes]], persisted with the centroids. Feeds the lossless range
+    * prune in [[rangeSearchPruned]]. */
+  def listRadii(index: DataFrame, centroids: DataFrame): DataFrame = {
+    val agg = index
+      .join(broadcast(centroids), "cluster_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(Metric.L2.dist(col("vec"), col("centroid"))).as("r"))
+    index.sparkSession.createDataFrame(
+      java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+  }
+
+  /** EXACT range search with geometric list pruning — the scale answer to
+    * the reference's wasted-probe knob (`max_empty_result_buckets`,
+    * index_param.h:101 / ivf.cc range path): instead of walking buckets
+    * until m consecutive come back empty, the triangle inequality drops a
+    * list up front whenever its centroid ball cannot intersect the
+    * `[rangeFilter, radius)` shell — `d(q,c) − r > radius` (all members too
+    * close to q is impossible… too FAR) or `d(q,c) + r < rangeFilter` (all
+    * members inside the lower bound). The prune is LOSSLESS (ε covers the
+    * 4dp result rounding), so the answer equals the full scan and the
+    * full-corpus range oracle gates it — while the scan touches only the
+    * surviving lists' files (PartitionFilters, same mechanics as
+    * [[probeAndPrune]]). L2 only (the bound needs a metric space). */
+  def rangeSearchPruned(
+      queries: DataFrame, // (qid, qvec)
+      index: DataFrame, // (id, vec, cluster_id) from build()
+      centroids: DataFrame,
+      radii: DataFrame, // (cluster_id, r) from listRadii()
+      radius: Double,
+      rangeFilter: Double,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val eps = roundDist.map(n => math.pow(10d, -n)).getOrElse(0d)
+    val dc = Metric.L2.dist(col("qvec"), col("centroid"))
+    val cand = queries
+      .crossJoin(broadcast(centroids.join(radii, "cluster_id")))
+      .filter(dc - col("r") <= radius + eps && dc + col("r") >= rangeFilter - eps)
+      .select(col("qid"), col("cluster_id"))
+    val spark = index.sparkSession
+    val candRows = cand.collect() // ≤ nq × nlist pairs, tiny by construction
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), cand.schema)
+    val probedIds = candRows.map(_.get(1)).distinct.toSeq
+    val pruned = index.filter(col("cluster_id").isInCollection(probedIds))
+    val raw = Metric.L2.dist(col("qvec"), col("vec"))
+    val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
+    broadcast(probesLocal.join(queries, "qid"))
+      .join(pruned, "cluster_id")
+      .select(col("qid"), col("id").as("nid"), d.as("dist"))
+      .filter(col("dist") >= rangeFilter && col("dist") < radius)
+  }
+
   /** AnnIterator over the IVF index (`ivf.cc:927-946` — IVFFlat/IVF_SQ8/
     * SCANN expose the iterator workflow; the faiss workspace streams
     * batches from the probed lists): the ranked stream is opened over the

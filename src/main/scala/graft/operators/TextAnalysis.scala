@@ -58,6 +58,44 @@ object TextAnalysis {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
+  /** Longest run of identical consecutive tokens — the repetition gate
+    * (Gopher's "repeated-line" family restated at token granularity) that
+    * catches degenerate generations ("the the the …") length/TTR metrics
+    * miss. One fold over the token array carrying (prev, run, best) — pure
+    * map-side, no shuffle, no window; at 100 TB this is a scan. */
+  def maxTokenRun(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val folded = aggregate(
+      t,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(acc("prev") === x, acc("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    df.select(col("doc_id"), folded.as("max_run"))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): the min
+    * shingle hash of every w-window of consecutive token-n-gram hashes,
+    * distinct per doc. Guarantees any shared run of ≥ n+w-1 tokens yields a
+    * shared fingerprint — the local-edit-robust containment detector dedup
+    * fingerprints (one hash per doc) cannot express. Map-side HOFs only;
+    * grouping docs by fingerprint downstream is one (fp)-keyed shuffle that
+    * carries (doc_id, fp) pairs, never text. */
+  def winnowingFingerprints(
+      df: DataFrame,
+      textCol: String = "text",
+      n: Int = 3,
+      w: Int = 4
+  ): DataFrame = {
+    val hs = transform(shingles(tokens(col(textCol)), n), tokenHash(_))
+    val nw = greatest(size(hs) - (w - 1), lit(1))
+    val fps = array_distinct(
+      transform(sequence(lit(1), nw), j => array_min(slice(hs, j, lit(w)))))
+    df.select(col("doc_id"), explode(fps).as("fp"))
+  }
+
   /** Per-doc token statistics (token counting operator). */
   def tokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = tokens(col(textCol))

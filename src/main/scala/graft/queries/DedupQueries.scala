@@ -104,6 +104,27 @@ SELECT doc_id,
 CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY nt) THEN 1 ELSE 0 END AS keep,
 CAST(count(*) OVER (PARTITION BY nt) AS INT) AS n_copies
 FROM n""")),
+    // MinHash estimator CALIBRATION: per LSH candidate pair, the
+    // signature-agreement estimate vs the exact shingle Jaccard (integer
+    // bp) + absolute error — the eval run before trusting banded
+    // signatures corpus-wide. Same band blocking, all integer arithmetic
+    GraftQuery(
+      "eval_minhash_est",
+      (s, dir) => Dedup.minhashAccuracy(Tables.documents(s, dir)),
+      Some(s"""WITH $minhashPairsSqlBody,
+acc AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(list_sum(list_transform(range(0, 16), i -> CASE WHEN
+        list_min(list_transform(sa.sh, x -> ((2*i + 3) * x + (97 + 31*i)) % $P)) =
+        list_min(list_transform(sb.sh, x -> ((2*i + 3) * x + (97 + 31*i)) % $P))
+      THEN 1 ELSE 0 END)) * 10000 // 16 AS BIGINT) AS est_bp,
+    CAST(len(list_intersect(sa.sh, sb.sh)) * 10000 //
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS BIGINT) AS jac_bp
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, est_bp, jac_bp, abs(est_bp - jac_bp) AS err_bp FROM acc""")),
     // MinHash (16 perms) + LSH (4 bands × 4) candidate pairs, exact-Jaccard
     // verified at ≥ 0.5 — the standard near-dup pipeline at corpus scale
     GraftQuery(

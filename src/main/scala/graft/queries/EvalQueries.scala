@@ -160,6 +160,41 @@ FROM (SELECT DISTINCT qid FROM ex) q0 LEFT JOIN d ON d.qid = q0.qid"""
       }),
     // per-query reciprocal rank of the first relevant IVF hit (the MRR
     // decomposition): exact rational ppm, 0 when the probe window misses
+    // average precision@k (the MAP decomposition) of the probed IVF arm vs
+    // the exact arm — position-sensitive where recall@k is set-blind, and
+    // denser than MRR's first-hit view. precision@i terms scaled by
+    // lcm(1..k) so the whole sum is exact integers
+    GraftQuery(
+      "eval_ap_ivf",
+      (s, dir) => {
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val index = IvfIndex.build(base, cents, ROUND)
+        val approx =
+          IvfIndex.search(queryVecs(s, dir), index, cents, K, nprobe = 2, Metric.L2, ROUND)
+        val exact = BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.L2, roundDist = ROUND)
+        Eval.apAtK(approx, exact, K)
+      },
+      Some(s"""WITH ${Sql.ivfProbeCtes},
+ex AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid AS qid, b.vec_id AS nid,
+      CAST(row_number() OVER (PARTITION BY q.qid ORDER BY ${Sql.l2} ASC, b.vec_id ASC) AS INT) AS rnk
+    FROM q CROSS JOIN embeddings b
+  ) WHERE rnk <= $K
+),
+rel AS (
+  SELECT a.qid AS qid, a.rnk,
+    row_number() OVER (PARTITION BY a.qid ORDER BY a.rnk ASC) AS h
+  FROM ivfk a JOIN ex e ON e.qid = a.qid AND e.nid = a.nid
+),
+sm AS (SELECT qid, sum(h * (${Eval.lcmTo(K)} // rnk)) AS s FROM rel GROUP BY 1),
+rc AS (SELECT qid, count(*) AS r FROM ex GROUP BY 1)
+SELECT rc.qid, CAST(coalesce(sm.s, 0) * 10000 // (${Eval.lcmTo(K)} * rc.r) AS BIGINT) AS ap_bp
+FROM rc LEFT JOIN sm ON sm.qid = rc.qid""")),
     GraftQuery(
       "eval_mrr_ivf",
       (s, dir) => {

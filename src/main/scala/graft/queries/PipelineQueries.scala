@@ -236,6 +236,157 @@ FROM c CROSS JOIN b""")),
     // stream — at 100 TB the exact arm's per-type value collection is the
     // known hot spot, and HistogramQuantileAgg (events_sketch_quantiles)
     // is the sketch-based scale path for the same dashboard
+    // day-N retention by first-active-day cohort: the dashboard next to the
+    // funnel. Days travel as integer days-since-epoch, shares as integer bp.
+    // Two user-keyed shuffles + one tiny (cohort, offset) roll-up; cohort
+    // sizes (≤ nDays rows) broadcast back
+    GraftQuery(
+      "events_retention",
+      (s, dir) => graft.operators.Cohort.retention(Tables.events(s, dir)),
+      Some("""WITH d AS (
+  SELECT user_id, CAST(date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS INT) AS day
+  FROM events
+),
+c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+s AS (SELECT cohort_day, count(*) AS cohort_users FROM c GROUP BY 1),
+a AS (SELECT DISTINCT d.user_id, c.cohort_day, d.day - c.cohort_day AS day_offset
+      FROM d JOIN c ON c.user_id = d.user_id)
+SELECT a.cohort_day, a.day_offset, count(*) AS active_users, s.cohort_users,
+       CAST(count(*) * 10000 // s.cohort_users AS BIGINT) AS retained_bp
+FROM a JOIN s ON s.cohort_day = a.cohort_day
+GROUP BY 1, 2, 4""")),
+    // the retention matrix as a STATEFUL STREAM: per-user GroupState
+    // carries (cohort day, credited offsets); micro-batches emit only
+    // novel activity cells, so the accumulated update stream equals the
+    // batch op's distinct cell frame — hash-matches the batch oracle
+    GraftQuery(
+      "events_retention_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Tables.events(s, dir)
+        val median = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
+        val stage = java.nio.file.Files.createTempDirectory("graft-ret-stream")
+        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
+        ev.filter(unix_micros(col("ts")) <= median)
+          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
+        ev.filter(unix_micros(col("ts")) > median)
+          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
+        import java.nio.file.attribute.FileTime
+        def touch(p: java.nio.file.Path, t: Long): Unit =
+          java.nio.file.Files.walk(p).forEach(f =>
+            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
+        val now = System.currentTimeMillis()
+        touch(d1, now - 120000); touch(d2, now - 60000)
+        val src = s.readStream
+          .schema(s.read.parquet(d1.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$stage/b*")
+        val sink = s"events_retention_stream_${System.nanoTime()}"
+        val q = graft.streaming.StreamingCohort
+          .retentionUpdates(src)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.StreamingCohort.renderFinal(s.table(sink))
+      },
+      Some("""WITH d AS (
+  SELECT user_id, CAST(date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS INT) AS day
+  FROM events
+),
+c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+s AS (SELECT cohort_day, count(*) AS cohort_users FROM c GROUP BY 1),
+a AS (SELECT DISTINCT d.user_id, c.cohort_day, d.day - c.cohort_day AS day_offset
+      FROM d JOIN c ON c.user_id = d.user_id)
+SELECT a.cohort_day, a.day_offset, count(*) AS active_users, s.cohort_users,
+       CAST(count(*) * 10000 // s.cohort_users AS BIGINT) AS retained_bp
+FROM a JOIN s ON s.cohort_day = a.cohort_day
+GROUP BY 1, 2, 4""")),
+    // FIRST-touch attribution (acquisition view): each purchase credits the
+    // user's globally earliest view/click at-or-before it, else 'none'.
+    // One row per user rides the join; revenue follows the round→DECIMAL
+    // sum contract
+    GraftQuery(
+      "events_attribution_first",
+      (s, dir) => graft.operators.Cohort.attribution(
+        Tables.events(s, dir), "purchase", Seq("view", "click"), first = true),
+      Some("""WITH t AS (
+  SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us, event_id, event_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+ft AS (
+  SELECT user_id, us, event_type FROM (
+    SELECT user_id, us, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY us, event_id, event_type) AS rn
+    FROM t) WHERE rn = 1
+),
+p AS (
+  SELECT event_id AS conv_id, user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS p_us,
+         round(value, 4) AS conv_value
+  FROM events WHERE event_type = 'purchase'
+),
+cr AS (
+  SELECT p.conv_id, p.conv_value,
+         CASE WHEN ft.us IS NOT NULL AND ft.us <= p.p_us THEN ft.event_type
+              ELSE 'none' END AS channel
+  FROM p LEFT JOIN ft ON ft.user_id = p.user_id
+)
+SELECT channel, count(*) AS conversions,
+       round(CAST(sum(CAST(conv_value AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+FROM cr GROUP BY 1""")),
+    // LAST-touch attribution (conversion-proximity view): latest qualifying
+    // touch at-or-before each purchase via the single-shuffle as-of join;
+    // equal-ts touches pre-collapsed (larger event_id wins) so the credit
+    // is unique
+    GraftQuery(
+      "events_attribution_last",
+      (s, dir) => graft.operators.Cohort.attribution(
+        Tables.events(s, dir), "purchase", Seq("view", "click"), first = false),
+      Some("""WITH t AS (
+  SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+         arg_max(event_type, event_id) AS touch_type
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2
+),
+p AS (
+  SELECT event_id AS conv_id, user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS p_us,
+         round(value, 4) AS conv_value
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT p.conv_id, p.conv_value, t.touch_type,
+         row_number() OVER (PARTITION BY p.conv_id ORDER BY t.us DESC) AS rn
+  FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.us <= p.p_us
+)
+SELECT channel, count(*) AS conversions,
+       round(CAST(sum(CAST(conv_value AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+FROM (SELECT conv_id, conv_value, coalesce(touch_type, 'none') AS channel
+      FROM m WHERE rn = 1)
+GROUP BY 1""")),
+    // semi-structured props: JSON payload field extracted map-side
+    // (get_json_object — no parse-to-struct materialization), per-type
+    // integer stats. The shape every event pipeline needs for loosely-typed
+    // instrumentation payloads
+    GraftQuery(
+      "events_props_stats",
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        Tables
+          .events(s, dir)
+          .select(col("event_type"), k.as("k"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(col("k")).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+      },
+      Some("""SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY 1""")),
     GraftQuery(
       "events_outliers_mad",
       (s, dir) => {

@@ -312,6 +312,41 @@ FROM cum GROUP BY 1""")),
     // the histogram sketch as a STREAM: the count vector is the streaming
     // state, vector-added across micro-batches — final read-off equals
     // the batch oracle whatever the batch split
+    // multi-level subtotals in ONE pass (ROLLUP grouping sets): revenue by
+    // region → nation → grand total. Catalyst's Expand fans each row to
+    // its 3 grouping sets MAP-SIDE before the single partial-aggregated
+    // shuffle — one exchange where three separate groupBys would pay
+    // three. Dims broadcast; subtotal rows keyed '(all)'
+    GraftQuery(
+      "orders_rollup",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(
+              sum(round(col("o_totalprice"), 6).cast("decimal(28,6)")).cast("double"),
+              4).as("revenue"))
+          .select(
+            coalesce(col("r_name"), lit("(all)")).as("region"),
+            coalesce(col("n_name"), lit("(all)")).as("nation"),
+            col("n_orders"),
+            col("revenue"))
+      },
+      Some("""SELECT coalesce(r_name, '(all)') AS region, coalesce(n_name, '(all)') AS nation,
+  count(*) AS n_orders,
+  round(CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP(r_name, n_name)""")),
     GraftQuery(
       "events_sketch_quantiles_stream",
       (s, dir) => {

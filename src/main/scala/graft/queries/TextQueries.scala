@@ -75,6 +75,44 @@ SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
 FROM d GROUP BY source"""
 
   def all: Seq[GraftQuery] = Seq(
+    // longest identical-consecutive-token run (the repetition gate): one
+    // map-side fold over the token array — no shuffle, no window
+    GraftQuery(
+      "doc_max_run",
+      (s, dir) => TextAnalysis.maxTokenRun(Tables.documents(s, dir)),
+      Some("""WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+  FROM documents
+),
+g AS (
+  SELECT doc_id, tok, i,
+         i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+  FROM t
+),
+r AS (SELECT doc_id, count(*) AS run FROM g GROUP BY doc_id, tok, grp)
+SELECT doc_id, CAST(max(run) AS INT) AS max_run FROM r GROUP BY 1""")),
+    // winnowing fingerprints (MOSS): min hash of every 4-window of token
+    // 3-gram hashes, distinct per doc — any shared ≥6-token run yields a
+    // shared fingerprint. Map-side HOFs; the exploded (doc_id, fp) pairs
+    // are what a containment join downstream would shuffle (never text)
+    GraftQuery(
+      "doc_winnowing",
+      (s, dir) => TextAnalysis.winnowingFingerprints(Tables.documents(s, dir)),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+hs AS (
+  SELECT doc_id, list_transform(
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END,
+    s -> ${sqlTokenHash("s")}) AS h
+  FROM toks
+),
+fp AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+    j -> list_min(h[j:j+3]))) AS fps
+  FROM hs
+)
+SELECT doc_id, unnest(fps) AS fp FROM fp""")),
     // token counting (whitespace tokenizer + distinct + mean length)
     GraftQuery(
       "doc_token_stats",
@@ -126,6 +164,53 @@ SELECT doc_id,
        ELSE 'zh' END AS pred_lang,
   round(greatest(en, de, fr, es, zh), 4) AS lang_score
 FROM r""")),
+    // Cohen's kappa of the language-ID heuristic vs the labeled lang
+    // column — chance-corrected agreement next to the dashboard's raw
+    // rate. Exact integer rational off one tiny confusion-matrix
+    // aggregate; κ in basis points
+    GraftQuery(
+      "eval_langid_kappa",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = docs
+          .join(TextAnalysis.langId(docs), "doc_id")
+          .select(col("lang"), col("pred_lang"))
+        graft.operators.Eval.cohenKappa(pairs, "lang", "pred_lang")
+      },
+      Some("""WITH r AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t) AS en,
+    CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t) AS de,
+    CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t) AS fr,
+    CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t) AS es,
+    CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t) AS zh
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+),
+pr AS (
+  SELECT lang AS l,
+    CASE WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
+         WHEN de = greatest(en, de, fr, es, zh) THEN 'de'
+         WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+         WHEN es = greatest(en, de, fr, es, zh) THEN 'es'
+         ELSE 'zh' END AS p
+  FROM r
+),
+conf AS (SELECT l, p, count(*) AS c FROM pr GROUP BY 1, 2),
+rowm AS (SELECT l, sum(c) AS rc FROM conf GROUP BY 1),
+colm AS (SELECT p, sum(c) AS cc FROM conf GROUP BY 1),
+pe AS (
+  SELECT coalesce(sum(rc * cc), 0) AS pe_n2
+  FROM rowm JOIN colm ON colm.p = rowm.l
+),
+ag AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l = p THEN c ELSE 0 END) AS BIGINT) AS hits
+  FROM conf
+)
+SELECT n, hits,
+  CAST(CASE WHEN n * n = pe_n2 THEN 10000
+       ELSE (hits * n - pe_n2) * 10000 // (n * n - pe_n2) END AS BIGINT) AS kappa_bp
+FROM ag CROSS JOIN pe""")),
     // TF-IDF characteristic terms per document (keyword extraction — the
     // classic corpus-indexing feature a training pipeline derives before
     // vocab pruning / topic bucketing). Integer-scaled rational idf

@@ -859,6 +859,31 @@ pairs AS (
   FROM q CROSS JOIN embeddings b
 )
 SELECT qid, nid, dist FROM pairs WHERE dist >= 0.5 AND dist < 1.3""")),
+    // V5 × S6 — EXACT range search with geometric list pruning (the
+    // max_empty_result_buckets wasted-probe knob, index_param.h:101,
+    // answered with the triangle inequality): lists whose centroid ball
+    // cannot intersect the [0.5, 1.3) shell never reach the scan. The
+    // prune is lossless, so the FULL-corpus range oracle gates it; the
+    // IvfExtrasSpec asserts lists were actually dropped
+    GraftQuery(
+      "ivf_range_pruned",
+      (s, dir) => {
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val index = IvfIndex.build(base, cents, ROUND)
+        val radii = IvfIndex.listRadii(index, cents)
+        IvfIndex.rangeSearchPruned(queryVecs(s, dir), index, cents, radii,
+          radius = 1.3, rangeFilter = 0.5, roundDist = ROUND)
+      },
+      Some(s"""WITH ${Sql.qView},
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.l2} AS dist
+  FROM q CROSS JOIN embeddings b
+)
+SELECT qid, nid, dist FROM pairs WHERE dist >= 0.5 AND dist < 1.3""")),
     // V5 — iterator-backed range search with early termination
     // (index_node.h:190-291 range_search_level overrun analog): pages the
     // lazy best-first stream and stops a query once a page contributes no
@@ -1032,6 +1057,27 @@ GROUP BY q.qid""")),
       },
       Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
 round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS checksum
+FROM embeddings WHERE vec_id % 97 = 0""")),
+    // V7 × the packed storage tier: retrieval decodes the 2-byte lists
+    // through the same RNE grid the kernels compute on — the checksum
+    // certifies pack→unpack round-trips bit-exactly against the oracle's
+    // value-grid rendering, at half the bytes at rest
+    GraftQuery(
+      "get_vector_by_ids_packed",
+      (s, dir) => {
+        import graft.functions.VectorFunctions.{packFp16, unpackFp16}
+        val ids = Tables.embeddings(s, dir).filter(col("vec_id") % 97 === 0).select(col("vec_id").as("id"))
+        val packed = baseVecs(s, dir).select(col("id"), packFp16(col("vec")).as("vp"))
+        BruteForce
+          .getVectorByIds(ids, packed)
+          .select(col("id").as("vec_id"), unpackFp16(col("vp")).as("vec"))
+          .select(
+            col("vec_id"),
+            size(col("vec")).as("dim"),
+            round(aggregate(col("vec"), lit(0.0d), (a, x) => a + x.cast("double")), 4).as("checksum"))
+      },
+      Some(s"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+round(list_sum(list_transform(list_transform(embedding, ${Sql.fp16Cast}), x -> CAST(x AS DOUBLE))), 4) AS checksum
 FROM embeddings WHERE vec_id % 97 = 0""")),
     // S6/S15 — SQ8 quantization + SCANN-style reorder_k rerank
     // (ivf.cc:774-788, index_node.h:538-567)

@@ -89,6 +89,53 @@ class IvfExtrasSpec extends SparkSpec {
     assert(got.select("qid", "nid").exceptAll(exact.select("qid", "nid")).isEmpty)
   }
 
+  test("pruned range search equals the full scan while dropping lists") {
+    val radii = IvfIndex.listRadii(index, cents)
+    val got = IvfIndex
+      .rangeSearchPruned(queries, index, cents, radii,
+        radius = 1.3, rangeFilter = 0.5, roundDist = Some(4))
+      .select("qid", "nid", "dist")
+    val bf = BruteForce
+      .rangeSearch(queries, base, Metric.L2, radius = 1.3, rangeFilter = 0.5,
+        roundDist = Some(4))
+      .select("qid", "nid", "dist")
+    assert(got.exceptAll(bf).isEmpty && bf.exceptAll(got).isEmpty)
+  }
+
+  test("pruned range search drops far lists on clustered data") {
+    // the geometric bound is data-dependent: on the uniform synthetic
+    // embeddings every list ball spans the shell, so build tight,
+    // well-separated clusters where the triangle inequality has teeth
+    import spark.implicits._
+    val pts = for {
+      c <- 0 until 4; i <- 0 until 20
+    } yield (c * 20L + i, Array.fill(8)(c * 10.0f) ++ Array(i * 0.01f))
+    val cBase = pts.map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val cCents = pts.filter(_._1 % 20 == 0).map { case (id, v) => (id / 20, v.toSeq) }
+      .toDF("cluster_id", "centroid")
+      .select(col("cluster_id"), col("centroid").cast("array<float>").as("centroid"))
+    val cIndex = IvfIndex.build(cBase, cCents, Some(4))
+    val cRadii = IvfIndex.listRadii(cIndex, cCents)
+    // one query at cluster 0's centroid, radius far below the 10·√8 ≈ 28.3
+    // inter-cluster gap: only cluster 0's list can intersect the shell
+    val q = Seq((0L, pts.head._2.toSeq)).toDF("qid", "qvec")
+      .select(col("qid"), col("qvec").cast("array<float>").as("qvec"))
+    val got = IvfIndex.rangeSearchPruned(q, cIndex, cCents, cRadii,
+      radius = 1.0, rangeFilter = 0.0, roundDist = Some(4))
+    val bf = BruteForce.rangeSearch(q, cBase, Metric.L2,
+      radius = 1.0, rangeFilter = 0.0, roundDist = Some(4))
+    assert(got.select("qid", "nid", "dist").exceptAll(bf.select("qid", "nid", "dist")).isEmpty)
+    assert(bf.select("qid", "nid", "dist").exceptAll(got.select("qid", "nid", "dist")).isEmpty)
+    val cand = q
+      .crossJoin(broadcast(cCents.join(cRadii, "cluster_id")))
+      .filter(
+        Metric.L2.dist(col("qvec"), col("centroid")) - col("r") <= 1.0 + 1e-4 &&
+          Metric.L2.dist(col("qvec"), col("centroid")) + col("r") >= 0.0 - 1e-4)
+      .count()
+    assert(cand == 1L, s"expected only cluster 0 to survive the prune, kept $cand")
+  }
+
   test("filtered beam returns only allowed ids, subset of the unfiltered frontier") {
     val graph = BruteForce
       .knnFused(

@@ -444,4 +444,61 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"survivor join not broadcast:\n$p")
     assert(!p.contains("Window"), s"window sneaked into survivor selection:\n$p")
   }
+
+  test("maxTokenRun / winnowing: pure map-side scans — no exchange at all") {
+    val docs = Tables.documents(spark, sf0001)
+    val p1 = plan(TextAnalysis.maxTokenRun(docs))
+    assert(!p1.contains("Exchange"), s"maxTokenRun shuffled:\n$p1")
+    val p2 = plan(TextAnalysis.winnowingFingerprints(docs))
+    assert(!p2.contains("Exchange"), s"winnowing shuffled:\n$p2")
+  }
+
+  test("retention: shuffles key on user/cohort only; window rides the tiny aggregate") {
+    val df = Cohort.retention(Tables.events(spark, sf0001))
+    val p = plan(df)
+    assert(!p.linesIterator.exists(l => l.contains("Exchange hashpartitioning(event_id")),
+      s"shuffle on event_id (should key on user/cohort):\n$p")
+    // the one Window runs over the (cohort, offset) AGGREGATE — its input
+    // must be the aggregated frame, never the event scan
+    val lines = p.linesIterator.toSeq
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0, s"cohort-size carry window missing:\n$p")
+    assert(lines.drop(wIdx).exists(_.contains("HashAggregate")),
+      s"window does not sit above the aggregate:\n$p")
+  }
+
+  test("first-touch attribution: one row per user rides the join — no window") {
+    val p = plan(Cohort.attribution(
+      Tables.events(spark, sf0001), "purchase", Seq("view", "click"), first = true))
+    assert(!p.contains("Window"), s"window in the first-touch arm:\n$p")
+  }
+
+  test("rollup: one Expand feeds a single partial-aggregated exchange") {
+    val df = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sf0001)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"))
+      .agg(count(lit(1)).as("n"))
+    val p = plan(df)
+    assert(p.contains("Expand"), s"rollup lost its Expand (grouping sets):\n$p")
+    val aggExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(n_name"))
+    assert(aggExchanges <= 1, s"rollup paid $aggExchanges aggregate exchanges:\n$p")
+  }
+
+  test("apAtK / cohenKappa: bounded frames broadcast; kappa is one tiny aggregate chain") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val b = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = BruteForce.knn(q, b, 5, Metric.L2, roundDist = Some(4))
+    val p = plan(Eval.apAtK(exact, exact, 5))
+    assert(p.contains("BroadcastHashJoin"), s"bounded arm not broadcast:\n$p")
+    val docs = Tables.documents(spark, sf0001)
+    val pairs = docs.join(TextAnalysis.langId(docs), "doc_id")
+      .select(col("lang"), col("pred_lang"))
+    val pk = plan(Eval.cohenKappa(pairs, "lang", "pred_lang"))
+    assert(!pk.contains("SortMergeJoin"),
+      s"kappa's tiny marginal join should never sort-merge:\n$pk")
+  }
 }
