@@ -137,6 +137,13 @@ object Cohort {
             col("conv_value"),
             coalesce(col("touch_type"), lit("none")).as("channel"))
       }
+    renderAttribution(credited)
+  }
+
+  /** Roll credited conversions (conv_id, conv_value, channel) into the
+    * per-channel dashboard — shared with the STREAMING twin so both render
+    * identically (round→DECIMAL-sum contract). */
+  private[graft] def renderAttribution(credited: DataFrame): DataFrame =
     credited
       .groupBy(col("channel"))
       .agg(
@@ -144,5 +151,4 @@ object Cohort {
         round(
           sum(col("conv_value").cast("decimal(28,4)")).cast("double"),
           4).as("revenue"))
-  }
 }

@@ -133,6 +133,40 @@ object Dedup {
       shDf)
   }
 
+  /** Winnowing-fingerprint candidate pairs — the containment/plagiarism
+    * blocking built on [[TextAnalysis.winnowingFingerprints]]: docs sharing
+    * ≥ `minShared` selected window-min fingerprints, with the shared count.
+    * Winnowing's guarantee makes this catch LOCAL overlaps (a shared run of
+    * ≥ n+w−1 tokens) that whole-doc MinHash bands dilute away.
+    *
+    * Scale shape: one (fp)-keyed shuffle of (doc_id, fp) pairs — text never
+    * moves. The `maxDf` cap drops corpus-common fingerprints BEFORE the
+    * self-join (the standard winnowing-index guard: a boilerplate window
+    * shared by 10⁵ docs would otherwise go quadratic in its block — same
+    * hazard class as the 1-perm min-shingle block, here capped). */
+  def winnowingPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDf: Int = 50
+  ): DataFrame = {
+    val fps = TextAnalysis.winnowingFingerprints(docs, "text", n, w)
+    val rare = fps
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val pruned = fps.join(rare, Seq("fp"), "left_semi")
+    val a = pruned.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = pruned.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** MinHash estimator accuracy — the calibration eval run before trusting
     * banded signatures at corpus scale: per LSH candidate pair, the
     * signature-agreement Jaccard estimate (share of the numPerm permutations

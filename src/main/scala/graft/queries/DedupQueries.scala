@@ -104,6 +104,31 @@ SELECT doc_id,
 CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY nt) THEN 1 ELSE 0 END AS keep,
 CAST(count(*) OVER (PARTITION BY nt) AS INT) AS n_copies
 FROM n""")),
+    // winnowing-fingerprint candidate pairs: local-overlap blocking (any
+    // shared ≥6-token run ⇒ shared fingerprint) that whole-doc MinHash
+    // bands dilute; one fp-keyed shuffle, corpus-common fingerprints
+    // df-capped before the self-join
+    GraftQuery(
+      "dedup_winnowing_pairs",
+      (s, dir) => Dedup.winnowingPairs(Tables.documents(s, dir)),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+hs AS (
+  SELECT doc_id, list_transform(
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END,
+    s -> ${sqlTokenHash("s")}) AS h
+  FROM toks
+),
+fp AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+    j -> list_min(h[j:j+3])))) AS fp
+  FROM hs
+),
+rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY 1) WHERE df <= 50)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+FROM fp a JOIN rare r ON r.fp = a.fp JOIN fp b ON b.fp = a.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2""")),
     // MinHash estimator CALIBRATION: per LSH candidate pair, the
     // signature-agreement estimate vs the exact shingle Jaccard (integer
     // bp) + absolute error — the eval run before trusting banded
@@ -225,6 +250,86 @@ best AS (
 )
 SELECT sc.doc_id, sc.group_id, sc.doc_id = best.survivor AS kept
 FROM sc JOIN best ON best.group_id = sc.group_id""")),
+    // the END-TO-END cleaning decision (the flagship composition a corpus
+    // pipeline actually ships): per doc, exact-dup loser? near-dup group
+    // loser (LSH → CC → keep-best)? Gopher-gate fail? keep = none of the
+    // three. Every stage is the already-gated operator — one digest-keyed
+    // window, the banded CC (bounded pairs), a map-side rule scan, then
+    // doc_id-keyed joins; text crosses exactly one shuffle (the digest)
+    GraftQuery(
+      "corpus_clean_keep",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val w = Window.partitionBy(md5(col("text").cast("binary")))
+        val exact = docs.select(
+          col("doc_id"),
+          (col("doc_id") =!= min(col("doc_id")).over(w)).as("exact_dup"))
+        val near = Dedup
+          .keepBestInGroup(
+            Dedup.connectedComponents(Dedup.minhashLshPairs(docs, threshold = 0.5)),
+            docs.select(col("doc_id"), col("n_chars").as("q")))
+          .select(col("doc_id"), (!col("kept")).as("near_dup"))
+        val gop = TextAnalysis
+          .gopherRules(docs)
+          .select(col("doc_id"), (!col("keep")).as("gopher_fail"))
+        exact
+          .join(near, Seq("doc_id"), "left")
+          .join(gop, "doc_id")
+          .select(
+            col("doc_id"),
+            col("exact_dup"),
+            coalesce(col("near_dup"), lit(false)).as("near_dup"),
+            col("gopher_fail"),
+            (!col("exact_dup") && !coalesce(col("near_dup"), lit(false)) &&
+              !col("gopher_fail")).as("keep"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSqlBody,
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM j WHERE jaccard >= 0.5
+  UNION ALL SELECT doc_b, doc_a FROM j WHERE jaccard >= 0.5
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+g AS (SELECT u AS doc_id, min(v) AS group_id FROM reach GROUP BY 1),
+sc AS (
+  SELECT g.doc_id AS doc_id, g.group_id AS group_id, d.n_chars AS q
+  FROM g JOIN documents d ON d.doc_id = g.doc_id
+),
+best AS (
+  SELECT group_id, doc_id AS survivor FROM (
+    SELECT group_id, doc_id,
+      row_number() OVER (PARTITION BY group_id ORDER BY q DESC, doc_id ASC) AS rn
+    FROM sc
+  ) WHERE rn = 1
+),
+nd AS (
+  SELECT sc.doc_id AS doc_id, sc.doc_id <> best.survivor AS near_dup
+  FROM sc JOIN best ON best.group_id = sc.group_id
+),
+ex AS (
+  SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS exact_dup
+  FROM documents
+),
+gp AS (
+  SELECT doc_id, NOT (len(t) >= 20 AND len(t) <= 1000
+    AND sum_len >= 3 * len(t) AND sum_len <= 10 * len(t)
+    AND 5 * alpha_n >= 4 * len(t) AND stop_hits >= 2) AS gopher_fail
+  FROM (
+    SELECT doc_id, t,
+      CAST(list_sum(list_transform(t, x -> CAST(len(x) AS BIGINT))) AS BIGINT) AS sum_len,
+      CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_n,
+      len(list_intersect(list_distinct(t), ['the', 'a', 'and', 'of'])) AS stop_hits
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+)
+SELECT ex.doc_id, ex.exact_dup,
+  coalesce(nd.near_dup, false) AS near_dup,
+  gp.gopher_fail,
+  NOT ex.exact_dup AND NOT coalesce(nd.near_dup, false) AND NOT gp.gopher_fail AS keep
+FROM ex LEFT JOIN nd ON nd.doc_id = ex.doc_id JOIN gp ON gp.doc_id = ex.doc_id""")),
     // deterministic global shuffle rank (reproducible training-data
     // permutation): two-phase — order-preserving range buckets + driver
     // prefix sums + per-bucket ranks — same answer as the global-sort

@@ -337,6 +337,68 @@ cr AS (
 SELECT channel, count(*) AS conversions,
        round(CAST(sum(CAST(conv_value AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
 FROM cr GROUP BY 1""")),
+    // FIRST-touch attribution as a STATEFUL STREAM: per-user GroupState
+    // carries the earliest touch (min-struct order = the batch op's);
+    // purchases credit on arrival — time-aligned batches make the greedy
+    // credit exact, so the render hash-matches the batch oracle
+    GraftQuery(
+      "events_attribution_first_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Tables.events(s, dir)
+        val median = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
+        val stage = java.nio.file.Files.createTempDirectory("graft-attr-stream")
+        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
+        ev.filter(unix_micros(col("ts")) <= median)
+          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
+        ev.filter(unix_micros(col("ts")) > median)
+          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
+        import java.nio.file.attribute.FileTime
+        def touch(p: java.nio.file.Path, t: Long): Unit =
+          java.nio.file.Files.walk(p).forEach(f =>
+            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
+        val now = System.currentTimeMillis()
+        touch(d1, now - 120000); touch(d2, now - 60000)
+        val src = s.readStream
+          .schema(s.read.parquet(d1.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$stage/b*")
+        val sink = s"events_attr_first_stream_${System.nanoTime()}"
+        val q = graft.streaming.StreamingCohort
+          .firstTouchUpdates(src)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.StreamingCohort.renderAttribution(s.table(sink))
+      },
+      Some("""WITH t AS (
+  SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us, event_id, event_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+ft AS (
+  SELECT user_id, us, event_type FROM (
+    SELECT user_id, us, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY us, event_id, event_type) AS rn
+    FROM t) WHERE rn = 1
+),
+p AS (
+  SELECT event_id AS conv_id, user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS p_us,
+         round(value, 4) AS conv_value
+  FROM events WHERE event_type = 'purchase'
+),
+cr AS (
+  SELECT p.conv_id, p.conv_value,
+         CASE WHEN ft.us IS NOT NULL AND ft.us <= p.p_us THEN ft.event_type
+              ELSE 'none' END AS channel
+  FROM p LEFT JOIN ft ON ft.user_id = p.user_id
+)
+SELECT channel, count(*) AS conversions,
+       round(CAST(sum(CAST(conv_value AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+FROM cr GROUP BY 1""")),
     // LAST-touch attribution (conversion-proximity view): latest qualifying
     // touch at-or-before each purchase via the single-shuffle as-of join;
     // equal-ts touches pre-collapsed (larger event_id wins) so the credit

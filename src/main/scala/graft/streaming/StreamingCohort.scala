@@ -52,4 +52,62 @@ object StreamingCohort {
   def renderFinal(cells: DataFrame): DataFrame =
     Cohort.renderRetention(
       cells.select(col("user_id"), col("cohort_day"), col("day_offset")).distinct())
+
+  final case class FirstTouchState(tUs: Long, eventId: Long, touchType: String)
+
+  /** Streaming FIRST-touch attribution: per-user GroupState carries the
+    * earliest touch seen ((ts, event_id, type) min-struct — the batch op's
+    * exact order); each micro-batch credits its purchases against the
+    * merged state. Time-aligned batches make the greedy credit equal the
+    * batch semantics: any touch at-or-before a purchase is in the
+    * purchase's batch or earlier, so the state's first touch IS the global
+    * first touch whenever it qualifies. Emits (conv_id, channel,
+    * conv_value) — each purchase exactly once. */
+  def firstTouchUpdates(
+      events: DataFrame,
+      convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("view", "click")
+  ): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events
+      .filter(col("event_type").isin((convType +: touchTypes): _*))
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("event_id"),
+        col("event_type"),
+        round(col("value"), 4).as("v"))
+      .as[(Long, Long, Long, String, Double)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[FirstTouchState, (Long, String, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          val rows = it.toSeq
+          val batchFirst = rows
+            .filter(r => r._4 != convType)
+            .map(r => FirstTouchState(r._2, r._3, r._4))
+            .sortBy(t => (t.tUs, t.eventId, t.touchType))
+            .headOption
+          val first = (state.getOption.toSeq ++ batchFirst)
+            .sortBy(t => (t.tUs, t.eventId, t.touchType))
+            .headOption
+          first.foreach(state.update)
+          rows
+            .filter(_._4 == convType)
+            .iterator
+            .map { p =>
+              val channel = first
+                .filter(_.tUs <= p._2)
+                .map(_.touchType)
+                .getOrElse("none")
+              (p._3, channel, p._5)
+            }
+      }
+      .toDF("conv_id", "channel", "conv_value")
+  }
+
+  /** Render accumulated credited conversions exactly as the batch op. */
+  def renderAttribution(credited: DataFrame): DataFrame =
+    Cohort.renderAttribution(credited)
 }
