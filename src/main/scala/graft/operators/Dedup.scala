@@ -423,6 +423,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Contamination SEVERITY — [[decontaminate]] graded: per flagged doc,
+    * the share of its distinct shingles present in the eval set (integer
+    * bp). The number a decontamination policy actually thresholds on
+    * (drop ≥ x% contaminated, keep-and-mask below). Same broadcast eval
+    * set; the per-doc denominator is a map-side size() on the same
+    * shingling pass shape. */
+  def decontaminateSeverity(
+      docs: DataFrame,
+      evalPred: Column,
+      n: Int = 3
+  ): DataFrame = {
+    val tot = docs
+      .filter(!evalPred)
+      .select(col("doc_id"), size(shingleHashes(col("text"), n)).cast("long").as("n_sh"))
+    decontaminate(docs, evalPred, n)
+      .join(tot, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_shared"),
+        col("n_sh"),
+        expr("CAST(n_shared * 10000 DIV n_sh AS BIGINT)").as("contam_bp"))
+  }
+
+  /** Cross-source duplication matrix — which sources copy from which: the
+    * verified near-dup pairs rolled up per unordered source pair. The
+    * provenance dashboard a crawl pipeline reads before re-weighting or
+    * dropping a mirror-heavy source. Pair set is the banded verify output
+    * (bounded); the source join is two broadcast-sized doc_id lookups when
+    * docs-to-source fits, else two doc_id-keyed shuffles of (id, source). */
+  def sourceDupMatrix(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(docs, threshold)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("_sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("_sb")), "doc_b")
+      .select(
+        least(col("_sa"), col("_sb")).as("src_lo"),
+        greatest(col("_sa"), col("_sb")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** [[decontaminate]] behind a BLOOM pre-filter — the shape for when the
     * eval/benchmark set is too large to broadcast as a hash relation but
     * its bloom still fits everywhere: the corpus side is pruned MAP-SIDE

@@ -178,6 +178,39 @@ object Sampling {
     * sum the ≤B counts driver-side; (2) rank WITHIN each bucket (B
     * concurrent partitioned sorts) and add the broadcast offset. Same
     * answer, no single-reducer sort. Ties (identical texts) break by id. */
+  /** Deterministic CURRICULUM ordering — quality-descending, content-hash
+    * shuffled within equal quality: the training-order permutation of
+    * curriculum schedules (easy/clean first), reproducible across
+    * layouts. Same two-phase shape as [[shuffleRank]], with the 4dp
+    * quality grid as the bucket key: per-bucket counts (≤ distinct 4dp
+    * values, a bounded driver frame) → prefix offsets broadcast → ranks
+    * within each bucket by (hash, id). Never a global single-reducer
+    * sort. */
+  def curriculumRank(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.qualityScore(docs)
+    val keyed = docs
+      .join(q, "doc_id")
+      .select(
+        col("doc_id"),
+        (col("quality").cast("decimal(18,4)") * 10000).cast("long").as("_qi"),
+        TextAnalysis.tokenHash(md5(col("text").cast("binary"))).as("_k"))
+    val counts = keyed.groupBy(col("_qi")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("_qi", "_off"))
+    keyed
+      .join(offDf, "_qi")
+      .withColumn(
+        "_rn",
+        row_number().over(
+          Window.partitionBy(col("_qi")).orderBy(col("_k").asc, col("doc_id").asc)))
+      .select(col("doc_id"), (col("_off") + col("_rn")).as("curriculum_rank"))
+  }
+
   def shuffleRank(
       docs: DataFrame, // (idCol, textCol)
       idCol: String = "doc_id",

@@ -712,6 +712,38 @@ tr AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % 97 <> 0)
 SELECT tr.doc_id AS doc_id, count(*) AS n_shared
 FROM tr JOIN ev ON ev.h = tr.h
 GROUP BY tr.doc_id""")),
+    // contamination SEVERITY: the overlap count graded by each doc's own
+    // shingle count (integer bp) — the threshold a drop/mask policy reads
+    GraftQuery(
+      "decontaminate_severity",
+      (s, dir) =>
+        Dedup.decontaminateSeverity(Tables.documents(s, dir), col("doc_id") % 97 === 0),
+      Some(s"""WITH $shCte,
+ev AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % 97 <> 0),
+hit AS (
+  SELECT tr.doc_id AS doc_id, count(*) AS n_shared
+  FROM tr JOIN ev ON ev.h = tr.h GROUP BY 1
+),
+tot AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh WHERE doc_id % 97 <> 0)
+SELECT h.doc_id, h.n_shared, t.n_sh,
+  CAST(h.n_shared * 10000 // t.n_sh AS BIGINT) AS contam_bp
+FROM hit h JOIN tot t ON t.doc_id = h.doc_id""")),
+    // cross-source duplication matrix (who copies from whom): verified
+    // near-dup pairs per unordered source pair — the provenance dashboard
+    // behind source re-weighting
+    GraftQuery(
+      "dedup_source_matrix",
+      (s, dir) => Dedup.sourceDupMatrix(Tables.documents(s, dir), threshold = 0.5),
+      Some(s"""$minhashPairsSql,
+pp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5)
+SELECT least(da.source, db.source) AS src_lo,
+       greatest(da.source, db.source) AS src_hi,
+       count(*) AS n_pairs
+FROM pp
+JOIN documents da ON da.doc_id = pp.doc_a
+JOIN documents db ON db.doc_id = pp.doc_b
+GROUP BY 1, 2""")),
     // the SAME contamination answer through the BLOOM pre-filter path
     // (eval bits built distributed + OR-merged, corpus pruned map-side by
     // the codegen'd probe, exact shuffle confirm-join removes the false

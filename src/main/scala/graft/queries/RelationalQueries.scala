@@ -312,6 +312,51 @@ FROM cum GROUP BY 1""")),
     // the histogram sketch as a STREAM: the count vector is the streaming
     // state, vector-added across micro-batches — final read-off equals
     // the batch oracle whatever the batch split
+    // rate-spike detection: each (hour, type) count vs its trailing-24-row
+    // baseline (full windows only) — the ops-monitoring gate next to the
+    // MAD outlier screen. The window runs over the ALREADY-AGGREGATED
+    // hourly frame (hours × types rows), never the event scan; ratio in
+    // integer bp, spike = ≥ 1.5× baseline
+    GraftQuery(
+      "events_rate_spikes",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables
+          .events(s, dir)
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+          .rowsBetween(-24, -1)
+        hourly
+          .withColumn("_pn", count(lit(1)).over(w))
+          .withColumn("prev_sum", sum(col("cnt")).over(w))
+          .filter(col("_pn") === 24)
+          .select(
+            col("hour"),
+            col("event_type"),
+            col("cnt"),
+            expr("CAST(cnt * 24 * 10000 DIV prev_sum AS BIGINT)").as("ratio_bp"))
+          .withColumn("spike", col("ratio_bp") >= 15000L)
+      },
+      Some("""WITH h AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+wd AS (
+  SELECT hour, event_type, cnt,
+    count(*) OVER (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS pn,
+    sum(cnt) OVER (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS prev_sum
+  FROM h
+)
+SELECT hour, event_type, cnt,
+  CAST(cnt * 24 * 10000 // prev_sum AS BIGINT) AS ratio_bp,
+  cnt * 24 * 10000 // prev_sum >= 15000 AS spike
+FROM wd WHERE pn = 24""")),
     // multi-level subtotals in ONE pass (ROLLUP grouping sets): revenue by
     // region → nation → grand total. Catalyst's Expand fans each row to
     // its 3 grouping sets MAP-SIDE before the single partial-aggregated

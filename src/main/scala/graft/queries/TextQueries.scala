@@ -164,6 +164,26 @@ SELECT doc_id,
        ELSE 'zh' END AS pred_lang,
   round(greatest(en, de, fr, es, zh), 4) AS lang_score
 FROM r""")),
+    // deterministic curriculum ordering: quality-descending, content-hash
+    // shuffled within equal quality — the reproducible easy-first training
+    // permutation; two-phase (per-4dp-bucket counts → broadcast offsets →
+    // in-bucket ranks), no global sort
+    GraftQuery(
+      "corpus_curriculum_rank",
+      (s, dir) => Sampling.curriculumRank(Tables.documents(s, dir)),
+      Some(s"""WITH ql AS (
+  SELECT doc_id, text, $qualitySql AS quality
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+),
+keyed AS (
+  SELECT doc_id,
+    CAST(CAST(quality AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qi,
+    ${sqlTokenHash("md5(text)")} AS k
+  FROM ql
+)
+SELECT doc_id,
+  CAST(row_number() OVER (ORDER BY qi DESC, k ASC, doc_id ASC) AS BIGINT) AS curriculum_rank
+FROM keyed""")),
     // Cohen's kappa of the language-ID heuristic vs the labeled lang
     // column — chance-corrected agreement next to the dashboard's raw
     // rate. Exact integer rational off one tiny confusion-matrix
