@@ -203,6 +203,27 @@ object Scale {
     println(s"range early-stop: rows=$nEarly pages=${AnnIteratorOp.lastPagesTouched}" +
       s" of ${math.ceil(nb / 4096.0).toInt}")
 
+    // ---- lossless ball-pruned IVF range: clustered data gives the
+    // triangle inequality teeth — count the (query, list) cells that
+    // survive vs the dense grid, and the wall-time delta vs the
+    // nprobe=nlist full scan at the same radius
+    locally {
+      val radii = IvfIndex.listRadii(index, cents)
+      val nPruned = time("ivf range PRUNED (radius=1.0)")(
+        IvfIndex.rangeSearchPruned(fewQ, index, cents, radii,
+          radius = 1.0, rangeFilter = 0.0).count())
+      val nFull = time(s"ivf range full (nprobe=$nlist, radius=1.0)")(
+        IvfIndex.rangeSearch(fewQ, index, cents, nlist, Metric.L2,
+          radius = 1.0, rangeFilter = 0.0).count())
+      val cells = fewQ
+        .crossJoin(broadcast(cents.join(radii, "cluster_id")))
+        .filter(Metric.L2.dist(col("qvec"), col("centroid")) - col("r") <= 1.0 &&
+          Metric.L2.dist(col("qvec"), col("centroid")) + col("r") >= 0.0)
+        .count()
+      println(s"ball prune: $cells of ${fewQ.count() * nlist} cells survive; " +
+        s"rows pruned=$nPruned full=$nFull (must match)")
+    }
+
     // ---- TRUE packed fp16 storage: half the bytes in the scan ----
     import graft.functions.VectorFunctions.packFp16
     val packedBase = base.select(col("id"), packFp16(col("vec")).as("vec")).persist()

@@ -56,6 +56,16 @@ object VectorFunctions {
     * `brute_force.cc:66-101`). */
   def normL2(a: Column): Column = sqrt(dot(a, a))
 
+  /** L2-normalize to unit length (the reference's NormalizeVecs
+    * preprocessing, `norm.h` — Knowhere normalizes inputs so COSINE can run
+    * as IP): elements divide by the double-precision norm, then round back
+    * to the FLOAT storage grid. Map-side; zero vectors are the caller's
+    * contract (they produce non-finite elements, as in the reference). */
+  def normalizeL2(a: Column): Column = {
+    val n = normL2(a)
+    transform(a, x => (x.cast("double") / n).cast("float"))
+  }
+
   /** Cosine *similarity* (higher = closer), as in Knowhere's COSINE metric:
     * ip / (|a|·|b|) with norms precomputable (`brute_force.cc:183-197`). */
   def cosineSim(a: Column, b: Column): Column =

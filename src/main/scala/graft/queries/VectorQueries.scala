@@ -1058,6 +1058,40 @@ GROUP BY q.qid""")),
       Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
 round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS checksum
 FROM embeddings WHERE vec_id % 97 = 0""")),
+    // normalize-then-IP (the reference's NormalizeVecs preprocessing,
+    // norm.h — COSINE executed as IP over unit vectors): both sides
+    // L2-normalized map-side in double then stored back on the float
+    // grid; the IP ranking over them is gated element-for-element, and
+    // RecallSpec asserts the id set equals the cosine arm's
+    GraftQuery(
+      "bf_knn_ip_normalized",
+      (s, dir) => {
+        import graft.functions.VectorFunctions.normalizeL2
+        val q = queryVecs(s, dir).select(col("qid"), normalizeL2(col("qvec")).as("qvec"))
+        val b = baseVecs(s, dir).select(col("id"), normalizeL2(col("vec")).as("vec"))
+        BruteForce.knn(q, b, K, Metric.IP, roundDist = ROUND)
+      },
+      Some(s"""WITH qn AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) /
+    sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS FLOAT)) AS qv
+  FROM embeddings WHERE vec_id % $QMOD = 0
+),
+bn AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) /
+    sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS FLOAT)) AS bv
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid,
+    round(list_sum(list_transform(range(1, len(q.qv)+1), i ->
+      CAST(q.qv[i] AS DOUBLE) * CAST(b.bv[i] AS DOUBLE))), 4) AS dist
+  FROM qn q CROSS JOIN bn b
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM pairs
+) WHERE rnk <= $K""")),
     // V7 × the packed storage tier: retrieval decodes the 2-byte lists
     // through the same RNE grid the kernels compute on — the checksum
     // certifies pack→unpack round-trips bit-exactly against the oracle's

@@ -174,6 +174,17 @@ class RecallSpec extends SparkSpec {
     assert(recall(got, truth) >= 0.6)
   }
 
+  test("normalize-then-IP reproduces the cosine ranking (recall >= 0.9)") {
+    import graft.functions.VectorFunctions.normalizeL2
+    val qn = queries.select(col("qid"), normalizeL2(col("qvec")).as("qvec"))
+    val bn = base.select(col("id"), normalizeL2(col("vec")).as("vec"))
+    val ipArm = BruteForce.knn(qn, bn, K, Metric.IP, roundDist = Some(4))
+    val cosArm = BruteForce.knn(queries, base, K, Metric.Cosine, roundDist = Some(4))
+    // set-level agreement: the two formulations differ only in fp
+    // summation shape, so 4dp boundary ties may swap the tail rank
+    assert(recall(ipArm, cosArm) >= 0.9)
+  }
+
   test("DiskANN over the IVF-built graph (scalable build, no all-pairs): recall >= 0.6") {
     val cents = IvfIndex.trainKMeans(spark, base, nlist = 8)
     val graph = GraphSearch.knnGraphIvf(base, cents, degree = 5, nprobe = 2)
