@@ -49,6 +49,25 @@ CAST(list_sum(list_transform(range(1, least(64, strlen(text) - w.range*32) + 1),
   ascii(substr(text, CAST(w.range*32 + i AS INT), 1)) *
   ascii(substr(text, CAST(w.range*32 + i AS INT), 1)))) % 997 AS BIGINT) AS energy
 FROM documents CROSS JOIN range(0, 32) w
-WHERE w.range * 32 < strlen(text)"""))
+WHERE w.range * 32 < strlen(text)""")),
+    // exact dedup over the OPAQUE BINARY payload (the image/audio shape —
+    // identical bytes, any modality): one shuffle on the 16-byte digest,
+    // payloads never move
+    GraftQuery(
+      "media_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+        val w = Window.partitionBy(md5(col("media")))
+        media.select(
+          col("media_id"),
+          when(col("media_id") === min(col("media_id")).over(w), 1).otherwise(0).as("keep"),
+          count(lit(1)).over(w).cast("int").as("n_copies"))
+      },
+      Some("""SELECT doc_id AS media_id,
+CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS keep,
+CAST(count(*) OVER (PARTITION BY md5(text)) AS INT) AS n_copies
+FROM documents"""))
   )
 }
