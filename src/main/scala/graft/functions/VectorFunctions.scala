@@ -60,11 +60,19 @@ object VectorFunctions {
     * preprocessing, `norm.h` — Knowhere normalizes inputs so COSINE can run
     * as IP): elements divide by the double-precision norm, then round back
     * to the FLOAT storage grid. Map-side; zero vectors are the caller's
-    * contract (they produce non-finite elements, as in the reference). */
+    * contract (they produce non-finite elements, as in the reference).
+    * NOTE: the norm is an outer expression inside the per-element lambda,
+    * so it re-evaluates per element (dim× overhead) — hot paths should
+    * bind the norm to its own column first and use [[normalizeL2Pre]]. */
   def normalizeL2(a: Column): Column = {
     val n = normL2(a)
     transform(a, x => (x.cast("double") / n).cast("float"))
   }
+
+  /** [[normalizeL2]] with the norm already bound to an attribute (computed
+    * in a prior projection) — each element pays one divide. */
+  def normalizeL2Pre(a: Column, n: Column): Column =
+    transform(a, x => (x.cast("double") / n).cast("float"))
 
   /** Cosine *similarity* (higher = closer), as in Knowhere's COSINE metric:
     * ip / (|a|·|b|) with norms precomputable (`brute_force.cc:183-197`). */

@@ -133,6 +133,26 @@ object Dedup {
       shDf)
   }
 
+  /** Per-document shingle NOVELTY — the share of a doc's distinct shingles
+    * it is the corpus-first owner of (min doc_id), integer bp: the
+    * diminishing-novelty curve a crawl-ordered corpus shows as later
+    * documents re-tread earlier content. One shingle-keyed shuffle for the
+    * first-owner aggregate, one doc-keyed roll-up; text never moves. */
+  def shingleNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("sh"))
+    val firstOwner = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("_fd"))
+    sh.join(firstOwner, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("_fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .selectExpr(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        "CAST(n_novel * 10000 DIV n_shingles AS BIGINT) AS novelty_bp")
+  }
+
   /** Winnowing-fingerprint candidate pairs — the containment/plagiarism
     * blocking built on [[TextAnalysis.winnowingFingerprints]]: docs sharing
     * ≥ `minShared` selected window-min fingerprints, with the shared count.
@@ -151,7 +171,11 @@ object Dedup {
       minShared: Int = 2,
       maxDf: Int = 50
   ): DataFrame = {
+    // fingerprint ONCE (cached): the frame feeds the df-cap aggregate and
+    // both sides of the self-join — unpersisted it would recompute the
+    // whole winnowing pass per use (measured 3× the single-pass cost)
     val fps = TextAnalysis.winnowingFingerprints(docs, "text", n, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = fps
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
@@ -160,11 +184,13 @@ object Dedup {
     val pruned = fps.join(rare, Seq("fp"), "left_semi")
     val a = pruned.select(col("doc_id").as("doc_a"), col("fp"))
     val b = pruned.select(col("doc_id").as("doc_b"), col("fp"))
-    a.join(b, "fp")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared_fps"))
-      .filter(col("shared_fps") >= minShared)
+    eager(
+      a.join(b, "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= minShared),
+      fps)
   }
 
   /** MinHash estimator accuracy — the calibration eval run before trusting

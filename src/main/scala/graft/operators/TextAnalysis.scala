@@ -89,11 +89,18 @@ object TextAnalysis {
       n: Int = 3,
       w: Int = 4
   ): DataFrame = {
-    val hs = transform(shingles(tokens(col(textCol)), n), tokenHash(_))
-    val nw = greatest(size(hs) - (w - 1), lit(1))
+    // materialize the hash array in its own projection FIRST: a lambda
+    // body re-evaluates every outer expression it references per element,
+    // so an inline `hs` would recompute the whole shingle-hash array for
+    // EVERY window — O(T²) interpreted work (measured 88 s at sf0.1;
+    // 50× off). Bound as an attribute, each window is an O(w) slice-min.
+    val hs = df.select(
+      col("doc_id"),
+      transform(shingles(tokens(col(textCol)), n), tokenHash(_)).as("_hs"))
+    val nw = greatest(size(col("_hs")) - (w - 1), lit(1))
     val fps = array_distinct(
-      transform(sequence(lit(1), nw), j => array_min(slice(hs, j, lit(w)))))
-    df.select(col("doc_id"), explode(fps).as("fp"))
+      transform(sequence(lit(1), nw), j => array_min(slice(col("_hs"), j, lit(w)))))
+    hs.select(col("doc_id"), explode(fps).as("fp"))
   }
 
   /** Per-doc token statistics (token counting operator). */
@@ -455,6 +462,41 @@ object TextAnalysis {
       (quality.cast("decimal(18,4)") * lit(10000)).cast("long").as("qi"),
       col("n_chars"),
       when(pred === col("lang"), 1L).otherwise(0L).as("lang_hit"))
+  }
+
+  /** Vocabulary GROWTH curve (Heaps' law view): new distinct terms
+    * introduced per doc_id decile, with the cumulative count — the
+    * diminishing-returns read a mixture designer takes before adding more
+    * of the same source. A term's introduction point is its min doc_id
+    * (one term-keyed aggregate); deciles are integer id-range buckets, so
+    * the curve is exact under any partitioning; the cumulative window runs
+    * over 10 rows. */
+  def vocabGrowth(
+      df: DataFrame,
+      buckets: Int = 10,
+      n: Int = 3,
+      textCol: String = "text"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // n-gram vocabulary (n = 1 recovers plain terms): on a small closed
+    // unigram vocabulary the curve collapses to one bucket; n-grams give
+    // the Heaps-law growth the metric exists to show
+    val terms = df.select(
+      col("doc_id"),
+      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("term"))
+    val first = terms.groupBy(col("term")).agg(min(col("doc_id")).as("_fd"))
+    val maxId = df.agg(max(col("doc_id")).as("_mx"))
+    val perBucket = first
+      .crossJoin(broadcast(maxId))
+      .selectExpr(s"CAST(least(_fd * $buckets DIV (_mx + 1), ${buckets - 1}) AS INT) AS bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+    perBucket
+      .withColumn(
+        "cum_terms",
+        sum(col("new_terms")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("bucket"), col("new_terms"), col("cum_terms"))
   }
 
   /** Language-ID n-gram heuristic: score per language = fraction of tokens

@@ -104,6 +104,20 @@ SELECT doc_id,
 CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY nt) THEN 1 ELSE 0 END AS keep,
 CAST(count(*) OVER (PARTITION BY nt) AS INT) AS n_copies
 FROM n""")),
+    // per-doc shingle novelty: share of shingles the doc introduces to the
+    // corpus (min-doc_id ownership) — the diminishing-novelty curve of
+    // crawl-ordered data; one shingle-keyed shuffle + one doc roll-up
+    GraftQuery(
+      "doc_novelty",
+      (s, dir) => Dedup.shingleNovelty(Tables.documents(s, dir)),
+      Some(s"""WITH $shCte,
+r AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+fo AS (SELECT h, min(doc_id) AS fd FROM r GROUP BY 1)
+SELECT r.doc_id, count(*) AS n_shingles,
+  CAST(sum(CASE WHEN fo.fd = r.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  CAST(sum(CASE WHEN fo.fd = r.doc_id THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS novelty_bp
+FROM r JOIN fo ON fo.h = r.h
+GROUP BY 1""")),
     // winnowing-fingerprint candidate pairs: local-overlap blocking (any
     // shared ≥6-token run ⇒ shared fingerprint) that whole-doc MinHash
     // bands dilute; one fp-keyed shuffle, corpus-common fingerprints

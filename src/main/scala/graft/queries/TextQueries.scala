@@ -164,6 +164,29 @@ SELECT doc_id,
        ELSE 'zh' END AS pred_lang,
   round(greatest(en, de, fr, es, zh), 4) AS lang_score
 FROM r""")),
+    // vocabulary growth curve (Heaps' law view): new terms per doc-id
+    // decile + cumulative — diminishing returns per additional slice of
+    // the same source; one term-keyed aggregate, 10-row window
+    GraftQuery(
+      "vocab_growth",
+      (s, dir) => TextAnalysis.vocabGrowth(Tables.documents(s, dir)),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+t AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END)) AS term
+  FROM tk
+),
+f AS (SELECT term, min(doc_id) AS fd FROM t GROUP BY 1),
+mx AS (SELECT max(doc_id) AS m FROM documents),
+pb AS (
+  SELECT CAST(least(fd * 10 // (m + 1), 9) AS INT) AS bucket, count(*) AS new_terms
+  FROM f CROSS JOIN mx GROUP BY 1
+)
+SELECT bucket, new_terms,
+  CAST(sum(new_terms) OVER (ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_terms
+FROM pb""")),
     // deterministic curriculum ordering: quality-descending, content-hash
     // shuffled within equal quality — the reproducible easy-first training
     // permutation; two-phase (per-4dp-bucket counts → broadcast offsets →

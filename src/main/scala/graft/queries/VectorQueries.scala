@@ -1066,9 +1066,13 @@ FROM embeddings WHERE vec_id % 97 = 0""")),
     GraftQuery(
       "bf_knn_ip_normalized",
       (s, dir) => {
-        import graft.functions.VectorFunctions.normalizeL2
-        val q = queryVecs(s, dir).select(col("qid"), normalizeL2(col("qvec")).as("qvec"))
-        val b = baseVecs(s, dir).select(col("id"), normalizeL2(col("vec")).as("vec"))
+        import graft.functions.VectorFunctions.{normL2, normalizeL2Pre}
+        val q = queryVecs(s, dir)
+          .select(col("qid"), col("qvec"), normL2(col("qvec")).as("_n"))
+          .select(col("qid"), normalizeL2Pre(col("qvec"), col("_n")).as("qvec"))
+        val b = baseVecs(s, dir)
+          .select(col("id"), col("vec"), normL2(col("vec")).as("_n"))
+          .select(col("id"), normalizeL2Pre(col("vec"), col("_n")).as("vec"))
         BruteForce.knn(q, b, K, Metric.IP, roundDist = ROUND)
       },
       Some(s"""WITH qn AS (

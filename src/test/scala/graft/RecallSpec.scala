@@ -175,9 +175,13 @@ class RecallSpec extends SparkSpec {
   }
 
   test("normalize-then-IP reproduces the cosine ranking (recall >= 0.9)") {
-    import graft.functions.VectorFunctions.normalizeL2
-    val qn = queries.select(col("qid"), normalizeL2(col("qvec")).as("qvec"))
-    val bn = base.select(col("id"), normalizeL2(col("vec")).as("vec"))
+    import graft.functions.VectorFunctions.{normL2, normalizeL2Pre}
+    val qn = queries
+      .select(col("qid"), col("qvec"), normL2(col("qvec")).as("_n"))
+      .select(col("qid"), normalizeL2Pre(col("qvec"), col("_n")).as("qvec"))
+    val bn = base
+      .select(col("id"), col("vec"), normL2(col("vec")).as("_n"))
+      .select(col("id"), normalizeL2Pre(col("vec"), col("_n")).as("vec"))
     val ipArm = BruteForce.knn(qn, bn, K, Metric.IP, roundDist = Some(4))
     val cosArm = BruteForce.knn(queries, base, K, Metric.Cosine, roundDist = Some(4))
     // set-level agreement: the two formulations differ only in fp
