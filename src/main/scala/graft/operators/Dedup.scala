@@ -139,18 +139,22 @@ object Dedup {
     * documents re-tread earlier content. One shingle-keyed shuffle for the
     * first-owner aggregate, one doc-keyed roll-up; text never moves. */
   def shingleNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    // no join-back on the shingle key: the first-owner aggregate ITSELF
+    // rolls up to per-doc novel counts (its min-doc column is the owner),
+    // so the wide (shingle → rows) join never exists — two aggregates and
+    // one doc-keyed join of per-doc frames
     val sh = docs.select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("sh"))
-    val firstOwner = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("_fd"))
-    sh.join(firstOwner, "sh")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("_fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    val tot = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val novel = sh
+      .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    tot
+      .join(novel, Seq("doc_id"), "left")
       .selectExpr(
         "doc_id",
         "n_shingles",
-        "n_novel",
-        "CAST(n_novel * 10000 DIV n_shingles AS BIGINT) AS novelty_bp")
+        "coalesce(n_novel, CAST(0 AS BIGINT)) AS n_novel",
+        "CAST(coalesce(n_novel, CAST(0 AS BIGINT)) * 10000 DIV n_shingles AS BIGINT) AS novelty_bp")
   }
 
   /** Winnowing-fingerprint candidate pairs — the containment/plagiarism

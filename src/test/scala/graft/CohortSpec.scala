@@ -81,6 +81,35 @@ class CohortSpec extends SparkSpec {
     assert(a.intersect(other).isEmpty)
   }
 
+  test("shingle novelty: the first doc owns everything; shares stay in [0, 10000]") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // full copy: novelty 0
+      (3L, "alpha beta gamma zeta eta theta") // partial overlap
+    ).toDF("doc_id", "text")
+    val r = Dedup.shingleNovelty(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L)._3 == 10000L)
+    assert(r(2L)._3 == 0L)
+    assert(r(3L)._3 > 0L && r(3L)._3 < 10000L)
+    r.values.foreach { case (tot, nov, bp) =>
+      assert(nov <= tot && bp >= 0L && bp <= 10000L)
+    }
+  }
+
+  test("vocab growth: cumulative is monotone and ends at the distinct n-gram count") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val rows = TextAnalysis.vocabGrowth(docs).orderBy("bucket").collect()
+    val cums = rows.map(_.getLong(2))
+    assert(cums.zip(cums.drop(1)).forall { case (a, b) => a <= b })
+    val distinct = docs
+      .select(explode(array_distinct(
+        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))).as("g"))
+      .agg(countDistinct(col("g"))).head().getLong(0)
+    assert(cums.last == distinct)
+    assert(rows.map(_.getLong(1)).sum == distinct)
+  }
+
   test("minhash calibration: identical docs estimate 10000 bp with zero error") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again"),
