@@ -131,6 +131,165 @@ SELECT user_id,
                 ELSE 0 END) + 1 AS INT) AS n_sessions,
   count(*) AS n_events
 FROM o GROUP BY 1""")),
+    // the SAME 30-min-gap sessions through Spark's NATIVE session_window
+    // operator (the built-in the mapGroupsWithState twin hand-rolls):
+    // per-session rows with start/end/count/value — merging is Catalyst's,
+    // the oracle restates it with the lag/cumsum session-id derivation
+    GraftQuery(
+      "events_session_window",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(
+              sum(round(col("value"), 6).cast("decimal(28,6)")).cast("double"),
+              4).as("value_sum"))
+          .select(
+            col("user_id"),
+            unix_micros(col("sw.start")).as("start_us"),
+            unix_micros(col("sw.end")).as("end_us"),
+            col("n_events"),
+            col("value_sum")),
+      Some("""WITH o AS (
+  SELECT user_id, event_id, value,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+         lag(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+sid AS (
+  SELECT user_id, us, value,
+    sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS value_sum
+FROM sid GROUP BY user_id, sid""")),
+    // the native session_window through Structured Streaming (complete
+    // mode: every session re-emits as batches arrive, so no watermark
+    // race can drop the stream-tail sessions) — hash-matches the batch
+    // session oracle above
+    GraftQuery(
+      "events_session_window_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val stage = java.nio.file.Files.createTempDirectory("graft-sesswin-stream")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events.parquet"))
+        val raw = s.readStream.schema(schema).parquet(stage.toString)
+        val ev = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          case _ => raw
+        }
+        val sink = s"events_session_window_stream_${System.nanoTime()}"
+        val q = ev
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(
+              sum(round(col("value"), 6).cast("decimal(28,6)")).cast("double"),
+              4).as("value_sum"))
+          .select(
+            col("user_id"),
+            unix_micros(col("sw.start")).as("start_us"),
+            unix_micros(col("sw.end")).as("end_us"),
+            col("n_events"),
+            col("value_sum"))
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      },
+      Some("""WITH o AS (
+  SELECT user_id, event_id, value,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+         lag(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+sid AS (
+  SELECT user_id, us, value,
+    sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS value_sum
+FROM sid GROUP BY user_id, sid""")),
+    // LAST-touch attribution as a STATEFUL STREAM: state is ONE latest
+    // touch per user (the as-of right side never accumulates); batch rows
+    // replay in (ts, touches-first, id) order so same-instant touches are
+    // visible to the inclusive bound — hash-matches the batch oracle
+    GraftQuery(
+      "events_attribution_last_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Tables.events(s, dir)
+        val median = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
+        val stage = java.nio.file.Files.createTempDirectory("graft-attrl-stream")
+        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
+        ev.filter(unix_micros(col("ts")) <= median)
+          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
+        ev.filter(unix_micros(col("ts")) > median)
+          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
+        import java.nio.file.attribute.FileTime
+        def touch(p: java.nio.file.Path, t: Long): Unit =
+          java.nio.file.Files.walk(p).forEach(f =>
+            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
+        val now = System.currentTimeMillis()
+        touch(d1, now - 120000); touch(d2, now - 60000)
+        val src = s.readStream
+          .schema(s.read.parquet(d1.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$stage/b*")
+        val sink = s"events_attr_last_stream_${System.nanoTime()}"
+        val q = graft.streaming.StreamingCohort
+          .lastTouchUpdates(src)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.StreamingCohort.renderAttribution(s.table(sink))
+      },
+      Some("""WITH t AS (
+  SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+         arg_max(event_type, event_id) AS touch_type
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2
+),
+p AS (
+  SELECT event_id AS conv_id, user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS p_us,
+         round(value, 4) AS conv_value
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT p.conv_id, p.conv_value, t.touch_type,
+         row_number() OVER (PARTITION BY p.conv_id ORDER BY t.us DESC) AS rn
+  FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.us <= p.p_us
+)
+SELECT channel, count(*) AS conversions,
+       round(CAST(sum(CAST(conv_value AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
+FROM (SELECT conv_id, conv_value, coalesce(touch_type, 'none') AS channel
+      FROM m WHERE rn = 1)
+GROUP BY 1""")),
     // exact interpolated percentiles per event type
     GraftQuery(
       "events_quantiles",

@@ -110,4 +110,55 @@ object StreamingCohort {
   /** Render accumulated credited conversions exactly as the batch op. */
   def renderAttribution(credited: DataFrame): DataFrame =
     Cohort.renderAttribution(credited)
+
+  /** Streaming LAST-touch attribution: per-user GroupState carries only
+    * the latest touch seen; each batch's rows replay in (ts, event_id)
+    * order, so a purchase credits the newest touch at-or-before it —
+    * including same-batch touches. Time-aligned batches make this the
+    * batch as-of semantics: every touch at-or-before a purchase is in the
+    * purchase's batch or earlier. Equal-ts touches keep the larger
+    * event_id (the batch op's tie rule). State is ONE touch per user —
+    * the as-of join's unbounded right side never accumulates. */
+  def lastTouchUpdates(
+      events: DataFrame,
+      convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("view", "click")
+  ): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events
+      .filter(col("event_type").isin((convType +: touchTypes): _*))
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("event_id"),
+        col("event_type"),
+        round(col("value"), 4).as("v"))
+      .as[(Long, Long, Long, String, Double)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[FirstTouchState, (Long, String, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          var latest = state.getOption
+          // touches sort BEFORE purchases at equal ts (the inclusive
+          // t_us <= p_us bound must see same-instant touches)
+          val out = it.toSeq.sortBy(r => (r._2, if (r._4 != convType) 0 else 1, r._3)).flatMap { r =>
+            if (r._4 != convType) {
+              if (latest.forall(t => t.tUs < r._2 || (t.tUs == r._2 && t.eventId < r._3))) {
+                latest = Some(FirstTouchState(r._2, r._3, r._4))
+              }
+              Nil
+            } else {
+              val channel = latest
+                .filter(_.tUs <= r._2)
+                .map(_.touchType)
+                .getOrElse("none")
+              Seq((r._3, channel, r._5))
+            }
+          }
+          latest.foreach(state.update)
+          out.iterator
+      }
+      .toDF("conv_id", "channel", "conv_value")
+  }
 }
