@@ -290,6 +290,27 @@ SELECT channel, count(*) AS conversions,
 FROM (SELECT conv_id, conv_value, coalesce(touch_type, 'none') AS channel
       FROM m WHERE rn = 1)
 GROUP BY 1""")),
+    // SALTED hot-key join (the third skew tool next to broadcast and AQE
+    // skew-split): the per-user dim replicates 8×, each event lands in one
+    // deterministic salt bucket, so a power-law user spreads over 8
+    // reducers instead of one. The oracle states the PLAIN join — salting
+    // must be invisible in the result
+    GraftQuery(
+      "events_salted_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val userDim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("user_total"))
+        graft.operators.Skew
+          .saltedJoin(
+            ev.select(col("event_id"), col("user_id"), col("event_type")),
+            userDim, "user_id", discriminator = col("event_id"), salts = 8)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("user_total")).as("sum_user_total"))
+      },
+      Some("""WITH u AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY 1)
+SELECT e.event_type, count(*) AS n, CAST(sum(u.user_total) AS BIGINT) AS sum_user_total
+FROM events e JOIN u ON u.user_id = e.user_id
+GROUP BY 1""")),
     // exact interpolated percentiles per event type
     GraftQuery(
       "events_quantiles",

@@ -110,6 +110,20 @@ class CohortSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == distinct)
   }
 
+  test("salted join equals the plain join for every salt width") {
+    val probe = Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "c"), (4L, 20L, "d"))
+      .toDF("event_id", "user_id", "tag")
+    val build = Seq((10L, 100L), (20L, 200L), (30L, 300L)).toDF("user_id", "payload")
+    val plain = probe.join(build, "user_id")
+    for (s <- Seq(1, 3, 8)) {
+      val salted = graft.operators.Skew
+        .saltedJoin(probe, build, "user_id", col("event_id"), salts = s)
+        .select(plain.columns.map(col): _*)
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"salts=$s diverged from the plain join")
+    }
+  }
+
   test("minhash calibration: identical docs estimate 10000 bp with zero error") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again"),

@@ -486,6 +486,21 @@ class PlanSpec extends SparkSpec {
     assert(aggExchanges <= 1, s"rollup paid $aggExchanges aggregate exchanges:\n$p")
   }
 
+  test("salted join: build side replicated, exchange keyed on (key, salt)") {
+    val ev = Tables.events(spark, sf0001)
+    val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("user_total"))
+    val p = plan(Skew.saltedJoin(
+      ev.select(col("event_id"), col("user_id")), dim, "user_id",
+      discriminator = col("event_id"), salts = 8))
+    // the join key must widen to include the salt — that IS the skew fix
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning(user_id") && l.contains("_salt") ||
+        l.contains("[user_id") && l.contains("_salt")),
+      s"join not keyed on (user_id, _salt):\n$p")
+    assert(p.contains("Generate explode") || p.contains("Expand") || p.contains("explode"),
+      s"build side not replicated per salt:\n$p")
+  }
+
   test("apAtK / cohenKappa: bounded frames broadcast; kappa is one tiny aggregate chain") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter(col("vec_id") % 100 === 0)

@@ -181,4 +181,26 @@ class PropertySpec extends SparkSpec {
     val qs = Seq(1, 50, 95, 99).map(p => whole.quantile(p, t))
     assert(qs == qs.sorted && qs.forall(q => q >= 0.0 && q <= 8191 / 8.0))
   }
+
+  test("winnowing guarantee: a planted n+w-1 token run always shares a fingerprint") {
+    // the MOSS theorem (n=3, w=4): any two docs sharing a run of >= 6
+    // tokens share at least one selected window-min fingerprint —
+    // property-checked over random vocab draws with a planted common run
+    val word = Gen.oneOf("aa bb cc dd ee ff gg hh ii jj kk ll".split(" ").toSeq)
+    def text(seed: Long, len: Int): Seq[String] =
+      (0 until len).map(i => sample(word, seed * 1000 + i))
+    for (trial <- 1 to 8) {
+      val run = text(trial * 7919L, 6).mkString(" ")
+      val pre = text(trial * 104729L, sample(Gen.choose(0, 8), trial * 13L))
+      val post = text(trial * 1299709L, sample(Gen.choose(0, 8), trial * 17L))
+      val docs = Seq(
+        (1L, (pre :+ run).mkString(" ").trim),
+        (2L, (run +: post).mkString(" ").trim)
+      ).toDF("doc_id", "text")
+      val fps = graft.operators.TextAnalysis.winnowingFingerprints(docs)
+      val a = fps.filter(col("doc_id") === 1L).select("fp").collect().map(_.getLong(0)).toSet
+      val b = fps.filter(col("doc_id") === 2L).select("fp").collect().map(_.getLong(0)).toSet
+      assert(a.intersect(b).nonEmpty, s"trial $trial: planted run '$run' shared no fingerprint")
+    }
+  }
 }
