@@ -376,4 +376,38 @@ object GraphSearch {
     val rer = score(frontier.select(col("qid"), col("nid")), queries, base, metric, roundDist)
     finish(BruteForce.topK(rer, k, metric.ascending), persisted)
   }
+
+  /** The QUANTIZED beam as a resumable AnnIterator session — the composed
+    * iterator workflow of the HNSW_SQ/PQ kinds (`index_node.h:538-567`
+    * refine loop over an approx-ordered stream): the ef-bounded frontier,
+    * ranked by the quantized tier's scores, is persisted ONCE; `page`
+    * consumes approx-ordered batches and `refinedPage` exact-rescores the
+    * over-fetched window against the raw tier (iterator_refine_ratio /
+    * retain_iterator_order). Stream quality is ef-bounded exactly as the
+    * reference's graph iterator is. */
+  def beamIterator(
+      graph: DataFrame, // (src, dst)
+      approx: DataFrame, // (id, vec) — quantized traversal tier
+      queries: DataFrame, // (qid, qvec)
+      entries: DataFrame, // (nid)
+      ef: Int,
+      iters: Int,
+      metric: Metric = Metric.L2,
+      roundDist: Option[Int] = None
+  ): AnnIteratorSession = {
+    val (frontier, persisted) =
+      beamLoop(graph, approx, queries, entries, ef, iters, metric, roundDist)
+    val ord =
+      if (metric.ascending) Seq(col("dist").asc, col("nid").asc)
+      else Seq(col("dist").desc, col("nid").asc)
+    val ranked = frontier
+      .select(col("qid"), col("nid"), col("dist"))
+      .withColumn("rnk",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid")).orderBy(ord: _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranked.count()
+    persisted.foreach(_.unpersist())
+    new AnnIteratorSession(ranked)
+  }
 }

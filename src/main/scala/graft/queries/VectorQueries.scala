@@ -361,7 +361,12 @@ g AS (
       * RECONSTRUCTED vectors — SQ8 midpoint decode ("sq") or explicit-
       * codebook PQ codeword concatenation ("pq") — and only the final
       * frontier is reranked on raw data (faiss_hnsw.cc:739-860 refine). */
-    def graphBeamQuant(ef: Int, k: Int, variant: String): String = {
+    def graphBeamQuant(
+        ef: Int,
+        k: Int,
+        variant: String,
+        iterPage: Option[(Int, Int, Int)] = None // (page, pageSize, refineRatio)
+    ): String = {
       def topEf(src: String): String =
         s"""SELECT qid, nid, dist FROM (
   SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rn
@@ -501,7 +506,8 @@ s2 AS (
 ),
 u2 AS (SELECT DISTINCT qid, nid, dist FROM (SELECT * FROM f1 UNION ALL SELECT * FROM s2)),
 f2 AS (${topEf("u2")}),
-rer AS (
+${iterPage match {
+        case None => s"""rer AS (
   SELECT f.qid AS qid, f.nid AS nid, $l2 AS dist
   FROM f2 f JOIN q ON q.qid = f.qid JOIN embeddings b ON b.vec_id = f.nid
 )
@@ -510,6 +516,22 @@ SELECT qid, nid, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
   FROM rer
 ) WHERE rnk <= $k"""
+        case Some((p, ps, rr)) => s"""appr AS (
+  SELECT qid, nid,
+    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS arnk
+  FROM f2
+),
+rer AS (
+  SELECT f.qid AS qid, f.nid AS nid, $l2 AS dist
+  FROM appr f JOIN q ON q.qid = f.qid JOIN embeddings b ON b.vec_id = f.nid
+  WHERE f.arnk <= ${p * ps * rr}
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+  FROM rer
+) WHERE rnk > ${(p - 1) * ps} AND rnk <= ${p * ps}"""
+      }}"""
     }
 
     /** CTE list of the SQ8 train→code→reconstruct grid over `embeddings`,
@@ -1058,6 +1080,34 @@ GROUP BY q.qid""")),
       Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
 round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS checksum
 FROM embeddings WHERE vec_id % 97 = 0""")),
+    // BOTH budget axes at once — matryoshka dimension slice (first 32 of
+    // 64) × fp16 storage grid: the composed storage tier a 100 TB corpus
+    // actually deploys (4× fewer bytes than raw fp32). Each stage is the
+    // already-gated op; the composition is gated end to end
+    GraftQuery(
+      "bf_knn_l2_mrl32_fp16",
+      (s, dir) => {
+        import graft.functions.VectorFunctions.fp16Storage
+        val q = queryVecs(s, dir)
+          .select(col("qid"), fp16Storage(slice(col("qvec"), 1, 32)).as("qvec"))
+        val b = baseVecs(s, dir)
+          .select(col("id"), fp16Storage(slice(col("vec"), 1, 32)).as("vec"))
+        BruteForce.knn(q, b, K, Metric.L2, roundDist = ROUND)
+      },
+      Some(s"""WITH qf AS (
+  SELECT vec_id AS qid, list_transform(embedding[1:32], ${Sql.fp16Cast}) AS qv
+  FROM embeddings WHERE vec_id % $QMOD = 0
+),
+bf AS (SELECT vec_id, list_transform(embedding[1:32], ${Sql.fp16Cast}) AS bv FROM embeddings),
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.l2Cast} AS dist
+  FROM qf q CROSS JOIN bf b
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+  FROM pairs
+) WHERE rnk <= $K""")),
     // normalize-then-IP (the reference's NormalizeVecs preprocessing,
     // norm.h — COSINE executed as IP over unit vectors): both sides
     // L2-normalized map-side in double then stored back on the float
@@ -1786,6 +1836,39 @@ SELECT stat, value FROM (
           entries, K, ef = 16, iters = 2, Metric.L2, ROUND)
       },
       Some(Sql.graphBeamQuant(ef = 16, k = K, "sq"))),
+    // S7 × V6/S15 — the QUANTIZED beam consumed as a refined iterator
+    // (index_node.h:538-567 refine loop over an approx-ordered stream):
+    // the SQ-tier frontier ranks the stream, page 2 over-fetches by
+    // refine_ratio and exact-rescores against raw vectors, emitting in
+    // exact order (retain_iterator_order)
+    GraftQuery(
+      "graph_sq_iter_refine_page2",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val all = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val graph = BruteForce
+          .knnFused(all, base, 5, Metric.L2, roundDist = ROUND, excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"))
+        val entries = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("nid"))
+        val stats = Quantization.sq8Train(base)
+        val approx = base
+          .crossJoin(broadcast(stats))
+          .select(col("id"),
+            Quantization.sq8Recon(
+              Quantization.sq8Code(col("vec"), col("mn"), col("mx")),
+              col("mn"), col("mx")).as("vec"))
+        GraphSearch
+          .beamIterator(graph, approx, queryVecs(s, dir), entries,
+            ef = 16, iters = 2, Metric.L2, ROUND)
+          .refinedPage(queryVecs(s, dir), base, p = 2, pageSize = 5,
+            refineRatio = 1, Metric.L2, ROUND)
+      },
+      Some(Sql.graphBeamQuant(ef = 16, k = K, "sq", iterPage = Some((2, 5, 1))))),
     // S7 HNSW_PQ analog: beam on PQ-reconstructed vectors (explicit
     // every-25th-vector codebook — recon-L2 equals ADC), exact refine of
     // the final frontier only.
