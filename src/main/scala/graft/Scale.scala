@@ -270,6 +270,18 @@ object Scale {
     val nRanked = time("shuffleRank (64 range buckets, 200k rows)")(
       graft.operators.Sampling.shuffleRank(fakeDocs).count())
     println(s"shuffle-ranked rows: $nRanked")
+
+    // ---- winnowing at corpus size: the df-cap is the quadratic guard ----
+    // 200k synthetic 40-token docs over a small word pool (dense shingle
+    // collisions — the adversarial case for fingerprint blocking); the
+    // probe records pair volume and wall with the default df cap, which
+    // bounds every fingerprint block at maxDf docs
+    val wDocs = spark.range(nb.toLong).toDF("doc_id")
+      .withColumn("text", concat_ws(" ", (1 to 40).map(j =>
+        concat(lit("w"), pmod(xxhash64(col("doc_id") * 37 + j), lit(500)))): _*))
+    val nWin = time("winnowingPairs (200k docs, df cap 50)")(
+      graft.operators.Dedup.winnowingPairs(wDocs).count())
+    println(s"winnowing candidate pairs: $nWin")
     spark.stop()
   }
 }
