@@ -387,7 +387,7 @@ object TextAnalysis {
     * (Rounding a double quotient instead is engine-dependent: Spark rounds
     * the shortest decimal rep, DuckDB the binary value — boundary quotients
     * …xx5 round apart. This was round 4's only red oracle row.) */
-  private[operators] def halfUpMeanScaled(sumScaled: Column, n: Column, scale: Int): Column = {
+  private[graft] def halfUpMeanScaled(sumScaled: Column, n: Column, scale: Int): Column = {
     val s = sumScaled.cast("long")
     val nn = n.cast("long")
     val total = abs(s) * lit(2L) + nn
@@ -462,6 +462,41 @@ object TextAnalysis {
       (quality.cast("decimal(18,4)") * lit(10000)).cast("long").as("qi"),
       col("n_chars"),
       when(pred === col("lang"), 1L).otherwise(0L).as("lang_hit"))
+  }
+
+  /** Source × language quality CROSSTAB — mean 4dp quality per (source,
+    * labeled lang) as one wide row per source: the two-axis dashboard view
+    * next to [[corpusSourceStats]]. Conditional aggregation (one groupBy,
+    * map-side partials — the portable pivot that never needs a distinct
+    * pass over the pivot column); means follow the integer half-up
+    * contract, empty cells are NULL. */
+  def qualityByLang(
+      df: DataFrame,
+      langs: Seq[String] = Seq("en", "de", "fr", "es", "zh")
+  ): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / n
+    val stop = size(filter(t, x => x === "a" || x === "the")).cast("double") / n
+    val avgLen = aggregate(t, lit(0.0d), (a, x) => a + length(x).cast("double")) / n
+    val quality = round(lit(2.0d) * ttr - lit(3.0d) * stop + lit(0.05d) * avgLen, 4)
+    val scored = df.select(
+      col("source"),
+      col("lang"),
+      (quality.cast("decimal(18,4)") * lit(10000)).cast("long").as("qi"))
+    val aggs = langs.flatMap { l =>
+      Seq(
+        sum(when(col("lang") === l, col("qi")).otherwise(lit(0L))).as(s"_s_$l"),
+        sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"_n_$l"))
+    }
+    val out = langs.map { l =>
+      when(col(s"_n_$l") > 0,
+        halfUpMeanScaled(col(s"_s_$l"), col(s"_n_$l"), 4)).as(s"q_$l")
+    }
+    scored
+      .groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("source") +: out: _*)
   }
 
   /** Vocabulary GROWTH curve (Heaps' law view): new distinct terms

@@ -233,6 +233,52 @@ tg AS (SELECT qid, label,
        FROM pg2 WHERE grnk = 1)
 SELECT pg2.qid, pg2.label, pg2.nid, pg2.dist, pg2.grnk, tg.grp_rnk
 FROM pg2 JOIN tg ON tg.qid = pg2.qid AND tg.label = pg2.label
-WHERE tg.grp_rnk <= 4"""))
+WHERE tg.grp_rnk <= 4""")),
+    // LATE-INTERACTION multi-vector search (ColBERT MaxSim): documents and
+    // queries are BAGS of vectors (every 4 consecutive embeddings = one
+    // doc; every 50th embedding, two per query) and score = Σ over query
+    // vectors of the MAX rounded dot any doc vector reaches — the
+    // token-level retrieval shape single-vector engines cannot express.
+    // Per-pair round → exact max → DECIMAL sum keeps every engine
+    // bit-identical; query bag broadcasts, both aggregates are map-side
+    // partial, top-k rides the bounded heap
+    GraftQuery(
+      "multivec_maxsim_knn",
+      (s, dir) => {
+        val emb = graft.sources.Tables.embeddings(s, dir)
+        val qv = emb
+          .filter(col("vec_id") % 50 === 0)
+          .select(
+            (col("vec_id") / 100).cast("long").as("qid"),
+            col("vec_id").as("qvec_id"),
+            col("embedding").as("qvec"))
+        val bv = emb.select(
+          (col("vec_id") / 4).cast("long").as("did"),
+          col("vec_id").as("bvec_id"),
+          col("embedding").as("vec"))
+        graft.operators.MultiVector.maxSimKnn(qv, bv, k = K, roundDist = ROUND)
+      },
+      Some(s"""WITH qv AS (
+  SELECT CAST(vec_id // 100 AS BIGINT) AS qid, vec_id AS qvec_id, embedding AS qvec
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+bv AS (SELECT CAST(vec_id // 4 AS BIGINT) AS did, embedding FROM embeddings),
+mp AS (
+  SELECT q.qid AS qid, q.qvec_id AS qvec_id, b.did AS did,
+    max(round(list_sum(list_transform(range(1, len(q.qvec)+1), i ->
+      CAST(q.qvec[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4)) AS m
+  FROM qv q CROSS JOIN bv b
+  GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT qid, did AS nid,
+    round(CAST(sum(CAST(m AS DECIMAL(28,4))) AS DOUBLE), 4) AS dist
+  FROM mp GROUP BY 1, 2
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist DESC, nid ASC) AS INT) AS rnk
+  FROM sc
+) WHERE rnk <= $K"""))
   )
 }

@@ -290,6 +290,42 @@ SELECT channel, count(*) AS conversions,
 FROM (SELECT conv_id, conv_value, coalesce(touch_type, 'none') AS channel
       FROM m WHERE rn = 1)
 GROUP BY 1""")),
+    // top spenders: the bounded leaderboard (TakeOrderedAndProject + the
+    // broadcast precedence self-join for ranks — never a global window);
+    // revenue under the round→DECIMAL-sum contract
+    GraftQuery(
+      "events_top_spenders",
+      (s, dir) => {
+        val rev = Tables
+          .events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            round(
+              sum(round(col("value"), 6).cast("decimal(28,6)")).cast("double"),
+              4).as("revenue"))
+        val top = rev.orderBy(col("revenue").desc, col("user_id").asc).limit(20)
+        val prior = top.select(col("user_id").as("u2"), col("revenue").as("r2"))
+        top
+          .join(
+            broadcast(prior),
+            col("r2") > col("revenue") ||
+              (col("r2") === col("revenue") && col("u2") < col("user_id")),
+            "left")
+          .groupBy(col("user_id"), col("n_purchases"), col("revenue"))
+          .agg((count(col("u2")) + 1).cast("int").as("rnk"))
+      },
+      Some("""WITH rev AS (
+  SELECT user_id, count(*) AS n_purchases,
+         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT user_id, n_purchases, revenue, rnk FROM (
+  SELECT user_id, n_purchases, revenue,
+         CAST(row_number() OVER (ORDER BY revenue DESC, user_id ASC) AS INT) AS rnk
+  FROM rev
+) WHERE rnk <= 20""")),
     // SALTED hot-key join (the third skew tool next to broadcast and AQE
     // skew-split): the per-user dim replicates 8×, each event lands in one
     // deterministic salt bucket, so a power-law user spreads over 8

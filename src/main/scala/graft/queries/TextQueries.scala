@@ -164,6 +164,32 @@ SELECT doc_id,
        ELSE 'zh' END AS pred_lang,
   round(greatest(en, de, fr, es, zh), 4) AS lang_score
 FROM r""")),
+    // source × language quality crosstab: one wide row per source, mean
+    // 4dp quality per labeled lang via conditional aggregation (the
+    // portable pivot — one groupBy, no distinct pass); integer half-up
+    // means, NULL empty cells
+    GraftQuery(
+      "corpus_quality_by_lang",
+      (s, dir) => TextAnalysis.qualityByLang(Tables.documents(s, dir)),
+      Some(s"""WITH d AS (
+  SELECT source, lang,
+    CAST(CAST($qualitySql AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qi
+  FROM (SELECT source, lang, string_split(text, ' ') AS t FROM documents)
+),
+cells AS (SELECT source, lang, sum(qi) AS sq, count(*) AS n FROM d GROUP BY 1, 2),
+m AS (
+  SELECT source, lang,
+    CAST((CASE WHEN sq < 0 THEN -1 WHEN sq > 0 THEN 1 ELSE 0 END)
+      * ((2 * abs(CAST(sq AS BIGINT)) + n) // (2 * n)) AS DOUBLE) / 10000.0 AS mean
+  FROM cells
+)
+SELECT source,
+  max(CASE WHEN lang = 'en' THEN mean END) AS q_en,
+  max(CASE WHEN lang = 'de' THEN mean END) AS q_de,
+  max(CASE WHEN lang = 'fr' THEN mean END) AS q_fr,
+  max(CASE WHEN lang = 'es' THEN mean END) AS q_es,
+  max(CASE WHEN lang = 'zh' THEN mean END) AS q_zh
+FROM m GROUP BY 1""")),
     // vocabulary growth curve (Heaps' law view): new terms per doc-id
     // decile + cumulative — diminishing returns per additional slice of
     // the same source; one term-keyed aggregate, 10-row window

@@ -1468,6 +1468,24 @@ pairs AS (
   FROM q CROSS JOIN embeddings b
 )
 SELECT qid, nid, dist FROM pairs WHERE dist >= 0.0 AND dist < 22.0""")),
+    // S2 × S19 — range search under the Jaccard DISTANCE (1 − |∩|/|∪|
+    // over sign bits): the other binary metric's range arm
+    GraftQuery(
+      "bin_range_jaccard",
+      (s, dir) => {
+        val q = queryVecs(s, dir).select(col("qid"), signBits(col("qvec")).as("qvec"))
+        val b = baseVecs(s, dir).select(col("id"), signBits(col("vec")).as("vec"))
+        BruteForce
+          .rangeSearch(q, b, Metric.Jaccard, radius = 0.35, rangeFilter = 0.0,
+            roundDist = ROUND)
+          .select(col("qid"), col("nid"), col("dist"))
+      },
+      Some(s"""WITH ${Sql.qView},
+pairs AS (
+  SELECT q.qid AS qid, b.vec_id AS nid, ${Sql.jaccard} AS dist
+  FROM q CROSS JOIN embeddings b
+)
+SELECT qid, nid, dist FROM pairs WHERE dist >= 0.0 AND dist < 0.35""")),
     // S13 — range-result CSR assembly: `lims` = per-query result counts
     // (range_util.h:27-40; lims article of the result DataSet)
     GraftQuery(
