@@ -344,6 +344,33 @@ SELECT ex.doc_id, ex.exact_dup,
   gp.gopher_fail,
   NOT ex.exact_dup AND NOT coalesce(nd.near_dup, false) AND NOT gp.gopher_fail AS keep
 FROM ex LEFT JOIN nd ON nd.doc_id = ex.doc_id JOIN gp ON gp.doc_id = ex.doc_id""")),
+    // duplicate-GROUP SIZE histogram: how big do near-dup clusters get —
+    // the count that decides whether keep-best suffices or a mirror-heavy
+    // source needs dropping; two tiny roll-ups over the CC output
+    GraftQuery(
+      "dedup_group_sizes",
+      (s, dir) => {
+        val groups = Dedup.connectedComponents(
+          Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.5))
+        groups
+          .groupBy(col("group_id"))
+          .agg(count(lit(1)).as("group_size"))
+          .groupBy(col("group_size"))
+          .agg(count(lit(1)).as("n_groups"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsSqlBody,
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM j WHERE jaccard >= 0.5
+  UNION ALL SELECT doc_b, doc_a FROM j WHERE jaccard >= 0.5
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+g AS (SELECT u AS doc_id, min(v) AS group_id FROM reach GROUP BY 1),
+sz AS (SELECT group_id, count(*) AS group_size FROM g GROUP BY 1)
+SELECT group_size, count(*) AS n_groups FROM sz GROUP BY 1""")),
     // deterministic global shuffle rank (reproducible training-data
     // permutation): two-phase — order-preserving range buckets + driver
     // prefix sums + per-bucket ranks — same answer as the global-sort

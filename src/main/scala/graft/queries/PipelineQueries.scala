@@ -290,6 +290,72 @@ SELECT channel, count(*) AS conversions,
 FROM (SELECT conv_id, conv_value, coalesce(touch_type, 'none') AS channel
       FROM m WHERE rn = 1)
 GROUP BY 1""")),
+    // time-DECAYED revenue per user (the recency-weighted LTV feature):
+    // weight = 2^(−days_ago/7) in ppm, the decay table computed ONCE in
+    // Scala and embedded as literals in BOTH engines (the dcgDiscounts
+    // device — libm pow can never split them); Σ value·decay stays exact
+    // 64-bit integers (4dp-scaled value × ppm weight)
+    GraftQuery(
+      "events_decayed_revenue",
+      (s, dir) => {
+        val horizon = 64
+        val decay = (0 until horizon).map(d =>
+          math.floor(1e6 * math.pow(0.5, d / 7.0)).toLong)
+        val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        val maxDay = ev.agg(max(datediff(to_date(col("ts")), to_date(lit("1970-01-01"))))).head.getInt(0)
+        val daysAgo = lit(maxDay) - datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+        val w = when(daysAgo < horizon,
+          element_at(array(decay.map(lit): _*), (daysAgo + 1).cast("int")))
+          .otherwise(lit(0L))
+        // value 4dp-scaled to an exact long × ppm decay: the whole sum is
+        // exact 64-bit integers (≈2·10¹² per row), no engine can disagree
+        val vi = (round(col("value"), 4).cast("decimal(18,4)") * 10000).cast("long")
+        ev.select(col("user_id"), (vi * w).as("_dw"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("_dw")).as("decayed_e10"))
+      },
+      Some({
+        val horizon = 64
+        val decay = (0 until horizon).map(d =>
+          math.floor(1e6 * math.pow(0.5, d / 7.0)).toLong)
+        val arr = decay.mkString("[", ", ", "]")
+        s"""WITH p AS (
+  SELECT user_id, round(value, 4) AS v,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS INT) AS day
+  FROM events WHERE event_type = 'purchase'
+),
+mx AS (SELECT max(day) AS m FROM p),
+w AS (
+  SELECT user_id,
+    CAST(CAST(v AS DECIMAL(18,4)) * 10000 AS BIGINT) * (CASE WHEN (mx.m - day) < $horizon
+      THEN ($arr)[mx.m - day + 1] ELSE 0 END) AS dw
+  FROM p CROSS JOIN mx
+)
+SELECT user_id, CAST(sum(dw) AS BIGINT) AS decayed_e10
+FROM w GROUP BY 1"""
+      })),
+    // event-type TRANSITION matrix (the first-order Markov view of user
+    // journeys): per user, consecutive event pairs ordered by (ts, id),
+    // counted per (from, to) — per-user windows over per-user event
+    // counts, one tiny (from, to) roll-up
+    GraftQuery(
+      "events_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables
+          .events(s, dir)
+          .withColumn("_next", lead(col("event_type"), 1).over(w))
+          .filter(col("_next").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("_next").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2""")),
     // top spenders: the bounded leaderboard (TakeOrderedAndProject + the
     // broadcast precedence self-join for ranks — never a global window);
     // revenue under the round→DECIMAL-sum contract
