@@ -486,6 +486,21 @@ class PlanSpec extends SparkSpec {
     assert(aggExchanges <= 1, s"rollup paid $aggExchanges aggregate exchanges:\n$p")
   }
 
+  test("maxSim: query bag broadcast into one scan; no sort-merge join") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qv = emb.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") / 100).cast("long").as("qid"),
+        col("vec_id").as("qvec_id"), col("embedding").as("qvec"))
+    val bv = emb.select((col("vec_id") / 4).cast("long").as("did"),
+      col("vec_id").as("bvec_id"), col("embedding").as("vec"))
+    val p = plan(MultiVector.maxSimKnn(qv, bv, 5))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query bag not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sort-merge crept into maxSim:\n$p")
+    // both aggregations carry map-side partials
+    assert(p.linesIterator.count(_.contains("partial")) >= 2,
+      s"missing map-side partial aggregation:\n$p")
+  }
+
   test("salted join: build side replicated, exchange keyed on (key, salt)") {
     val ev = Tables.events(spark, sf0001)
     val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("user_total"))
