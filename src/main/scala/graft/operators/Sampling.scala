@@ -168,16 +168,6 @@ object Sampling {
     full.unionByName(boundary)
   }
 
-  /** Deterministic GLOBAL shuffle rank — "shuffle the training data" as a
-    * reproducible permutation: every document gets its position in
-    * content-hash order (seedless, layout-independent, identical on every
-    * run). The 100 TB shape is the point: a naive
-    * `row_number() OVER (ORDER BY hash)` funnels the corpus through ONE
-    * sorted partition; here the rank is two-phase — (1) range-bucket the
-    * key space (order-preserving `key·B DIV P`), count per bucket, prefix-
-    * sum the ≤B counts driver-side; (2) rank WITHIN each bucket (B
-    * concurrent partitioned sorts) and add the broadcast offset. Same
-    * answer, no single-reducer sort. Ties (identical texts) break by id. */
   /** Deterministic CURRICULUM ordering — quality-descending, content-hash
     * shuffled within equal quality: the training-order permutation of
     * curriculum schedules (easy/clean first), reproducible across
@@ -185,15 +175,14 @@ object Sampling {
     * quality grid as the bucket key: per-bucket counts (≤ distinct 4dp
     * values, a bounded driver frame) → prefix offsets broadcast → ranks
     * within each bucket by (hash, id). Never a global single-reducer
-    * sort. */
+    * sort. Bucket key is the integer-exact scaled quality
+    * ([[TextAnalysis.qualityQi]]) computed inline — no score join. */
   def curriculumRank(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = TextAnalysis.qualityScore(docs)
     val keyed = docs
-      .join(q, "doc_id")
       .select(
         col("doc_id"),
-        (col("quality").cast("decimal(18,4)") * 10000).cast("long").as("_qi"),
+        TextAnalysis.qualityQi(TextAnalysis.tokens(col("text"))).as("_qi"),
         TextAnalysis.tokenHash(md5(col("text").cast("binary"))).as("_k"))
     val counts = keyed.groupBy(col("_qi")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
@@ -211,6 +200,16 @@ object Sampling {
       .select(col("doc_id"), (col("_off") + col("_rn")).as("curriculum_rank"))
   }
 
+  /** Deterministic GLOBAL shuffle rank — "shuffle the training data" as a
+    * reproducible permutation: every document gets its position in
+    * content-hash order (seedless, layout-independent, identical on every
+    * run). The 100 TB shape is the point: a naive
+    * `row_number() OVER (ORDER BY hash)` funnels the corpus through ONE
+    * sorted partition; here the rank is two-phase — (1) range-bucket the
+    * key space (order-preserving `key·B DIV P`), count per bucket, prefix-
+    * sum the ≤B counts driver-side; (2) rank WITHIN each bucket (B
+    * concurrent partitioned sorts) and add the broadcast offset. Same
+    * answer, no single-reducer sort. Ties (identical texts) break by id. */
   def shuffleRank(
       docs: DataFrame, // (idCol, textCol)
       idCol: String = "doc_id",

@@ -155,20 +155,45 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("score"), col("rnk"))
   }
 
+  /** Signed HALF-UP integer division in exact 64-bit arithmetic:
+    * round-half-away-from-zero of num/den for `den > 0`. Same exact-double
+    * idiom as [[halfUpMeanScaled]] (num − pmod is a multiple of the
+    * divisor, so the fp division is exact below 2^53). */
+  private[graft] def halfUpDivSigned(num: Column, den: Column): Column = {
+    val total = abs(num) * lit(2L) + den
+    val twoD = den * lit(2L)
+    val q = ((total - pmod(total, twoD)) / twoD).cast("long")
+    when(num < 0, -q).otherwise(q)
+  }
+
+  /** Per-doc quality as an EXACT scaled integer, qi = round(quality·10⁴)
+    * half-up. The score 2·ttr − 3·stop + 0.05·avgLen is a RATIONAL of
+    * token counts — (40·distinct − 60·stops + Σlen) / (20·n) — so qi is
+    * pure 64-bit integer arithmetic end to end: no `round(double)` anywhere,
+    * hence no engine/version rounding divergence (round-5's only red oracle
+    * rows were boundary quotients where DuckDB and Java BigDecimal round a
+    * double's …5 differently). THE single source of truth for quality —
+    * every quality consumer (scoring, percentile, dashboard, crosstab,
+    * curriculum, budget select, streaming twin) derives from this column. */
+  private[graft] def qualityQi(t: Column): Column = {
+    val n = size(t).cast("long")
+    val d = size(array_distinct(t)).cast("long")
+    val s = size(filter(t, x => x === "a" || x === "the")).cast("long")
+    val l = aggregate(t, lit(0L), (a, x) => a + length(x).cast("long"))
+    halfUpDivSigned((lit(40L) * d - lit(60L) * s + l) * lit(10000L), lit(20L) * n)
+  }
+
+  /** The 4dp quality as a double: one exact long→double cast plus one
+    * correctly-rounded IEEE division — bit-identical in any engine. */
+  private[graft] def qualityCol(t: Column): Column =
+    qualityQi(t).cast("double") / lit(10000.0d)
+
   /** Quality score: linear combination of type-token ratio, stopword ratio,
     * and mean token length (length/punct/stopword-ratio heuristics; the
-    * corpus is already lowercase and unpunctuated). */
-  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
-    val n = size(t).cast("double")
-    val ttr = size(array_distinct(t)).cast("double") / n
-    val stop = size(filter(t, x => x === "a" || x === "the")).cast("double") / n
-    val avgLen = aggregate(t, lit(0.0d), (a, x) => a + length(x).cast("double")) / n
-    df.select(
-      col("doc_id"),
-      round(lit(2.0d) * ttr - lit(3.0d) * stop + lit(0.05d) * avgLen, 4).as("quality")
-    )
-  }
+    * corpus is already lowercase and unpunctuated). Computed via the
+    * integer-exact [[qualityQi]] rational. */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"), qualityCol(tokens(col(textCol))).as("quality"))
 
   /** Per-source quality-percentile CALIBRATION — quality scores are not
     * comparable across domains (news prose vs forum posts score on
@@ -186,16 +211,11 @@ object TextAnalysis {
   def qualityPercentile(df: DataFrame, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = tokens(col(textCol))
-    val n = size(t).cast("double")
-    val ttr = size(array_distinct(t)).cast("double") / n
-    val stop = size(filter(t, x => x === "a" || x === "the")).cast("double") / n
-    val avgLen = aggregate(t, lit(0.0d), (a, x) => a + length(x).cast("double")) / n
-    val quality = round(lit(2.0d) * ttr - lit(3.0d) * stop + lit(0.05d) * avgLen, 4)
     val scored = df.select(
       col("doc_id"),
       col("source"),
-      quality.as("quality"),
-      (quality.cast("decimal(18,4)") * lit(10000)).cast("long").as("_qi"))
+      qualityCol(t).as("quality"),
+      qualityQi(t).as("_qi"))
     val buckets = scored.groupBy(col("source"), col("_qi")).agg(count(lit(1)).as("_c"))
     val w = Window
       .partitionBy(col("source"))
@@ -441,10 +461,6 @@ object TextAnalysis {
   private[graft] def sourceStatsPerDoc(df: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t).cast("double")
-    val ttr = size(array_distinct(t)).cast("double") / n
-    val stop = size(filter(t, x => x === "a" || x === "the")).cast("double") / n
-    val avgLen = aggregate(t, lit(0.0d), (a, x) => a + length(x).cast("double")) / n
-    val quality = round(lit(2.0d) * ttr - lit(3.0d) * stop + lit(0.05d) * avgLen, 4)
     val en = size(filter(t, x => x === "the" || x === "a" || x === "of")).cast("double") / n
     val de = size(filter(t, x => x === "der" || x === "die" || x === "das")).cast("double") / n
     val fr = size(filter(t, x => x === "le" || x === "la" || x === "les")).cast("double") / n
@@ -459,7 +475,7 @@ object TextAnalysis {
     df.select(
       col("source"),
       size(t).cast("long").as("n_tokens"),
-      (quality.cast("decimal(18,4)") * lit(10000)).cast("long").as("qi"),
+      qualityQi(t).as("qi"),
       col("n_chars"),
       when(pred === col("lang"), 1L).otherwise(0L).as("lang_hit"))
   }
@@ -474,16 +490,10 @@ object TextAnalysis {
       df: DataFrame,
       langs: Seq[String] = Seq("en", "de", "fr", "es", "zh")
   ): DataFrame = {
-    val t = tokens(col("text"))
-    val n = size(t).cast("double")
-    val ttr = size(array_distinct(t)).cast("double") / n
-    val stop = size(filter(t, x => x === "a" || x === "the")).cast("double") / n
-    val avgLen = aggregate(t, lit(0.0d), (a, x) => a + length(x).cast("double")) / n
-    val quality = round(lit(2.0d) * ttr - lit(3.0d) * stop + lit(0.05d) * avgLen, 4)
     val scored = df.select(
       col("source"),
       col("lang"),
-      (quality.cast("decimal(18,4)") * lit(10000)).cast("long").as("qi"))
+      qualityQi(tokens(col("text"))).as("qi"))
     val aggs = langs.flatMap { l =>
       Seq(
         sum(when(col("lang") === l, col("qi")).otherwise(lit(0L))).as(s"_s_$l"),

@@ -458,10 +458,7 @@ near_keep AS (
   WHERE doc_id NOT IN (SELECT doc_b FROM j WHERE jaccard >= 0.5)
 ),
 qual AS (
-  SELECT doc_id,
-    round(2.0 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
-        - 3.0 * (CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t))
-        + 0.05 * (list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE))) / len(t)), 4) AS quality
+  SELECT doc_id, ${TextQueries.qualitySql} AS quality
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM near_keep)
 )
 SELECT (SELECT count(*) FROM documents) AS n_in,

@@ -16,22 +16,33 @@ object TextQueries {
       s"list_transform(range(1, len($tok)+1), i -> CAST(ascii(substr($tok, CAST(i AS INT), 1)) AS BIGINT))), " +
       s"(h, c) -> (h * 31 + c) % ${TextAnalysis.HashP})"
 
-  /** The doc_quality scoring expression (DuckDB side), shared by every
-    * quality-ordered query so they cannot drift apart. */
-  private val qualitySql =
-    """round(2.0 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
-    - 3.0 * (CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t))
-    + 0.05 * (list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE))) / len(t)), 4)"""
+  /** DuckDB fragment over a token list `t`: the INTEGER-EXACT scaled
+    * quality qi = round(quality·10⁴) half-up. quality = 2·ttr − 3·stop +
+    * 0.05·avgLen is the rational (40·distinct − 60·stops + Σlen)/(20·n),
+    * so qi is pure 64-bit integer arithmetic — the same expression the
+    * Spark side computes (TextAnalysis.qualityQi). No round(double) on
+    * either engine: round-5's red oracle rows were boundary quotients
+    * (…49999…/…5) that DuckDB and Java BigDecimal round apart. */
+  private val qiNumSql =
+    """(40 * CAST(len(list_distinct(t)) AS BIGINT)
+    - 60 * CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS BIGINT)
+    + CAST(list_sum(list_transform(t, x -> CAST(len(x) AS BIGINT))) AS BIGINT))"""
+  private[queries] val qiSql =
+    s"""((CASE WHEN $qiNumSql < 0 THEN -1 ELSE 1 END)
+    * ((2 * abs($qiNumSql) * 10000 + 20 * len(t)) // (40 * len(t))))"""
 
-  private val sourceStatsSql: String = """WITH tok AS (
+  /** The doc_quality scoring expression (DuckDB side), shared by every
+    * quality-ordered query so they cannot drift apart: the exact qi cast
+    * to double and rescaled — one correctly-rounded IEEE division,
+    * bit-identical to the Spark side. */
+  private[queries] val qualitySql = s"(CAST($qiSql AS DOUBLE) / 10000.0)"
+
+  private val sourceStatsSql: String = s"""WITH tok AS (
   SELECT source, lang, n_chars, string_split(text, ' ') AS t FROM documents
 ),
 d AS (
   SELECT source, n_chars, CAST(len(t) AS BIGINT) AS n_tokens,
-    CAST(CAST(round(2.0 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
-      - 3.0 * (CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t))
-      + 0.05 * (list_sum(list_transform(t, x -> CAST(len(x) AS DOUBLE))) / len(t)), 4)
-      AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qi,
+    CAST($qiSql AS BIGINT) AS qi,
     CASE WHEN (CASE
       WHEN CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t) =
         greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
@@ -172,8 +183,7 @@ FROM r""")),
       "corpus_quality_by_lang",
       (s, dir) => TextAnalysis.qualityByLang(Tables.documents(s, dir)),
       Some(s"""WITH d AS (
-  SELECT source, lang,
-    CAST(CAST($qualitySql AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qi
+  SELECT source, lang, CAST($qiSql AS BIGINT) AS qi
   FROM (SELECT source, lang, string_split(text, ' ') AS t FROM documents)
 ),
 cells AS (SELECT source, lang, sum(qi) AS sq, count(*) AS n FROM d GROUP BY 1, 2),
@@ -220,15 +230,9 @@ FROM pb""")),
     GraftQuery(
       "corpus_curriculum_rank",
       (s, dir) => Sampling.curriculumRank(Tables.documents(s, dir)),
-      Some(s"""WITH ql AS (
-  SELECT doc_id, text, $qualitySql AS quality
+      Some(s"""WITH keyed AS (
+  SELECT doc_id, CAST($qiSql AS BIGINT) AS qi, ${sqlTokenHash("md5(text)")} AS k
   FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
-),
-keyed AS (
-  SELECT doc_id,
-    CAST(CAST(quality AS DECIMAL(18,4)) * 10000 AS BIGINT) AS qi,
-    ${sqlTokenHash("md5(text)")} AS k
-  FROM ql
 )
 SELECT doc_id,
   CAST(row_number() OVER (ORDER BY qi DESC, k ASC, doc_id ASC) AS BIGINT) AS curriculum_rank

@@ -11,7 +11,8 @@ import graft.operators.TextAnalysis
   * `TextAnalysis.corpusSourceStats`): per source, `GroupState` carries the
   * five exact sums (docs, tokens, scaled quality, chars, lang-id hits)
   * across micro-batches. Because every per-doc metric is an exact long
-  * (quality 4dp-rounded THEN scaled — the repo's determinism contract),
+  * (quality = the integer-exact scaled rational `TextAnalysis.qualityQi` —
+  * the repo's determinism contract),
   * the state after any batch split equals the batch aggregate, and the
   * final rendering (integer half-up means via
   * `TextAnalysis.renderSourceStats`) hash-matches the batch oracle.
