@@ -445,6 +445,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window sneaked into survivor selection:\n$p")
   }
 
+  test("containmentPairs: candidate pipeline evaluated once — one band join, not one per direction") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Dedup.containmentPairs(docs, threshold = 0.5)
+    // the operator returns an eagerly-cached frame; the plan that matters
+    // is the one it cached
+    val cached = out.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }
+    assert(cached.nonEmpty, "containment output should be eagerly cached")
+    // keep only the executed section (the AQE string echoes the initial
+    // plan, which would double-count every join)
+    val p = cached.head.split("== Initial Plan ==").head
+    // band self-join + two shingle re-joins = 3 join nodes; the round-5
+    // union-of-filtered-branches plan carried every join twice
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joins <= 3, s"candidate pipeline evaluated more than once ($joins joins):\n$p")
+    assert(p.contains("Generate explode"), s"expected single-pass directed explode:\n$p")
+    out.unpersist()
+  }
+
   test("maxTokenRun / winnowing: pure map-side scans — no exchange at all") {
     val docs = Tables.documents(spark, sf0001)
     val p1 = plan(TextAnalysis.maxTokenRun(docs))
