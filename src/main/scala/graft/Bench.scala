@@ -52,7 +52,53 @@ object Bench {
       jitBean.getTotalCompilationTime else 0L
     def codeCacheMb: Long = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(_.getName.contains("CodeHeap")).map(_.getUsage.getUsed).sum >> 20
-    case class Rep(t: Double, gcMs: Long, jitMs: Long)
+    // per-rep EXECUTION metrics from a SparkListener: round 4/5's driver
+    // full runs showed the dedup family 6×-ing vs isolated runs of the SAME
+    // code with gc/jit exonerated (≤160 ms against 17 s of drift) — these
+    // counters separate the remaining suspects (shuffle spill, storage
+    // eviction forcing recompute, executor-vs-wall gap = scheduler/IO wait)
+    // so a slow rep carries its own diagnosis
+    val repListener = new org.apache.spark.scheduler.SparkListener {
+      import java.util.concurrent.atomic.AtomicLong
+      val memSpill, diskSpill, shufWrite, shufRead, fetchWait, input,
+        taskMs, taskGcMs, tasks, stages, rddDropped, rddToDisk = new AtomicLong
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          fetchWait.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+          input.addAndGet(m.inputMetrics.bytesRead)
+          taskMs.addAndGet(m.executorRunTime)
+          taskGcMs.addAndGet(m.jvmGCTime)
+          tasks.incrementAndGet()
+        }
+      }
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        stages.incrementAndGet()
+      override def onBlockUpdated(
+          bu: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+        val info = bu.blockUpdatedInfo
+        if (info.blockId.isRDD) {
+          // level NONE = block removed; mem=0 with bytes on disk = the
+          // block manager pushed a cached block out of memory
+          if (info.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            rddDropped.incrementAndGet()
+          else if (!info.storageLevel.useMemory && info.diskSize > 0)
+            rddToDisk.incrementAndGet()
+        }
+      }
+      def all = Seq(memSpill, diskSpill, shufWrite, shufRead, fetchWait,
+        input, taskMs, taskGcMs, tasks, stages, rddDropped, rddToDisk)
+      def reset(): Unit = all.foreach(_.set(0L))
+    }
+    spark.sparkContext.addSparkListener(repListener)
+    def mb(b: Long): Long = b >> 20
+    case class Rep(t: Double, gcMs: Long, jitMs: Long, exec: String)
     val detail = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -62,6 +108,8 @@ object Bench {
         // driver's full runs — the prime suspect for the stalls above
         System.gc()
         val times = (1 to reps).map { _ =>
+          org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+          repListener.reset()
           val (gc0, jit0) = (gcMillis, jitMillis)
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -70,7 +118,16 @@ object Bench {
           // so every rep is measured cold and cache pressure never
           // accumulates across the run
           spark.catalog.clearCache()
-          Rep(dt, gcMillis - gc0, jitMillis - jit0)
+          org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+          val l = repListener
+          val exec =
+            s""""spill_mem_mb":${mb(l.memSpill.get)},"spill_disk_mb":${mb(l.diskSpill.get)},""" +
+            s""""shuf_write_mb":${mb(l.shufWrite.get)},"shuf_read_mb":${mb(l.shufRead.get)},""" +
+            s""""fetch_wait_ms":${l.fetchWait.get},"input_mb":${mb(l.input.get)},""" +
+            s""""task_ms":${l.taskMs.get},"task_gc_ms":${l.taskGcMs.get},""" +
+            s""""tasks":${l.tasks.get},"stages":${l.stages.get},""" +
+            s""""rdd_blocks_dropped":${l.rddDropped.get},"rdd_blocks_to_disk":${l.rddToDisk.get}"""
+          Rep(dt, gcMillis - gc0, jitMillis - jit0, exec)
         }
         (name, times, codeCacheMb)
       }
@@ -82,7 +139,8 @@ object Bench {
     // stdout, so the printed line stays median-only
     val detailJson = detail.toSeq.sortBy(_._1).map { case (name, rs, cc) =>
       val ts = rs.map(_.t).sorted
-      val repsJson = rs.map(r => s"""{"t":${f3(r.t)},"gc_ms":${r.gcMs},"jit_ms":${r.jitMs}}""")
+      val repsJson = rs
+        .map(r => s"""{"t":${f3(r.t)},"gc_ms":${r.gcMs},"jit_ms":${r.jitMs},${r.exec}}""")
         .mkString("[", ",", "]")
       s"""  "$name": {"median":${f3(ts(ts.length / 2))},"min":${f3(ts.head)},"max":${f3(ts.last)},"reps":$repsJson,"code_cache_mb":$cc}"""
     }.mkString("{\n", ",\n", "\n}")
