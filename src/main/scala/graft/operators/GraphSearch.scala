@@ -348,6 +348,36 @@ object GraphSearch {
     out
   }
 
+  /** Feder FULL graph-topology export — the per-node adjacency overview of
+    * `include/knowhere/feder/hnsw.h:212-257` (HNSWOverviewData: id_set +
+    * per-level json_info), which [[federMeta]]'s scalar stats deliberately
+    * summarize: one row per node with its layer, out-degree, and the
+    * sorted adjacency rendered as a canonical JSON array string. The
+    * reference samples HNSW layers randomly at insert; the deterministic
+    * batch restatement is the 4-adic valuation of the node id capped at
+    * `maxLevel` — the same geometric 1/4 layer law (hnswlib's default
+    * mult ≈ 1/ln(M)), but a pure function of the graph so the whole
+    * export is oracle-expressible. Scale: one (src)-keyed aggregate whose
+    * payload is the ≤degree neighbor list — never the vectors. */
+  def federOverview(graph: DataFrame, maxLevel: Int = 8): DataFrame = {
+    val lvl = (1 to maxLevel).foldLeft(lit(0)) { (acc, l) =>
+      when(col("nid") % math.pow(4, l).toLong === 0, lit(l)).otherwise(acc)
+    }
+    graph
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("adj"))
+      .select(
+        col("src").as("nid"),
+        size(col("adj")).as("degree"),
+        concat(lit("["), concat_ws(",", transform(col("adj"), _.cast("string"))),
+          lit("]")).as("adj_json"))
+      .select(
+        col("nid"),
+        lvl.cast("int").as("level"),
+        col("degree"),
+        col("adj_json"))
+  }
+
   /** Quantized-traversal beam + exact refine — the HNSW_SQ / HNSW_PQ
     * analog (`src/index/hnsw/faiss_hnsw.cc:2928-2939` registers the
     * quantized HNSW variants; the refine loop at `faiss_hnsw.cc:739-860`

@@ -746,6 +746,81 @@ SELECT qid, nid, dist, rnk FROM (
 ) WHERE rnk <= $k"""
     }
 
+    /** Feder topology-overview SELECT over a graph CTE `gv(src, dst)` —
+      * mirrors GraphSearch.federOverview: deterministic 4-adic layer,
+      * out-degree, sorted adjacency as a canonical JSON array string. */
+    def federOverview(gv: String, maxLevel: Int = 8): String = {
+      val cases = (maxLevel to 1 by -1)
+        .map(l => s"WHEN nid % ${math.pow(4, l).toLong} = 0 THEN $l")
+        .mkString(" ")
+      s"""SELECT nid, CAST(CASE $cases ELSE 0 END AS INT) AS level,
+  CAST(degree AS INT) AS degree, adj_json
+FROM (
+  SELECT src AS nid, count(*) AS degree,
+    '[' || array_to_string(list(dst ORDER BY dst), ',') || ']' AS adj_json
+  FROM $gv GROUP BY src
+)"""
+    }
+
+    /** Oracle for the gridded k-means IVF (GridKMeans): quantize to the
+      * exact ×10⁴ integer grid, `iters` unrolled Lloyd rounds (integer
+      * assignment, half-up integer means), then the probed search — all
+      * 64-bit integer arithmetic, so it matches the Spark side exactly. */
+    def gridKmeansKnn(stride: Int, iters: Int, nprobe: Int, k: Int = K): String = {
+      val gdist = (g: String, c: String) =>
+        s"list_sum(list_transform(range(1, len($g)+1), i -> ($g[i]-$c[i])*($g[i]-$c[i])))"
+      def assign(out: String, cview: String): String =
+        s"""$out AS (
+  SELECT id, gv, cid FROM (
+    SELECT g.id AS id, g.gv AS gv, c.cid AS cid,
+      row_number() OVER (PARTITION BY g.id
+        ORDER BY ${gdist("g.gv", "c.c")} ASC, c.cid ASC) AS rn
+    FROM g CROSS JOIN $cview c
+  ) WHERE rn = 1
+)"""
+      def update(aview: String, sview: String, cview: String): String =
+        s"""$sview AS (
+  SELECT cid, i, sum(gv[i]) AS s, count(*) AS n
+  FROM (SELECT cid, gv, unnest(range(1, len(gv)+1)) AS i FROM $aview)
+  GROUP BY cid, i
+),
+$cview AS (
+  SELECT cid, list(CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+    * ((2*abs(s)+n) // (2*n)) AS BIGINT) ORDER BY i) AS c
+  FROM $sview GROUP BY cid
+)"""
+      val lloyd = (1 to iters)
+        .map(it => s"${assign(s"a$it", s"c${it - 1}")},\n${update(s"a$it", s"s$it", s"c$it")}")
+        .mkString(",\n")
+      s"""WITH g AS (
+  SELECT vec_id AS id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS gv
+  FROM embeddings
+),
+qg AS (SELECT id AS qid, gv AS gq FROM g WHERE id % $QMOD = 0),
+c0 AS (SELECT id AS cid, gv AS c FROM g WHERE id % $stride = 0),
+$lloyd,
+pr AS (
+  SELECT qid, gq, cid FROM (
+    SELECT q.qid AS qid, q.gq AS gq, c.cid AS cid,
+      row_number() OVER (PARTITION BY q.qid
+        ORDER BY ${gdist("q.gq", "c.c")} ASC, c.cid ASC) AS rn
+    FROM qg q CROSS JOIN c$iters c
+  ) WHERE rn <= $nprobe
+),
+${assign("ab", s"c$iters")},
+res AS (
+  SELECT pr.qid AS qid, a.id AS nid,
+    CAST(${gdist("pr.gq", "a.gv")} AS BIGINT) AS dist
+  FROM pr JOIN ab a ON a.cid = pr.cid
+)
+SELECT qid, nid, dist, rnk FROM (
+  SELECT qid, nid, dist,
+    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
+  FROM res
+) WHERE rnk <= $k"""
+    }
+
     def knn(distExpr: String, desc: Boolean, k: Int = K, where: String = ""): String = {
       val ord = if (desc) "dist DESC, nid ASC" else "dist ASC, nid ASC"
       s"""WITH $qView,
@@ -1763,6 +1838,52 @@ SELECT qid, nid, dist, rnk FROM (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS INT) AS rnk
   FROM ivfpairs
 ) WHERE rnk > 5 AND rnk <= 10""")),
+    // S18 — Feder FULL topology export (feder/hnsw.h:212-257
+    // HNSWOverviewData id_set + per-level json_info): one row per node of
+    // the 5-NN graph — deterministic 4-adic layer, out-degree, sorted
+    // adjacency as a canonical JSON array string
+    GraftQuery(
+      "graph_feder_overview",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val all = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val graph = BruteForce
+          .knnFused(all, base, 5, Metric.L2, roundDist = ROUND, excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"))
+        GraphSearch.federOverview(graph)
+      },
+      Some(s"""WITH g AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+          (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+          (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 4) ASC,
+        b.vec_id ASC) AS rnk
+    FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+)
+${Sql.federOverview("g")}""")),
+    // the same export over the CAGRA handle's optimized graph (the
+    // gpu_raft_cagra serving-contract arm) — graph CTEs shared with
+    // cagra_build so the two cannot drift
+    GraftQuery(
+      "cagra_feder_overview",
+      (s, dir) => {
+        val all = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val inter = BruteForce
+          .knnFused(all, baseVecs(s, dir).select(col("id"), col("vec")), 8, Metric.L2,
+            roundDist = ROUND, excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"), col("dist"))
+        GraphSearch.federOverview(
+          Cagra.optimize(inter, graphDegree = 4).select(col("src"), col("dst")))
+      },
+      Some(s"""WITH ${Sql.cagraGraphCtes(interDegree = 8, graphDegree = 4)}
+${Sql.federOverview("g")}""")),
     // S18 — Feder graph introspection (include/knowhere/feder/,
     // hnsw.h:212-257, test_feder.cc): graph overview (node/edge/entry
     // counts, degree histogram) + the beam's per-hop visit counts — the
@@ -2075,17 +2196,20 @@ SELECT qid, nid, dist, rnk FROM (
             max(col("vec_id")).as("max_id")),
       Some("""SELECT count(*) AS cnt, CAST(max(len(embedding)) AS INT) AS dim,
 min(vec_id) AS min_id, max(vec_id) AS max_id FROM embeddings""")),
-    // S6 via MLlib KMeans train (no SQL oracle — rows-only check here;
-    // recall + centroid invariants are ScalaTest-gated)
+    // S6 via k-means TRAIN, hash-gated: Lloyd restated on an exact integer
+    // grid (GridKMeans) so the oracle can state the identical centroids,
+    // assignment, and probed search — closes the round-5 inventory's only
+    // no_oracle row. The float LocalKMeans trainer stays recall-gated in
+    // ScalaTest (RecallSpec), as its driver-side float arithmetic is
+    // exactly what a SQL oracle cannot restate.
     GraftQuery(
       "ivf_kmeans_knn",
       (s, dir) => {
         val base = baseVecs(s, dir).select(col("id"), col("vec"))
-        val cents = IvfIndex.trainKMeans(s, base, nlist = 8)
-        val index = IvfIndex.build(base, cents, ROUND)
-        IvfIndex.search(queryVecs(s, dir), index, cents, K, nprobe = 4, Metric.L2, ROUND)
+        val cents = GridKMeans.train(base, stride = 250L, iters = 2)
+        GridKMeans.search(queryVecs(s, dir), base, cents, K, nprobe = 4)
       },
-      None),
+      Some(Sql.gridKmeansKnn(stride = 250, iters = 2, nprobe = 4))),
     // S1 + input_begin_id — id-offset rebasing of the result neighbor ids
     // (brute_force.cc:249-253, tested test_bruteforce.cc:257)
     GraftQuery(

@@ -314,6 +314,34 @@ class FacadeSpec extends SparkSpec {
       radius = 1e9, rangeFilter = 0.0, roundDist = Some(4))))
   }
 
+  test("federOverview: JSON adjacency schema — level law, degree = parsed length, sorted ids") {
+    val graph = BruteForce
+      .knnFused(
+        base.select(col("id").as("qid"), col("vec").as("qvec")),
+        base, 4, Metric.L2, roundDist = Some(4), excludeSelf = true)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+    val rows = GraphSearch.federOverview(graph).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nid = r.getAs[Long]("nid")
+      val level = r.getAs[Int]("level")
+      val degree = r.getAs[Int]("degree")
+      val adj = r.getAs[String]("adj_json")
+      // canonical JSON array of sorted neighbor ids
+      assert(adj.startsWith("[") && adj.endsWith("]"), s"not a JSON array: $adj")
+      val ids = adj.stripPrefix("[").stripSuffix("]") match {
+        case "" => Array.empty[Long]
+        case s => s.split(",").map(_.toLong)
+      }
+      assert(ids.length == degree, s"degree $degree != ${ids.length} for $nid")
+      assert(ids.sorted.sameElements(ids), s"adjacency not sorted for $nid")
+      // deterministic 4-adic layer law, capped at 8
+      val expected = (1 to 8).foldLeft(0)((acc, l) =>
+        if (nid % math.pow(4, l).toLong == 0) l else acc)
+      assert(level == expected, s"level $level != $expected for $nid")
+    }
+  }
+
   test("annIteratorPage pages are disjoint and ordered") {
     val p1 = BruteForce.annIteratorPage(queries, base, Metric.L2, page = 1, pageSize = 5)
     val p2 = BruteForce.annIteratorPage(queries, base, Metric.L2, page = 2, pageSize = 5)
