@@ -150,6 +150,50 @@ class StreamingSessionsSpec extends SparkSpec {
     assert(q.recentProgress.count(_.numInputRows > 0) == 2)
   }
 
+  test("corpus dashboard stream: out-of-order replay (late docs after emit) matches batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.attribute.FileTime
+    // every source's docs are split across ALL THREE batches, replayed out
+    // of id order — batch 0 carries the HIGHEST ids, so when a source's
+    // early docs finally arrive (batches 1-2) the source has already
+    // emitted update rows. The GroupState render must still equal the
+    // batch aggregate: state carries exact-long sums, and renderFinal
+    // folds max_by(n_docs), so late arrivals only ever extend the sums.
+    val docs = Tables.documents(spark, sf0001)
+    val n = docs.count()
+    val (t1, t2) = (n / 3, 2 * n / 3)
+    val stage = java.nio.file.Files.createTempDirectory("graft-srcstats-ooo")
+    docs.filter(col("doc_id") >= t2).coalesce(1).write.parquet(s"$stage/b0")
+    docs.filter(col("doc_id") < t1).coalesce(1).write.parquet(s"$stage/b1")
+    docs.filter(col("doc_id") >= t1 && col("doc_id") < t2)
+      .coalesce(1).write.parquet(s"$stage/b2")
+    def touch(p: String, t: Long): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).forEach(f =>
+        java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
+    val now = System.currentTimeMillis()
+    touch(s"$stage/b0", now - 180000)
+    touch(s"$stage/b1", now - 120000)
+    touch(s"$stage/b2", now - 60000)
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$stage/b0").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$stage/b*")
+    val q = graft.streaming.StreamingCorpusStats
+      .sourceStatsUpdates(src)
+      .writeStream.format("memory").queryName("srcstats_ooo")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+    val streamed = canon(graft.streaming.StreamingCorpusStats
+      .renderFinal(spark.table("srcstats_ooo")))
+    val batch = canon(TextAnalysis.corpusSourceStats(docs))
+    assert(streamed == batch)
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+      "replay must run as three distinct micro-batches")
+  }
+
   test("streaming HLL sketch is batch-split invariant (registers max-merge in state)") {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.attribute.FileTime
