@@ -66,7 +66,7 @@ object Scale {
     // the deployment shape: index saved partitionBy(cluster_id), search
     // over the LOADED index — probed list ids reach the file scan as
     // partition pruning, so wall time tracks nprobe/nlist, not nb
-    val dir = java.nio.file.Files.createTempDirectory("graft-scale-ivf").toString
+    val dir = graft.queries.StreamStage.dir("graft-scale-ivf").toString
     time("ivf save (partitioned parquet)") {
       index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/lists")
     }

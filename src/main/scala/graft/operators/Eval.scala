@@ -119,6 +119,10 @@ object Eval {
           .as("rr_ppm"))
   }
 
+  /** lcm(1..k) — the precision@i common denominator, embedded as a literal
+    * in BOTH engines' arithmetic. */
+  def lcmTo(k: Int): Long = (1 to k).foldLeft(1L)((a, i) => a / gcd(a, i) * i)
+
   /** Per-query average precision@k (the MAP decomposition) of `approx`
     * against ground-truth `exact`, both ranked (qid, nid, rnk): AP =
     * (Σ over relevant approx ranks i of precision@i) / R, R = the query's
@@ -126,10 +130,6 @@ object Eval {
     * scaled by L = lcm(1..k) so every term is an integer — no float sum
     * can reorder. Bounded nq×k inputs; the per-query window ranks ≤ k
     * rows. */
-  /** lcm(1..k) — the precision@i common denominator, embedded as a literal
-    * in BOTH engines' arithmetic. */
-  def lcmTo(k: Int): Long = (1 to k).foldLeft(1L)((a, i) => a / gcd(a, i) * i)
-
   def apAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k > 0 && k <= 20, s"k must be in [1, 20] (scaled-sum overflow above), got $k")
     val L = lcmTo(k)

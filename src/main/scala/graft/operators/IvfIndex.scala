@@ -214,15 +214,16 @@ object IvfIndex {
       .crossJoin(broadcast(centroids.join(radii, "cluster_id")))
       .filter(dc - col("r") <= radius + eps && dc + col("r") >= rangeFilter - eps)
       .select(col("qid"), col("cluster_id"))
-    val spark = index.sparkSession
-    val candRows = cand.collect() // ≤ nq × nlist pairs, tiny by construction
-    val probesLocal = spark.createDataFrame(
-      java.util.Arrays.asList(candRows: _*), cand.schema)
-    val probedIds = candRows.map(_.get(1)).distinct.toSeq
+    // only the DISTINCT surviving list ids come to the driver (≤ nlist —
+    // genuinely bounded even in the no-prune worst case, where the full
+    // (qid, cluster_id) frame is nq × nlist and stays distributed; the
+    // literal id list is what lets the scan prune partitions)
+    val probedIds = cand
+      .select(col("cluster_id")).distinct().collect().map(_.get(0)).toSeq
     val pruned = index.filter(col("cluster_id").isInCollection(probedIds))
     val raw = Metric.L2.dist(col("qvec"), col("vec"))
     val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
-    broadcast(probesLocal.join(queries, "qid"))
+    broadcast(cand.join(queries, "qid"))
       .join(pruned, "cluster_id")
       .select(col("qid"), col("id").as("nid"), d.as("dist"))
       .filter(col("dist") >= rangeFilter && col("dist") < radius)

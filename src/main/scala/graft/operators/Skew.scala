@@ -38,7 +38,12 @@ object Skew {
       salts: Int = 8
   ): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val p = probe.withColumn("_salt", pmod(xxhash64(discriminator), lit(salts)).cast("int"))
+    // xxhash64(NULL) is NULL, and a NULL _salt matches no build-side salt —
+    // a null-discriminator probe row would silently vanish from the join.
+    // Park those rows in bucket 0 so the row-for-row equality with the
+    // plain join holds for every input.
+    val p = probe.withColumn("_salt",
+      coalesce(pmod(xxhash64(discriminator), lit(salts)).cast("int"), lit(0)))
     val b = build.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     p.join(b, Seq(key, "_salt")).drop("_salt")
   }

@@ -623,22 +623,9 @@ SELECT u AS vec_id, min(v) AS group_id FROM reach GROUP BY 1""")),
         import org.apache.spark.sql.streaming.Trigger
         val docs = Tables.documents(s, dir)
         val median = docs.selectExpr("percentile(doc_id, 0.5)").head().getDouble(0).toLong
-        val stage = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
-        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
-        docs.filter(col("doc_id") <= median)
-          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
-        docs.filter(col("doc_id") > median)
-          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
-        import java.nio.file.attribute.FileTime
-        def touch(p: java.nio.file.Path, t: Long): Unit =
-          java.nio.file.Files.walk(p).forEach(f =>
-            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
-        val now = System.currentTimeMillis()
-        touch(d1, now - 120000); touch(d2, now - 60000)
-        val src = s.readStream
-          .schema(s.read.parquet(d1.toString).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$stage/b*")
+        val src = StreamStage.stagedSource(s, Seq(
+          docs.filter(col("doc_id") <= median),
+          docs.filter(col("doc_id") > median)), "graft-dedup-stream")
         val sink = s"dedup_exact_stream_${System.nanoTime()}"
         val q = graft.streaming.StreamingDedup
           .dedupUpdates(src)
@@ -669,22 +656,9 @@ FROM documents GROUP BY md5(text)""")),
         import org.apache.spark.sql.streaming.Trigger
         val docs = Tables.documents(s, dir)
         val median = docs.selectExpr("percentile(doc_id, 0.5)").head().getDouble(0).toLong
-        val stage = java.nio.file.Files.createTempDirectory("graft-lsh-stream")
-        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
-        docs.filter(col("doc_id") <= median)
-          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
-        docs.filter(col("doc_id") > median)
-          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
-        import java.nio.file.attribute.FileTime
-        def touch(p: java.nio.file.Path, t: Long): Unit =
-          java.nio.file.Files.walk(p).forEach(f =>
-            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
-        val now = System.currentTimeMillis()
-        touch(d1, now - 120000); touch(d2, now - 60000)
-        val src = s.readStream
-          .schema(s.read.parquet(d1.toString).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$stage/b*")
+        val src = StreamStage.stagedSource(s, Seq(
+          docs.filter(col("doc_id") <= median),
+          docs.filter(col("doc_id") > median)), "graft-lsh-stream")
         val sink = s"dedup_lsh_stream_${System.nanoTime()}"
         val q = graft.streaming.StreamingDedup
           .lshCollisionUpdates(src)

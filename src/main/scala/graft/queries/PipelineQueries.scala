@@ -85,25 +85,11 @@ FROM o GROUP BY 1""")),
         import org.apache.spark.sql.streaming.Trigger
         val ev = Tables.events(s, dir)
         val median = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
-        val stage = java.nio.file.Files.createTempDirectory("graft-sess-stream")
-        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
-        // one part file per half: a micro-batch must hold a time-aligned
-        // slice per user, so each half must arrive as ONE file
-        ev.filter(unix_micros(col("ts")) <= median)
-          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
-        ev.filter(unix_micros(col("ts")) > median)
-          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
-        // force micro-batch order: older mtime is picked up first
-        import java.nio.file.attribute.FileTime
-        def touch(p: java.nio.file.Path, t: Long): Unit =
-          java.nio.file.Files.walk(p).forEach(f =>
-            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
-        val now = System.currentTimeMillis()
-        touch(d1, now - 120000); touch(d2, now - 60000)
-        val src = s.readStream
-          .schema(s.read.parquet(d1.toString).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$stage/b*")
+        // one part file per half (a micro-batch must hold a time-aligned
+        // slice per user), staged + mtime-ordered by StreamStage
+        val src = StreamStage.stagedSource(s, Seq(
+          ev.filter(unix_micros(col("ts")) <= median),
+          ev.filter(unix_micros(col("ts")) > median)), "graft-sess-stream")
         val sink = s"events_sessions_stream_${System.nanoTime()}"
         val q = graft.streaming.StreamingSessions
           .sessionUpdates(src, gapMicros = 1800000000L)
@@ -179,7 +165,7 @@ FROM sid GROUP BY user_id, sid""")),
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val stage = java.nio.file.Files.createTempDirectory("graft-sesswin-stream")
+        val stage = StreamStage.dir("graft-sesswin-stream")
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           stage.resolve("events.parquet"))
@@ -242,22 +228,9 @@ FROM sid GROUP BY user_id, sid""")),
         import org.apache.spark.sql.streaming.Trigger
         val ev = Tables.events(s, dir)
         val median = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
-        val stage = java.nio.file.Files.createTempDirectory("graft-attrl-stream")
-        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
-        ev.filter(unix_micros(col("ts")) <= median)
-          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
-        ev.filter(unix_micros(col("ts")) > median)
-          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
-        import java.nio.file.attribute.FileTime
-        def touch(p: java.nio.file.Path, t: Long): Unit =
-          java.nio.file.Files.walk(p).forEach(f =>
-            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
-        val now = System.currentTimeMillis()
-        touch(d1, now - 120000); touch(d2, now - 60000)
-        val src = s.readStream
-          .schema(s.read.parquet(d1.toString).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$stage/b*")
+        val src = StreamStage.stagedSource(s, Seq(
+          ev.filter(unix_micros(col("ts")) <= median),
+          ev.filter(unix_micros(col("ts")) > median)), "graft-attrl-stream")
         val sink = s"events_attr_last_stream_${System.nanoTime()}"
         val q = graft.streaming.StreamingCohort
           .lastTouchUpdates(src)
@@ -463,22 +436,9 @@ FROM c CROSS JOIN b""")),
         import org.apache.spark.sql.streaming.Trigger
         val ev = Tables.events(s, dir)
         val median = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
-        val stage = java.nio.file.Files.createTempDirectory("graft-funnel-stream")
-        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
-        ev.filter(unix_micros(col("ts")) <= median)
-          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
-        ev.filter(unix_micros(col("ts")) > median)
-          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
-        import java.nio.file.attribute.FileTime
-        def touch(p: java.nio.file.Path, t: Long): Unit =
-          java.nio.file.Files.walk(p).forEach(f =>
-            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
-        val now = System.currentTimeMillis()
-        touch(d1, now - 120000); touch(d2, now - 60000)
-        val src = s.readStream
-          .schema(s.read.parquet(d1.toString).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$stage/b*")
+        val src = StreamStage.stagedSource(s, Seq(
+          ev.filter(unix_micros(col("ts")) <= median),
+          ev.filter(unix_micros(col("ts")) > median)), "graft-funnel-stream")
         val steps = Seq("view", "click", "purchase")
         val sink = s"events_funnel_stream_${System.nanoTime()}"
         val q = graft.streaming.StreamingFunnel
@@ -547,22 +507,9 @@ GROUP BY 1, 2, 4""")),
         import org.apache.spark.sql.streaming.Trigger
         val ev = Tables.events(s, dir)
         val median = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
-        val stage = java.nio.file.Files.createTempDirectory("graft-ret-stream")
-        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
-        ev.filter(unix_micros(col("ts")) <= median)
-          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
-        ev.filter(unix_micros(col("ts")) > median)
-          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
-        import java.nio.file.attribute.FileTime
-        def touch(p: java.nio.file.Path, t: Long): Unit =
-          java.nio.file.Files.walk(p).forEach(f =>
-            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
-        val now = System.currentTimeMillis()
-        touch(d1, now - 120000); touch(d2, now - 60000)
-        val src = s.readStream
-          .schema(s.read.parquet(d1.toString).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$stage/b*")
+        val src = StreamStage.stagedSource(s, Seq(
+          ev.filter(unix_micros(col("ts")) <= median),
+          ev.filter(unix_micros(col("ts")) > median)), "graft-ret-stream")
         val sink = s"events_retention_stream_${System.nanoTime()}"
         val q = graft.streaming.StreamingCohort
           .retentionUpdates(src)
@@ -629,22 +576,9 @@ FROM cr GROUP BY 1""")),
         import org.apache.spark.sql.streaming.Trigger
         val ev = Tables.events(s, dir)
         val median = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
-        val stage = java.nio.file.Files.createTempDirectory("graft-attr-stream")
-        val d1 = stage.resolve("b0"); val d2 = stage.resolve("b1")
-        ev.filter(unix_micros(col("ts")) <= median)
-          .coalesce(1).write.mode("overwrite").parquet(d1.toString)
-        ev.filter(unix_micros(col("ts")) > median)
-          .coalesce(1).write.mode("overwrite").parquet(d2.toString)
-        import java.nio.file.attribute.FileTime
-        def touch(p: java.nio.file.Path, t: Long): Unit =
-          java.nio.file.Files.walk(p).forEach(f =>
-            java.nio.file.Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
-        val now = System.currentTimeMillis()
-        touch(d1, now - 120000); touch(d2, now - 60000)
-        val src = s.readStream
-          .schema(s.read.parquet(d1.toString).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$stage/b*")
+        val src = StreamStage.stagedSource(s, Seq(
+          ev.filter(unix_micros(col("ts")) <= median),
+          ev.filter(unix_micros(col("ts")) > median)), "graft-attr-stream")
         val sink = s"events_attr_first_stream_${System.nanoTime()}"
         val q = graft.streaming.StreamingCohort
           .firstTouchUpdates(src)

@@ -69,7 +69,7 @@ FROM events GROUP BY 1, 2"""
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         // the file-stream source requires a directory; stage the single
         // parquet file into one (read-only testdata must not be touched)
-        val stage = java.nio.file.Files.createTempDirectory("graft-events-stream")
+        val stage = StreamStage.dir("graft-events-stream")
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           stage.resolve("events.parquet"))
@@ -106,7 +106,7 @@ FROM events GROUP BY 1, 2"""
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val stage = java.nio.file.Files.createTempDirectory("graft-sliding-stream")
+        val stage = StreamStage.dir("graft-sliding-stream")
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           stage.resolve("events.parquet"))
@@ -178,7 +178,7 @@ FROM events GROUP BY 1""")),
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val stage = java.nio.file.Files.createTempDirectory("graft-events-distinct")
+        val stage = StreamStage.dir("graft-events-distinct")
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           stage.resolve("events.parquet"))
@@ -252,7 +252,7 @@ GROUP BY 1""")),
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val stage = java.nio.file.Files.createTempDirectory("graft-events-hll")
+        val stage = StreamStage.dir("graft-events-hll")
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           stage.resolve("events.parquet"))
@@ -397,7 +397,7 @@ GROUP BY ROLLUP(r_name, n_name)""")),
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val stage = java.nio.file.Files.createTempDirectory("graft-events-hist")
+        val stage = StreamStage.dir("graft-events-hist")
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           stage.resolve("events.parquet"))

@@ -405,11 +405,11 @@ FROM tf WHERE doc_id % 97 = 0 GROUP BY 1""")),
         import graft.streaming.StreamingIndex
         val docs = Tables.documents(s, dir)
         val sealedDf = docs.filter(col("doc_id") % 2 === 0)
-        val stage = java.nio.file.Files.createTempDirectory("graft-sparse-cc-src")
+        val stage = StreamStage.dir("graft-sparse-cc-src")
         docs.filter(col("doc_id") % 2 === 1)
           .write.mode("overwrite").parquet(stage.toString)
-        val grow = java.nio.file.Files.createTempDirectory("graft-sparse-cc-grow")
-        val ckpt = java.nio.file.Files.createTempDirectory("graft-sparse-cc-ckpt")
+        val grow = StreamStage.dir("graft-sparse-cc-grow")
+        val ckpt = StreamStage.dir("graft-sparse-cc-ckpt")
         StreamingIndex
           .startAppend(s, stage.toString, docs.schema, grow.toString, ckpt.toString)
           .awaitTermination()

@@ -108,7 +108,7 @@ GROUP BY 1, 2""")),
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val stage = java.nio.file.Files.createTempDirectory("graft-events-ijoin")
+        val stage = StreamStage.dir("graft-events-ijoin")
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           stage.resolve("events.parquet"))

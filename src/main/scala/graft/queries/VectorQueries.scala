@@ -1348,7 +1348,7 @@ SELECT id, cluster_id, dist FROM (
         val base = baseVecs(s, dir).select(col("id"), col("vec"))
         val idx = new graft.IvfFlatIndex(
           IvfIndex.build(base, cents, ROUND), cents, Metric.L2, nprobe = 2, ROUND)
-        val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-loaded").toString
+        val tmp = StreamStage.dir("graft-ivf-loaded").toString
         idx.save(tmp)
         graft.IndexFactory.loadIvf(s, tmp, Metric.L2, nprobe = 2, ROUND)
           .search(queryVecs(s, dir), K, None)
