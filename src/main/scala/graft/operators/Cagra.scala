@@ -83,6 +83,13 @@ object Cagra {
       metric: Metric = Metric.L2,
       roundDist: Option[Int] = None
   ): DataFrame = {
+    // degree relation + metric gate per the reference's config registry
+    // (gpu_raft_cagra_config.h ranges — Params.CagraParams mirrors them)
+    Params.CagraParams(
+      k = 1,
+      metric = if (metric == Metric.L2Sq) "l2" else metric.name,
+      intermediateGraphDegree = intermediateDegree,
+      graphDegree = graphDegree).validated
     val inter = GraphSearch.knnGraphIvfWithDist(
       base, centroids, intermediateDegree, nprobe, metric, roundDist)
     optimize(inter, graphDegree)

@@ -53,4 +53,65 @@ object Params {
       this
     }
   }
+
+  /** CAGRA build/search knobs mirroring the reference's declared fields,
+    * defaults, and ranges (`src/index/gpu_raft/gpu_raft_cagra_config.h:
+    * 27-149`): graph degrees with their build-time relation, team_size
+    * range [0, 32], hashmap_max_fill_rate range [0.1, 0.9], the L2/IP/
+    * COSINE train-metric gate, and the search-time itopk auto-alignment
+    * (itopk rounded up to the 32-wide kAlignFactor, search_width derived
+    * when absent, and the max(itopk, 32·search_width) ≥ k check). */
+  final case class CagraParams(
+      k: Int,
+      metric: String = "l2",
+      intermediateGraphDegree: Int = 128,
+      graphDegree: Int = 64,
+      itopkSize: Option[Int] = None,
+      searchWidth: Option[Int] = None,
+      teamSize: Int = 0,
+      hashmapMaxFillRate: Double = 0.5
+  ) {
+    import CagraParams.{AlignFactor, DefaultItopk, DefaultSearchWidth}
+
+    def validated: CagraParams = {
+      require(
+        Set("l2", "ip", "cosine").contains(metric.toLowerCase),
+        s"metric type $metric not found or not supported, supported: [L2 IP COSINE]")
+      require(graphDegree >= 1,
+        s"invalid param graph_degree=$graphDegree, expected >= 1")
+      require(intermediateGraphDegree >= graphDegree,
+        s"invalid param intermediate_graph_degree=$intermediateGraphDegree, " +
+          s"expected >= graph_degree=$graphDegree")
+      require(teamSize >= 0 && teamSize <= 32,
+        s"invalid param team_size=$teamSize, expected [0, 32]")
+      require(hashmapMaxFillRate >= 0.1 && hashmapMaxFillRate <= 0.9,
+        s"invalid param hashmap_max_fill_rate=$hashmapMaxFillRate, expected [0.1, 0.9]")
+      require(k >= 1, s"invalid param k=$k, expected >= 1")
+      val aligned = alignedItopk
+      searchWidth match {
+        case Some(w) =>
+          require(w >= 1, s"invalid param search_width=$w, expected >= 1")
+          require(math.max(aligned, AlignFactor * w) >= k,
+            s"max((itopk_size + 31)// 32, search_width) * 32< topk")
+        case None => ()
+      }
+      this
+    }
+
+    /** itopk_size after the reference's kAlignFactor round-up. */
+    def alignedItopk: Int = {
+      val v = itopkSize.getOrElse(math.max(k, DefaultItopk))
+      (v + AlignFactor - 1) / AlignFactor * AlignFactor
+    }
+
+    /** search_width after the reference's derivation when absent. */
+    def effectiveSearchWidth: Int =
+      searchWidth.getOrElse(math.max((k - 1) / AlignFactor + 1, DefaultSearchWidth))
+  }
+
+  object CagraParams {
+    val AlignFactor = 32 // gpu_raft_cagra_config.h:28
+    val DefaultItopk = 64 // gpu_raft_cagra_config.h:29
+    val DefaultSearchWidth = 1 // gpu_raft_cagra_config.h:27
+  }
 }

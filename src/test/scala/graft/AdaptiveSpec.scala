@@ -77,4 +77,39 @@ class ParamsSpec extends SparkSpec {
     Bm25Params().validated
     assertThrows[IllegalArgumentException](Bm25Params(b = 1.5).validated)
   }
+
+  test("cagra params mirror gpu_raft_cagra_config.h ranges and itopk alignment") {
+    CagraParams(k = 10).validated
+    // metric gate: [L2 IP COSINE] only (CheckAndAdjust TRAIN branch)
+    assertThrows[IllegalArgumentException](CagraParams(k = 10, metric = "hamming").validated)
+    // degree relation: intermediate >= graph, both >= 1
+    CagraParams(k = 10, intermediateGraphDegree = 64, graphDegree = 32).validated
+    assertThrows[IllegalArgumentException](
+      CagraParams(k = 10, intermediateGraphDegree = 16, graphDegree = 32).validated)
+    assertThrows[IllegalArgumentException](CagraParams(k = 10, graphDegree = 0).validated)
+    // declared ranges: team_size [0, 32], hashmap_max_fill_rate [0.1, 0.9]
+    assertThrows[IllegalArgumentException](CagraParams(k = 10, teamSize = 33).validated)
+    assertThrows[IllegalArgumentException](
+      CagraParams(k = 10, hashmapMaxFillRate = 0.95).validated)
+    // itopk auto-align: value_or(max(k, 64)) rounded up to 32
+    assert(CagraParams(k = 10).alignedItopk == 64)
+    assert(CagraParams(k = 100).alignedItopk == 128) // max(100,64)=100 → 128
+    assert(CagraParams(k = 10, itopkSize = Some(33)).alignedItopk == 64)
+    // search_width derived when absent: max((k-1)/32+1, 1)
+    assert(CagraParams(k = 10).effectiveSearchWidth == 1)
+    assert(CagraParams(k = 100).effectiveSearchWidth == 4)
+    // explicit width must satisfy max(itopk, 32*width) >= k
+    CagraParams(k = 64, itopkSize = Some(64), searchWidth = Some(2)).validated
+    assertThrows[IllegalArgumentException](
+      CagraParams(k = 100, itopkSize = Some(64), searchWidth = Some(1)).validated)
+    // the build path enforces the degree relation (Cagra.build wires it)
+    assertThrows[IllegalArgumentException] {
+      import org.apache.spark.sql.functions._
+      val base = Tables.embeddings(spark, sf0001).limit(8)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = base.limit(1)
+        .select(col("id").as("cluster_id"), col("vec").as("centroid"))
+      Cagra.build(base, cents, intermediateDegree = 4, graphDegree = 8)
+    }
+  }
 }
