@@ -453,6 +453,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** STREAMING decontamination — [[decontaminate]] with the corpus arriving
+    * as a stream and the benchmark/eval set a STATIC batch frame (the real
+    * deployment shape: benchmarks are fixed, ingest is continuous). The
+    * eval shingle set broadcasts into every micro-batch (stream-static
+    * join), the flag is map-side, and the per-doc overlap count is the
+    * only state — bounded by contaminated docs, not stream history. */
+  def decontaminateStream(
+      corpus: DataFrame, // streaming (doc_id, text)
+      evalDocs: DataFrame, // batch (doc_id, text)
+      n: Int = 3
+  ): DataFrame = {
+    val evalSh = evalDocs
+      .select(explode(shingleHashes(col("text"), n)).as("sh"))
+      .distinct()
+    corpus
+      .select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("sh"))
+      .join(broadcast(evalSh), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** MUTUAL k-NN pairs over an embedding kNN graph — the reciprocal-rank
+    * adjacency SemDeDup-style semantic dedup clusters on: (a, b) kept only
+    * when each is in the OTHER's top-k (one-sided neighbors are hubness
+    * artifacts; mutuality is the standard robust filter). Input is any
+    * ranked (src, dst, rnk) graph — exact or the IVF-bucketed build at
+    * scale; the mutual filter itself is one payload-free self-join on the
+    * edge key. Output (id_a < id_b) with both ranks. */
+  def mutualNnPairs(graph: DataFrame): DataFrame =
+    graph
+      .join(
+        graph.select(
+          col("dst").as("src"), col("src").as("dst"), col("rnk").as("rnk_ba")),
+        Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(
+        col("src").as("id_a"),
+        col("dst").as("id_b"),
+        col("rnk").as("rnk_ab"),
+        col("rnk_ba"))
+
   /** Contamination SEVERITY — [[decontaminate]] graded: per flagged doc,
     * the share of its distinct shingles present in the eval set (integer
     * bp). The number a decontamination policy actually thresholds on

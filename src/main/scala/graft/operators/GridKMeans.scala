@@ -34,16 +34,22 @@ object GridKMeans {
   def gridVec(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * Scale).cast("long"))
 
-  /** Integer L2² between a gridded vector column and a literal centroid. */
-  private def gdistLit(gv: Column, c: Array[Long]): Column =
-    aggregate(
-      zip_with(gv, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
-      lit(0L),
-      _ + _)
+  /** Integer L2² between a gridded vector column and a literal centroid —
+    * the codegen'd [[graft.plans.VecL2SqLong]] kernel (a tight JIT'd long
+    * loop; the interpreted `aggregate(zip_with(...))` formulation cost
+    * ~10× on the assignment scan). */
+  private def gdistLit(gv: Column, c: Array[Long]): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(graft.plans.VecL2SqLong(
+      GraftExpr.expression(gv), GraftExpr.expression(typedLit(c.toSeq))))
+  }
 
   /** Integer L2² between two gridded vector columns. */
-  private def gdist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+  private def gdist(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpr
+    GraftExpr.column(graft.plans.VecL2SqLong(
+      GraftExpr.expression(a), GraftExpr.expression(b)))
+  }
 
   /** Nearest-centroid id for a gridded vector column. `cents` is sorted by
     * cluster id, and `array_position` returns the FIRST index of the min,
@@ -124,10 +130,11 @@ object GridKMeans {
           Window.partitionBy(col("qid")).orderBy(col("d").asc, col("cluster").asc)))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("gq"), col("cluster"))
-    val assigned = base.select(
-      col("id"),
-      gridVec(col("vec")).as("gv"),
-      assignCol(gridVec(col("vec")), cents).as("cluster"))
+    // bind gv FIRST: referenced by every per-centroid distance, an inline
+    // gridVec would re-run the quantization transform once per centroid
+    val assigned = base
+      .select(col("id"), gridVec(col("vec")).as("gv"))
+      .select(col("id"), col("gv"), assignCol(col("gv"), cents).as("cluster"))
     broadcast(probes)
       .join(assigned, "cluster")
       .select(col("qid"), col("id").as("nid"), gdist(col("gq"), col("gv")).as("dist"))

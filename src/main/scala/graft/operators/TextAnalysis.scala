@@ -290,6 +290,33 @@ object TextAnalysis {
         col("n_subtok_uniq"),
         expr("CAST(_sl * 10000 DIV n_subtok AS BIGINT)").as("chars_per_subtok_bp"))
 
+  /** Tokenizer FERTILITY per source — subword tokens per whitespace word
+    * (×10⁴), the corpus-health metric that predicts training cost per
+    * document and flags sources a subword vocabulary serves badly (high
+    * fertility = many pieces per word). Uses the same greedy BPE-ish
+    * tokenizer as [[subwordStats]]; all ratios exact integer basis points.
+    * Scale: map-side per-doc counts, ONE partial-aggregated groupBy on
+    * source — a pure scan at 100 TB. */
+  def tokenFertility(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(
+        col("source"),
+        size(tokens(col(textCol))).cast("long").as("_w"),
+        regexp_extract_all(col(textCol), lit("[a-z0-9]{1,4}|[^a-z0-9 ]"), lit(0)).as("_st"))
+      .select(
+        col("source"),
+        col("_w"),
+        size(col("_st")).cast("long").as("_s"),
+        aggregate(col("_st"), lit(0L), (a, x) => a + length(x).cast("long")).as("_sl"))
+      .groupBy(col("source"))
+      .agg(sum(col("_w")).as("n_words"), sum(col("_s")).as("n_subtok"),
+        sum(col("_sl")).as("_slt"))
+      .select(
+        col("source"),
+        col("n_words"),
+        col("n_subtok"),
+        expr("CAST(n_subtok * 10000 DIV n_words AS BIGINT)").as("fertility_bp"),
+        expr("CAST(_slt * 10000 DIV n_subtok AS BIGINT)").as("chars_per_subtok_bp"))
+
   /** Pairwise vocabulary overlap between corpus sources — the cross-source
     * contamination/diversity dashboard (which feeds mixture weighting):
     * Jaccard of the distinct-term sets of every source pair, in exact

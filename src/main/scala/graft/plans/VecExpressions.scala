@@ -95,6 +95,60 @@ case class VecL2Sq(left: Expression, right: Expression) extends VecFoldExpressio
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ (a_i − b_i)² over ARRAY<LONG> in EXACT 64-bit integer arithmetic —
+  * the grid-domain kernel behind [[graft.operators.GridKMeans]] (integer
+  * Lloyd + probed search on the 1e4 quantization grid). Same tight-loop
+  * codegen as [[VecL2Sq]]; replacing the `aggregate(zip_with(...))`
+  * interpreted HOFs cut the sf0.1 kmeans query ~10×. */
+case class VecL2SqLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_l2sq_long"
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<BIGINT> inputs, got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        long $s = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          long $d = $a.getLong($i) - $b.getLong($i);
+          $s += $d * $d;
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Σ a_i·b_i — reference `fvec_inner_product`. */
 case class VecDot(left: Expression, right: Expression) extends VecFoldExpression {
   override def prettyName: String = "vec_dot"

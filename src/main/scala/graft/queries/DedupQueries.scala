@@ -724,6 +724,34 @@ tr AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % 97 <> 0)
 SELECT tr.doc_id AS doc_id, count(*) AS n_shared
 FROM tr JOIN ev ON ev.h = tr.h
 GROUP BY tr.doc_id""")),
+    // STREAMING decontamination — the deployment shape: the benchmark set
+    // is STATIC (broadcast into every micro-batch), the corpus arrives as
+    // a stream; per-doc overlap counts are the only state. Hash-matches
+    // the batch decontaminate_ngram oracle
+    GraftQuery(
+      "decontaminate_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Tables.documents(s, dir)
+        val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        val median = corpus.selectExpr("percentile(doc_id, 0.5)").head().getDouble(0).toLong
+        val src = StreamStage.stagedSource(s, Seq(
+          corpus.filter(col("doc_id") <= median),
+          corpus.filter(col("doc_id") > median)), "graft-decon-stream")
+        val sink = s"decontaminate_stream_${System.nanoTime()}"
+        val q = Dedup.decontaminateStream(src, evalDocs)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(sink)
+      },
+      Some(s"""WITH $shCte,
+ev AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id AS doc_id, count(*) AS n_shared
+FROM tr JOIN ev ON ev.h = tr.h
+GROUP BY tr.doc_id""")),
     // contamination SEVERITY: the overlap count graded by each doc's own
     // shingle count (integer bp) — the threshold a drop/mask policy reads
     GraftQuery(

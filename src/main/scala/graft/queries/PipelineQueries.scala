@@ -404,6 +404,38 @@ FROM events GROUP BY 1""")),
     // step-(i−1) event; conversion = integer bp off step 1. Every shuffle
     // keys on user_id; per-step frames shrink monotonically
     GraftQuery(
+      "events_time_to_convert",
+      (s, dir) => {
+        // time-to-convert per user: first purchase at-or-after the first
+        // view, delta in exact integer microseconds. Every aggregate and
+        // the join key on user_id — the single-shuffle family at 100 TB
+        val ev = Tables.events(s, dir)
+        val v0 = ev
+          .filter(col("event_type") === "view")
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("v0"))
+        val p = ev
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("pt"))
+        v0.join(p, "user_id")
+          .filter(col("pt") >= col("v0"))
+          .groupBy(col("user_id"), col("v0"))
+          .agg(min(col("pt")).as("p0"))
+          .select(col("user_id"), (col("p0") - col("v0")).as("convert_us"))
+      },
+      Some("""WITH v AS (
+  SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS v0
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pt
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id AS user_id, min(p.pt) - v.v0 AS convert_us
+FROM v JOIN p ON p.user_id = v.user_id AND p.pt >= v.v0
+GROUP BY v.user_id, v.v0""")),
+    // three-step funnel over the events table
+    GraftQuery(
       "events_funnel",
       (s, dir) =>
         graft.operators.Funnel.steps(

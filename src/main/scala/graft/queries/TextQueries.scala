@@ -444,6 +444,27 @@ SELECT doc_id,
       tok -> ${sqlTokenHash("tok")})),
     (h, th) -> (h * ${TextAnalysis.TokenB} + th) % ${TextAnalysis.HashP}) AS chunk_fp
 FROM s""")),
+    // tokenizer FERTILITY per source: subword pieces per whitespace word
+    // (×10⁴) — the corpus-health metric that prices training cost and
+    // flags sources the subword vocabulary serves badly. Map-side per-doc
+    // counts, one partial-aggregated groupBy — a pure scan at 100 TB
+    GraftQuery(
+      "source_token_fertility",
+      (s, dir) => TextAnalysis.tokenFertility(Tables.documents(s, dir)),
+      Some("""WITH d AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+    regexp_extract_all(text, '[a-z0-9]{1,4}|[^a-z0-9 ]') AS st
+  FROM documents
+),
+p AS (
+  SELECT source, w, CAST(len(st) AS BIGINT) AS s,
+    CAST(list_sum(list_transform(st, x -> CAST(len(x) AS BIGINT))) AS BIGINT) AS sl
+  FROM d
+)
+SELECT source, CAST(sum(w) AS BIGINT) AS n_words, CAST(sum(s) AS BIGINT) AS n_subtok,
+  CAST(CAST(sum(s) AS BIGINT) * 10000 // CAST(sum(w) AS BIGINT) AS BIGINT) AS fertility_bp,
+  CAST(CAST(sum(sl) AS BIGINT) * 10000 // CAST(sum(s) AS BIGINT) AS BIGINT) AS chars_per_subtok_bp
+FROM p GROUP BY source""")),
     // BPE-ish subword counting: greedy ≤4-char alphanumeric pieces +
     // punctuation singletons — the byte-pair-shaped token budget estimate;
     // greedy regex is deterministic on both engines, ratios in integer bp

@@ -1866,6 +1866,37 @@ SELECT qid, nid, dist, rnk FROM (
   ) WHERE rnk <= 5
 )
 ${Sql.federOverview("g")}""")),
+    // MUTUAL k-NN pairs — the reciprocal-rank adjacency SemDeDup-style
+    // semantic clustering keeps (one-sided neighbors are hubness
+    // artifacts): each endpoint in the other's top-5; the mutual filter is
+    // one payload-free self-join on the edge key over the ranked graph
+    // (exact here; the IVF-bucketed build substitutes at scale)
+    GraftQuery(
+      "embed_mutual_nn",
+      (s, dir) => {
+        val all = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val g = BruteForce
+          .knnFused(all, baseVecs(s, dir).select(col("id"), col("vec")), 5, Metric.L2,
+            roundDist = ROUND, excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"), col("rnk"))
+        Dedup.mutualNnPairs(g)
+      },
+      Some(s"""WITH g AS (
+  SELECT src, dst, rnk FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        round(sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+          (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+          (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 4) ASC,
+        b.vec_id ASC) AS rnk
+    FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id
+  ) WHERE rnk <= 5
+)
+SELECT a.src AS id_a, a.dst AS id_b, CAST(a.rnk AS INT) AS rnk_ab, CAST(b.rnk AS INT) AS rnk_ba
+FROM g a JOIN g b ON b.src = a.dst AND b.dst = a.src
+WHERE a.src < a.dst""")),
     // the same export over the CAGRA handle's optimized graph (the
     // gpu_raft_cagra serving-contract arm) — graph CTEs shared with
     // cagra_build so the two cannot drift

@@ -264,6 +264,30 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L)))
   }
 
+  test("mutualNnPairs keeps only reciprocal edges, id_a < id_b, both ranks") {
+    // 1 and 2 are mutual (each other's #1); 3 points at 1 but 1 does not
+    // point back — the hubness artifact the mutual filter drops
+    val g = Seq(
+      (1L, 2L, 1), (2L, 1L, 1),
+      (3L, 1L, 1), (1L, 3L, 9), // 3→1 one-sided (1's edge to 3 is rank 9 but present → mutual at (1,3)?)
+      (4L, 5L, 2)               // one-sided
+    ).toDF("src", "dst", "rnk")
+    val got = Dedup.mutualNnPairs(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    // (1,2) mutual with ranks (1,1); (1,3) mutual because BOTH directed
+    // edges exist (rnk 9 and 1); (4,5) dropped
+    assert(got == Set((1L, 2L, 1, 1), (1L, 3L, 9, 1)))
+  }
+
+  test("decontaminateStream on a batch frame equals decontaminate") {
+    val evalDocs = docs.filter(col("doc_id") === 0L)
+    val got = Dedup.decontaminateStream(docs.filter(col("doc_id") =!= 0L), evalDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.decontaminate(docs, col("doc_id") === 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("simhash pairs: near-dups close in hamming") {
     val got = Dedup
       .simhashPairs(docs, maxHamming = 8)

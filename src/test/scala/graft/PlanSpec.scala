@@ -445,6 +445,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window sneaked into survivor selection:\n$p")
   }
 
+  test("GridKMeans search: probes broadcast onto the assignment scan — no sort-merge join") {
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val baseV = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = GridKMeans.train(baseV, stride = 250L, iters = 1)
+    val df = GridKMeans.search(queries, baseV, cents, k = 5, nprobe = 2)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), s"probe frame not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate join fell back to sort-merge (base would shuffle):\n$p")
+  }
+
   test("containmentPairs: candidate pipeline evaluated once — one band join, not one per direction") {
     val docs = Tables.documents(spark, sf0001)
     val out = Dedup.containmentPairs(docs, threshold = 0.5)
