@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-query SEQUENTIAL graph traversal — the online-serving latency
+  * semantics that round 5 named the honest boundary of the batch engine:
+  * the reference walks each query's beam adaptively with ef-driven early
+  * exit (`src/index/hnsw/impl/IndexHNSWWrapper.cc:70-230` driving
+  * `faiss/cppcontrib/knowhere/impl/HnswSearcher.h:296-420`: a NeighborSet
+  * of size max(ef, k), pop-best / expand / insert, terminating when the
+  * popped candidate is farther than the worst retained neighbor).
+  *
+  * The batch twin (`GraphSearch.beamSearchConverged`) covers THROUGHPUT —
+  * thousands of queries per relational hop. This adapter covers LATENCY:
+  * single-query serving against a LOADED graph shard, which is the
+  * reference's own serving model (the graph lives in the serving node's
+  * memory; Spark's role at 100 TB is building/sharding that graph, the
+  * per-query walk is not a distributed job). The load is a bounded collect
+  * with a loud guard, same convention as every other driver-side
+  * materialization in the repo.
+  *
+  * Determinism contract: distances rounded at 4dp BEFORE comparison, ties
+  * broken by node id — identical to the batch/oracle contract, so the
+  * ScalaTest gates can assert exact set-equality against the relational
+  * beam given the same graph and seeds.
+  */
+object Serve {
+
+  /** Search statistics mirroring faiss `HNSWStats`: distance evaluations
+    * and hop (pop) count — the instrumentation the early-exit gates read. */
+  final case class ServeStats(ndis: Long, nhops: Long)
+
+  final class LocalGraphSearcher(
+      graph: java.util.HashMap[Long, Array[Long]],
+      vecs: java.util.HashMap[Long, Array[Float]],
+      entries: Array[Long],
+      metric: Metric,
+      roundDist: Int = 4
+  ) {
+
+    @volatile var lastStats: ServeStats = ServeStats(0L, 0L)
+
+    private val scale = math.pow(10d, roundDist)
+
+    private def dist(q: Array[Float], id: Long): Double = {
+      val v = vecs.get(id)
+      var s = 0.0d
+      var i = 0
+      metric match {
+        case Metric.IP | Metric.Cosine =>
+          var na = 0.0d; var nb = 0.0d
+          while (i < q.length) {
+            s += q(i).toDouble * v(i).toDouble
+            na += q(i).toDouble * q(i).toDouble
+            nb += v(i).toDouble * v(i).toDouble
+            i += 1
+          }
+          if (metric == Metric.Cosine) s = s / (math.sqrt(na) * math.sqrt(nb))
+        case _ =>
+          while (i < q.length) {
+            val d = q(i).toDouble - v(i).toDouble
+            s += d * d
+            i += 1
+          }
+          if (metric == Metric.L2) s = math.sqrt(s)
+      }
+      math.rint(s * scale) / scale
+    }
+
+    /** Best-first beam with ef-driven early exit (HnswSearcher.h
+      * search_on_a_level): candidates pop best-first; a popped candidate
+      * worse than the worst of the full ef-set terminates the walk. */
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+      require(ef >= k, "beam width ef must be >= k")
+      val asc = metric.ascending
+      // order: better = smaller (dist, id) for ascending metrics, larger
+      // dist first for similarity — normalize by negating similarity
+      def key(d: Double): Double = if (asc) d else -d
+      val visited = new java.util.HashSet[Long]()
+      val ordering = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      // candidate min-heap (best first) and result max-heap (worst first)
+      val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ordering.reverse)
+      val result = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ordering)
+      var ndis = 0L
+      var nhops = 0L
+      // greedy upper-level descent restated: seed with the BEST entry
+      // (the reference descends to one nearest entry before the level-0
+      // beam; with a flat multi-entry graph the argmin over entries is
+      // that descent's outcome)
+      var best = entries.head
+      var bestD = dist(q, best); ndis += 1
+      var i = 1
+      while (i < entries.length) {
+        val d = dist(q, entries(i)); ndis += 1
+        if (ordering.lt((key(d), entries(i)), (key(bestD), best))) { best = entries(i); bestD = d }
+        i += 1
+      }
+      cand.enqueue((key(bestD), best))
+      result.enqueue((key(bestD), best))
+      visited.add(best)
+      val nCand = math.max(ef, k)
+      var done = false
+      while (!done && cand.nonEmpty) {
+        val (cd, cid) = cand.dequeue()
+        // ef early exit: the best remaining candidate cannot improve the
+        // retained set once it is full and cd is past its worst member
+        if (result.size >= nCand && ordering.gt((cd, cid), result.head)) done = true
+        else {
+          nhops += 1
+          val adj = graph.get(cid)
+          if (adj != null) {
+            var j = 0
+            while (j < adj.length) {
+              val nb = adj(j)
+              if (visited.add(nb)) {
+                val d = dist(q, nb); ndis += 1
+                val entry = (key(d), nb)
+                if (result.size < nCand || ordering.lt(entry, result.head)) {
+                  cand.enqueue(entry)
+                  result.enqueue(entry)
+                  if (result.size > nCand) result.dequeue()
+                }
+              }
+              j += 1
+            }
+          }
+        }
+      }
+      lastStats = ServeStats(ndis, nhops)
+      result.toSeq
+        .map { case (d, id) => (id, if (asc) d else -d) }
+        .sortBy { case (id, d) => (if (asc) d else -d, id) }
+        .take(k)
+    }
+  }
+
+  /** Load a graph shard for serving — bounded collect with a loud guard
+    * (the serving node holds the shard in memory, as the reference does;
+    * shards beyond the cap belong on more serving nodes, not in one
+    * driver). */
+  def load(
+      graph: DataFrame, // (src, dst)
+      base: DataFrame, // (id, vec)
+      entries: DataFrame, // (nid)
+      metric: Metric = Metric.L2,
+      maxNodes: Int = 2000000
+  ): LocalGraphSearcher = {
+    val n = base.count()
+    require(n <= maxNodes,
+      s"serving shard has $n vectors > cap $maxNodes — shard the graph across serving nodes")
+    val adj = new java.util.HashMap[Long, Array[Long]]()
+    graph
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("adj"))
+      .collect()
+      .foreach(r => adj.put(r.getLong(0), r.getSeq[Long](1).toArray))
+    val vm = new java.util.HashMap[Long, Array[Float]]()
+    base.collect().foreach(r => vm.put(r.getLong(0), r.getSeq[Float](1).toArray))
+    val es = entries.collect().map(_.getLong(0)).sorted
+    require(es.nonEmpty, "serving needs at least one entry point")
+    new LocalGraphSearcher(adj, vm, es, metric)
+  }
+}

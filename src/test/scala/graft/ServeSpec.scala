@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BruteForce, GraphSearch, Metric, Serve}
+import graft.sources.Tables
+
+/** Gates for the per-query sequential serving adapter (Serve): the
+  * ef-driven best-first walk of the reference's HnswSearcher, driver-local
+  * over a loaded shard. Latency itself is nondeterministic — the gates pin
+  * SEMANTICS: exact agreement where the graph makes the walk exhaustive,
+  * recall floors on the sparse graph, and the early-exit stats. */
+class ServeSpec extends SparkSpec {
+
+  private lazy val base = Tables
+    .embeddings(spark, sf0001)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private lazy val queries = Tables
+    .embeddings(spark, sf0001)
+    .filter(col("vec_id") % 100 === 0)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private def knnGraph(k: Int) = BruteForce
+    .knnFused(
+      Tables.embeddings(spark, sf0001)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      base, k, Metric.L2, roundDist = Some(4), excludeSelf = true)
+    .select(col("qid").as("src"), col("nid").as("dst"))
+
+  private lazy val entries = Tables
+    .embeddings(spark, sf0001)
+    .filter(col("vec_id") % 250 === 0)
+    .select(col("vec_id").as("nid"))
+
+  private def exactTopK(k: Int): Map[Long, Seq[Long]] = BruteForce
+    .knn(queries, base, k, Metric.L2, roundDist = Some(4))
+    .select("qid", "nid", "rnk").collect()
+    .groupBy(_.getLong(0))
+    .map { case (q, rows) => q -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+
+  private def queryVecs: Seq[(Long, Array[Float])] = queries.collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
+  test("exhaustive walk on a well-connected graph equals brute force exactly") {
+    // degree-16 graph on 500 nodes with ef = n: the beam visits every
+    // reachable node, so the top-k must EQUAL the exact answer (the
+    // determinism contract: 4dp round before compare, ties by id)
+    val searcher = Serve.load(knnGraph(16), base, entries, Metric.L2)
+    val exact = exactTopK(10)
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.search(qv, k = 10, ef = 500).map(_._1)
+      assert(got == exact(qid), s"query $qid: $got != ${exact(qid)}")
+    }
+  }
+
+  test("ef-bounded walk keeps the recall floor and exits early") {
+    val searcher = Serve.load(knnGraph(8), base, entries, Metric.L2)
+    val exact = exactTopK(10)
+    val n = base.count()
+    var hits = 0; var total = 0
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.search(qv, k = 10, ef = 32).map(_._1).toSet
+      hits += got.intersect(exact(qid).toSet).size
+      total += 10
+      // ef early exit: the walk must not have scored the whole base
+      assert(searcher.lastStats.ndis < n,
+        s"query $qid scored ${searcher.lastStats.ndis} of $n — no early exit")
+      assert(searcher.lastStats.nhops > 0)
+    }
+    val recall = hits.toDouble / total
+    assert(recall >= 0.6, s"serving recall@10 $recall below the ANN floor")
+  }
+
+  test("wider ef does not lose recall (the reference's ef knob semantics)") {
+    val searcher = Serve.load(knnGraph(8), base, entries, Metric.L2)
+    val exact = exactTopK(10)
+    def recallAt(ef: Int): Double = {
+      var hits = 0
+      queryVecs.foreach { case (qid, qv) =>
+        hits += searcher.search(qv, 10, ef).map(_._1).toSet.intersect(exact(qid).toSet).size
+      }
+      hits.toDouble / (queryVecs.size * 10)
+    }
+    assert(recallAt(64) >= recallAt(10))
+  }
+
+  test("serving agrees with the batch beam on the same graph and seeds") {
+    // same graph, same entries, ef with full convergence: the sequential
+    // walk and the relational fixpoint must land on the same top-k set
+    val g = knnGraph(16)
+    val searcher = Serve.load(g, base, entries, Metric.L2)
+    val batch = GraphSearch
+      .beamSearchConverged(g, base, queries, entries, k = 10, ef = 500,
+        maxIters = 20, Metric.L2, Some(4))
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.search(qv, 10, ef = 500).map(_._1).toSet
+      assert(got == batch(qid), s"query $qid: serve $got != batch ${batch(qid)}")
+    }
+  }
+}
