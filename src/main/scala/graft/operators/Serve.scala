@@ -70,8 +70,14 @@ object Serve {
 
     /** Best-first beam with ef-driven early exit (HnswSearcher.h
       * search_on_a_level): candidates pop best-first; a popped candidate
-      * worse than the worst of the full ef-set terminates the walk. */
-    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+      * worse than the worst of the full ef-set terminates the walk.
+      * Per-query latency lands in the Telemetry registry under the
+      * "SERVE"/"search" verb — the index.cc TimeRecorder analog at the
+      * granularity the reference actually records (one sample per query). */
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "search")(searchImpl(q, k, ef))
+
+    private def searchImpl(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
       require(ef >= k, "beam width ef must be >= k")
       val asc = metric.ascending
       // order: better = smaller (dist, id) for ascending metrics, larger
@@ -133,6 +139,68 @@ object Serve {
         .sortBy { case (id, d) => (if (asc) d else -d, id) }
         .take(k)
     }
+  }
+
+  /** Quantized-traversal serving with exact refine — the HNSW_SQ/PQ
+    * serving shape (`faiss_hnsw.cc:739-860` refine loop): the walk runs
+    * on the searcher's (reconstructed/quantized) vectors, over-fetching
+    * `refine` × k candidates, then the RAW tier rescores exactly and
+    * re-ranks under the same 4dp/ties-by-id contract. */
+  final class RefinedSearcher(
+      approx: LocalGraphSearcher,
+      raw: java.util.HashMap[Long, Array[Float]],
+      metric: Metric,
+      roundDist: Int = 4
+  ) {
+    private val scale = math.pow(10d, roundDist)
+
+    def search(q: Array[Float], k: Int, ef: Int, refine: Int = 2): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "search_refined") {
+        val over = approx.search(q, math.min(math.max(k * refine, k), ef), ef)
+        val rescored = over.map { case (id, _) =>
+          val v = raw.get(id)
+          var s = 0.0d
+          var na = 0.0d; var nb = 0.0d
+          var i = 0
+          metric match {
+            case Metric.IP | Metric.Cosine =>
+              while (i < q.length) {
+                s += q(i).toDouble * v(i).toDouble
+                na += q(i).toDouble * q(i).toDouble
+                nb += v(i).toDouble * v(i).toDouble
+                i += 1
+              }
+              if (metric == Metric.Cosine) s = s / (math.sqrt(na) * math.sqrt(nb))
+            case _ =>
+              while (i < q.length) {
+                val d = q(i).toDouble - v(i).toDouble
+                s += d * d
+                i += 1
+              }
+              if (metric == Metric.L2) s = math.sqrt(s)
+          }
+          (id, math.rint(s * scale) / scale)
+        }
+        val asc = metric.ascending
+        rescored
+          .sortBy { case (id, d) => (if (asc) d else -d, id) }
+          .take(k)
+      }
+  }
+
+  /** [[load]] with a quantized traversal tier + raw refine tier. */
+  def loadRefined(
+      graph: DataFrame, // (src, dst)
+      approx: DataFrame, // (id, vec) — reconstructed/quantized tier
+      base: DataFrame, // (id, vec) — raw rerank tier
+      entries: DataFrame, // (nid)
+      metric: Metric = Metric.L2,
+      maxNodes: Int = 2000000
+  ): RefinedSearcher = {
+    val inner = load(graph, approx, entries, metric, maxNodes)
+    val vm = new java.util.HashMap[Long, Array[Float]]()
+    base.collect().foreach(r => vm.put(r.getLong(0), r.getSeq[Float](1).toArray))
+    new RefinedSearcher(inner, vm, metric)
   }
 
   /** Load a graph shard for serving — bounded collect with a loud guard

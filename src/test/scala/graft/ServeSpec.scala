@@ -85,6 +85,42 @@ class ServeSpec extends SparkSpec {
     assert(recallAt(64) >= recallAt(10))
   }
 
+  test("refined serving: raw-tier rescoring, identity when tiers coincide, SERVE telemetry") {
+    import graft.operators.{Quantization, Telemetry}
+    val g = knnGraph(8)
+    // identity: approx == raw ⇒ refined == plain (same contract end to end)
+    val plain = Serve.load(g, base, entries, Metric.L2)
+    val same = Serve.loadRefined(g, base, base, entries, Metric.L2)
+    Telemetry.reset()
+    queryVecs.take(3).foreach { case (_, qv) =>
+      val a = plain.search(qv, 10, 32)
+      val b = same.search(qv, 10, 32, refine = 1)
+      assert(a == b)
+    }
+    // quantized traversal tier + raw refine (the HNSW_SQ serving shape):
+    // refined answers must clear the same ANN floor as the batch twin
+    val stats = Quantization.sq8Train(base)
+    val approx = base
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        Quantization.sq8Recon(
+          Quantization.sq8Code(col("vec"), col("mn"), col("mx")),
+          col("mn"), col("mx")).as("vec"))
+    val refined = Serve.loadRefined(
+      g, approx.select(col("id"), col("vec").cast("array<float>").as("vec")),
+      base, entries, Metric.L2)
+    val exact = exactTopK(10)
+    var hits = 0
+    queryVecs.foreach { case (qid, qv) =>
+      hits += refined.search(qv, 10, ef = 32).map(_._1).toSet
+        .intersect(exact(qid).toSet).size
+    }
+    assert(hits.toDouble / (queryVecs.size * 10) >= 0.6)
+    // per-query latency landed in the Telemetry registry (TimeRecorder analog)
+    val verbs = Telemetry.summary(spark).select("verb").collect().map(_.getString(0)).toSet
+    assert(verbs.contains("search") && verbs.contains("search_refined"), verbs.toString)
+  }
+
   test("serving agrees with the batch beam on the same graph and seeds") {
     // same graph, same entries, ef with full convergence: the sequential
     // walk and the relational fixpoint must land on the same top-k set
