@@ -282,6 +282,39 @@ object Scale {
     val nWin = time("winnowingPairs (200k docs, df cap 50)")(
       graft.operators.Dedup.winnowingPairs(wDocs).count())
     println(s"winnowing candidate pairs: $nWin")
+
+    // ---- integer-grid k-means at corpus size: each Lloyd round is one
+    // broadcast-assignment scan (codegen'd VecL2SqLong) + one (cluster,
+    // dim)-keyed long shuffle — train cost tracks iters × scan, and the
+    // probed search shape matches the float IVF family ----
+    locally {
+      val gcents = time(s"gridKMeans train (stride=${nb / nlist}, 2 iters)")(
+        GridKMeans.train(base, stride = math.max(1L, nb.toLong / nlist), iters = 2))
+      println(s"grid centroids: ${gcents.length}")
+      val nGrid = time(s"gridKMeans search nprobe=$nprobe")(
+        GridKMeans.search(queries, base, gcents, 10, nprobe).count())
+      println(s"grid search rows: $nGrid")
+    }
+
+    // ---- per-query serving walk: load the bucketed graph shard once,
+    // then measure SINGLE-QUERY latency (the ef-early-exit best-first
+    // walk) — the number the batch beam cannot express. ndis ≪ nb is the
+    // early-exit evidence at scale ----
+    locally {
+      val searcher = time("serve load (graph+vecs shard collect)")(
+        Serve.load(graph, base, entries, Metric.L2))
+      val qv = queries.limit(16).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val t0 = System.nanoTime()
+      var ndisTot = 0L
+      qv.foreach { case (_, v) =>
+        searcher.search(v, 10, ef = 64)
+        ndisTot += searcher.lastStats.ndis
+      }
+      val perQueryMs = (System.nanoTime() - t0) / 1e6 / qv.length
+      println(f"serve per-query latency: $perQueryMs%.2f ms, " +
+        f"mean ndis ${ndisTot / qv.length} of $nb (early exit)")
+    }
     spark.stop()
   }
 }
