@@ -479,20 +479,22 @@ object Dedup {
     * when each is in the OTHER's top-k (one-sided neighbors are hubness
     * artifacts; mutuality is the standard robust filter). Input is any
     * ranked (src, dst, rnk) graph — exact or the IVF-bucketed build at
-    * scale; the mutual filter itself is one payload-free self-join on the
-    * edge key. Output (id_a < id_b) with both ranks. */
+    * scale. SINGLE pass: each directed edge folds onto its unordered key
+    * with its direction's rank slot, and one partial-aggregated groupBy
+    * keeps keys carrying both slots — no self-join, so the (possibly
+    * expensive) graph pipeline evaluates once and the only shuffle moves
+    * (lo, hi, rnk) triples. Output (id_a < id_b) with both ranks. */
   def mutualNnPairs(graph: DataFrame): DataFrame =
     graph
-      .join(
-        graph.select(
-          col("dst").as("src"), col("src").as("dst"), col("rnk").as("rnk_ba")),
-        Seq("src", "dst"))
-      .filter(col("src") < col("dst"))
       .select(
-        col("src").as("id_a"),
-        col("dst").as("id_b"),
-        col("rnk").as("rnk_ab"),
-        col("rnk_ba"))
+        least(col("src"), col("dst")).as("id_a"),
+        greatest(col("src"), col("dst")).as("id_b"),
+        when(col("src") < col("dst"), col("rnk")).as("_ab"),
+        when(col("src") > col("dst"), col("rnk")).as("_ba"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("_ab")).as("rnk_ab"), min(col("_ba")).as("rnk_ba"))
+      .filter(col("rnk_ab").isNotNull && col("rnk_ba").isNotNull)
+      .select(col("id_a"), col("id_b"), col("rnk_ab"), col("rnk_ba"))
 
   /** Contamination SEVERITY — [[decontaminate]] graded: per flagged doc,
     * the share of its distinct shingles present in the eval set (integer
