@@ -445,6 +445,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window sneaked into survivor selection:\n$p")
   }
 
+  test("tokenFertility: one partial-aggregated source exchange — a pure scan otherwise") {
+    val p = plan(TextAnalysis.tokenFertility(Tables.documents(spark, sf0001)))
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected exactly 1 shuffle (source agg), got $shuffles:\n$p")
+    assert(!p.contains("Join"), s"fertility must not join:\n$p")
+  }
+
+  test("timeToConvert family shape: event_type filters pushed into the scan") {
+    val ev = Tables.events(spark, sf0001)
+    val v0 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("v0"))
+    val df = v0.join(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pt")),
+      "user_id")
+    assert(plan(df).contains("EqualTo(event_type,view)"),
+      s"view filter not pushed:\n${plan(df)}")
+    assert(plan(df).contains("EqualTo(event_type,purchase)"),
+      s"purchase filter not pushed:\n${plan(df)}")
+  }
+
   test("GridKMeans search: probes broadcast onto the assignment scan — no sort-merge join") {
     val queries = Tables.embeddings(spark, sf0001)
       .filter(col("vec_id") % 100 === 0)
