@@ -434,6 +434,42 @@ p AS (
 SELECT v.user_id AS user_id, min(p.pt) - v.v0 AS convert_us
 FROM v JOIN p ON p.user_id = v.user_id AND p.pt >= v.v0
 GROUP BY v.user_id, v.v0""")),
+    // time-to-convert as a STATEFUL STREAM: per-user GroupState pins the
+    // first view and the first qualifying purchase across time-aligned
+    // micro-batches; each converting user emits exactly once, so the
+    // update stream IS the batch result — hash-matches the batch oracle
+    GraftQuery(
+      "events_time_to_convert_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Tables.events(s, dir)
+        val median = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0).toLong
+        val src = StreamStage.stagedSource(s, Seq(
+          ev.filter(unix_micros(col("ts")) <= median),
+          ev.filter(unix_micros(col("ts")) > median)), "graft-ttc-stream")
+        val sink = s"events_ttc_stream_${System.nanoTime()}"
+        val q = graft.streaming.StreamingCohort
+          .timeToConvertUpdates(src)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      },
+      Some("""WITH v AS (
+  SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS v0
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pt
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id AS user_id, min(p.pt) - v.v0 AS convert_us
+FROM v JOIN p ON p.user_id = v.user_id AND p.pt >= v.v0
+GROUP BY v.user_id, v.v0""")),
     // three-step funnel over the events table
     GraftQuery(
       "events_funnel",

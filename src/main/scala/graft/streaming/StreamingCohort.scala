@@ -111,6 +111,46 @@ object StreamingCohort {
   def renderAttribution(credited: DataFrame): DataFrame =
     Cohort.renderAttribution(credited)
 
+  final case class ConvertState(v0: Long, p0: Long) // -1 = unset
+
+  /** Streaming TIME-TO-CONVERT: per-user GroupState pins the first view
+    * and the first purchase at-or-after it (the batch
+    * `events_time_to_convert` semantics). Time-aligned micro-batches (the
+    * twin contract) make the greedy pin exact: events replay in ts order
+    * across batches, so the first view seen IS the global first view and
+    * no earlier qualifying purchase can arrive later. Within a batch,
+    * equal-timestamp views order before purchases so a same-instant
+    * conversion qualifies, matching the oracle's `pt >= v0`. Emits
+    * (user_id, convert_us) exactly once per converting user — the update
+    * stream IS the batch result. State: two longs per user. */
+  def timeToConvertUpdates(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("event_type"))
+      .as[(Long, Long, String)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[ConvertState, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (user, it, state) =>
+          var st = state.getOption.getOrElse(ConvertState(-1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          it.toSeq
+            .sortBy(r => (r._2, if (r._3 == "purchase") 1 else 0))
+            .foreach { case (_, t, typ) =>
+              if (typ == "view") { if (st.v0 < 0) st = ConvertState(t, st.p0) }
+              else if (st.v0 >= 0 && st.p0 < 0 && t >= st.v0) {
+                st = ConvertState(st.v0, t)
+                out += ((user, st.p0 - st.v0))
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("user_id", "convert_us")
+  }
+
   /** Streaming LAST-touch attribution: per-user GroupState carries only
     * the latest touch seen; each batch's rows replay in (ts, event_id)
     * order, so a purchase credits the newest touch at-or-before it —
