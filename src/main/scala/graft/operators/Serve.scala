@@ -203,6 +203,130 @@ object Serve {
     new RefinedSearcher(inner, vm, metric)
   }
 
+  /** Per-query DAAT-WAND sparse serving — the reference's own sparse
+    * search mode (`src/index/sparse/sparse_inverted_index.h:40,310-420`
+    * `DAAT_WAND`: document-at-a-time cursors over the query's posting
+    * lists, per-term upper bounds qtf·max_tf, pivot selection, skip-ahead
+    * past unbeatable documents). EXACT: the pruning bound is sound, so the
+    * top-k equals the batch `SparseSearch.searchIP` answer including the
+    * (score desc, id asc) tie order — gated by set equality, not recall.
+    * Stats expose docs fully scored vs skipped (the pruning evidence). */
+  final class LocalSparseSearcher(
+      postings: java.util.HashMap[String, (Array[Long], Array[Long])], // term -> (sorted ids, tfs)
+      maxTf: java.util.HashMap[String, Long]
+  ) {
+
+    @volatile var lastScored: Long = 0L
+    @volatile var lastSkipped: Long = 0L
+
+    def search(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE_SPARSE", "search") {
+        // cursors over the query's posting lists
+        final case class Cur(qtf: Long, ids: Array[Long], tfs: Array[Long],
+            ub: Long, var pos: Int) {
+          def id: Long = if (pos < ids.length) ids(pos) else Long.MaxValue
+          def seek(target: Long): Unit = {
+            // galloping seek keeps total advance O(list length)
+            var step = 1
+            while (pos + step < ids.length && ids(pos + step) < target) step <<= 1
+            var hi = math.min(pos + step, ids.length)
+            var lo = pos
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (ids(mid) < target) lo = mid + 1 else hi = mid
+            }
+            pos = lo
+          }
+        }
+        val curs = query
+          .filter { case (t, _) => postings.containsKey(t) }
+          .map { case (t, qtf) =>
+            val (ids, tfs) = postings.get(t)
+            Cur(qtf, ids, tfs, qtf * maxTf.get(t), 0)
+          }
+          .toArray
+        var scored = 0L
+        var skipped = 0L
+        // worst-first heap: (score asc, id desc) so ties keep the SMALLEST ids
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+        def beats(score: Double, id: Long): Boolean =
+          heap.size < k || score > heap.head._1 ||
+            (score == heap.head._1 && id < heap.head._2)
+        var done = curs.isEmpty
+        while (!done) {
+          // sort live cursors by current doc id; accumulate UBs to the pivot
+          val live = curs.filter(_.id != Long.MaxValue).sortBy(_.id)
+          if (live.isEmpty) done = true
+          else {
+            // pivot: first cursor whose UB prefix reaches the heap's worst
+            // (>= keeps equal-score smaller-id ties reachable)
+            var acc = 0L
+            var pivot = -1
+            var i = 0
+            while (i < live.length && pivot < 0) {
+              acc += live(i).ub
+              if (heap.size < k || acc.toDouble >= heap.head._1) pivot = i
+              i += 1
+            }
+            if (pivot < 0) done = true // no doc can beat the heap
+            else {
+              val pivotId = live(pivot).id
+              if (live.head.id == pivotId) {
+                // fully score pivotId across all cursors positioned on it
+                var s = 0L
+                curs.foreach { c =>
+                  if (c.id == pivotId) { s += c.qtf * c.tfs(c.pos); c.pos += 1 }
+                }
+                scored += 1
+                val sd = s.toDouble
+                if (beats(sd, pivotId)) {
+                  heap.enqueue((sd, pivotId))
+                  if (heap.size > k) heap.dequeue()
+                }
+              } else {
+                // skip every earlier cursor past the unbeatable gap
+                skipped += pivotId - live.head.id
+                var j = 0
+                while (j < live.length && live(j).id < pivotId) {
+                  live(j).seek(pivotId); j += 1
+                }
+              }
+            }
+          }
+        }
+        lastScored = scored
+        lastSkipped = skipped
+        heap.toSeq.map { case (s, id) => (id, s) }
+          .sortBy { case (id, s) => (-s, id) }
+      }
+  }
+
+  /** Load a sparse posting shard for serving (term-keyed lists sorted by
+    * doc id + per-term max tf) — bounded collect with a loud guard. */
+  def loadSparse(
+      postings: DataFrame, // (term, id, tf)
+      maxPostings: Long = 50000000L
+  ): LocalSparseSearcher = {
+    val n = postings.count()
+    require(n <= maxPostings,
+      s"posting shard has $n rows > cap $maxPostings — shard the index across serving nodes")
+    val pm = new java.util.HashMap[String, (Array[Long], Array[Long])]()
+    val mt = new java.util.HashMap[String, Long]()
+    postings
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(struct(col("id"), col("tf")))).as("l"),
+        max(col("tf")).as("mt"))
+      .collect()
+      .foreach { r =>
+        val rows = r.getSeq[org.apache.spark.sql.Row](1)
+        pm.put(r.get(0).toString,
+          (rows.map(_.getLong(0)).toArray, rows.map(_.getLong(1)).toArray))
+        mt.put(r.get(0).toString, r.getLong(2))
+      }
+    new LocalSparseSearcher(pm, mt)
+  }
+
   /** Load a graph shard for serving — bounded collect with a loud guard
     * (the serving node holds the shard in memory, as the reference does;
     * shards beyond the cap belong on more serving nodes, not in one

@@ -121,6 +121,51 @@ class ServeSpec extends SparkSpec {
     assert(verbs.contains("search") && verbs.contains("search_refined"), verbs.toString)
   }
 
+  test("sparse DAAT-WAND serving equals the batch exact top-k, skipping engaged") {
+    import graft.operators.SparseSearch
+    import spark.implicits._
+    // Zipf-ish synthetic postings (the harness corpus's 31-term vocabulary
+    // never lets upper-bound pruning engage — same reason graft.Scale
+    // generates its own): u³-skewed terms over a 2000-term vocabulary
+    val nDocs = 3000
+    val bp = spark.range(nDocs.toLong).toDF("id")
+      .select(col("id"), explode(sequence(lit(1), lit(30))).as("j"))
+      .select(col("id"),
+        concat(lit("t"), floor(pow(
+          pmod(xxhash64(col("id") * 7919 + col("j") * 31), lit(1000000)).cast("double")
+            / 1000000.0d, 3.0d) * 2000).cast("long")).as("term"),
+        lit(1L).as("one"))
+      .groupBy(col("id"), col("term")).agg(sum(col("one")).as("tf"))
+    val qp = spark.range(5L).toDF("qid")
+      .select(col("qid"), explode(sequence(lit(1), lit(12))).as("j"))
+      .select(col("qid"),
+        concat(lit("t"), floor(pow(
+          pmod(xxhash64(col("qid") * 131 + col("j") * 17 + 7), lit(1000000)).cast("double")
+            / 1000000.0d, 3.0d) * 2000).cast("long")).as("term"),
+        lit(1L).as("one"))
+      .groupBy(col("qid"), col("term")).agg(sum(col("one")).as("qtf"))
+    val searcher = Serve.loadSparse(bp.select(col("term"), col("id"), col("tf")))
+    val batch = SparseSearch
+      .searchIP(qp, bp.select(col("id"), col("term"), col("tf")), 10)
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (-t._2, t._1)).toSeq
+      }
+    val queriesLocal = qp.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(r => (r.getString(1), r.getLong(2))).toSeq }
+    var anySkip = false
+    queriesLocal.foreach { case (q, terms) =>
+      val got = searcher.search(terms, 10)
+      assert(got == batch(q), s"query $q: $got != ${batch(q)}")
+      anySkip ||= searcher.lastSkipped > 0
+      // the WAND walk must not have fully scored every doc with a hit
+      assert(searcher.lastScored < nDocs)
+    }
+    assert(anySkip, "upper-bound skipping never engaged on the Zipf corpus")
+  }
+
   test("serving agrees with the batch beam on the same graph and seeds") {
     // same graph, same entries, ef with full convergence: the sequential
     // walk and the relational fixpoint must land on the same top-k set
