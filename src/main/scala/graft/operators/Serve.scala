@@ -302,6 +302,145 @@ object Serve {
       }
   }
 
+  /** Per-query DAAT-WAND BM25 serving — the reference's flagship sparse
+    * mode (`sparse_inverted_index.h:148-154`: WAND/MaxScore require the
+    * search-time k1/b to equal the load-time config, because the per-term
+    * bounds are baked at load). EXACTLY matches the batch
+    * `SparseSearch.searchBM25`: each posting's idf/tfw doubles are the
+    * Spark-computed values (collected at load), the per-(query-term,
+    * posting) contribution replicates the batch arithmetic bit-for-bit
+    * (((qtf·idf)·tfw)·1e9, BigDecimal HALF_UP to LONG), the exact scaled
+    * sums render through the same /1e9 + 4dp round, and ranking is
+    * (rounded desc, id asc). Pruning uses a conservative raw-scaled
+    * threshold derived from the heap's worst ROUNDED score, so the 4dp
+    * merge can never cost a tie the batch rank would keep. */
+  final class LocalSparseBM25Searcher(
+      postings: java.util.HashMap[String, (Array[Long], Array[Double])], // term -> (ids, tfw)
+      idf: java.util.HashMap[String, Double],
+      maxTfw: java.util.HashMap[String, Double]
+  ) {
+
+    @volatile var lastScored: Long = 0L
+
+    private def halfUpLong(x: Double): Long =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    private def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+
+    def search(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE_SPARSE", "search_bm25") {
+        final case class Cur(qidf: Double, ids: Array[Long], tfw: Array[Double],
+            ub: Long, var pos: Int) {
+          def id: Long = if (pos < ids.length) ids(pos) else Long.MaxValue
+          def seek(target: Long): Unit = {
+            var step = 1
+            while (pos + step < ids.length && ids(pos + step) < target) step <<= 1
+            var hi = math.min(pos + step, ids.length)
+            var lo = pos
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (ids(mid) < target) lo = mid + 1 else hi = mid
+            }
+            pos = lo
+          }
+        }
+        val curs = query
+          .filter { case (t, _) => postings.containsKey(t) }
+          .map { case (t, qtf) =>
+            val (ids, tfw) = postings.get(t)
+            val qi = qtf.toDouble * idf.get(t)
+            Cur(qi, ids, tfw,
+              math.ceil(qi * maxTfw.get(t) * 1e9d).toLong + 1L, 0)
+          }
+          .toArray
+        var scored = 0L
+        // worst-first heap over (rounded score asc, id desc)
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+        // conservative raw-scaled floor for contention: any raw sum below
+        // (worstRounded − 1e-4)·1e9 cannot round up to the worst 4dp score
+        def thetaRaw: Double =
+          if (heap.size < k) Double.NegativeInfinity
+          else (heap.head._1 - 1e-4d) * 1e9d
+        var done = curs.isEmpty
+        while (!done) {
+          val live = curs.filter(_.id != Long.MaxValue).sortBy(_.id)
+          if (live.isEmpty) done = true
+          else {
+            var acc = 0L
+            var pivot = -1
+            var i = 0
+            while (i < live.length && pivot < 0) {
+              acc += live(i).ub
+              if (acc.toDouble >= thetaRaw) pivot = i
+              i += 1
+            }
+            if (pivot < 0) done = true
+            else {
+              val pivotId = live(pivot).id
+              if (live.head.id == pivotId) {
+                var s = 0L
+                curs.foreach { c =>
+                  if (c.id == pivotId) {
+                    s += halfUpLong(c.qidf * c.tfw(c.pos) * 1e9d)
+                    c.pos += 1
+                  }
+                }
+                scored += 1
+                val dist = round4(s.toDouble / 1e9d)
+                if (heap.size < k || dist > heap.head._1 ||
+                    (dist == heap.head._1 && pivotId < heap.head._2)) {
+                  heap.enqueue((dist, pivotId))
+                  if (heap.size > k) heap.dequeue()
+                }
+              } else {
+                var j = 0
+                while (j < live.length && live(j).id < pivotId) {
+                  live(j).seek(pivotId); j += 1
+                }
+              }
+            }
+          }
+        }
+        lastScored = scored
+        heap.toSeq.map { case (d, id) => (id, d) }
+          .sortBy { case (id, d) => (-d, id) }
+      }
+  }
+
+  /** Load a BM25 posting shard: per-posting tfw and per-term idf are the
+    * batch expressions' OWN Spark-computed doubles, so serving arithmetic
+    * is bit-identical by construction. Bounded collect, loud guard. */
+  def loadSparseBM25(
+      model: SparseIndexModel,
+      maxPostings: Long = 50000000L
+  ): LocalSparseBM25Searcher = {
+    val n = model.postings.count()
+    require(n <= maxPostings,
+      s"posting shard has $n rows > cap $maxPostings — shard the index across serving nodes")
+    val prep = model.postings
+      .join(model.termStats.select(col("term"), col("df")), "term")
+      .select(col("term"), col("id"),
+        SparseSearch.bm25IdfExpr(model.n).as("idf"),
+        SparseSearch.bm25TfwExpr(model.avgdl, model.k1, model.b).as("tfw"))
+    val pm = new java.util.HashMap[String, (Array[Long], Array[Double])]()
+    val im = new java.util.HashMap[String, Double]()
+    val mm = new java.util.HashMap[String, Double]()
+    prep
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(struct(col("id"), col("tfw")))).as("l"),
+        first(col("idf")).as("idf"), max(col("tfw")).as("mt"))
+      .collect()
+      .foreach { r =>
+        val rows = r.getSeq[org.apache.spark.sql.Row](1)
+        val t = r.get(0).toString
+        pm.put(t, (rows.map(_.getLong(0)).toArray, rows.map(_.getDouble(1)).toArray))
+        im.put(t, r.getDouble(2))
+        mm.put(t, r.getDouble(3))
+      }
+    new LocalSparseBM25Searcher(pm, im, mm)
+  }
+
   /** Load a sparse posting shard for serving (term-keyed lists sorted by
     * doc id + per-term max tf) — bounded collect with a loud guard. */
   def loadSparse(

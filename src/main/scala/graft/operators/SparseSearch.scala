@@ -458,15 +458,22 @@ object SparseSearch {
     searchBM25(queryPostings, new SparseIndexModel(joined, stats, corpus, 1.2, 0.75), k)
   }
 
-  /** Scaled-integer BM25 contribution of one (query-term, posting) row. */
-  private def bm25ContribScaled(n: Long, avgdl: Double, k1: Double, b: Double): Column = {
-    val idf = log((lit(n.toDouble) - col("df").cast("double") + 0.5d) /
+  /** BM25 idf term (needs `df`) — exposed so the serving scorer collects
+    * the SAME Spark-computed double the batch path multiplies. */
+  private[operators] def bm25IdfExpr(n: Long): Column =
+    log((lit(n.toDouble) - col("df").cast("double") + 0.5d) /
       (col("df").cast("double") + 0.5d) + 1.0d)
-    val tfw = col("tf").cast("double") * (k1 + 1.0d) /
+
+  /** BM25 tf weight (needs `tf`, `dl`) — exposed for the same reason. */
+  private[operators] def bm25TfwExpr(avgdl: Double, k1: Double, b: Double): Column =
+    col("tf").cast("double") * (k1 + 1.0d) /
       (col("tf").cast("double") + lit(k1) *
         (lit(1.0d - b) + lit(b / avgdl) * col("dl").cast("double")))
-    round(col("qtf").cast("double") * idf * tfw * 1e9d, 0).cast("long")
-  }
+
+  /** Scaled-integer BM25 contribution of one (query-term, posting) row. */
+  private def bm25ContribScaled(n: Long, avgdl: Double, k1: Double, b: Double): Column =
+    round(col("qtf").cast("double") * bm25IdfExpr(n) * bm25TfwExpr(avgdl, k1, b) * 1e9d, 0)
+      .cast("long")
 
   // ------------------------------------------------------------------
   // Driver-coordinated pruned search (DAAT_WAND / DAAT_MAXSCORE, exact).

@@ -166,6 +166,38 @@ class ServeSpec extends SparkSpec {
     assert(anySkip, "upper-bound skipping never engaged on the Zipf corpus")
   }
 
+  test("BM25 WAND serving equals the batch searchBM25 bit-for-bit") {
+    import graft.operators.{SparseIndexModel, SparseSearch}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val bp = SparseSearch.postings(docs, "doc_id", "text")
+      .join(SparseSearch.docLengths(docs, "doc_id", "text"), "id")
+      .select(col("term"), col("id"), col("tf"), col("dl").cast("long").as("dl"))
+    val termStats = bp.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"), min(col("tf")).as("min_tf"))
+    val nDocs = docs.count()
+    val avgdl = bp.select(col("id"), col("dl")).distinct()
+      .agg(avg(col("dl"))).head().getDouble(0)
+    val model = new SparseIndexModel(bp, termStats, (nDocs, avgdl), 1.2, 0.75)
+    val qp = SparseSearch
+      .postings(docs.filter(col("doc_id") % 100 === 0), "doc_id", "text")
+      .select(col("id").as("qid"), col("term"), col("tf").as("qtf"))
+    val batch = SparseSearch.searchBM25(qp, model, 10)
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (-t._2, t._1)).toSeq
+      }
+    val searcher = Serve.loadSparseBM25(model)
+    qp.collect()
+      .groupBy(_.getLong(0))
+      .foreach { case (q, rows) =>
+        val terms = rows.map(r => (r.getString(1), r.getLong(2))).toSeq
+        val got = searcher.search(terms, 10)
+        assert(got == batch(q), s"query $q:\n  serve $got\n  batch ${batch(q)}")
+      }
+  }
+
   test("serving agrees with the batch beam on the same graph and seeds") {
     // same graph, same entries, ef with full convergence: the sequential
     // walk and the relational fixpoint must land on the same top-k set
