@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object Serve {
 
+  /** Round exactly as Spark's `round(col, n)` does (BigDecimal HALF_UP on
+    * the double's shortest decimal repr) — NOT `rint(x·10ⁿ)/10ⁿ`, whose
+    * fp multiply can cross a .5 boundary the decimalization doesn't (the
+    * round-4 oracle-divergence mechanism). Serving must match the batch
+    * plans bit-for-bit, so it rounds the same way. */
+  private def sparkRound(x: Double, n: Int): Double =
+    java.math.BigDecimal.valueOf(x).setScale(n, java.math.RoundingMode.HALF_UP).doubleValue
+
   /** Search statistics mirroring faiss `HNSWStats`: distance evaluations
     * and hop (pop) count — the instrumentation the early-exit gates read. */
   final case class ServeStats(ndis: Long, nhops: Long)
@@ -40,8 +48,6 @@ object Serve {
   ) {
 
     @volatile var lastStats: ServeStats = ServeStats(0L, 0L)
-
-    private val scale = math.pow(10d, roundDist)
 
     private def dist(q: Array[Float], id: Long): Double = {
       val v = vecs.get(id)
@@ -65,7 +71,7 @@ object Serve {
           }
           if (metric == Metric.L2) s = math.sqrt(s)
       }
-      math.rint(s * scale) / scale
+      sparkRound(s, roundDist)
     }
 
     /** Best-first beam with ef-driven early exit (HnswSearcher.h
@@ -152,8 +158,6 @@ object Serve {
       metric: Metric,
       roundDist: Int = 4
   ) {
-    private val scale = math.pow(10d, roundDist)
-
     def search(q: Array[Float], k: Int, ef: Int, refine: Int = 2): Seq[(Long, Double)] =
       Telemetry.timed("SERVE", "search_refined") {
         val over = approx.search(q, math.min(math.max(k * refine, k), ef), ef)
@@ -179,7 +183,7 @@ object Serve {
               }
               if (metric == Metric.L2) s = math.sqrt(s)
           }
-          (id, math.rint(s * scale) / scale)
+          (id, sparkRound(s, roundDist))
         }
         val asc = metric.ascending
         rescored
@@ -201,6 +205,109 @@ object Serve {
     val vm = new java.util.HashMap[Long, Array[Float]]()
     base.collect().foreach(r => vm.put(r.getLong(0), r.getSeq[Float](1).toArray))
     new RefinedSearcher(inner, vm, metric)
+  }
+
+  /** Per-query IVF serving — the probed-list search run sequentially over
+    * a loaded shard (`ivf.cc:700-760` per-query probe + list scan):
+    * nprobe nearest centroids by the same rounded-distance/(dist, cid)
+    * order the batch probe states, then exact rescoring of the probed
+    * lists only, ranked (dist, id). Bit-identical to the batch
+    * `IvfIndex.search` by the shared rounding/tie contract — gated by
+    * equality, not recall. `lastCandidates` is the probed-scan size
+    * (the nprobe/nlist cost model's observable). */
+  final class LocalIvfSearcher(
+      cents: Array[(Long, Array[Float])], // sorted by cluster_id
+      lists: java.util.HashMap[Long, (Array[Long], Array[Array[Float]])],
+      metric: Metric,
+      roundDist: Int = 4
+  ) {
+
+    @volatile var lastCandidates: Long = 0L
+
+    private def dist(q: Array[Float], v: Array[Float]): Double = {
+      var s = 0.0d
+      var i = 0
+      metric match {
+        case Metric.IP | Metric.Cosine =>
+          var na = 0.0d; var nb = 0.0d
+          while (i < q.length) {
+            s += q(i).toDouble * v(i).toDouble
+            na += q(i).toDouble * q(i).toDouble
+            nb += v(i).toDouble * v(i).toDouble
+            i += 1
+          }
+          if (metric == Metric.Cosine) s = s / (math.sqrt(na) * math.sqrt(nb))
+        case _ =>
+          while (i < q.length) {
+            val d = q(i).toDouble - v(i).toDouble
+            s += d * d
+            i += 1
+          }
+          if (metric == Metric.L2) s = math.sqrt(s)
+      }
+      sparkRound(s, roundDist)
+    }
+
+    def search(q: Array[Float], k: Int, nprobe: Int): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "search_ivf") {
+        def key(d: Double): Double = if (metric.ascending) d else -d
+        val probed = cents
+          .map { case (cid, c) => (key(dist(q, c)), cid) }
+          .sorted
+          .take(nprobe)
+          .map(_._2)
+        var candidates = 0L
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+        probed.foreach { cid =>
+          val l = lists.get(cid)
+          if (l != null) {
+            val (ids, vecs) = l
+            var i = 0
+            while (i < ids.length) {
+              candidates += 1
+              val e = (key(dist(q, vecs(i))), ids(i))
+              if (heap.size < k || ord.lt(e, heap.head)) {
+                heap.enqueue(e)
+                if (heap.size > k) heap.dequeue()
+              }
+              i += 1
+            }
+          }
+        }
+        lastCandidates = candidates
+        heap.toSeq
+          .map { case (d, id) => (id, if (metric.ascending) d else -d) }
+          .sortBy { case (id, d) => (key(d), id) }
+      }
+  }
+
+  /** Load an IVF shard (centroids + per-list vectors) for serving —
+    * bounded collect with a loud guard. */
+  def loadIvf(
+      index: DataFrame, // (id, vec, cluster_id) from IvfIndex.build
+      centroids: DataFrame, // (cluster_id, centroid)
+      metric: Metric = Metric.L2,
+      maxNodes: Int = 2000000
+  ): LocalIvfSearcher = {
+    val n = index.count()
+    require(n <= maxNodes,
+      s"serving shard has $n vectors > cap $maxNodes — shard the index across serving nodes")
+    val cs = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val lm = new java.util.HashMap[Long, (Array[Long], Array[Array[Float]])]()
+    index
+      .groupBy(col("cluster_id"))
+      .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("l"))
+      .collect()
+      .foreach { r =>
+        val rows = r.getSeq[org.apache.spark.sql.Row](1)
+        lm.put(r.getLong(0),
+          (rows.map(_.getLong(0)).toArray,
+            rows.map(_.getSeq[Float](1).toArray).toArray))
+      }
+    new LocalIvfSearcher(cs, lm, metric)
   }
 
   /** Per-query DAAT-WAND sparse serving — the reference's own sparse

@@ -121,6 +121,30 @@ class ServeSpec extends SparkSpec {
     assert(verbs.contains("search") && verbs.contains("search_refined"), verbs.toString)
   }
 
+  test("IVF serving equals the batch probed search bit-for-bit") {
+    import graft.operators.IvfIndex
+    val cents = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+    val index = IvfIndex.build(base, cents, Some(4))
+    val batch = IvfIndex
+      .search(queries, index, cents, 10, nprobe = 2, Metric.L2, Some(4))
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
+      }
+    val searcher = Serve.loadIvf(index, cents, Metric.L2)
+    val total = base.count()
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.search(qv, 10, nprobe = 2)
+      assert(got == batch(qid), s"query $qid:\n  serve $got\n  batch ${batch(qid)}")
+      // partial probing scans a strict subset of the base (2 lists here)
+      searcher.search(qv, 10, nprobe = 1)
+      assert(searcher.lastCandidates < total)
+    }
+  }
+
   test("sparse DAAT-WAND serving equals the batch exact top-k, skipping engaged") {
     import graft.operators.SparseSearch
     import spark.implicits._
