@@ -113,6 +113,12 @@ final class CagraIndex(
     degreeHint: Option[Long] = None,
     val adaptive: Boolean = true
 ) extends graft.VectorIndex {
+
+  /** Per-query serving adapter over the optimized CAGRA graph — the
+    * adapt_for_cpu serving contract run sequentially per query. */
+  def serving(maxNodes: Int = 2000000): Serve.LocalGraphSearcher =
+    Serve.load(graph, base, entries, metric, maxNodes)
+
   override def indexType: String = "GPU_CAGRA"
   override lazy val count: Long = base.count()
   override lazy val dim: Int = base.select(max(size(col("vec")))).head().getInt(0)

@@ -48,6 +48,13 @@ final class HnswIndex(
     degreeHint: Option[Long] = None,
     val adaptive: Boolean = true
 ) extends graft.VectorIndex {
+
+  /** Per-query serving adapter over this handle's shard (the reference's
+    * online path — IndexHNSWWrapper's ef-early-exit walk): graph + raw
+    * tier loaded once, each search one sequential best-first walk. */
+  def serving(maxNodes: Int = 2000000): Serve.LocalGraphSearcher =
+    Serve.load(graph, base, entries, metric, maxNodes)
+
   override def indexType: String = variant.name
   override lazy val count: Long = base.count()
   override lazy val dim: Int = base.select(max(size(col("vec")))).head().getInt(0)

@@ -121,6 +121,17 @@ class ServeSpec extends SparkSpec {
     assert(verbs.contains("search") && verbs.contains("search_refined"), verbs.toString)
   }
 
+  test("index handles expose the serving adapter over their own shard") {
+    import graft.operators.{HnswIndex, HnswVariant}
+    val h = new HnswIndex(knnGraph(8), base, entries, Metric.L2,
+      efSearch = 32, beamIters = 4, HnswVariant.Exact)
+    val s = h.serving()
+    val (_, qv) = queryVecs.head
+    val got = s.search(qv, 10, 32)
+    assert(got.size == 10)
+    assert(got == got.sortBy { case (id, d) => (d, id) }, "results not (dist, id)-ordered")
+  }
+
   test("IVF serving equals the batch probed search bit-for-bit") {
     import graft.operators.IvfIndex
     val cents = Tables.embeddings(spark, sf0001)
