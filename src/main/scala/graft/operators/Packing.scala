@@ -78,6 +78,39 @@ object Packing {
     * the explode fans out only ⌈n/stride⌉ fixed-width rows per document,
     * map-side, and the text column never leaves the scan.
     */
+  /** Deterministic BALANCED output sharding — "write the corpus as S
+    * training shards of near-equal byte volume": docs rank size-descending
+    * (ties by id) and deal round-robin onto shards, the classic LPT-style
+    * greedy that bounds any shard's excess by one max-document. The rank
+    * is TWO-PHASE (per-size bucket counts → broadcast prefix offsets →
+    * in-bucket rank by id), so no corpus-wide single-reducer sort exists —
+    * the same shape as shuffleRank/curriculumRank. Output: (doc_id, shard)
+    * plus the doc's size for downstream writers to partition on. */
+  def shardAssign(
+      docs: DataFrame, // (doc_id, n_chars)
+      shards: Int
+  ): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col("doc_id"), col("n_chars"))
+    val counts = keyed.groupBy(col("n_chars")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
+    val offDf = broadcast(offsets.toSeq.toDF("n_chars", "_off"))
+    keyed
+      .join(offDf, "n_chars")
+      .withColumn("_rn",
+        row_number().over(
+          Window.partitionBy(col("n_chars")).orderBy(col("doc_id").asc)))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        pmod(col("_off") + col("_rn") - 1, lit(shards.toLong)).cast("int").as("shard"))
+  }
+
   def chunkOverlap(
       docs: DataFrame, // (doc_id, text)
       window: Int,

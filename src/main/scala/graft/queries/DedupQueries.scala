@@ -932,6 +932,17 @@ SELECT shard, CAST(start_tok // 2048 AS BIGINT) AS seq_no,
        count(*) AS n_docs,
        CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS tokens_started
 FROM c GROUP BY 1, 2""")),
+    // deterministic BALANCED output sharding: size-descending round-robin
+    // (LPT-style greedy — any shard's excess bounded by one max document);
+    // the rank is two-phase (per-size bucket counts → broadcast offsets →
+    // in-bucket rank), never a corpus-wide single-reducer sort
+    GraftQuery(
+      "corpus_shard_assign",
+      (s, dir) => graft.operators.Packing.shardAssign(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), shards = 8),
+      Some("""SELECT doc_id, n_chars,
+  CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) % 8 AS INT) AS shard
+FROM documents""")),
     // incremental (daily-ingest) dedup: new half of the corpus flagged
     // against the historical half — exact by content digest, near by any
     // shared MinHash-LSH band key. History is touched as keys only; both

@@ -58,6 +58,23 @@ class PackingSpec extends SparkSpec {
     assert(run(docs.repartition(1)) sameElements run(docs.repartition(13, col("text"))))
   }
 
+  test("shardAssign: deal is balanced within one max document, layout-free") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("n_chars"))
+    val assigned = Packing.shardAssign(docs, shards = 8)
+    val sums = assigned.groupBy(col("shard")).agg(sum(col("n_chars")).as("s"))
+      .collect().map(r => r.getAs[Number]("s").longValue)
+    assert(sums.length == 8)
+    val maxDoc = docs.agg(max(col("n_chars"))).head().getAs[Number](0).longValue
+    assert(sums.max - sums.min <= maxDoc,
+      s"imbalance ${sums.max - sums.min} exceeds one max document ($maxDoc)")
+    // layout-independence: a different partitioning yields the same deal
+    val re = Packing.shardAssign(docs.repartition(13), shards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    val first = assigned.collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(re == first)
+  }
+
   test("sequence stats roll up the same token totals") {
     val packed = Packing.packSequences(docs, budget)
     val stats = Packing.packedSequenceStats(packed)
