@@ -130,4 +130,33 @@ object Multimodal {
     import spark.implicits._
     sampleFrames(mediaFromDocuments(docs).as[MediaRow], frameSize, stride).toDF()
   }
+
+  /** Perceptual NEAR-dup over sampled frame features — the media analog of
+    * embedding near-dup: two assets are candidates when ≥ `minShared` of
+    * their sampled frame features collide (re-encoded/trimmed copies keep
+    * most frame features; byte-exact digests catch none of them). Same
+    * blocking shape as winnowing pairs: corpus-common features df-capped
+    * BEFORE the self-join (a black-frame feature shared by 10⁵ videos
+    * would otherwise go quadratic), one feature-keyed shuffle of
+    * (media_id, feature) pairs — payloads never move. */
+  def nearDupPairs(
+      frames: DataFrame, // (media_id, ..., feature)
+      minShared: Int = 2,
+      maxDf: Int = 50
+  ): DataFrame = {
+    val fps = frames.select(col("media_id"), col("feature")).distinct()
+    val rare = fps
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("feature"))
+    val pruned = fps.join(rare, Seq("feature"), "left_semi")
+    val a = pruned.select(col("media_id").as("media_a"), col("feature"))
+    val b = pruned.select(col("media_id").as("media_b"), col("feature"))
+    a.join(b, "feature")
+      .filter(col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
 }

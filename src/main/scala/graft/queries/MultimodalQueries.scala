@@ -36,6 +36,28 @@ CAST(list_sum(list_transform(range(1, least(64, strlen(text) - f.range*64) + 1),
   ascii(substr(text, CAST(f.range*64 + i AS INT), 1)))) % 997 AS BIGINT) AS feature
 FROM documents CROSS JOIN range(0, 64) f
 WHERE f.range < ceil(strlen(text) / 64.0) AND f.range % 3 = 0""")),
+    // perceptual near-dup over sampled frame features (the media analog of
+    // embedding near-dup — re-encoded copies share frame features that
+    // byte-exact digests miss): df-capped feature blocking, one
+    // feature-keyed shuffle, winnowing-pairs shape
+    GraftQuery(
+      "media_near_dup",
+      (s, dir) => Multimodal.nearDupPairs(
+        Multimodal.framesFromDocuments(s, Tables.documents(s, dir))),
+      Some("""WITH fr AS (
+  SELECT doc_id AS media_id,
+    CAST(list_sum(list_transform(range(1, least(64, strlen(text) - f.range*64) + 1), i ->
+      ascii(substr(text, CAST(f.range*64 + i AS INT), 1)))) % 997 AS BIGINT) AS feature
+  FROM documents CROSS JOIN range(0, 64) f
+  WHERE f.range < ceil(strlen(text) / 64.0) AND f.range % 3 = 0
+),
+fps AS (SELECT DISTINCT media_id, feature FROM fr),
+rare AS (SELECT feature FROM (SELECT feature, count(*) AS c FROM fps GROUP BY 1) WHERE c <= 50)
+SELECT a.media_id AS media_a, b.media_id AS media_b, count(*) AS shared_frames
+FROM fps a JOIN rare r ON r.feature = a.feature
+JOIN fps b ON b.feature = a.feature AND a.media_id < b.media_id
+GROUP BY 1, 2
+HAVING count(*) >= 2""")),
     // audio windowing (spectrogram-prep shape): OVERLAPPING 64-byte
     // windows at hop 32 (50% overlap), per-window energy = Σ byte² mod
     // 997 standing in for PCM energy/FFT — the hop/overlap/offset
