@@ -56,6 +56,18 @@ class GridKMeansSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("train is layout-independent: any partitioning yields identical centroids") {
+    val base = Tables
+      .embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val c1 = GridKMeans.train(base, stride = 250L, iters = 2)
+    val c2 = GridKMeans.train(base.repartition(17), stride = 250L, iters = 2)
+    assert(c1.map(_._1) == c2.map(_._1))
+    c1.zip(c2).foreach { case ((id, a), (_, b)) =>
+      assert(a.sameElements(b), s"centroid $id differs across partitionings")
+    }
+  }
+
   test("search: partial probes keep ANN-floor recall vs the grid ground truth") {
     val base = Tables
       .embeddings(spark, sf0001)

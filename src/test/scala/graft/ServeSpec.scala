@@ -201,6 +201,44 @@ class ServeSpec extends SparkSpec {
     assert(anySkip, "upper-bound skipping never engaged on the Zipf corpus")
   }
 
+  test("WAND equals the naive scorer on randomized corpora (property sweep)") {
+    import spark.implicits._
+    // 20 seeded random corpora: tiny vocabularies force heavy collisions
+    // and dense ties — the WAND pruning/tie edge cases a single corpus
+    // never covers
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 20).foreach { trial =>
+      val vocab = 3 + rnd.nextInt(12)
+      val nDocs = 5 + rnd.nextInt(40)
+      val rows = (0 until nDocs).flatMap { d =>
+        (0 until 1 + rnd.nextInt(6)).map(_ => (d.toLong, s"t${rnd.nextInt(vocab)}", 1L))
+      }
+      val bp = rows.toDF("id", "term", "one")
+        .groupBy(col("id"), col("term")).agg(sum(col("one")).as("tf"))
+      val local = bp.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val qterms = (0 until 1 + rnd.nextInt(4))
+        .map(_ => (s"t${rnd.nextInt(vocab)}", 1L + rnd.nextInt(3)))
+        .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).sum) }.toSeq
+      val k = 1 + rnd.nextInt(5)
+      // naive reference: full scoring, (score desc, id asc)
+      val naive = local
+        .groupBy(_._1)
+        .map { case (id, ps) =>
+          id -> qterms.map { case (t, q) =>
+            ps.find(_._2 == t).map(_._3 * q).getOrElse(0L)
+          }.sum
+        }
+        .filter(_._2 > 0L)
+        .toSeq
+        .map { case (id, s) => (id, s.toDouble) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k)
+      val searcher = Serve.loadSparse(bp.select(col("term"), col("id"), col("tf")))
+      val got = searcher.search(qterms, k)
+      assert(got == naive, s"trial $trial (vocab=$vocab docs=$nDocs k=$k): $got != $naive")
+    }
+  }
+
   test("BM25 WAND serving equals the batch searchBM25 bit-for-bit") {
     import graft.operators.{SparseIndexModel, SparseSearch}
     import spark.implicits._
