@@ -271,6 +271,27 @@ class ServeSpec extends SparkSpec {
       }
   }
 
+  test("DiskANN-shape serving: PQ-reconstructed traversal tier + raw refine keeps the floor") {
+    import graft.operators.ProductQuant
+    // the reference's cached_beam_search serving split: the walk reads
+    // only the in-memory PQ tier, raw vectors rescore the final window
+    val pq = ProductQuant.train(spark, base, m = 8, ksub = 16)
+    val approx = base.select(col("id"),
+      ProductQuant.reconExpr(ProductQuant.encodeExpr(col("vec"), pq), pq)
+        .cast("array<float>").as("vec"))
+    val refined = Serve.loadRefined(knnGraph(8), approx, base, entries, Metric.L2)
+    val exact = exactTopK(10)
+    var hits = 0
+    queryVecs.foreach { case (qid, qv) =>
+      // a coarse PQ tier needs the refine_ratio lever: over-fetch 3×k of
+      // a wider beam, exactly the knob the reference exposes for it
+      hits += refined.search(qv, 10, ef = 64, refine = 3).map(_._1).toSet
+        .intersect(exact(qid).toSet).size
+    }
+    assert(hits.toDouble / (queryVecs.size * 10) >= 0.6,
+      s"PQ-tier serving recall ${hits.toDouble / (queryVecs.size * 10)} below floor")
+  }
+
   test("serving agrees with the batch beam on the same graph and seeds") {
     // same graph, same entries, ef with full convergence: the sequential
     // walk and the relational fixpoint must land on the same top-k set
