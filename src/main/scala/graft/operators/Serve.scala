@@ -573,6 +573,24 @@ object Serve {
     new LocalSparseSearcher(pm, mt)
   }
 
+  /** Per-query hybrid RRF fusion of two serving arms — the batch
+    * `Fusion.rrf` integer arithmetic (Σ RrfScale DIV (k0 + rank), score
+    * desc / id asc) applied driver-side to the arms' ranked ids. With
+    * exact serving arms (full-probe IVF, BM25 WAND) the fused page is
+    * bit-identical to the batch hybrid pipeline — gated in ServeSpec. */
+  def hybridRrf(
+      armsRanked: Seq[Seq[Long]], // each arm's nids in rank order (rank 1 first)
+      k: Int,
+      k0: Int = 60
+  ): Seq[(Long, Long)] =
+    Telemetry.timed("SERVE", "search_hybrid_rrf") {
+      val score = scala.collection.mutable.HashMap.empty[Long, Long]
+      armsRanked.foreach(_.zipWithIndex.foreach { case (id, i) =>
+        score(id) = score.getOrElse(id, 0L) + Fusion.RrfScale / (k0 + i + 1L)
+      })
+      score.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+    }
+
   /** Load a graph shard for serving — bounded collect with a loud guard
     * (the serving node holds the shard in memory, as the reference does;
     * shards beyond the cap belong on more serving nodes, not in one

@@ -271,6 +271,47 @@ class ServeSpec extends SparkSpec {
       }
   }
 
+  test("hybrid RRF serving fuses exact arms bit-identically to the batch pipeline") {
+    import graft.operators.{BruteForce, Fusion, IvfIndex, SparseIndexModel, SparseSearch}
+    // batch pipeline: exact L2 arm + BM25 arm + integer RRF (the
+    // hybrid_rrf_knn query's shape)
+    val dense = BruteForce.knn(queries, base, 10, Metric.L2, roundDist = Some(4))
+    val docs = Tables.documents(spark, sf0001)
+    val bp = SparseSearch.postings(docs, "doc_id", "text")
+      .join(SparseSearch.docLengths(docs, "doc_id", "text"), "id")
+      .select(col("term"), col("id"), col("tf"), col("dl").cast("long").as("dl"))
+    val termStats = bp.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"), min(col("tf")).as("min_tf"))
+    val avgdl = bp.select(col("id"), col("dl")).distinct()
+      .agg(avg(col("dl"))).head().getDouble(0)
+    val model = new SparseIndexModel(bp, termStats, (docs.count(), avgdl), 1.2, 0.75)
+    val qp = SparseSearch
+      .postings(docs.filter(col("doc_id") % 100 === 0), "doc_id", "text")
+      .select(col("id").as("qid"), col("term"), col("tf").as("qtf"))
+    val sparse = SparseSearch.searchBM25(qp, model, 10)
+    val batch = Fusion.rrf(Seq(dense, sparse), 10)
+      .select("qid", "nid", "score", "rnk").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getLong(2))).toSeq
+      }
+    // serving arms: full-probe IVF (= exact L2) + BM25 WAND (bit-equal)
+    val cents = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+    val ivf = Serve.loadIvf(IvfIndex.build(base, cents, Some(4)), cents, Metric.L2)
+    val nlist = cents.count().toInt
+    val bm = Serve.loadSparseBM25(model)
+    val sparseQ = qp.collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(r => (r.getString(1), r.getLong(2))).toSeq }
+    queryVecs.foreach { case (qid, qv) =>
+      val denseRanked = ivf.search(qv, 10, nprobe = nlist).map(_._1)
+      val sparseRanked = bm.search(sparseQ(qid), 10).map(_._1)
+      val fused = Serve.hybridRrf(Seq(denseRanked, sparseRanked), 10)
+      assert(fused == batch(qid), s"query $qid:\n  serve $fused\n  batch ${batch(qid)}")
+    }
+  }
+
   test("DiskANN-shape serving: PQ-reconstructed traversal tier + raw refine keeps the floor") {
     import graft.operators.ProductQuant
     // the reference's cached_beam_search serving split: the walk reads
