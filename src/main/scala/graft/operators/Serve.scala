@@ -81,9 +81,17 @@ object Serve {
       * "SERVE"/"search" verb — the index.cc TimeRecorder analog at the
       * granularity the reference actually records (one sample per query). */
     def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] =
-      Telemetry.timed("SERVE", "search")(searchImpl(q, k, ef))
+      Telemetry.timed("SERVE", "search")(searchImpl(q, k, ef, null))
 
-    private def searchImpl(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+    /** Bitset-filtered walk — the reference's universal filter contract
+      * (every searchKnn takes a bitset; `knowhere::BitsetView`): FILTERED
+      * nodes still ROUTE the traversal (dropping them would disconnect
+      * the graph) but never enter the answer set. */
+    def search(q: Array[Float], k: Int, ef: Int, allowed: Long => Boolean): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "search")(searchImpl(q, k, ef, allowed))
+
+    private def searchImpl(
+        q: Array[Float], k: Int, ef: Int, allowed: Long => Boolean): Seq[(Long, Double)] = {
       require(ef >= k, "beam width ef must be >= k")
       val asc = metric.ascending
       // order: better = smaller (dist, id) for ascending metrics, larger
@@ -141,6 +149,7 @@ object Serve {
       }
       lastStats = ServeStats(ndis, nhops)
       result.toSeq
+        .filter { case (_, id) => allowed == null || allowed(id) }
         .map { case (d, id) => (id, if (asc) d else -d) }
         .sortBy { case (id, d) => (if (asc) d else -d, id) }
         .take(k)

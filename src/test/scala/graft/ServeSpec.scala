@@ -271,6 +271,22 @@ class ServeSpec extends SparkSpec {
       }
   }
 
+  test("bitset-filtered serving: filtered nodes route the walk but never answer") {
+    val searcher = Serve.load(knnGraph(16), base, entries, Metric.L2)
+    // exhaustive walk + filter == brute force over the allowed set only
+    val allowedBase = base.filter(col("id") % 2 === 1)
+    val exact = BruteForce
+      .knn(queries, allowedBase, 10, Metric.L2, roundDist = Some(4))
+      .select("qid", "nid", "rnk").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.search(qv, 10, ef = 500, allowed = (id: Long) => id % 2 == 1)
+      assert(got.forall(_._1 % 2 == 1), s"filtered node answered for $qid")
+      assert(got.map(_._1) == exact(qid), s"query $qid: ${got.map(_._1)} != ${exact(qid)}")
+    }
+  }
+
   test("hybrid RRF serving fuses exact arms bit-identically to the batch pipeline") {
     import graft.operators.{BruteForce, Fusion, IvfIndex, SparseIndexModel, SparseSearch}
     // batch pipeline: exact L2 arm + BM25 arm + integer RRF (the
