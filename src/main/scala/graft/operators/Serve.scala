@@ -336,6 +336,14 @@ object Serve {
     @volatile var lastSkipped: Long = 0L
 
     def search(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
+      search(query, k, null)
+
+    /** Bitset-filtered WAND (the reference's universal filter contract):
+      * disallowed docs are skipped at scoring — in DAAT they route
+      * nothing, so the skip is free and the pruning bound stays sound. */
+    def search(
+        query: Seq[(String, Long)], k: Int,
+        allowed: Long => Boolean): Seq[(Long, Double)] =
       Telemetry.timed("SERVE_SPARSE", "search") {
         // cursors over the query's posting lists
         final case class Cur(qtf: Long, ids: Array[Long], tfs: Array[Long],
@@ -390,15 +398,19 @@ object Serve {
               val pivotId = live(pivot).id
               if (live.head.id == pivotId) {
                 // fully score pivotId across all cursors positioned on it
+                // (advance cursors even for filtered docs — their postings
+                // are consumed either way)
                 var s = 0L
                 curs.foreach { c =>
                   if (c.id == pivotId) { s += c.qtf * c.tfs(c.pos); c.pos += 1 }
                 }
-                scored += 1
-                val sd = s.toDouble
-                if (beats(sd, pivotId)) {
-                  heap.enqueue((sd, pivotId))
-                  if (heap.size > k) heap.dequeue()
+                if (allowed == null || allowed(pivotId)) {
+                  scored += 1
+                  val sd = s.toDouble
+                  if (beats(sd, pivotId)) {
+                    heap.enqueue((sd, pivotId))
+                    if (heap.size > k) heap.dequeue()
+                  }
                 }
               } else {
                 // skip every earlier cursor past the unbeatable gap

@@ -239,6 +239,29 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("bitset-filtered sparse WAND equals the batch filtered search") {
+    import graft.operators.SparseSearch
+    val docs = Tables.documents(spark, sf0001)
+    val bp = SparseSearch.postings(docs, "doc_id", "text")
+    val qp = SparseSearch
+      .postings(docs.filter(col("doc_id") % 100 === 0), "doc_id", "text")
+      .select(col("id").as("qid"), col("term"), col("tf").as("qtf"))
+    val batch = SparseSearch
+      .searchIP(qp, bp.select(col("id"), col("term"), col("tf")), 10,
+        filter = Some(col("id") % 2 === 1))
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (-t._2, t._1)).toSeq
+      }
+    val searcher = Serve.loadSparse(bp.select(col("term"), col("id"), col("tf")))
+    qp.collect().groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val terms = rows.map(r => (r.getString(1), r.getLong(2))).toSeq
+      val got = searcher.search(terms, 10, allowed = (id: Long) => id % 2 == 1)
+      assert(got == batch(q), s"query $q: $got != ${batch(q)}")
+    }
+  }
+
   test("BM25 WAND serving equals the batch searchBM25 bit-for-bit") {
     import graft.operators.{SparseIndexModel, SparseSearch}
     import spark.implicits._
