@@ -257,6 +257,46 @@ object Serve {
       sparkRound(s, roundDist)
     }
 
+    /** Per-query EXACT range search with the lossless ball prune (the
+      * batch `rangeSearchPruned` semantics, `ivf.cc` range path): a list
+      * is scanned only when its centroid ball can intersect the
+      * [rangeFilter, radius) shell — d(q,c) − r ≤ radius + ε and
+      * d(q,c) + r ≥ rangeFilter − ε (ε covers the 4dp rounding). L2 only
+      * (the bound needs a metric space). `radii` maps cluster_id → max
+      * member distance, the build-time metadata `IvfIndex.listRadii`
+      * computes. Output sorted (dist, id) — equality-gated vs the batch. */
+    def rangeSearch(
+        q: Array[Float],
+        radius: Double,
+        rangeFilter: Double,
+        radii: java.util.HashMap[Long, Double]
+    ): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "range_ivf") {
+        require(metric == Metric.L2, "ball prune needs a metric space (L2)")
+        val eps = math.pow(10d, -roundDist.toDouble)
+        var candidates = 0L
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        cents.foreach { case (cid, c) =>
+          val dc = dist(q, c)
+          val r = radii.getOrDefault(cid, 0d)
+          if (dc - r <= radius + eps && dc + r >= rangeFilter - eps) {
+            val l = lists.get(cid)
+            if (l != null) {
+              val (ids, vecs) = l
+              var i = 0
+              while (i < ids.length) {
+                candidates += 1
+                val d = dist(q, vecs(i))
+                if (d >= rangeFilter && d < radius) out += ((ids(i), d))
+                i += 1
+              }
+            }
+          }
+        }
+        lastCandidates = candidates
+        out.sortBy { case (id, d) => (d, id) }.toSeq
+      }
+
     def search(q: Array[Float], k: Int, nprobe: Int): Seq[(Long, Double)] =
       Telemetry.timed("SERVE", "search_ivf") {
         def key(d: Double): Double = if (metric.ascending) d else -d

@@ -156,6 +156,50 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("IVF range serving: lossless ball prune equals the batch range, lists skipped") {
+    import graft.operators.IvfIndex
+    // 25 lists: tighter balls give the triangle inequality teeth on the
+    // real embedding geometry (5 corpus-wide lists never prune)
+    val cents = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+    val index = IvfIndex.build(base, cents, Some(4))
+    val radii = IvfIndex.listRadii(index, cents)
+    val batch = IvfIndex
+      .rangeSearchPruned(queries, index, cents, radii,
+        radius = 0.9, rangeFilter = 0.0, roundDist = Some(4))
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
+      }
+    val searcher = Serve.loadIvf(index, cents, Metric.L2)
+    val rm = new java.util.HashMap[Long, Double]()
+    radii.collect().foreach(r => rm.put(r.getLong(0), r.getDouble(1)))
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.rangeSearch(qv, radius = 0.9, rangeFilter = 0.0, rm)
+      assert(got == batch.getOrElse(qid, Seq.empty), s"query $qid: $got")
+    }
+    // prune evidence needs separated balls (the corpus embeddings overlap
+    // at every granularity): two tight clusters around 0 and 10 — a query
+    // at 0 with radius 1 must never scan the far list
+    import spark.implicits._
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.1f)), (1L, Seq(0.1f, 0.0f)),
+      (2L, Seq(10.0f, 10.1f)), (3L, Seq(10.1f, 10.0f))
+    ).toDF("id", "vec")
+    val c2 = Seq((0L, Seq(0.05f, 0.05f)), (1L, Seq(10.05f, 10.05f)))
+      .toDF("cluster_id", "centroid")
+    val idx2 = IvfIndex.build(pts, c2, Some(4))
+    val rm2 = new java.util.HashMap[Long, Double]()
+    IvfIndex.listRadii(idx2, c2).collect()
+      .foreach(r => rm2.put(r.getLong(0), r.getDouble(1)))
+    val s2 = Serve.loadIvf(idx2, c2, Metric.L2)
+    val near = s2.rangeSearch(Array(0.0f, 0.0f), radius = 1.0, rangeFilter = 0.0, rm2)
+    assert(near.map(_._1).toSet == Set(0L, 1L))
+    assert(s2.lastCandidates == 2, s"far list not pruned: ${s2.lastCandidates} scanned")
+  }
+
   test("sparse DAAT-WAND serving equals the batch exact top-k, skipping engaged") {
     import graft.operators.SparseSearch
     import spark.implicits._
