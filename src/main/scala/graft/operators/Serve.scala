@@ -634,6 +634,25 @@ object Serve {
     new LocalSparseSearcher(pm, mt)
   }
 
+  /** Per-query ANN ITERATOR session — the serving twin of the V6 verb
+    * (`index_node.h:583-679`): a ranked candidate stream consumed in
+    * pages, resumable across calls. Wraps any serving arm's ranked output
+    * (full-probe IVF for the exact stream, a graph walk for the
+    * ef-bounded one) — the stream quality is exactly the arm's, as the
+    * reference's iterator quality is its index's. */
+  final class ServingIterator(ranked: Seq[(Long, Double)]) {
+    private var cursor = 0
+    /** Next `pageSize` results in rank order; empty when exhausted. */
+    def nextPage(pageSize: Int): Seq[(Long, Double)] = {
+      val page = ranked.slice(cursor, cursor + pageSize)
+      cursor += page.length
+      page
+    }
+    def hasNext: Boolean = cursor < ranked.length
+    /** Rewind — the reference's iterator-reset/resume contract. */
+    def reset(): Unit = cursor = 0
+  }
+
   /** Per-query hybrid RRF fusion of two serving arms — the batch
     * `Fusion.rrf` integer arithmetic (Σ RrfScale DIV (k0 + rank), score
     * desc / id asc) applied driver-side to the arms' ranked ids. With

@@ -132,6 +132,36 @@ class ServeSpec extends SparkSpec {
     assert(got == got.sortBy { case (id, d) => (d, id) }, "results not (dist, id)-ordered")
   }
 
+  test("serving iterator pages equal the batch AnnIterator pages") {
+    import graft.operators.IvfIndex
+    val cents = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+    val searcher = Serve.loadIvf(IvfIndex.build(base, cents, Some(4)), cents, Metric.L2)
+    val nlist = cents.count().toInt
+    // batch iterator pages 1-2 (the exact stream, 5 per page)
+    // the batch iterator streams raw distances; compare under the serving
+    // side's 4dp contract
+    def r4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    def batchPage(p: Int) = BruteForce
+      .annIteratorPage(queries, base, Metric.L2, page = p, pageSize = 5)
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r4(r.getDouble(2)))).sortBy(t => (t._2, t._1)).toSeq
+      }
+    val (p1, p2) = (batchPage(1), batchPage(2))
+    queryVecs.foreach { case (qid, qv) =>
+      // full-probe ranked stream = the exact stream the batch pages
+      val it = new Serve.ServingIterator(searcher.search(qv, k = 15, nprobe = nlist))
+      assert(it.nextPage(5) == p1(qid), s"page 1 mismatch for $qid")
+      assert(it.nextPage(5) == p2(qid), s"page 2 mismatch for $qid")
+      it.reset()
+      assert(it.nextPage(5) == p1(qid), "reset did not rewind")
+    }
+  }
+
   test("IVF serving equals the batch probed search bit-for-bit") {
     import graft.operators.IvfIndex
     val cents = Tables.embeddings(spark, sf0001)
