@@ -315,6 +315,49 @@ object Scale {
       println(f"serve per-query latency: $perQueryMs%.2f ms, " +
         f"mean ndis ${ndisTot / qv.length} of $nb (early exit)")
     }
+
+    // ---- per-query IVF serving: probed-list scan latency tracks
+    // nprobe/nlist, not nb — the observable the batch partition-pruned
+    // scan also rides, here without any job-scheduling floor ----
+    locally {
+      val searcher = time("serve load (IVF shard collect)")(
+        Serve.loadIvf(index, cents, Metric.L2))
+      val qv = queries.limit(16).collect()
+        .map(r => r.getSeq[Float](1).toArray)
+      val t0 = System.nanoTime()
+      var candTot = 0L
+      qv.foreach { v =>
+        searcher.search(v, 10, nprobe)
+        candTot += searcher.lastCandidates
+      }
+      val perQueryMs = (System.nanoTime() - t0) / 1e6 / qv.length
+      println(f"ivf serve per-query latency: $perQueryMs%.2f ms, " +
+        f"mean candidates ${candTot / qv.length} of $nb (nprobe=$nprobe/$nlist)")
+    }
+
+    // ---- per-query sparse WAND serving over the Zipf postings: the
+    // skip counters are the pruning evidence at corpus vocabulary ----
+    locally {
+      val bp2 = sparseGen(nb, perDoc, 0)
+        .select(col("term").cast("string").as("term"), col("id"), col("tf"))
+      val searcher = time("serve load (sparse postings collect)")(
+        Serve.loadSparse(bp2))
+      val qs = sparseGen(16, 30, 99)
+        .select(col("id").as("qid"), col("term").cast("string").as("term"),
+          (lit(1L) + col("term") * 9L / vocab.toLong).cast("long").as("qtf"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(r => (r.getString(1), r.getLong(2))).toSeq }
+      val t0 = System.nanoTime()
+      var scoredTot = 0L
+      qs.values.foreach { terms =>
+        searcher.search(terms, 10)
+        scoredTot += searcher.lastScored
+      }
+      val perQueryMs = (System.nanoTime() - t0) / 1e6 / qs.size
+      println(f"sparse WAND serve per-query latency: $perQueryMs%.2f ms, " +
+        f"mean docs scored ${scoredTot / qs.size} of $nb (upper-bound skipping)")
+    }
     spark.stop()
   }
 }
