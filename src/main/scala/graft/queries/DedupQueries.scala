@@ -943,6 +943,22 @@ FROM c GROUP BY 1, 2""")),
       Some("""SELECT doc_id, n_chars,
   CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) % 8 AS INT) AS shard
 FROM documents""")),
+    // the per-shard balance roll-up a writer checks before committing the
+    // output layout — doc counts and byte volumes per shard (the gated
+    // numeric form of the one-max-document balance bound)
+    GraftQuery(
+      "corpus_shard_stats",
+      (s, dir) => graft.operators.Packing
+        .shardAssign(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), shards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars")),
+      Some("""WITH a AS (
+  SELECT doc_id, n_chars,
+    CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) % 8 AS INT) AS shard
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM a GROUP BY 1""")),
     // incremental (daily-ingest) dedup: new half of the corpus flagged
     // against the historical half — exact by content digest, near by any
     // shared MinHash-LSH band key. History is touched as keys only; both
