@@ -69,15 +69,6 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("tokens_started"))
 
-  /** Overlapping sliding-window chunking — the retrieval/context-window
-    * sibling of [[packSequences]]: one chunk per `stride` offset while the
-    * offset lies inside the document, truncated to `window` tokens at the
-    * tail (so consecutive chunks share `window - stride` tokens of
-    * context). Emits the chunk's token span plus its rolling fingerprint
-    * ([[TextAnalysis.fingerprint]]) instead of the chunk text — at 100 TB
-    * the explode fans out only ⌈n/stride⌉ fixed-width rows per document,
-    * map-side, and the text column never leaves the scan.
-    */
   /** Deterministic BALANCED output sharding — "write the corpus as S
     * training shards of near-equal byte volume": docs rank size-descending
     * (ties by id) and deal round-robin onto shards, the classic LPT-style
@@ -111,6 +102,15 @@ object Packing {
         pmod(col("_off") + col("_rn") - 1, lit(shards.toLong)).cast("int").as("shard"))
   }
 
+  /** Overlapping sliding-window chunking — the retrieval/context-window
+    * sibling of [[packSequences]]: one chunk per `stride` offset while the
+    * offset lies inside the document, truncated to `window` tokens at the
+    * tail (so consecutive chunks share `window - stride` tokens of
+    * context). Emits the chunk's token span plus its rolling fingerprint
+    * ([[TextAnalysis.fingerprint]]) instead of the chunk text — at 100 TB
+    * the explode fans out only ⌈n/stride⌉ fixed-width rows per document,
+    * map-side, and the text column never leaves the scan.
+    */
   def chunkOverlap(
       docs: DataFrame, // (doc_id, text)
       window: Int,

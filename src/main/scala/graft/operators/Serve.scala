@@ -116,8 +116,16 @@ object Serve {
         if (ordering.lt((key(d), entries(i)), (key(bestD), best))) { best = entries(i); bestD = d }
         i += 1
       }
+      // TWO-POOL admission (hnswlib searchBaseLayerST / faiss_hnsw.cc
+      // filtered walk): `cand` routes EVERY admissible node — dropping
+      // filtered nodes there would disconnect the graph — but `result`
+      // (the bounded ef-set whose worst member drives both early exit and
+      // neighbor admission) holds ALLOWED nodes only, so a selective
+      // bitset can never pollute the answer set's capacity or terminate
+      // the walk against a disallowed worst-element.
+      def isAllowed(id: Long): Boolean = allowed == null || allowed(id)
       cand.enqueue((key(bestD), best))
-      result.enqueue((key(bestD), best))
+      if (isAllowed(best)) result.enqueue((key(bestD), best))
       visited.add(best)
       val nCand = math.max(ef, k)
       var done = false
@@ -138,8 +146,10 @@ object Serve {
                 val entry = (key(d), nb)
                 if (result.size < nCand || ordering.lt(entry, result.head)) {
                   cand.enqueue(entry)
-                  result.enqueue(entry)
-                  if (result.size > nCand) result.dequeue()
+                  if (isAllowed(nb)) {
+                    result.enqueue(entry)
+                    if (result.size > nCand) result.dequeue()
+                  }
                 }
               }
               j += 1
@@ -149,7 +159,6 @@ object Serve {
       }
       lastStats = ServeStats(ndis, nhops)
       result.toSeq
-        .filter { case (_, id) => allowed == null || allowed(id) }
         .map { case (d, id) => (id, if (asc) d else -d) }
         .sortBy { case (id, d) => (if (asc) d else -d, id) }
         .take(k)
@@ -211,6 +220,9 @@ object Serve {
       maxNodes: Int = 2000000
   ): RefinedSearcher = {
     val inner = load(graph, approx, entries, metric, maxNodes)
+    val nRaw = base.count()
+    require(nRaw <= maxNodes,
+      s"raw rerank tier has $nRaw vectors > cap $maxNodes — shard the index across serving nodes")
     val vm = new java.util.HashMap[Long, Array[Float]]()
     base.collect().foreach(r => vm.put(r.getLong(0), r.getSeq[Float](1).toArray))
     new RefinedSearcher(inner, vm, metric)

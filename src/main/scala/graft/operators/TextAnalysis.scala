@@ -487,12 +487,14 @@ object TextAnalysis {
     * grouping/merging order yields identical sums. */
   private[graft] def sourceStatsPerDoc(df: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    val n = size(t).cast("double")
-    val en = size(filter(t, x => x === "the" || x === "a" || x === "of")).cast("double") / n
-    val de = size(filter(t, x => x === "der" || x === "die" || x === "das")).cast("double") / n
-    val fr = size(filter(t, x => x === "le" || x === "la" || x === "les")).cast("double") / n
-    val es = size(filter(t, x => x === "el" || x === "los" || x === "una")).cast("double") / n
-    val zh = size(filter(t, x => x === "de" || x === "shi" || x === "le")).cast("double") / n
+    // All five stopword-hit ratios share the same denominator len(t), so the
+    // argmax over ratios equals the argmax over the raw integer hit-counts —
+    // pure 64-bit comparisons, no doubles for any engine to round apart.
+    val en = size(filter(t, x => x === "the" || x === "a" || x === "of")).cast("long")
+    val de = size(filter(t, x => x === "der" || x === "die" || x === "das")).cast("long")
+    val fr = size(filter(t, x => x === "le" || x === "la" || x === "les")).cast("long")
+    val es = size(filter(t, x => x === "el" || x === "los" || x === "una")).cast("long")
+    val zh = size(filter(t, x => x === "de" || x === "shi" || x === "le")).cast("long")
     val best = greatest(en, de, fr, es, zh)
     val pred = when(en === best, "en")
       .when(de === best, "de")

@@ -43,34 +43,36 @@ object TextQueries {
 d AS (
   SELECT source, n_chars, CAST(len(t) AS BIGINT) AS n_tokens,
     CAST($qiSql AS BIGINT) AS qi,
+    -- all five stopword ratios share denominator len(t): argmax over ratios
+    -- == argmax over the raw BIGINT hit-counts — no doubles anywhere
     CASE WHEN (CASE
-      WHEN CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t) =
-        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
+      WHEN CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT) =
+        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS BIGINT))
       THEN 'en'
-      WHEN CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t) =
-        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
+      WHEN CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS BIGINT) =
+        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS BIGINT))
       THEN 'de'
-      WHEN CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t) =
-        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
+      WHEN CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS BIGINT) =
+        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS BIGINT))
       THEN 'fr'
-      WHEN CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t) =
-        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS DOUBLE) / len(t),
-                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS DOUBLE) / len(t))
+      WHEN CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS BIGINT) =
+        greatest(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'der' OR x = 'die' OR x = 'das')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'le' OR x = 'la' OR x = 'les')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'el' OR x = 'los' OR x = 'una')) AS BIGINT),
+                 CAST(len(list_filter(t, x -> x = 'de' OR x = 'shi' OR x = 'le')) AS BIGINT))
       THEN 'es'
       ELSE 'zh' END) = lang THEN 1 ELSE 0 END AS lang_hit
   FROM tok
