@@ -155,7 +155,7 @@ object Eval {
 
   /** Cohen's kappa agreement between a label column and a prediction
     * column — the chance-corrected classifier-vs-ground-truth view next to
-    * the raw agreement rate (`corpus_source_stats.langid_agreement`).
+    * the raw agreement rate (`corpus_source_stats.langid_agreement_e4`).
     * Exact integer rational: κ = (p_o − p_e)/(1 − p_e) computed as
     * `(hits·n − Σ_c row_c·col_c) / (n² − Σ_c row_c·col_c)` in basis points
     * — no float division anywhere, so any engine agrees bit-for-bit.

@@ -434,7 +434,14 @@ object TextAnalysis {
     * (Rounding a double quotient instead is engine-dependent: Spark rounds
     * the shortest decimal rep, DuckDB the binary value — boundary quotients
     * …xx5 round apart. This was round 4's only red oracle row.) */
-  private[graft] def halfUpMeanScaled(sumScaled: Column, n: Column, scale: Int): Column = {
+  private[graft] def halfUpMeanScaled(sumScaled: Column, n: Column, scale: Int): Column =
+    halfUpMeanScaledLong(sumScaled, n).cast("double") / lit(math.pow(10d, scale))
+
+  /** The BIGINT core of [[halfUpMeanScaled]]: the half-up rounded mean at
+    * the sum's own scale, as an exact LONG — no double ever exists. Used
+    * directly by dashboards whose hash contract must be integer-only
+    * end-to-end (any engine, any build, any libm agrees on int64). */
+  private[graft] def halfUpMeanScaledLong(sumScaled: Column, n: Column): Column = {
     val s = sumScaled.cast("long")
     val nn = n.cast("long")
     val total = abs(s) * lit(2L) + nn
@@ -442,7 +449,8 @@ object TextAnalysis {
     // total - pmod is an exact multiple of twoN, so the double division is
     // exact (quotient < 2^53) — no fp error before the cast back to long.
     val r = ((total - pmod(total, twoN)) / twoN).cast("long")
-    (signum(s.cast("double")) * r).cast("double") / lit(math.pow(10d, scale))
+    // sign: r is 0 whenever s is 0, so the otherwise(1) branch is safe
+    (when(s < 0, lit(-1L)).otherwise(lit(1L)) * r).cast("long")
   }
 
   /** Per-source corpus dashboard: the monitoring aggregation a crawl
@@ -455,32 +463,41 @@ object TextAnalysis {
     * source. Per-doc quality is 4dp-rounded then scaled to an exact LONG so
     * the aggregate is exact and order-independent — fp summation order
     * (which differs across partitionings) can never flip the reported mean —
-    * and the means themselves are rounded in integer arithmetic
-    * (halfUpMeanScaled), never on a double quotient. */
+    * and the means are REPORTED as scaled BIGINTs (`avg_quality_e4`,
+    * `avg_chars_e2`, `langid_agreement_e4`): every column of the dashboard
+    * is int64, so the result is bit-identical under any engine or build —
+    * no double ever reaches the consumer's hash. */
   def corpusSourceStats(df: DataFrame): DataFrame =
-    renderSourceStats(
-      sourceStatsPerDoc(df)
-        .groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("total_tokens"),
-          sum(col("qi")).as("sum_qi"),
-          sum(col("n_chars")).as("sum_chars"),
-          sum(col("lang_hit")).as("lang_hits")))
+    renderSourceStats(corpusSourceStatsSums(df))
+
+  /** The five raw per-source EXACT sums behind [[corpusSourceStats]] —
+    * exposed as its own dashboard so a consumer can audit exactly which
+    * stage (per-doc metric vs final render) any discrepancy lives in. */
+  def corpusSourceStatsSums(df: DataFrame): DataFrame =
+    sourceStatsPerDoc(df)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("qi")).as("sum_qi"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("lang_hit")).as("lang_hits"))
 
   /** Render the per-source EXACT sums into the dashboard means — the one
-    * place division happens, in integer half-up arithmetic. Split out so
-    * the STREAMING twin (whose state carries the same five sums across
-    * micro-batches) renders identically. */
+    * place division happens, in integer half-up arithmetic, reported at
+    * the scaled-integer contract (`*_e4` = value·10⁴, `*_e2` = value·10²)
+    * so the whole row is int64. Split out so the STREAMING twin (whose
+    * state carries the same five sums across micro-batches) renders
+    * identically. */
   private[graft] def renderSourceStats(grouped: DataFrame): DataFrame =
     grouped.select(
       col("source"),
       col("n_docs"),
       col("total_tokens"),
-      halfUpMeanScaled(col("sum_qi"), col("n_docs"), 4).as("avg_quality"),
-      halfUpMeanScaled(col("sum_chars") * lit(100L), col("n_docs"), 2).as("avg_chars"),
-      halfUpMeanScaled(col("lang_hits") * lit(10000L), col("n_docs"), 4)
-        .as("langid_agreement"))
+      halfUpMeanScaledLong(col("sum_qi"), col("n_docs")).as("avg_quality_e4"),
+      halfUpMeanScaledLong(col("sum_chars") * lit(100L), col("n_docs")).as("avg_chars_e2"),
+      halfUpMeanScaledLong(col("lang_hits") * lit(10000L), col("n_docs"))
+        .as("langid_agreement_e4"))
 
   /** Per-document metric projection feeding [[corpusSourceStats]] — all
     * values exact longs (quality 4dp-rounded then scaled), so any

@@ -37,7 +37,11 @@ object TextQueries {
     * bit-identical to the Spark side. */
   private[queries] val qualitySql = s"(CAST($qiSql AS DOUBLE) / 10000.0)"
 
-  private val sourceStatsSql: String = s"""WITH tok AS (
+  /** The shared per-doc CTE behind the per-source dashboard oracles: the
+    * exact-long (n_tokens, qi, n_chars, lang_hit) projection per document.
+    * Both the rendered dashboard and the raw-sums probe read frame `d`, so
+    * any divergence between them isolates to the final render. */
+  private val sourceStatsDocCte: String = s"""WITH tok AS (
   SELECT source, lang, n_chars, string_split(text, ' ') AS t FROM documents
 ),
 d AS (
@@ -76,15 +80,29 @@ d AS (
       THEN 'es'
       ELSE 'zh' END) = lang THEN 1 ELSE 0 END AS lang_hit
   FROM tok
-)
-SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+)"""
+
+  /** The rendered dashboard: every output column BIGINT (means reported at
+    * the scaled-integer contract), so no double — whose rounding/render can
+    * differ across engine builds — ever reaches the result hash. */
+  private val sourceStatsSql: String = s"""$sourceStatsDocCte
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
   CAST((CASE WHEN sum(qi) < 0 THEN -1 WHEN sum(qi) > 0 THEN 1 ELSE 0 END)
     * ((2 * abs(CAST(sum(qi) AS BIGINT)) + count(*)) // (2 * count(*)))
-    AS DOUBLE) / 10000.0 AS avg_quality,
+    AS BIGINT) AS avg_quality_e4,
   CAST((2 * CAST(sum(n_chars) AS BIGINT) * 100 + count(*)) // (2 * count(*))
-    AS DOUBLE) / 100.0 AS avg_chars,
+    AS BIGINT) AS avg_chars_e2,
   CAST((2 * CAST(sum(lang_hit) AS BIGINT) * 10000 + count(*)) // (2 * count(*))
-    AS DOUBLE) / 10000.0 AS langid_agreement
+    AS BIGINT) AS langid_agreement_e4
+FROM d GROUP BY source"""
+
+  /** The raw-sums probe: the five exact BIGINT sums per source, no render
+    * at all — isolates tokenization/per-doc-metric divergence from render
+    * divergence. */
+  private val sourceStatsSumsSql: String = s"""$sourceStatsDocCte
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(qi) AS BIGINT) AS sum_qi, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(lang_hit) AS BIGINT) AS lang_hits
 FROM d GROUP BY source"""
 
   def all: Seq[GraftQuery] = Seq(
@@ -365,6 +383,13 @@ FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id""")),
       "corpus_source_stats",
       (s, dir) => TextAnalysis.corpusSourceStats(Tables.documents(s, dir)),
       Some(sourceStatsSql)),
+    // raw-sums probe for the dashboard above: the five exact BIGINT sums
+    // per source with NO rendering — bisects any dashboard divergence into
+    // per-doc tokenization/metric vs final integer render
+    GraftQuery(
+      "corpus_source_stats_sums",
+      (s, dir) => TextAnalysis.corpusSourceStatsSums(Tables.documents(s, dir)),
+      Some(sourceStatsSumsSql)),
     // STREAMING per-source dashboard twin: the five exact sums ride
     // GroupState across micro-batches (per-doc metrics are exact longs, so
     // any batch split yields the same state); final render = the same

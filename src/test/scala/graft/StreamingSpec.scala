@@ -185,7 +185,7 @@ class StreamingSessionsSpec extends SparkSpec {
     q.awaitTermination()
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
     val streamed = canon(graft.streaming.StreamingCorpusStats
       .renderFinal(spark.table("srcstats_ooo")))
     val batch = canon(TextAnalysis.corpusSourceStats(docs))
