@@ -384,6 +384,49 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("selective filter at ef≈2k: exactly k allowed answers, capacity never polluted") {
+    // the regime that exposed the one-pool admission bug: a ~50% bitset
+    // with ef barely above k. With the old (single-pool) admission the
+    // disallowed nodes occupied the bounded ef-set and EVICTED allowed
+    // ones — returning fewer / worse than k allowed answers. Two-pool
+    // admission must return exactly k allowed answers with ANN recall.
+    val allowed = (id: Long) => id % 2 == 1
+    val allowedBase = base.filter(col("id") % 2 === 1)
+    val exact = BruteForce
+      .knn(queries, allowedBase, 10, Metric.L2, roundDist = Some(4))
+      .select("qid", "nid", "rnk").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    val searcher = Serve.load(knnGraph(16), base, entries, Metric.L2)
+    def recallAt(ef: Int): Double = {
+      var hits = 0
+      queryVecs.foreach { case (qid, qv) =>
+        val got = searcher.search(qv, 10, ef, allowed)
+        assert(got.size == 10,
+          s"query $qid at ef=$ef returned ${got.size} of 10 allowed answers")
+        assert(got.forall(t => allowed(t._1)), s"filtered node answered for $qid")
+        hits += got.map(_._1).toSet.intersect(exact(qid).toSet).size
+      }
+      hits.toDouble / (queryVecs.size * 10)
+    }
+    val r20 = recallAt(20) // ef = 2k — capacity binds, the old bug's regime
+    assert(r20 >= 0.6, s"filtered serving recall@10 $r20 below the ANN floor at ef=2k")
+    // ef monotonicity must hold under the filter too (the reference's knob)
+    assert(recallAt(64) >= r20)
+    // COMPLETE graph: one expansion evaluates every node, so the ef-bounded
+    // two-pool walk is PROVABLY exact over the allowed set even at ef=2k —
+    // under the old admission the global top-20 (mixed) would usually hold
+    // fewer than 10 allowed ids, failing equality. Exact-equality gate.
+    val complete = base.select(col("id").as("src"))
+      .crossJoin(base.select(col("id").as("dst")))
+      .filter(col("src") =!= col("dst"))
+    val searcherC = Serve.load(complete, base, entries, Metric.L2)
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcherC.search(qv, 10, ef = 20, allowed).map(_._1)
+      assert(got == exact(qid), s"query $qid: $got != ${exact(qid)}")
+    }
+  }
+
   test("hybrid RRF serving fuses exact arms bit-identically to the batch pipeline") {
     import graft.operators.{BruteForce, Fusion, IvfIndex, SparseIndexModel, SparseSearch}
     // batch pipeline: exact L2 arm + BM25 arm + integer RRF (the
