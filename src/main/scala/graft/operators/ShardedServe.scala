@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-shard scatter-gather — the segment layer the reference's HOST
+  * runs above per-segment indexes. The reference itself is a single-node
+  * engine; its `*_CC` growing-segment index kinds exist exactly so a host
+  * can keep appending sealed segments while serving
+  * (`/root/reference/src/index/ivf/ivf.cc:1250-1262`), and the host
+  * answers a query by scattering it to EVERY segment and reducing the
+  * per-segment top-k lists. This file supplies that reduce on both sides
+  * of the repo's build/serve split:
+  *
+  *   - batch: [[scatterGather]] — the relational form (per-(query, shard)
+  *     bounded heaps, then a per-query merge heap), oracle-gated because
+  *     the merged result provably equals the single-index answer;
+  *   - serving: [[ShardedGraphServing]] / [[ShardedIvfServing]] — routers
+  *     over LOADED per-shard searchers ([[Serve]]), for the deployment
+  *     `Serve`'s load caps point at ("shard the index across serving
+  *     nodes"): `Packing.shardAssign` balances the shards at build time,
+  *     each serving node loads one shard, the router walks all of them per
+  *     query and merges under the shared (dist 4dp, id asc) contract.
+  *
+  * Correctness of the merge: every global top-k member is a top-k member
+  * of its own shard (distances don't change under sharding), so the merge
+  * input always contains the true global top-k — with EXACT per-shard arms
+  * the merged answer equals the single-index answer bit-for-bit; with ANN
+  * arms the merged recall is at least any single shard's (the classical
+  * distributed top-k argument).
+  *
+  * Scale shape (batch): the per-shard heap is a partial aggregate — each
+  * executor ships at most k rows per (query, shard) into the merge, so the
+  * reduce moves O(nq · shards · k) rows regardless of corpus size.
+  */
+object ShardedServe {
+
+  /** Batch scatter-gather over a sharded base: per-(query, shard) top-k
+    * via the bounded `TopKAgg` heap, then the per-query merge of the
+    * ≤ shards·k finalists under the same heap. Output (qid, nid, dist,
+    * rnk) — identical to `BruteForce.knn` over the unsharded union. */
+  def scatterGather(
+      queries: DataFrame, // (qid, qvec)
+      shardedBase: DataFrame, // (id, vec, shard)
+      k: Int,
+      metric: Metric,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.GraftExpr
+    def heap(distCol: Column, idCol: Column): Column = GraftExpr.column(
+      graft.plans
+        .TopKAgg(
+          GraftExpr.expression(distCol),
+          GraftExpr.expression(idCol.cast("long")),
+          k,
+          metric.ascending)
+        .toAggregateExpression())
+    val p = BruteForce.pairs(
+      queries, shardedBase, metric, None, roundDist, carryCols = Seq("shard"))
+    // SCATTER: per-(query, shard) bounded heap — map-side partials mean a
+    // shard contributes at most k candidate rows to the merge shuffle
+    val perShard = p
+      .groupBy(col("qid"), col("shard"))
+      .agg(heap(col("dist"), col("nid")).as("_topk"))
+      .select(col("qid"), explode(col("_topk")).as("_e"))
+      .select(col("qid"), col("_e.id").as("nid"), col("_e.dist").as("dist"))
+    // GATHER: the host's segment reduce — merge finalists per query
+    BruteForce.topK(perShard, k, metric.ascending)
+  }
+
+  /** Merge per-shard ranked lists to the global top-k under the shared
+    * (dist 4dp, id asc) contract — the serving-side segment reduce. */
+  def mergeTopK(
+      perShard: Seq[Seq[(Long, Double)]],
+      k: Int,
+      ascending: Boolean
+  ): Seq[(Long, Double)] =
+    perShard.flatten
+      .sortBy { case (id, d) => (if (ascending) d else -d, id) }
+      .take(k)
+
+  /** Scatter-gather router over loaded graph shards: every query walks
+    * every shard's searcher (the host broadcasts the query to all
+    * segments) and the per-shard top-k lists merge. The bitset filter
+    * passes through to each shard unchanged — ids are global, so the
+    * shard walks apply the same contract the single-index walk does. */
+  final class ShardedGraphServing(
+      shards: Seq[Serve.LocalGraphSearcher],
+      metric: Metric
+  ) {
+    require(shards.nonEmpty, "router needs at least one shard")
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] =
+      mergeTopK(shards.map(_.search(q, k, ef)), k, metric.ascending)
+    def search(
+        q: Array[Float], k: Int, ef: Int,
+        allowed: Long => Boolean): Seq[(Long, Double)] =
+      mergeTopK(shards.map(_.search(q, k, ef, allowed)), k, metric.ascending)
+  }
+
+  /** Scatter-gather router over loaded IVF shards — with full probing the
+    * per-shard arms are exact, so the merged answer equals the
+    * single-index probe over the union bit-for-bit. */
+  final class ShardedIvfServing(
+      shards: Seq[Serve.LocalIvfSearcher],
+      metric: Metric
+  ) {
+    require(shards.nonEmpty, "router needs at least one shard")
+    def search(q: Array[Float], k: Int, nprobe: Int): Seq[(Long, Double)] =
+      mergeTopK(shards.map(_.search(q, k, nprobe)), k, metric.ascending)
+  }
+}

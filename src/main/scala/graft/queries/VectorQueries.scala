@@ -843,6 +843,26 @@ SELECT qid, nid, dist, rnk FROM (
       "bf_knn_l2",
       (s, dir) => BruteForce.knn(queryVecs(s, dir), baseVecs(s, dir), K, Metric.L2, roundDist = ROUND),
       Some(Sql.knn(Sql.l2, desc = false))),
+    // multi-shard scatter-gather (the host's segment reduce above
+    // per-segment indexes): shardAssign deals the base onto 8 balanced
+    // shards, per-(query, shard) bounded heaps scatter, a per-query heap
+    // gathers — the merged top-k provably equals the single-index answer,
+    // so the plain knn oracle hash-gates the whole scatter/merge path
+    GraftQuery(
+      "serve_shard_merge",
+      (s, dir) => {
+        val base = baseVecs(s, dir)
+        val assign = Packing
+          .shardAssign(
+            base.select(
+              col("id").as("doc_id"),
+              pmod(col("id") * 31, lit(97L)).as("n_chars")),
+            shards = 8)
+          .select(col("doc_id").as("id"), col("shard"))
+        ShardedServe.scatterGather(
+          queryVecs(s, dir), base.join(assign, "id"), K, Metric.L2, ROUND)
+      },
+      Some(Sql.knn(Sql.l2, desc = false))),
     // S1 as a FIRST-CLASS PLAN NODE: the custom KnnJoinNode logical
     // operator planned by KnnJoinStrategy (SparkSessionExtensions /
     // extraStrategies) into the fused KnnJoinExec — same answer as

@@ -489,6 +489,46 @@ class ServeSpec extends SparkSpec {
       s"PQ-tier serving recall ${hits.toDouble / (queryVecs.size * 10)} below floor")
   }
 
+  test("multi-shard scatter-gather equals the single-index answer across 1/2/8 shards") {
+    import graft.operators.{Packing, ShardedServe}
+    val exact = exactTopK(10)
+    Seq(1, 2, 8).foreach { nShards =>
+      // balanced build-time sharding (the deployment Serve's load caps
+      // point at), then one loaded searcher per shard
+      val assign = Packing
+        .shardAssign(
+          base.select(col("id").as("doc_id"),
+            pmod(col("id") * 31, lit(97L)).as("n_chars")),
+          nShards)
+        .select(col("doc_id").as("id"), col("shard"))
+      val sharded = base.join(assign, "id")
+      val searchers = (0 until nShards).map { sh =>
+        val shardBase = sharded.filter(col("shard") === sh).select(col("id"), col("vec"))
+        val g = BruteForce
+          .knnFused(
+            shardBase.select(col("id").as("qid"), col("vec").as("qvec")),
+            shardBase, 16, Metric.L2, roundDist = Some(4), excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"))
+        Serve.load(g, shardBase, shardBase.select(min(col("id")).as("nid")), Metric.L2)
+      }
+      val router = new ShardedServe.ShardedGraphServing(searchers, Metric.L2)
+      queryVecs.foreach { case (qid, qv) =>
+        // ef=500 makes each shard walk exhaustive ⇒ per-shard arms exact ⇒
+        // the merge must EQUAL brute force over the union (= the 1-shard
+        // searcher, gated by the first test) — for every shard count
+        val got = router.search(qv, 10, ef = 500).map(_._1)
+        assert(got == exact(qid), s"shards=$nShards query $qid: $got != ${exact(qid)}")
+        // and under a bitset: the filter contract passes through the router
+        val allowedExact = BruteForce
+          .knn(queries.filter(col("qid") === qid), base.filter(col("id") % 2 === 1),
+            10, Metric.L2, roundDist = Some(4))
+          .select("nid", "rnk").collect().sortBy(_.getInt(1)).map(_.getLong(0)).toSeq
+        val gotF = router.search(qv, 10, ef = 500, (id: Long) => id % 2 == 1).map(_._1)
+        assert(gotF == allowedExact, s"shards=$nShards filtered query $qid: $gotF")
+      }
+    }
+  }
+
   test("serving agrees with the batch beam on the same graph and seeds") {
     // same graph, same entries, ef with full convergence: the sequential
     // walk and the relational fixpoint must land on the same top-k set
