@@ -357,6 +357,22 @@ object Scale {
       val perQueryMs = (System.nanoTime() - t0) / 1e6 / qs.size
       println(f"sparse WAND serve per-query latency: $perQueryMs%.2f ms, " +
         f"mean docs scored ${scoredTot / qs.size} of $nb (upper-bound skipping)")
+      // the DAAT-MaxScore serving arm (same exact contract, no per-pivot
+      // cursor re-sort, non-essential-only docs never visited): equality
+      // asserted here at corpus scale, latency is the headline
+      val t1 = System.nanoTime()
+      var msScoredTot = 0L
+      qs.values.foreach { terms =>
+        searcher.searchMaxScore(terms, 10)
+        msScoredTot += searcher.lastScored
+      }
+      val msPerQueryMs = (System.nanoTime() - t1) / 1e6 / qs.size
+      qs.values.foreach { terms =>
+        require(searcher.searchMaxScore(terms, 10) == searcher.search(terms, 10),
+          "maxscore != wand at corpus scale")
+      }
+      println(f"sparse MaxScore serve per-query latency: $msPerQueryMs%.2f ms, " +
+        f"mean docs completed ${msScoredTot / qs.size} of $nb (essential-list DAAT)")
     }
     spark.stop()
   }

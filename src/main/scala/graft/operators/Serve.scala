@@ -480,6 +480,132 @@ object Serve {
         heap.toSeq.map { case (s, id) => (id, s) }
           .sortBy { case (id, s) => (-s, id) }
       }
+
+    /** Per-query DAAT-MaxScore — the reference's other exact sparse mode
+      * (`sparse_inverted_index.h:759-830` `DAAT_MAXSCORE`) and the
+      * serving-latency arm: terms sort by upper bound once, the maximal
+      * ascending-UB prefix whose bound-sum cannot reach the heap's worst
+      * score becomes NON-ESSENTIAL, and documents are driven DAAT over the
+      * essential lists only; each candidate completes against the
+      * non-essential lists (galloping seeks over the packed sorted id
+      * arrays) with early abandonment the moment the remaining bound can't
+      * beat the worst retained (score, id). Unlike the WAND arm there is
+      * no per-pivot cursor re-sort — the hot loop is allocation-free —
+      * and docs living only in non-essential lists are never visited at
+      * all. EXACT: the abandon test is sound under the integer-score
+      * (score desc, id asc) tie contract, so the top-k equals the batch
+      * `SparseSearch.searchIP` / the WAND arm bit-for-bit. */
+    def searchMaxScore(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
+      searchMaxScore(query, k, null)
+
+    /** Bitset-filtered MaxScore: disallowed docs skip scoring entirely —
+      * in DAAT they drive nothing, so the bounds stay sound. */
+    def searchMaxScore(
+        query: Seq[(String, Long)], k: Int,
+        allowed: Long => Boolean): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE_SPARSE", "search_maxscore") {
+        val qts = query
+          .filter { case (t, _) => postings.containsKey(t) }
+          .map { case (t, qtf) =>
+            val (ids, tfs) = postings.get(t)
+            (qtf, ids, tfs, qtf * maxTf.get(t))
+          }
+          .sortBy(_._4) // UB ascending: non-essential prefix grows from here
+          .toArray
+        val n = qts.length
+        val qw = qts.map(_._1)
+        val ids = qts.map(_._2)
+        val tfs = qts.map(_._3)
+        val ub = qts.map(_._4)
+        // prefix(i) = Σ ub[0..i-1]; a doc present ONLY in lists [0, B)
+        // scores at most prefix(B)
+        val prefix = ub.scanLeft(0L)(_ + _)
+        val pos = new Array[Int](n)
+        def curId(i: Int): Long = if (pos(i) < ids(i).length) ids(i)(pos(i)) else Long.MaxValue
+        def seek(i: Int, target: Long): Unit = {
+          var step = 1
+          val a = ids(i)
+          var p = pos(i)
+          while (p + step < a.length && a(p + step) < target) step <<= 1
+          var hi = math.min(p + step, a.length)
+          while (p < hi) {
+            val mid = (p + hi) >>> 1
+            if (a(mid) < target) p = mid + 1 else hi = mid
+          }
+          pos(i) = p
+        }
+        var scored = 0L
+        var abandoned = 0L
+        // worst-first heap over exact integer scores: head = (lowest
+        // score, largest id) — the element any contender must beat
+        val ord = Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long)
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord)
+        var theta = Long.MinValue // kth score once the heap fills
+        var worstId = Long.MaxValue
+        var essFrom = 0 // lists [essFrom, n) are essential
+        def refreshBoundary(): Unit = {
+          // maximal prefix with Σ ub < θ — a strict bound: an integer sum
+          // == θ could still TIE-beat on id, so it must stay essential
+          var b = essFrom
+          while (b < n && prefix(b + 1) < theta) b += 1
+          essFrom = b
+        }
+        var done = n == 0
+        while (!done) {
+          var cand = Long.MaxValue
+          var i = essFrom
+          while (i < n) {
+            val c = curId(i); if (c < cand) cand = c
+            i += 1
+          }
+          if (cand == Long.MaxValue) done = true
+          else {
+            // score the essential occurrences, advancing their cursors
+            var s = 0L
+            i = essFrom
+            while (i < n) {
+              if (curId(i) == cand) { s += qw(i) * tfs(i)(pos(i)); pos(i) += 1 }
+              i += 1
+            }
+            if (allowed == null || allowed(cand)) {
+              // complete against non-essential lists, descending UB, with
+              // early abandonment on the sound (score ≤ s + rem) bound
+              var j = essFrom - 1
+              var rem = prefix(essFrom)
+              var alive = true
+              while (j >= 0 && alive) {
+                if (theta != Long.MinValue &&
+                    (s + rem < theta || (s + rem == theta && cand >= worstId)))
+                  alive = false
+                else {
+                  seek(j, cand)
+                  if (curId(j) == cand) s += qw(j) * tfs(j)(pos(j))
+                  rem -= ub(j)
+                  j -= 1
+                }
+              }
+              if (alive) {
+                scored += 1
+                if (heap.size < k || s > theta || (s == theta && cand < worstId)) {
+                  heap.enqueue((s, cand))
+                  if (heap.size > k) heap.dequeue()
+                  if (heap.size == k) {
+                    val (t0, w0) = heap.head
+                    if (t0 != theta || w0 != worstId) {
+                      theta = t0; worstId = w0
+                      refreshBoundary()
+                    }
+                  }
+                }
+              } else abandoned += 1
+            }
+          }
+        }
+        lastScored = scored
+        lastSkipped = abandoned
+        heap.toSeq.map { case (s, id) => (id, s.toDouble) }
+          .sortBy { case (id, s) => (-s, id) }
+      }
   }
 
   /** Per-query DAAT-WAND BM25 serving — the reference's flagship sparse

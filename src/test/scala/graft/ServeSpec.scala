@@ -273,6 +273,17 @@ class ServeSpec extends SparkSpec {
       assert(searcher.lastScored < nDocs)
     }
     assert(anySkip, "upper-bound skipping never engaged on the Zipf corpus")
+    // the DAAT-MaxScore serving arm: same exact contract, and the
+    // essential-list split must leave non-essential-only docs unvisited
+    var anyAbandon = false
+    queriesLocal.foreach { case (q, terms) =>
+      val got = searcher.searchMaxScore(terms, 10)
+      assert(got == batch(q), s"maxscore query $q: $got != ${batch(q)}")
+      anyAbandon ||= searcher.lastSkipped > 0
+      assert(searcher.lastScored < nDocs,
+        s"maxscore fully scored ${searcher.lastScored} of $nDocs — no pruning")
+    }
+    assert(anyAbandon, "maxscore early abandonment never engaged on the Zipf corpus")
   }
 
   test("WAND equals the naive scorer on randomized corpora (property sweep)") {
@@ -310,6 +321,10 @@ class ServeSpec extends SparkSpec {
       val searcher = Serve.loadSparse(bp.select(col("term"), col("id"), col("tf")))
       val got = searcher.search(qterms, k)
       assert(got == naive, s"trial $trial (vocab=$vocab docs=$nDocs k=$k): $got != $naive")
+      // MaxScore must agree on the same adversarial tie-dense corpora
+      val gotMs = searcher.searchMaxScore(qterms, k)
+      assert(gotMs == naive,
+        s"maxscore trial $trial (vocab=$vocab docs=$nDocs k=$k): $gotMs != $naive")
     }
   }
 
@@ -333,6 +348,8 @@ class ServeSpec extends SparkSpec {
       val terms = rows.map(r => (r.getString(1), r.getLong(2))).toSeq
       val got = searcher.search(terms, 10, allowed = (id: Long) => id % 2 == 1)
       assert(got == batch(q), s"query $q: $got != ${batch(q)}")
+      val gotMs = searcher.searchMaxScore(terms, 10, allowed = (id: Long) => id % 2 == 1)
+      assert(gotMs == batch(q), s"maxscore query $q: $gotMs != ${batch(q)}")
     }
   }
 
