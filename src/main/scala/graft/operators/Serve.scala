@@ -44,10 +44,27 @@ object Serve {
       vecs: java.util.HashMap[Long, Array[Float]],
       entries: Array[Long],
       metric: Metric,
-      roundDist: Int = 4
+      roundDist: Int = 4,
+      hasRaw: Boolean = true
   ) {
 
     @volatile var lastStats: ServeStats = ServeStats(0L, 0L)
+
+    /** Serving-side V8 probe (`index_node.h:349-350`): whether this
+      * shard's vector tier is the RAW data. A quantized traversal tier
+      * (the SQ/PQ serving shape) answers false — fetch from the refined
+      * searcher's raw tier instead, exactly the reference's contract. */
+    def hasRawData: Boolean = hasRaw
+
+    /** Serving-side V7 (`index_node.h:340-341` GetVectorByIds): raw
+      * vectors for the requested ids in request order; ids absent from
+      * this shard are skipped (the batch verb's left-semi shape — a
+      * router unions the per-shard answers). */
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
+      require(hasRaw,
+        "this shard holds a quantized tier only — GetVectorByIds needs raw data")
+      ids.flatMap(id => Option(vecs.get(id)).map(id -> _))
+    }
 
     private def dist(q: Array[Float], id: Long): Double = {
       val v = vecs.get(id)
@@ -176,6 +193,13 @@ object Serve {
       metric: Metric,
       roundDist: Int = 4
   ) {
+
+    /** The refine tier IS the raw data (`faiss_hnsw.cc` refine-flat
+      * storage), so the refined searcher answers the V7/V8 verbs even
+      * though its traversal tier is quantized. */
+    def hasRawData: Boolean = true
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] =
+      ids.flatMap(id => Option(raw.get(id)).map(id -> _))
     def search(q: Array[Float], k: Int, ef: Int, refine: Int = 2): Seq[(Long, Double)] =
       Telemetry.timed("SERVE", "search_refined") {
         val over = approx.search(q, math.min(math.max(k * refine, k), ef), ef)
@@ -219,7 +243,8 @@ object Serve {
       metric: Metric = Metric.L2,
       maxNodes: Int = 2000000
   ): RefinedSearcher = {
-    val inner = load(graph, approx, entries, metric, maxNodes)
+    // the traversal tier is quantized/reconstructed — it answers V8 false
+    val inner = load(graph, approx, entries, metric, maxNodes, hasRaw = false)
     val nRaw = base.count()
     require(nRaw <= maxNodes,
       s"raw rerank tier has $nRaw vectors > cap $maxNodes — shard the index across serving nodes")
@@ -244,6 +269,28 @@ object Serve {
   ) {
 
     @volatile var lastCandidates: Long = 0L
+
+    /** Serving-side V8: the loaded lists hold the raw vectors (the
+      * IVF_FLAT / SCANN-with-raw-data shape, `flat.cc:258-283`). */
+    def hasRawData: Boolean = true
+
+    // id → raw vector, built once on first V7 call (references only —
+    // the vectors themselves are shared with the list arrays)
+    private lazy val byId: java.util.HashMap[Long, Array[Float]] = {
+      val m = new java.util.HashMap[Long, Array[Float]]()
+      val it = lists.values().iterator()
+      while (it.hasNext) {
+        val (ids0, vs) = it.next()
+        var i = 0
+        while (i < ids0.length) { m.put(ids0(i), vs(i)); i += 1 }
+      }
+      m
+    }
+
+    /** Serving-side V7 (`index_node.h:340-341`): raw vectors for the
+      * requested ids in request order; absent ids are skipped. */
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] =
+      ids.flatMap(id => Option(byId.get(id)).map(id -> _))
 
     private def dist(q: Array[Float], v: Array[Float]): Double = {
       var s = 0.0d
@@ -386,6 +433,37 @@ object Serve {
 
     @volatile var lastScored: Long = 0L
     @volatile var lastSkipped: Long = 0L
+
+    /** Serving-side V8: the IP posting shard holds the raw sparse rows —
+      * the reference's sparse index answers true exactly when the metric
+      * is IP (`sparse_index_node.cc:541-543`); this searcher is that
+      * IP-metric index. (The BM25 searcher stores transformed values and
+      * answers false.) */
+    def hasRawData: Boolean = true
+
+    // id → sorted (term, tf) rows, inverted once on first V7 call
+    private lazy val byId: java.util.HashMap[Long, Array[(String, Long)]] = {
+      val tmp = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(String, Long)]]()
+      val it = postings.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val (ids0, tfs0) = e.getValue
+        var i = 0
+        while (i < ids0.length) {
+          tmp.computeIfAbsent(ids0(i), _ => scala.collection.mutable.ArrayBuffer.empty)
+            .append((e.getKey, tfs0(i)))
+          i += 1
+        }
+      }
+      val m = new java.util.HashMap[Long, Array[(String, Long)]]()
+      tmp.forEach((id, buf) => m.put(id, buf.sortBy(_._1).toArray))
+      m
+    }
+
+    /** Serving-side V7: the raw sparse rows (term asc, tf) for the
+      * requested ids in request order; absent ids are skipped. */
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Seq[(String, Long)])] =
+      ids.flatMap(id => Option(byId.get(id)).map(id -> _.toSeq))
 
     def search(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
       search(query, k, null)
@@ -628,6 +706,11 @@ object Serve {
 
     @volatile var lastScored: Long = 0L
 
+    /** Serving-side V8: BM25 postings store the TRANSFORMED per-posting
+      * weights (tfw), not the raw tf rows — the reference's sparse index
+      * answers false off the IP metric (`sparse_index_node.cc:541-543`). */
+    def hasRawData: Boolean = false
+
     private def halfUpLong(x: Double): Long =
       java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
     private def round4(x: Double): Double =
@@ -818,7 +901,8 @@ object Serve {
       base: DataFrame, // (id, vec)
       entries: DataFrame, // (nid)
       metric: Metric = Metric.L2,
-      maxNodes: Int = 2000000
+      maxNodes: Int = 2000000,
+      hasRaw: Boolean = true // false when `base` is a quantized tier
   ): LocalGraphSearcher = {
     val n = base.count()
     require(n <= maxNodes,
@@ -833,6 +917,6 @@ object Serve {
     base.collect().foreach(r => vm.put(r.getLong(0), r.getSeq[Float](1).toArray))
     val es = entries.collect().map(_.getLong(0)).sorted
     require(es.nonEmpty, "serving needs at least one entry point")
-    new LocalGraphSearcher(adj, vm, es, metric)
+    new LocalGraphSearcher(adj, vm, es, metric, hasRaw = hasRaw)
   }
 }

@@ -95,6 +95,17 @@ object ShardedServe {
         q: Array[Float], k: Int, ef: Int,
         allowed: Long => Boolean): Seq[(Long, Double)] =
       mergeTopK(shards.map(_.search(q, k, ef, allowed)), k, metric.ascending)
+    /** V8 across shards: raw-fetch works only when every shard keeps raw. */
+    def hasRawData: Boolean = shards.forall(_.hasRawData)
+    /** V7 across shards: each id lives on exactly one shard — scatter the
+      * request, union the answers, preserve request order. */
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
+      val m = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
+      shards.foreach(_.getVectorByIds(ids).foreach { case (id, v) =>
+        m.getOrElseUpdate(id, v)
+      })
+      ids.flatMap(id => m.get(id).map(id -> _))
+    }
   }
 
   /** Scatter-gather router over loaded IVF shards — with full probing the
@@ -107,5 +118,13 @@ object ShardedServe {
     require(shards.nonEmpty, "router needs at least one shard")
     def search(q: Array[Float], k: Int, nprobe: Int): Seq[(Long, Double)] =
       mergeTopK(shards.map(_.search(q, k, nprobe)), k, metric.ascending)
+    def hasRawData: Boolean = shards.forall(_.hasRawData)
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
+      val m = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
+      shards.foreach(_.getVectorByIds(ids).foreach { case (id, v) =>
+        m.getOrElseUpdate(id, v)
+      })
+      ids.flatMap(id => m.get(id).map(id -> _))
+    }
   }
 }

@@ -546,6 +546,84 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("serving-side GetVectorByIds/HasRawData equal the batch verbs (V7/V8)") {
+    import graft.operators.{Capabilities, IvfIndex, Packing, ShardedServe, SparseSearch}
+    import spark.implicits._
+    val want = Seq(100L, 301L, 200L, 999999L) // 999999 absent → skipped
+    // batch truth: GetVectorByIds = left-semi on the id list
+    val batchVecs = BruteForce
+      .getVectorByIds(want.toDF("id"), base)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val expect = want.flatMap(id => batchVecs.get(id).map(id -> _))
+    def sameVecs(got: Seq[(Long, Array[Float])]): Boolean =
+      got.map(_._1) == expect.map(_._1) &&
+        got.zip(expect).forall { case ((_, a), (_, b)) => a.sameElements(b) }
+    // graph shard: raw tier → V8 true, V7 equals the batch fetch
+    val g = knnGraph(8)
+    val graphS = Serve.load(g, base, entries, Metric.L2)
+    assert(graphS.hasRawData == Capabilities.hasRawData("HNSW"))
+    assert(sameVecs(graphS.getVectorByIds(want)))
+    // refined shard: quantized traversal tier answers V8 FALSE and
+    // refuses V7; the refined searcher fetches from its raw tier
+    val refined = Serve.loadRefined(g, base, base, entries, Metric.L2)
+    assert(refined.hasRawData)
+    assert(sameVecs(refined.getVectorByIds(want)))
+    val quantTier = Serve.load(g, base, entries, Metric.L2, hasRaw = false)
+    assert(!quantTier.hasRawData)
+    assertThrows[IllegalArgumentException](quantTier.getVectorByIds(want))
+    // IVF shard (IVF_FLAT shape): V8 true, V7 equals the batch fetch
+    val cents = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+    val ivfS = Serve.loadIvf(IvfIndex.build(base, cents, Some(4)), cents, Metric.L2)
+    assert(ivfS.hasRawData == Capabilities.hasRawData("IVF_FLAT"))
+    assert(sameVecs(ivfS.getVectorByIds(want)))
+    // sharded router: scatter the fetch, union preserves request order
+    val assign = Packing
+      .shardAssign(base.select(col("id").as("doc_id"),
+        pmod(col("id") * 31, lit(97L)).as("n_chars")), 4)
+      .select(col("doc_id").as("id"), col("shard"))
+    val sharded = base.join(assign, "id")
+    val router = new ShardedServe.ShardedGraphServing(
+      (0 until 4).map { sh =>
+        val sb = sharded.filter(col("shard") === sh).select(col("id"), col("vec"))
+        Serve.load(
+          BruteForce.knnFused(
+            sb.select(col("id").as("qid"), col("vec").as("qvec")),
+            sb, 8, Metric.L2, roundDist = Some(4), excludeSelf = true)
+            .select(col("qid").as("src"), col("nid").as("dst")),
+          sb, sb.select(min(col("id")).as("nid")), Metric.L2)
+      }, Metric.L2)
+    assert(router.hasRawData)
+    assert(sameVecs(router.getVectorByIds(want)))
+    // sparse IP shard: raw rows retained (metric-dependent V8 —
+    // sparse_index_node.cc:541-543), fetch equals the batch postings
+    val docs = Tables.documents(spark, sf0001)
+    val bp = SparseSearch.postings(docs, "doc_id", "text")
+    val sparseS = Serve.loadSparse(bp.select(col("term"), col("id"), col("tf")))
+    assert(sparseS.hasRawData ==
+      Capabilities.hasRawData("SPARSE_INVERTED_INDEX", "IP"))
+    val sparseWant = Seq(3L, 7L, 999999L)
+    val batchRows = bp.filter(col("id").isin(sparseWant: _*))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (id, rs) => id -> rs.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+    val gotSparse = sparseS.getVectorByIds(sparseWant)
+    assert(gotSparse.map(_._1) == sparseWant.filter(batchRows.contains))
+    gotSparse.foreach { case (id, rows) => assert(rows == batchRows(id)) }
+    // BM25 shard stores transformed weights → V8 false, like the reference
+    val bpd = bp.join(SparseSearch.docLengths(docs, "doc_id", "text"), "id")
+      .select(col("term"), col("id"), col("tf"), col("dl").cast("long").as("dl"))
+    val ts = bpd.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"), min(col("tf")).as("min_tf"))
+    val avgdl = bpd.select(col("id"), col("dl")).distinct()
+      .agg(avg(col("dl"))).head().getDouble(0)
+    val bm = Serve.loadSparseBM25(
+      new graft.operators.SparseIndexModel(bpd, ts, (docs.count(), avgdl), 1.2, 0.75))
+    assert(bm.hasRawData ==
+      Capabilities.hasRawData("SPARSE_WAND", "BM25"))
+  }
+
   test("serving agrees with the batch beam on the same graph and seeds") {
     // same graph, same entries, ef with full convergence: the sequential
     // walk and the relational fixpoint must land on the same top-k set
