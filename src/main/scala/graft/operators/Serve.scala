@@ -356,6 +356,58 @@ object Serve {
         out.sortBy { case (id, d) => (d, id) }.toSeq
       }
 
+    /** Bitset-filtered probe — the universal filter contract extended to
+      * the IVF serving arm (`ivf.cc:750-760`): disallowed ids are skipped
+      * at scoring (they cost nothing — the probed-list scan just passes
+      * them), and a probe whose lists cannot deliver k ALLOWED results
+      * expands to the remaining lists, exactly the batch
+      * `probeAndPrune(ensureTopkFull)` rule — the reference's
+      * `ensure_topk_full` knob, which probes wide under selective filters
+      * so the filtered top-k never starves. Bit-identical to the batch
+      * `IvfIndex.search` over the filtered index (same probe order, same
+      * expansion condition, same (dist, id) contract) — ServeSpec-gated.
+      * `lastCandidates` counts ALLOWED ids scored (the filter-scaled
+      * cost observable). */
+    def search(
+        q: Array[Float], k: Int, nprobe: Int,
+        allowed: Long => Boolean): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "search_ivf_filtered") {
+        def key(d: Double): Double = if (metric.ascending) d else -d
+        val order = cents
+          .map { case (cid, c) => (key(dist(q, c)), cid) }
+          .sorted
+          .map(_._2)
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+        var candidates = 0L
+        def scan(cid: Long): Unit = {
+          val l = lists.get(cid)
+          if (l != null) {
+            val (ids, vecs) = l
+            var i = 0
+            while (i < ids.length) {
+              if (allowed(ids(i))) {
+                candidates += 1
+                val e = (key(dist(q, vecs(i))), ids(i))
+                if (heap.size < k || ord.lt(e, heap.head)) {
+                  heap.enqueue(e)
+                  if (heap.size > k) heap.dequeue()
+                }
+              }
+              i += 1
+            }
+          }
+        }
+        order.take(nprobe).foreach(scan)
+        // ensure_topk_full: probed lists held < k allowed → widen to the
+        // remaining lists (the batch expansion adds every unprobed list)
+        if (heap.size < k) order.drop(nprobe).foreach(scan)
+        lastCandidates = candidates
+        heap.toSeq
+          .map { case (d, id) => (id, if (metric.ascending) d else -d) }
+          .sortBy { case (id, d) => (key(d), id) }
+      }
+
     def search(q: Array[Float], k: Int, nprobe: Int): Seq[(Long, Double)] =
       Telemetry.timed("SERVE", "search_ivf") {
         def key(d: Double): Double = if (metric.ascending) d else -d

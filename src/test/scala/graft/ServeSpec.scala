@@ -186,6 +186,42 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("IVF serving under filter equals the batch filtered probe, widening when starved") {
+    import graft.operators.IvfIndex
+    val cents = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+    val index = IvfIndex.build(base, cents, Some(4))
+    val searcher = Serve.loadIvf(index, cents, Metric.L2)
+    val total = base.count()
+    def batchOn(filtered: org.apache.spark.sql.DataFrame, nprobe: Int, full: Boolean) =
+      IvfIndex
+        .search(queries, filtered, cents, 10, nprobe, Metric.L2, Some(4),
+          ensureTopkFull = full)
+        .select("qid", "nid", "dist").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
+        }
+    // 50% bitset, nprobe=2: same probed lists as the batch over the
+    // filtered index — bit-for-bit equal, cost counts allowed ids only
+    val b1 = batchOn(index.filter(col("id") % 2 === 1), nprobe = 2, full = false)
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.search(qv, 10, 2, (id: Long) => id % 2 == 1)
+      assert(got == b1.getOrElse(qid, Seq.empty), s"query $qid: $got")
+      assert(searcher.lastCandidates < total / 2,
+        s"filtered probe scored ${searcher.lastCandidates} — not probe-bounded")
+    }
+    // STARVED bitset (~1/20 allowed), nprobe=1: the probed list cannot
+    // deliver k allowed — serving widens to the remaining lists, exactly
+    // the batch ensure_topk_full expansion (ivf.cc:750-760)
+    val b2 = batchOn(index.filter(col("id") % 20 === 0), nprobe = 1, full = true)
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.search(qv, 10, 1, (id: Long) => id % 20 == 0)
+      assert(got == b2.getOrElse(qid, Seq.empty), s"starved query $qid: $got")
+    }
+  }
+
   test("IVF range serving: lossless ball prune equals the batch range, lists skipped") {
     import graft.operators.IvfIndex
     // 25 lists: tighter balls give the triangle inequality teeth on the
