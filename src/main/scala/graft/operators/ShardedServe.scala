@@ -95,6 +95,10 @@ object ShardedServe {
         q: Array[Float], k: Int, ef: Int,
         allowed: Long => Boolean): Seq[(Long, Double)] =
       mergeTopK(shards.map(_.search(q, k, ef, allowed)), k, metric.ascending)
+    /** V6 across shards: per-shard walks of depth n merge into one paged
+      * stream (exact when each walk is exhaustive over its shard). */
+    def iterator(q: Array[Float], n: Int, ef: Int): Serve.ServingIterator =
+      shardedIterator(shards.map(_.search(q, n, ef)), metric.ascending)
     /** V8 across shards: raw-fetch works only when every shard keeps raw. */
     def hasRawData: Boolean = shards.forall(_.hasRawData)
     /** V7 across shards: each id lives on exactly one shard — scatter the
@@ -108,6 +112,19 @@ object ShardedServe {
     }
   }
 
+  /** Paged iterator across shards — the V6 verb over segments: each
+    * shard contributes its ranked stream, the merged stream pages like
+    * the single-index `ServingIterator`. With exact per-shard arms
+    * (full-probe IVF, exhaustive graph walks) the merged stream equals
+    * the single-index stream PAGE FOR PAGE — ServeSpec-gated. */
+  def shardedIterator(
+      perShardRanked: Seq[Seq[(Long, Double)]],
+      ascending: Boolean
+  ): Serve.ServingIterator =
+    new Serve.ServingIterator(
+      perShardRanked.flatten
+        .sortBy { case (id, d) => (if (ascending) d else -d, id) })
+
   /** Scatter-gather router over loaded IVF shards — with full probing the
     * per-shard arms are exact, so the merged answer equals the
     * single-index probe over the union bit-for-bit. */
@@ -118,6 +135,27 @@ object ShardedServe {
     require(shards.nonEmpty, "router needs at least one shard")
     def search(q: Array[Float], k: Int, nprobe: Int): Seq[(Long, Double)] =
       mergeTopK(shards.map(_.search(q, k, nprobe)), k, metric.ascending)
+    /** V6 across shards: per-shard ranked streams of depth n, merged and
+      * paged. Full probing makes every stream exact, so pages equal the
+      * single-index iterator's. */
+    def iterator(q: Array[Float], n: Int, nprobe: Int): Serve.ServingIterator =
+      shardedIterator(shards.map(_.search(q, n, nprobe)), metric.ascending)
+    /** V5 across shards: range hits are shard-invariant (each doc's shell
+      * membership depends only on its own distance), so the sorted union
+      * of per-shard answers IS the single-index range answer. `radii` is
+      * per-shard list-radius metadata, aligned with the shard list. */
+    def rangeSearch(
+        q: Array[Float],
+        radius: Double,
+        rangeFilter: Double,
+        radii: Seq[java.util.HashMap[Long, Double]]
+    ): Seq[(Long, Double)] = {
+      require(radii.length == shards.length,
+        "per-shard radii metadata must align with the shard list")
+      shards.zip(radii)
+        .flatMap { case (s, r) => s.rangeSearch(q, radius, rangeFilter, r) }
+        .sortBy { case (id, d) => (d, id) }
+    }
     def hasRawData: Boolean = shards.forall(_.hasRawData)
     def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
       val m = scala.collection.mutable.HashMap.empty[Long, Array[Float]]

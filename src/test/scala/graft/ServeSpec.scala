@@ -582,6 +582,52 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("sharded iterator pages and range equal the single-index searcher over the union") {
+    import graft.operators.{IvfIndex, Packing, ShardedServe}
+    val cents = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+    val nlist = cents.count().toInt
+    // single-index reference: one searcher over the whole base
+    val index = IvfIndex.build(base, cents, Some(4))
+    val single = Serve.loadIvf(index, cents, Metric.L2)
+    val rmAll = new java.util.HashMap[Long, Double]()
+    IvfIndex.listRadii(index, cents).collect()
+      .foreach(r => rmAll.put(r.getLong(0), r.getDouble(1)))
+    // 4 balanced shards, each its own IVF build over the SAME centroids
+    // (the host's segments share the collection's coarse quantizer)
+    val assign = Packing
+      .shardAssign(base.select(col("id").as("doc_id"),
+        pmod(col("id") * 31, lit(97L)).as("n_chars")), 4)
+      .select(col("doc_id").as("id"), col("shard"))
+    val sharded = base.join(assign, "id")
+    val parts = (0 until 4).map { sh =>
+      val sb = sharded.filter(col("shard") === sh).select(col("id"), col("vec"))
+      val idx = IvfIndex.build(sb, cents, Some(4))
+      val rm = new java.util.HashMap[Long, Double]()
+      IvfIndex.listRadii(idx, cents).collect()
+        .foreach(r => rm.put(r.getLong(0), r.getDouble(1)))
+      (Serve.loadIvf(idx, cents, Metric.L2), rm)
+    }
+    val router = new ShardedServe.ShardedIvfServing(parts.map(_._1), Metric.L2)
+    queryVecs.foreach { case (qid, qv) =>
+      // V6: full-probe streams are exact → merged pages == single-index
+      // iterator pages, including reset
+      val one = new Serve.ServingIterator(single.search(qv, 15, nprobe = nlist))
+      val many = router.iterator(qv, 15, nprobe = nlist)
+      (1 to 3).foreach { p =>
+        val (a, b) = (one.nextPage(5), many.nextPage(5))
+        assert(a == b, s"query $qid page $p: sharded $b != single $a")
+      }
+      many.reset(); one.reset()
+      assert(many.nextPage(5) == one.nextPage(5), "reset did not rewind")
+      // V5: union of per-shard shells == single-index range, same order
+      val rs = single.rangeSearch(qv, radius = 0.9, rangeFilter = 0.0, rmAll)
+      val rm = router.rangeSearch(qv, radius = 0.9, rangeFilter = 0.0, parts.map(_._2))
+      assert(rm == rs, s"query $qid range: sharded $rm != single $rs")
+    }
+  }
+
   test("serving-side GetVectorByIds/HasRawData equal the batch verbs (V7/V8)") {
     import graft.operators.{Capabilities, IvfIndex, Packing, ShardedServe, SparseSearch}
     import spark.implicits._
