@@ -575,6 +575,30 @@ class PlanSpec extends SparkSpec {
       s"build side not replicated per salt:\n$p")
   }
 
+  test("sharded scatter-gather: queries broadcast; scatter keyed (qid, shard), gather keyed qid") {
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val sharded = base.withColumn("shard", pmod(col("id"), lit(4L)).cast("int"))
+    val p = plan(ShardedServe.scatterGather(queries, sharded, 5, Metric.L2, Some(4)))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    // the scatter heap partial-aggregates per (qid, shard) BEFORE its
+    // exchange — at most k rows per group cross the wire per partition —
+    // and the gather heap re-keys on qid alone
+    assert(p.linesIterator.exists(l => l.contains("Exchange hashpartitioning(qid#")
+      && l.contains(", shard#")), s"no (qid, shard) scatter exchange:\n$p")
+    val qidOnly = p.linesIterator.exists { l =>
+      l.contains("Exchange hashpartitioning(qid#") && !l.contains(", shard#")
+    }
+    assert(qidOnly, s"no qid-only gather exchange:\n$p")
+    // exactly the two heap shuffles — nothing else moves data
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 2, s"expected 2 shuffles (scatter + gather), got $shuffles:\n$p")
+  }
+
   test("apAtK / cohenKappa: bounded frames broadcast; kappa is one tiny aggregate chain") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter(col("vec_id") % 100 === 0)
