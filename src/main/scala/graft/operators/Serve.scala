@@ -559,26 +559,45 @@ object Serve {
         def beats(score: Double, id: Long): Boolean =
           heap.size < k || score > heap.head._1 ||
             (score == heap.head._1 && id < heap.head._2)
+        // cursor order maintained IN PLACE by insertion sort (stable, and
+        // nearly sorted after every advance — O(n) amortized): the naive
+        // allocate-filter-sort per pivot iteration dominated serving
+        // latency (~30k iterations × a fresh array each). Exhausted
+        // cursors (id = MaxValue) sink to the tail, so the live prefix is
+        // order(0 until nLive).
+        val order = curs.indices.toArray
+        def resort(): Unit = {
+          var i = 1
+          while (i < order.length) {
+            val oi = order(i)
+            val key = curs(oi).id
+            var j = i - 1
+            while (j >= 0 && curs(order(j)).id > key) {
+              order(j + 1) = order(j); j -= 1
+            }
+            order(j + 1) = oi
+            i += 1
+          }
+        }
         var done = curs.isEmpty
         while (!done) {
-          // sort live cursors by current doc id; accumulate UBs to the pivot
-          val live = curs.filter(_.id != Long.MaxValue).sortBy(_.id)
-          if (live.isEmpty) done = true
+          resort()
+          if (curs(order(0)).id == Long.MaxValue) done = true
           else {
             // pivot: first cursor whose UB prefix reaches the heap's worst
             // (>= keeps equal-score smaller-id ties reachable)
             var acc = 0L
             var pivot = -1
             var i = 0
-            while (i < live.length && pivot < 0) {
-              acc += live(i).ub
+            while (i < order.length && pivot < 0 && curs(order(i)).id != Long.MaxValue) {
+              acc += curs(order(i)).ub
               if (heap.size < k || acc.toDouble >= heap.head._1) pivot = i
               i += 1
             }
             if (pivot < 0) done = true // no doc can beat the heap
             else {
-              val pivotId = live(pivot).id
-              if (live.head.id == pivotId) {
+              val pivotId = curs(order(pivot)).id
+              if (curs(order(0)).id == pivotId) {
                 // fully score pivotId across all cursors positioned on it
                 // (advance cursors even for filtered docs — their postings
                 // are consumed either way)
@@ -596,10 +615,10 @@ object Serve {
                 }
               } else {
                 // skip every earlier cursor past the unbeatable gap
-                skipped += pivotId - live.head.id
+                skipped += pivotId - curs(order(0)).id
                 var j = 0
-                while (j < live.length && live(j).id < pivotId) {
-                  live(j).seek(pivotId); j += 1
+                while (j < order.length && curs(order(j)).id < pivotId) {
+                  curs(order(j)).seek(pivotId); j += 1
                 }
               }
             }
@@ -803,23 +822,39 @@ object Serve {
         def thetaRaw: Double =
           if (heap.size < k) Double.NegativeInfinity
           else (heap.head._1 - 1e-4d) * 1e9d
+        // in-place insertion-sorted cursor order (see the IP WAND arm):
+        // exhausted cursors sink to the tail, no per-pivot allocation
+        val order = curs.indices.toArray
+        def resort(): Unit = {
+          var i = 1
+          while (i < order.length) {
+            val oi = order(i)
+            val key = curs(oi).id
+            var j = i - 1
+            while (j >= 0 && curs(order(j)).id > key) {
+              order(j + 1) = order(j); j -= 1
+            }
+            order(j + 1) = oi
+            i += 1
+          }
+        }
         var done = curs.isEmpty
         while (!done) {
-          val live = curs.filter(_.id != Long.MaxValue).sortBy(_.id)
-          if (live.isEmpty) done = true
+          resort()
+          if (curs(order(0)).id == Long.MaxValue) done = true
           else {
             var acc = 0L
             var pivot = -1
             var i = 0
-            while (i < live.length && pivot < 0) {
-              acc += live(i).ub
+            while (i < order.length && pivot < 0 && curs(order(i)).id != Long.MaxValue) {
+              acc += curs(order(i)).ub
               if (acc.toDouble >= thetaRaw) pivot = i
               i += 1
             }
             if (pivot < 0) done = true
             else {
-              val pivotId = live(pivot).id
-              if (live.head.id == pivotId) {
+              val pivotId = curs(order(pivot)).id
+              if (curs(order(0)).id == pivotId) {
                 var s = 0L
                 curs.foreach { c =>
                   if (c.id == pivotId) {
@@ -836,8 +871,8 @@ object Serve {
                 }
               } else {
                 var j = 0
-                while (j < live.length && live(j).id < pivotId) {
-                  live(j).seek(pivotId); j += 1
+                while (j < order.length && curs(order(j)).id < pivotId) {
+                  curs(order(j)).seek(pivotId); j += 1
                 }
               }
             }

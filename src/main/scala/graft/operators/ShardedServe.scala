@@ -125,6 +125,34 @@ object ShardedServe {
       perShardRanked.flatten
         .sortBy { case (id, d) => (if (ascending) d else -d, id) })
 
+  /** Scatter-gather router over sparse IP posting shards (documents
+    * partitioned across shards — each shard is a complete inverted index
+    * over its own docs): per-shard WAND/MaxScore arms are EXACT, so the
+    * merge under (score desc, id asc) equals the single-index answer over
+    * the union bit-for-bit. The bitset passes through unchanged. */
+  final class ShardedSparseServing(shards: Seq[Serve.LocalSparseSearcher]) {
+    require(shards.nonEmpty, "router needs at least one shard")
+    def search(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
+      mergeTopK(shards.map(_.search(query, k)), k, ascending = false)
+    def search(
+        query: Seq[(String, Long)], k: Int,
+        allowed: Long => Boolean): Seq[(Long, Double)] =
+      mergeTopK(shards.map(_.search(query, k, allowed)), k, ascending = false)
+    def searchMaxScore(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
+      mergeTopK(shards.map(_.searchMaxScore(query, k)), k, ascending = false)
+  }
+
+  /** BM25 router — per-shard searchers must be loaded from shard-sliced
+    * postings under the COLLECTION'S global stats (df/idf, N, avgdl), the
+    * way a host keeps collection-level stats above its segments; then
+    * per-shard scores equal the global scores restricted to shard docs
+    * and the merge is exact. */
+  final class ShardedSparseBM25Serving(shards: Seq[Serve.LocalSparseBM25Searcher]) {
+    require(shards.nonEmpty, "router needs at least one shard")
+    def search(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
+      mergeTopK(shards.map(_.search(query, k)), k, ascending = false)
+  }
+
   /** Scatter-gather router over loaded IVF shards — with full probing the
     * per-shard arms are exact, so the merged answer equals the
     * single-index probe over the union bit-for-bit. */

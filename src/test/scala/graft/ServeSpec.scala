@@ -320,6 +320,15 @@ class ServeSpec extends SparkSpec {
         s"maxscore fully scored ${searcher.lastScored} of $nDocs — no pruning")
     }
     assert(anyAbandon, "maxscore early abandonment never engaged on the Zipf corpus")
+    // sharded: 3 doc-partitioned posting shards, each a complete inverted
+    // index over its docs — per-shard exact arms merge to the SAME answer
+    val router = new graft.operators.ShardedServe.ShardedSparseServing(
+      (0 until 3).map(sh => Serve.loadSparse(
+        bp.filter(col("id") % 3 === sh).select(col("term"), col("id"), col("tf")))))
+    queriesLocal.foreach { case (q, terms) =>
+      assert(router.search(terms, 10) == batch(q), s"sharded WAND query $q")
+      assert(router.searchMaxScore(terms, 10) == batch(q), s"sharded maxscore query $q")
+    }
   }
 
   test("WAND equals the naive scorer on randomized corpora (property sweep)") {
@@ -412,12 +421,22 @@ class ServeSpec extends SparkSpec {
         q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (-t._2, t._1)).toSeq
       }
     val searcher = Serve.loadSparseBM25(model)
+    // sharded BM25: shard-sliced postings under the COLLECTION's global
+    // stats (df/idf, N, avgdl) — per-shard scores are the global scores
+    // restricted to shard docs, so the merge is exact
+    val router = new graft.operators.ShardedServe.ShardedSparseBM25Serving(
+      (0 until 3).map { sh =>
+        Serve.loadSparseBM25(new SparseIndexModel(
+          bp.filter(col("id") % 3 === sh), termStats, (nDocs, avgdl), 1.2, 0.75))
+      })
     qp.collect()
       .groupBy(_.getLong(0))
       .foreach { case (q, rows) =>
         val terms = rows.map(r => (r.getString(1), r.getLong(2))).toSeq
         val got = searcher.search(terms, 10)
         assert(got == batch(q), s"query $q:\n  serve $got\n  batch ${batch(q)}")
+        val gotSharded = router.search(terms, 10)
+        assert(gotSharded == batch(q), s"sharded query $q: $gotSharded")
       }
   }
 
