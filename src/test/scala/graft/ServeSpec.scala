@@ -590,6 +590,13 @@ class ServeSpec extends SparkSpec {
         // searcher, gated by the first test) — for every shard count
         val got = router.search(qv, 10, ef = 500).map(_._1)
         assert(got == exact(qid), s"shards=$nShards query $qid: $got != ${exact(qid)}")
+        // the paged iterator over the same exhaustive streams pages the
+        // identical ranking
+        val it = router.iterator(qv, 10, ef = 500)
+        assert(it.nextPage(5).map(_._1) == exact(qid).take(5),
+          s"shards=$nShards iterator page 1 for $qid")
+        assert(it.nextPage(5).map(_._1) == exact(qid).drop(5),
+          s"shards=$nShards iterator page 2 for $qid")
         // and under a bitset: the filter contract passes through the router
         val allowedExact = BruteForce
           .knn(queries.filter(col("qid") === qid), base.filter(col("id") % 2 === 1),
@@ -697,6 +704,14 @@ class ServeSpec extends SparkSpec {
       }, Metric.L2)
     assert(router.hasRawData)
     assert(sameVecs(router.getVectorByIds(want)))
+    // the IVF router answers the same verbs over per-shard IVF builds
+    val ivfRouter = new ShardedServe.ShardedIvfServing(
+      (0 until 4).map { sh =>
+        val sb = sharded.filter(col("shard") === sh).select(col("id"), col("vec"))
+        Serve.loadIvf(IvfIndex.build(sb, cents, Some(4)), cents, Metric.L2)
+      }, Metric.L2)
+    assert(ivfRouter.hasRawData)
+    assert(sameVecs(ivfRouter.getVectorByIds(want)))
     // sparse IP shard: raw rows retained (metric-dependent V8 —
     // sparse_index_node.cc:541-543), fetch equals the batch postings
     val docs = Tables.documents(spark, sf0001)
