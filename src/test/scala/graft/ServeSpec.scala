@@ -370,6 +370,26 @@ class ServeSpec extends SparkSpec {
       val gotMs = searcher.searchMaxScore(qterms, k)
       assert(gotMs == naive,
         s"maxscore trial $trial (vocab=$vocab docs=$nDocs k=$k): $gotMs != $naive")
+      // and under a random bitset — the abandon-on-tie logic must stay
+      // sound when the heap's worst element keeps shifting
+      val mod = 2 + rnd.nextInt(3)
+      val keep = rnd.nextInt(mod)
+      val naiveF = local
+        .groupBy(_._1)
+        .map { case (id, ps) =>
+          id -> qterms.map { case (t, q) =>
+            ps.find(_._2 == t).map(_._3 * q).getOrElse(0L)
+          }.sum
+        }
+        .filter { case (id, s) => s > 0L && id % mod == keep }
+        .toSeq
+        .map { case (id, s) => (id, s.toDouble) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k)
+      val gotWf = searcher.search(qterms, k, allowed = (id: Long) => id % mod == keep)
+      assert(gotWf == naiveF, s"filtered wand trial $trial: $gotWf != $naiveF")
+      val gotMsF = searcher.searchMaxScore(qterms, k, allowed = (id: Long) => id % mod == keep)
+      assert(gotMsF == naiveF, s"filtered maxscore trial $trial: $gotMsF != $naiveF")
     }
   }
 
