@@ -333,6 +333,29 @@ object Scale {
       val perQueryMs = (System.nanoTime() - t0) / 1e6 / qv.length
       println(f"ivf serve per-query latency: $perQueryMs%.2f ms, " +
         f"mean candidates ${candTot / qv.length} of $nb (nprobe=$nprobe/$nlist)")
+      // ---- multi-shard scatter-gather over the SAME corpus: 4 balanced
+      // doc shards, each its own IVF over the shared centroids; the
+      // router walks all shards per query and merges. Latency should
+      // track the single-shard scan volume (same total candidates split
+      // four ways, plus the merge of 4·k pairs) — the evidence that the
+      // segment-reduce layer adds no superlinear serving cost ----
+      val parts = time("serve load (4 IVF shards)") {
+        (0 until 4).map { sh =>
+          Serve.loadIvf(index.filter(pmod(col("id"), lit(4L)) === sh.toLong),
+            cents, Metric.L2)
+        }
+      }
+      val router = new ShardedServe.ShardedIvfServing(parts, Metric.L2)
+      val t1 = System.nanoTime()
+      qv.foreach(v => router.search(v, 10, nprobe))
+      val routerMs = (System.nanoTime() - t1) / 1e6 / qv.length
+      val single = Serve.loadIvf(index, cents, Metric.L2)
+      qv.foreach { v =>
+        require(router.search(v, 10, nprobe) == single.search(v, 10, nprobe),
+          "sharded IVF merge != single-index answer at corpus scale")
+      }
+      println(f"sharded ivf serve (4 shards) per-query latency: $routerMs%.2f ms " +
+        f"(single-searcher: $perQueryMs%.2f ms; merge exactness asserted)")
     }
 
     // ---- per-query sparse WAND serving over the Zipf postings: the
