@@ -628,6 +628,33 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("growing-segment serving: sealed + appended segments answer through the router") {
+    import graft.operators.{IvfIndex, ShardedServe}
+    // the deployment the *_CC kinds exist for (ivf.cc:1250-1262): a host
+    // keeps appending segments against the FIXED trained centroids while
+    // serving — each segment is its own searcher, the router reduces.
+    val cents = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+    val nlist = cents.count().toInt
+    val sealedIdx = IvfIndex.build(base.filter(col("id") % 2 === 0), cents, Some(4))
+    // the growing segment: later rows assigned into the SAME fixed lists
+    val growIdx = IvfIndex.build(base.filter(col("id") % 2 === 1), cents, Some(4))
+    val single = Serve.loadIvf(sealedIdx.unionByName(growIdx), cents, Metric.L2)
+    val router = new ShardedServe.ShardedIvfServing(
+      Seq(Serve.loadIvf(sealedIdx, cents, Metric.L2),
+        Serve.loadIvf(growIdx, cents, Metric.L2)), Metric.L2)
+    queryVecs.foreach { case (qid, qv) =>
+      // shared centroids ⇒ identical probe order per segment ⇒ the union
+      // of scanned docs matches the single index at ANY nprobe — merged
+      // answers must equal the compacted single-index answers bit-for-bit
+      assert(router.search(qv, 10, nlist) == single.search(qv, 10, nlist),
+        s"query $qid full-probe")
+      assert(router.search(qv, 10, 2) == single.search(qv, 10, 2),
+        s"query $qid nprobe=2")
+    }
+  }
+
   test("sharded iterator pages and range equal the single-index searcher over the union") {
     import graft.operators.{IvfIndex, Packing, ShardedServe}
     val cents = Tables.embeddings(spark, sf0001)
