@@ -107,6 +107,25 @@ object Serve {
     def search(q: Array[Float], k: Int, ef: Int, allowed: Long => Boolean): Seq[(Long, Double)] =
       Telemetry.timed("SERVE", "search")(searchImpl(q, k, ef, allowed))
 
+    /** Per-query range search from the ef-bounded walk — the reference
+      * derives graph range results from the beam stream
+      * (`faiss_hnsw.cc:1319-1478`), same as the batch
+      * `GraphSearch.rangeSearch` keeps its frontier's shell members: the
+      * walk retains its ef best, and those inside the shell (per-metric
+      * direction, the V5 contract) are the answer, (dist, id)-ordered.
+      * ef ≥ n on a connected graph recovers the exact range —
+      * ServeSpec-gated against the batch brute-force range. */
+    def rangeSearch(
+        q: Array[Float], radius: Double, rangeFilter: Double, ef: Int,
+        allowed: Long => Boolean = null): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "range_graph") {
+        val pool = searchImpl(q, ef, ef, allowed)
+        pool.filter { case (_, d) =>
+          if (metric.ascending) d >= rangeFilter && d < radius
+          else d > radius && d <= rangeFilter
+        }
+      }
+
     private def searchImpl(
         q: Array[Float], k: Int, ef: Int, allowed: Long => Boolean): Seq[(Long, Double)] = {
       require(ef >= k, "beam width ef must be >= k")
@@ -628,6 +647,93 @@ object Serve {
         lastSkipped = skipped
         heap.toSeq.map { case (s, id) => (id, s) }
           .sortBy { case (id, s) => (-s, id) }
+      }
+
+    /** Per-query EXACT IP range search — the WAND machinery with a STATIC
+      * threshold: the pivot test uses the shell's lower bound `radius`
+      * instead of a moving heap, so unbeatable id-gaps skip wholesale
+      * while every doc whose UB clears the bound is fully scored. Shell =
+      * `score > radius && score <= rangeFilter`, matching the batch
+      * `SparseSearch.rangeIP`; output (score desc, id asc) —
+      * equality-gated. */
+    def rangeSearch(
+        query: Seq[(String, Long)], radius: Double, rangeFilter: Double,
+        allowed: Long => Boolean = null): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE_SPARSE", "range") {
+        final case class Cur(qtf: Long, ids: Array[Long], tfs: Array[Long],
+            ub: Long, var pos: Int) {
+          def id: Long = if (pos < ids.length) ids(pos) else Long.MaxValue
+          def seek(target: Long): Unit = {
+            var step = 1
+            while (pos + step < ids.length && ids(pos + step) < target) step <<= 1
+            var hi = math.min(pos + step, ids.length)
+            var lo = pos
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (ids(mid) < target) lo = mid + 1 else hi = mid
+            }
+            pos = lo
+          }
+        }
+        val curs = query
+          .filter { case (t, _) => postings.containsKey(t) }
+          .map { case (t, qtf) =>
+            val (ids, tfs) = postings.get(t)
+            Cur(qtf, ids, tfs, qtf * maxTf.get(t), 0)
+          }
+          .toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        val order = curs.indices.toArray
+        def resort(): Unit = {
+          var i = 1
+          while (i < order.length) {
+            val oi = order(i)
+            val key = curs(oi).id
+            var j = i - 1
+            while (j >= 0 && curs(order(j)).id > key) {
+              order(j + 1) = order(j); j -= 1
+            }
+            order(j + 1) = oi
+            i += 1
+          }
+        }
+        var done = curs.isEmpty
+        while (!done) {
+          resort()
+          if (curs(order(0)).id == Long.MaxValue) done = true
+          else {
+            // static pivot test: a doc can only clear the shell's lower
+            // bound when its UB prefix exceeds radius
+            var acc = 0L
+            var pivot = -1
+            var i = 0
+            while (i < order.length && pivot < 0 && curs(order(i)).id != Long.MaxValue) {
+              acc += curs(order(i)).ub
+              if (acc.toDouble > radius) pivot = i
+              i += 1
+            }
+            if (pivot < 0) done = true
+            else {
+              val pivotId = curs(order(pivot)).id
+              if (curs(order(0)).id == pivotId) {
+                var s = 0L
+                curs.foreach { c =>
+                  if (c.id == pivotId) { s += c.qtf * c.tfs(c.pos); c.pos += 1 }
+                }
+                val sd = s.toDouble
+                if ((allowed == null || allowed(pivotId)) &&
+                    sd > radius && sd <= rangeFilter)
+                  out += ((pivotId, sd))
+              } else {
+                var j = 0
+                while (j < order.length && curs(order(j)).id < pivotId) {
+                  curs(order(j)).seek(pivotId); j += 1
+                }
+              }
+            }
+          }
+        }
+        out.sortBy { case (id, s) => (-s, id) }.toSeq
       }
 
     /** Per-query DAAT-MaxScore — the reference's other exact sparse mode

@@ -186,6 +186,56 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("graph range serving: exhaustive walk shell equals the batch brute-force range") {
+    val searcher = Serve.load(knnGraph(16), base, entries, Metric.L2)
+    val batch = BruteForce
+      .rangeSearch(queries, base, Metric.L2, radius = 0.9, rangeFilter = 0.0,
+        roundDist = Some(4))
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
+      }
+    queryVecs.foreach { case (qid, qv) =>
+      // ef >= n: the retained pool is every reachable node ⇒ the shell
+      // members are exactly the exact range answer
+      val got = searcher.rangeSearch(qv, radius = 0.9, rangeFilter = 0.0, ef = 1000)
+      assert(got == batch.getOrElse(qid, Seq.empty), s"query $qid: $got")
+      // bounded ef stays SOUND: a subset of the exact shell, still ordered
+      val bounded = searcher.rangeSearch(qv, radius = 0.9, rangeFilter = 0.0, ef = 32)
+      val exactSet = batch.getOrElse(qid, Seq.empty).toSet
+      assert(bounded.forall(exactSet.contains), s"query $qid bounded range unsound")
+      assert(bounded == bounded.sortBy { case (id, d) => (d, id) })
+    }
+  }
+
+  test("sparse range serving equals the batch rangeIP under the static-threshold WAND") {
+    import graft.operators.SparseSearch
+    val docs = Tables.documents(spark, sf0001)
+    val bp = SparseSearch.postings(docs, "doc_id", "text")
+    val qp = SparseSearch
+      .postings(docs.filter(col("doc_id") % 100 === 0), "doc_id", "text")
+      .select(col("id").as("qid"), col("term"), col("tf").as("qtf"))
+    val batch = SparseSearch
+      .rangeIP(qp, bp.select(col("id"), col("term"), col("tf")),
+        radius = 220.0, rangeFilter = 1e9)
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (-t._2, t._1)).toSeq
+      }
+    val searcher = Serve.loadSparse(bp.select(col("term"), col("id"), col("tf")))
+    qp.collect().groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val terms = rows.map(r => (r.getString(1), r.getLong(2))).toSeq
+      val got = searcher.rangeSearch(terms, radius = 220.0, rangeFilter = 1e9)
+      assert(got == batch.getOrElse(q, Seq.empty), s"query $q: $got")
+      // filtered shell: the bitset passes through
+      val gotF = searcher.rangeSearch(terms, 220.0, 1e9, allowed = (id: Long) => id % 2 == 1)
+      assert(gotF == batch.getOrElse(q, Seq.empty).filter(_._1 % 2 == 1),
+        s"filtered query $q: $gotF")
+    }
+  }
+
   test("IVF serving under filter equals the batch filtered probe, widening when starved") {
     import graft.operators.IvfIndex
     val cents = Tables.embeddings(spark, sf0001)
