@@ -988,6 +988,97 @@ object Serve {
         heap.toSeq.map { case (d, id) => (id, d) }
           .sortBy { case (id, d) => (-d, id) }
       }
+
+    /** Per-query BM25 range — the static-threshold DAAT walk under the
+      * scaled-integer contract: shell `rounded > radius && rounded <=
+      * rangeFilter` matches the batch `SparseSearch.rangeBM25`; the
+      * pivot prunes on the conservative raw floor `(radius − 1e-4)·1e9`
+      * (a raw UB sum at or under it cannot 4dp-round past radius), so
+      * the skip is sound and every shell member is fully scored.
+      * Output (rounded desc, id asc) — equality-gated. */
+    def rangeSearch(
+        query: Seq[(String, Long)], radius: Double, rangeFilter: Double,
+        allowed: Long => Boolean = null): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE_SPARSE", "range_bm25") {
+        final case class Cur(qidf: Double, ids: Array[Long], tfw: Array[Double],
+            ub: Long, var pos: Int) {
+          def id: Long = if (pos < ids.length) ids(pos) else Long.MaxValue
+          def seek(target: Long): Unit = {
+            var step = 1
+            while (pos + step < ids.length && ids(pos + step) < target) step <<= 1
+            var hi = math.min(pos + step, ids.length)
+            var lo = pos
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (ids(mid) < target) lo = mid + 1 else hi = mid
+            }
+            pos = lo
+          }
+        }
+        val curs = query
+          .filter { case (t, _) => postings.containsKey(t) }
+          .map { case (t, qtf) =>
+            val (ids, tfw) = postings.get(t)
+            val qi = qtf.toDouble * idf.get(t)
+            Cur(qi, ids, tfw,
+              math.ceil(qi * maxTfw.get(t) * 1e9d).toLong + 1L, 0)
+          }
+          .toArray
+        val floorRaw = (radius - 1e-4d) * 1e9d
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        val order = curs.indices.toArray
+        def resort(): Unit = {
+          var i = 1
+          while (i < order.length) {
+            val oi = order(i)
+            val key = curs(oi).id
+            var j = i - 1
+            while (j >= 0 && curs(order(j)).id > key) {
+              order(j + 1) = order(j); j -= 1
+            }
+            order(j + 1) = oi
+            i += 1
+          }
+        }
+        var done = curs.isEmpty
+        while (!done) {
+          resort()
+          if (curs(order(0)).id == Long.MaxValue) done = true
+          else {
+            var acc = 0L
+            var pivot = -1
+            var i = 0
+            while (i < order.length && pivot < 0 && curs(order(i)).id != Long.MaxValue) {
+              acc += curs(order(i)).ub
+              if (acc.toDouble > floorRaw) pivot = i
+              i += 1
+            }
+            if (pivot < 0) done = true
+            else {
+              val pivotId = curs(order(pivot)).id
+              if (curs(order(0)).id == pivotId) {
+                var s = 0L
+                curs.foreach { c =>
+                  if (c.id == pivotId) {
+                    s += halfUpLong(c.qidf * c.tfw(c.pos) * 1e9d)
+                    c.pos += 1
+                  }
+                }
+                val dist = round4(s.toDouble / 1e9d)
+                if ((allowed == null || allowed(pivotId)) &&
+                    dist > radius && dist <= rangeFilter)
+                  out += ((pivotId, dist))
+              } else {
+                var j = 0
+                while (j < order.length && curs(order(j)).id < pivotId) {
+                  curs(order(j)).seek(pivotId); j += 1
+                }
+              }
+            }
+          }
+        }
+        out.sortBy { case (id, d) => (-d, id) }.toSeq
+      }
   }
 
   /** Load a BM25 posting shard: per-posting tfw and per-term idf are the

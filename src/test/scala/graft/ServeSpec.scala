@@ -499,6 +499,13 @@ class ServeSpec extends SparkSpec {
         Serve.loadSparseBM25(new SparseIndexModel(
           bp.filter(col("id") % 3 === sh), termStats, (nDocs, avgdl), 1.2, 0.75))
       })
+    // BM25 range under the same scaled-integer contract
+    val batchRange = SparseSearch.rangeBM25(qp, model, radius = 12.0, rangeFilter = 1e9)
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (-t._2, t._1)).toSeq
+      }
     qp.collect()
       .groupBy(_.getLong(0))
       .foreach { case (q, rows) =>
@@ -507,6 +514,8 @@ class ServeSpec extends SparkSpec {
         assert(got == batch(q), s"query $q:\n  serve $got\n  batch ${batch(q)}")
         val gotSharded = router.search(terms, 10)
         assert(gotSharded == batch(q), s"sharded query $q: $gotSharded")
+        val gotRange = searcher.rangeSearch(terms, radius = 12.0, rangeFilter = 1e9)
+        assert(gotRange == batchRange.getOrElse(q, Seq.empty), s"range query $q: $gotRange")
       }
   }
 
