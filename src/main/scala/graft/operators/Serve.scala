@@ -220,8 +220,21 @@ object Serve {
     def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] =
       ids.flatMap(id => Option(raw.get(id)).map(id -> _))
     def search(q: Array[Float], k: Int, ef: Int, refine: Int = 2): Seq[(Long, Double)] =
+      search(q, k, ef, refine, null)
+
+    /** Bitset-filtered refined search — the reference's refine loop takes
+      * the same BitsetView the walk does (`faiss_hnsw.cc:739-860`): the
+      * quantized walk applies two-pool filtered admission, so the
+      * over-fetched window is allowed-only and the raw rescoring needs no
+      * second filter. */
+    def search(
+        q: Array[Float], k: Int, ef: Int, refine: Int,
+        allowed: Long => Boolean): Seq[(Long, Double)] =
       Telemetry.timed("SERVE", "search_refined") {
-        val over = approx.search(q, math.min(math.max(k * refine, k), ef), ef)
+        val overK = math.min(math.max(k * refine, k), ef)
+        val over =
+          if (allowed == null) approx.search(q, overK, ef)
+          else approx.search(q, overK, ef, allowed)
         val rescored = over.map { case (id, _) =>
           val v = raw.get(id)
           var s = 0.0d

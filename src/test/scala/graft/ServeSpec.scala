@@ -638,6 +638,21 @@ class ServeSpec extends SparkSpec {
     }
     assert(hits.toDouble / (queryVecs.size * 10) >= 0.6,
       s"PQ-tier serving recall ${hits.toDouble / (queryVecs.size * 10)} below floor")
+    // filtered refined serving (the refine loop honors the same bitset
+    // the walk does): identity tiers + exhaustive ef ⇒ exact equality
+    // with brute force over the allowed set
+    val sameTiers = Serve.loadRefined(knnGraph(16), base, base, entries, Metric.L2)
+    val allowedExact = BruteForce
+      .knn(queries, base.filter(col("id") % 2 === 1), 10, Metric.L2, roundDist = Some(4))
+      .select("qid", "nid", "rnk").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    queryVecs.foreach { case (qid, qv) =>
+      val got = sameTiers
+        .search(qv, 10, ef = 1000, refine = 2, allowed = (id: Long) => id % 2 == 1)
+        .map(_._1)
+      assert(got == allowedExact(qid), s"filtered refined query $qid: $got")
+    }
   }
 
   test("multi-shard scatter-gather equals the single-index answer across 1/2/8 shards") {
