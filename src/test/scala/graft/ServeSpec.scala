@@ -443,6 +443,33 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("sparse serving iterator pages equal the batch sparse AnnIterator pages") {
+    import graft.operators.SparseSearch
+    val docs = Tables.documents(spark, sf0001)
+    val bp = SparseSearch.postings(docs, "doc_id", "text")
+    val qp = SparseSearch
+      .postings(docs.filter(col("doc_id") % 100 === 0), "doc_id", "text")
+      .select(col("id").as("qid"), col("term"), col("tf").as("qtf"))
+    def batchPage(p: Int) = SparseSearch
+      .annIteratorPage(qp, bp.select(col("id"), col("term"), col("tf")), p, 5)
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (-t._2, t._1)).toSeq
+      }
+    val (p1, p2) = (batchPage(1), batchPage(2))
+    val searcher = Serve.loadSparse(bp.select(col("term"), col("id"), col("tf")))
+    qp.collect().groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val terms = rows.map(r => (r.getString(1), r.getLong(2))).toSeq
+      // the exact ranked stream (WAND depth 10) pages like the batch V6
+      val it = new Serve.ServingIterator(searcher.search(terms, 10))
+      assert(it.nextPage(5) == p1.getOrElse(q, Seq.empty), s"page 1 for $q")
+      assert(it.nextPage(5) == p2.getOrElse(q, Seq.empty), s"page 2 for $q")
+      it.reset()
+      assert(it.nextPage(5) == p1.getOrElse(q, Seq.empty), "reset did not rewind")
+    }
+  }
+
   test("bitset-filtered sparse WAND equals the batch filtered search") {
     import graft.operators.SparseSearch
     val docs = Tables.documents(spark, sf0001)
