@@ -485,11 +485,16 @@ object Serve {
     val n = index.count()
     require(n <= maxNodes,
       s"serving shard has $n vectors > cap $maxNodes — shard the index across serving nodes")
-    val cs = centroids.collect()
+    // list ids normalize to LONG — build paths differ (trained centroids
+    // carry INT ids, explicit-centroid frames LONG)
+    val cs = centroids
+      .select(col("cluster_id").cast("long"), col("centroid"))
+      .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1)
     val lm = new java.util.HashMap[Long, (Array[Long], Array[Array[Float]])]()
     index
+      .withColumn("cluster_id", col("cluster_id").cast("long"))
       .groupBy(col("cluster_id"))
       .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("l"))
       .collect()

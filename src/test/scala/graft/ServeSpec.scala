@@ -729,6 +729,40 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("full lifecycle: factory build, save, load, append, then sharded serving") {
+    import graft.operators.{IvfIndex, ShardedServe}
+    import graft.IndexFactory
+    // 1. factory-build an IVF_FLAT over the FIRST half — the sealed segment
+    val half1 = base.filter(col("id") % 2 === 0)
+    val half2 = base.filter(col("id") % 2 === 1)
+    val built = IndexFactory
+      .build(spark, "IVF_FLAT", half1, Metric.L2, nlist = 8, nprobe = 8,
+        roundDist = Some(4))
+      .asInstanceOf[graft.IvfFlatIndex]
+    // 2. serialize + factory deserialize (V9)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lifecycle").toString
+    built.save(dir)
+    val loaded = IndexFactory.loadIvf(spark, dir, Metric.L2, nprobe = 8, roundDist = Some(4))
+    // 3. append the second half — the CC growing segment (V3)
+    val grown = loaded.append(half2)
+    assert(grown.count == base.count())
+    // 4. serve: the appended single index and the two-segment router must
+    // both equal exact brute force over the union (nprobe = nlist = 8,
+    // the full-probe regime — probed IVF is exact there)
+    val exact = exactTopK(10)
+    val single = Serve.loadIvf(grown.index, grown.centroids, Metric.L2)
+    val router = new ShardedServe.ShardedIvfServing(Seq(
+      Serve.loadIvf(loaded.index, loaded.centroids, Metric.L2),
+      Serve.loadIvf(IvfIndex.build(half2, loaded.centroids, Some(4)),
+        loaded.centroids, Metric.L2)), Metric.L2)
+    queryVecs.foreach { case (qid, qv) =>
+      val one = single.search(qv, 10, nprobe = 8)
+      val many = router.search(qv, 10, nprobe = 8)
+      assert(one.map(_._1) == exact(qid), s"lifecycle single for $qid: $one")
+      assert(many == one, s"lifecycle router for $qid: $many != $one")
+    }
+  }
+
   test("growing-segment serving: sealed + appended segments answer through the router") {
     import graft.operators.{IvfIndex, ShardedServe}
     // the deployment the *_CC kinds exist for (ivf.cc:1250-1262): a host
