@@ -440,6 +440,23 @@ class ServeSpec extends SparkSpec {
       assert(gotWf == naiveF, s"filtered wand trial $trial: $gotWf != $naiveF")
       val gotMsF = searcher.searchMaxScore(qterms, k, allowed = (id: Long) => id % mod == keep)
       assert(gotMsF == naiveF, s"filtered maxscore trial $trial: $gotMsF != $naiveF")
+      // range with a random lower bound — the static-threshold pivot must
+      // keep exactly the naive shell (thresholds often land ON a score,
+      // exercising the strict > boundary)
+      val lo = rnd.nextInt(8).toDouble
+      val naiveRange = local
+        .groupBy(_._1)
+        .map { case (id, ps) =>
+          id -> qterms.map { case (t, q) =>
+            ps.find(_._2 == t).map(_._3 * q).getOrElse(0L)
+          }.sum
+        }
+        .filter { case (_, s) => s.toDouble > lo }
+        .toSeq
+        .map { case (id, s) => (id, s.toDouble) }
+        .sortBy { case (id, s) => (-s, id) }
+      val gotRange = searcher.rangeSearch(qterms, radius = lo, rangeFilter = 1e9)
+      assert(gotRange == naiveRange, s"range trial $trial lo=$lo: $gotRange != $naiveRange")
     }
   }
 
