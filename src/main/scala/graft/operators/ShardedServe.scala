@@ -140,6 +140,10 @@ object ShardedServe {
       mergeTopK(shards.map(_.search(query, k, allowed)), k, ascending = false)
     def searchMaxScore(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
       mergeTopK(shards.map(_.searchMaxScore(query, k)), k, ascending = false)
+    def searchMaxScore(
+        query: Seq[(String, Long)], k: Int,
+        allowed: Long => Boolean): Seq[(Long, Double)] =
+      mergeTopK(shards.map(_.searchMaxScore(query, k, allowed)), k, ascending = false)
   }
 
   /** BM25 router — per-shard searchers must be loaded from shard-sliced

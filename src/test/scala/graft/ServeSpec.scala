@@ -206,6 +206,12 @@ class ServeSpec extends SparkSpec {
       val exactSet = batch.getOrElse(qid, Seq.empty).toSet
       assert(bounded.forall(exactSet.contains), s"query $qid bounded range unsound")
       assert(bounded == bounded.sortBy { case (id, d) => (d, id) })
+      // the bitset passes through the range walk: exhaustive + filter ==
+      // the exact shell restricted to allowed ids
+      val gotF = searcher.rangeSearch(qv, 0.9, 0.0, ef = 1000,
+        allowed = (id: Long) => id % 2 == 1)
+      assert(gotF == batch.getOrElse(qid, Seq.empty).filter(_._1 % 2 == 1),
+        s"filtered range for $qid: $gotF")
     }
   }
 
