@@ -585,6 +585,52 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("graph serving equals brute force on randomized connected graphs (property sweep)") {
+    import spark.implicits._
+    // adversarial regime the corpus never produces: tiny integer-grid
+    // vectors (dense distance TIES at 4dp) on random connected graphs —
+    // exercises the (dist, id) tie order, the two-pool admission, and the
+    // early-exit bookkeeping under exhaustive walks
+    def d4(q: Array[Float], v: Array[Float]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < q.length) { val d = q(i) - v(i); s += d.toDouble * d.toDouble; i += 1 }
+      java.math.BigDecimal.valueOf(math.sqrt(s))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 12).foreach { trial =>
+      val n = 20 + rnd.nextInt(80)
+      val dim = 1 + rnd.nextInt(4)
+      val vecs = (0L until n.toLong).map(id =>
+        id -> Array.fill(dim)((rnd.nextInt(5) - 2).toFloat))
+      // connected by a bidirectional path, plus random extra arcs
+      val edges = (1 until n).flatMap(i =>
+        Seq((i - 1L, i.toLong), (i.toLong, i - 1L))) ++
+        (0 until n * 2).flatMap { _ =>
+          val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+          if (a != b) Seq((a, b)) else Nil
+        }
+      val baseDf = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+      val searcher = Serve.load(
+        edges.toDF("src", "dst"), baseDf,
+        Seq(Tuple1(rnd.nextInt(n).toLong)).toDF("nid"), Metric.L2)
+      val k = 1 + rnd.nextInt(8)
+      (1 to 3).foreach { _ =>
+        val q = Array.fill(dim)((rnd.nextInt(5) - 2).toFloat)
+        val exact = vecs.map { case (id, v) => (id, d4(q, v)) }
+          .sortBy { case (id, d) => (d, id) }.take(k)
+        val got = searcher.search(q, k, ef = n * 2)
+        assert(got == exact, s"trial $trial (n=$n dim=$dim k=$k): $got != $exact")
+        val mod = 2 + rnd.nextInt(2)
+        val exactF = vecs.filter(_._1 % mod == 0)
+          .map { case (id, v) => (id, d4(q, v)) }
+          .sortBy { case (id, d) => (d, id) }.take(k)
+        val gotF = searcher.search(q, k, n * 2, (id: Long) => id % mod == 0)
+        assert(gotF == exactF, s"filtered trial $trial: $gotF != $exactF")
+      }
+    }
+  }
+
   test("selective filter at ef≈2k: exactly k allowed answers, capacity never polluted") {
     // the regime that exposed the one-pool admission bug: a ~50% bitset
     // with ef barely above k. With the old (single-pool) admission the
