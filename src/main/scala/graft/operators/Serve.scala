@@ -27,6 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object Serve {
 
+  /** Partition-streamed driver fill — the shard loaders' materialization
+    * primitive. `toLocalIterator` pulls ONE partition at a time into the
+    * driver, so peak driver memory during a load is bounded by the
+    * largest partition, not the whole shard — the collect-free analog of
+    * the reference's mmap load path (`feature.h:40-46`, `enable_mmap`:
+    * the index is paged in, never duplicated through a serialization
+    * buffer). The loud count-based caps stay: they bound the RESIDENT
+    * shard (which still ends up fully in serving memory, as it must);
+    * streaming removes the transient second copy a single collect holds. */
+  private def streamRows(df: DataFrame)(f: org.apache.spark.sql.Row => Unit): Unit = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala.foreach(f)
+  }
+
   /** Round exactly as Spark's `round(col, n)` does (BigDecimal HALF_UP on
     * the double's shortest decimal repr) — NOT `rint(x·10ⁿ)/10ⁿ`, whose
     * fp multiply can cross a .5 boundary the decimalization doesn't (the
@@ -281,7 +295,7 @@ object Serve {
     require(nRaw <= maxNodes,
       s"raw rerank tier has $nRaw vectors > cap $maxNodes — shard the index across serving nodes")
     val vm = new java.util.HashMap[Long, Array[Float]]()
-    base.collect().foreach(r => vm.put(r.getLong(0), r.getSeq[Float](1).toArray))
+    streamRows(base)(r => vm.put(r.getLong(0), r.getSeq[Float](1).toArray))
     new RefinedSearcher(inner, vm, metric)
   }
 
@@ -301,6 +315,12 @@ object Serve {
   ) {
 
     @volatile var lastCandidates: Long = 0L
+
+    /** The shard's coarse quantizer, exposed so routers can assert the
+      * shared-centroid precondition their partial-nprobe exactness
+      * claims depend on (see [[ShardedServe.ShardedIvfServing]]). */
+    private[operators] def centroidKey: Seq[(Long, Seq[Float])] =
+      cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }
 
     /** Serving-side V8: the loaded lists hold the raw vectors (the
       * IVF_FLAT / SCANN-with-raw-data shape, `flat.cc:258-283`). */
@@ -355,12 +375,20 @@ object Serve {
       * d(q,c) + r ≥ rangeFilter − ε (ε covers the 4dp rounding). L2 only
       * (the bound needs a metric space). `radii` maps cluster_id → max
       * member distance, the build-time metadata `IvfIndex.listRadii`
-      * computes. Output sorted (dist, id) — equality-gated vs the batch. */
+      * computes. Output sorted (dist, id) — equality-gated vs the batch.
+      *
+      * `allowed` is the universal bitset contract extended to this arm
+      * (every search takes a bitset — `bitsetview.h:21-147`): disallowed
+      * ids are skipped at list-scan time, costing nothing; the ball prune
+      * is unaffected because it bounds LISTS (centroid geometry), not
+      * docs. `lastCandidates` counts allowed ids scored — the
+      * filter-scaled cost observable, as on the filtered top-k probe. */
     def rangeSearch(
         q: Array[Float],
         radius: Double,
         rangeFilter: Double,
-        radii: java.util.HashMap[Long, Double]
+        radii: java.util.HashMap[Long, Double],
+        allowed: Long => Boolean = null
     ): Seq[(Long, Double)] =
       Telemetry.timed("SERVE", "range_ivf") {
         require(metric == Metric.L2, "ball prune needs a metric space (L2)")
@@ -376,9 +404,11 @@ object Serve {
               val (ids, vecs) = l
               var i = 0
               while (i < ids.length) {
-                candidates += 1
-                val d = dist(q, vecs(i))
-                if (d >= rangeFilter && d < radius) out += ((ids(i), d))
+                if (allowed == null || allowed(ids(i))) {
+                  candidates += 1
+                  val d = dist(q, vecs(i))
+                  if (d >= rangeFilter && d < radius) out += ((ids(i), d))
+                }
                 i += 1
               }
             }
@@ -493,17 +523,15 @@ object Serve {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1)
     val lm = new java.util.HashMap[Long, (Array[Long], Array[Array[Float]])]()
-    index
+    streamRows(index
       .withColumn("cluster_id", col("cluster_id").cast("long"))
       .groupBy(col("cluster_id"))
-      .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("l"))
-      .collect()
-      .foreach { r =>
-        val rows = r.getSeq[org.apache.spark.sql.Row](1)
-        lm.put(r.getLong(0),
-          (rows.map(_.getLong(0)).toArray,
-            rows.map(_.getSeq[Float](1).toArray).toArray))
-      }
+      .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("l"))) { r =>
+      val rows = r.getSeq[org.apache.spark.sql.Row](1)
+      lm.put(r.getLong(0),
+        (rows.map(_.getLong(0)).toArray,
+          rows.map(_.getSeq[Float](1).toArray).toArray))
+    }
     new LocalIvfSearcher(cs, lm, metric)
   }
 
@@ -900,6 +928,7 @@ object Serve {
   ) {
 
     @volatile var lastScored: Long = 0L
+    @volatile var lastAbandoned: Long = 0L
 
     /** Serving-side V8: BM25 postings store the TRANSFORMED per-posting
       * weights (tfw), not the raw tf rows — the reference's sparse index
@@ -912,6 +941,19 @@ object Serve {
       java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
 
     def search(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
+      search(query, k, null)
+
+    /** Bitset-filtered BM25 WAND — the last arm of the universal filter
+      * contract (every search takes a bitset, `bitsetview.h:21-147`; the
+      * sparse node threads it to the DAAT loop,
+      * `sparse_index_node.cc:122-180`): same skip-at-scoring rule as the
+      * IP WAND/MaxScore arms — a disallowed pivot's cursors advance (its
+      * postings are consumed either way) but it never enters the heap, so
+      * θ is derived from allowed docs only and the pruning bound stays
+      * sound. `lastScored` counts allowed docs scored. */
+    def search(
+        query: Seq[(String, Long)], k: Int,
+        allowed: Long => Boolean): Seq[(Long, Double)] =
       Telemetry.timed("SERVE_SPARSE", "search_bm25") {
         final case class Cur(qidf: Double, ids: Array[Long], tfw: Array[Double],
             ub: Long, var pos: Int) {
@@ -979,6 +1021,8 @@ object Serve {
             else {
               val pivotId = curs(order(pivot)).id
               if (curs(order(0)).id == pivotId) {
+                // advance cursors even for filtered docs — their postings
+                // are consumed either way (the IP arms' contract)
                 var s = 0L
                 curs.foreach { c =>
                   if (c.id == pivotId) {
@@ -986,12 +1030,14 @@ object Serve {
                     c.pos += 1
                   }
                 }
-                scored += 1
-                val dist = round4(s.toDouble / 1e9d)
-                if (heap.size < k || dist > heap.head._1 ||
-                    (dist == heap.head._1 && pivotId < heap.head._2)) {
-                  heap.enqueue((dist, pivotId))
-                  if (heap.size > k) heap.dequeue()
+                if (allowed == null || allowed(pivotId)) {
+                  scored += 1
+                  val dist = round4(s.toDouble / 1e9d)
+                  if (heap.size < k || dist > heap.head._1 ||
+                      (dist == heap.head._1 && pivotId < heap.head._2)) {
+                    heap.enqueue((dist, pivotId))
+                    if (heap.size > k) heap.dequeue()
+                  }
                 }
               } else {
                 var j = 0
@@ -1003,6 +1049,127 @@ object Serve {
           }
         }
         lastScored = scored
+        heap.toSeq.map { case (d, id) => (id, d) }
+          .sortBy { case (id, d) => (-d, id) }
+      }
+
+    def searchMaxScore(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
+      searchMaxScore(query, k, null)
+
+    /** Per-query DAAT-MaxScore under the BM25 DocValueComputer — the
+      * reference's DAAT_MAXSCORE is metric-generic
+      * (`sparse_inverted_index.h:759-830` takes the computer; the BM25
+      * branch at `:813`), so the essential-list machinery of the IP arm
+      * instantiates unchanged over the scaled-integer BM25 contributions:
+      * terms sort by raw upper bound once, the maximal ascending-UB prefix
+      * whose bound-sum stays under the conservative raw floor
+      * ((worstRounded − 1e-4)·1e9 — a raw sum below it cannot 4dp-round up
+      * to the heap's worst score) is NON-ESSENTIAL, documents are driven
+      * DAAT over the essential lists only, and each allowed candidate
+      * completes against the non-essential lists with early abandonment on
+      * the same floor. EXACT under the (rounded desc, id asc) contract —
+      * equality-gated vs the WAND arm and the batch `searchBM25`. */
+    def searchMaxScore(
+        query: Seq[(String, Long)], k: Int,
+        allowed: Long => Boolean): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE_SPARSE", "search_bm25_maxscore") {
+        val qts = query
+          .filter { case (t, _) => postings.containsKey(t) }
+          .map { case (t, qtf) =>
+            val (ids, tfw) = postings.get(t)
+            val qi = qtf.toDouble * idf.get(t)
+            (qi, ids, tfw, math.ceil(qi * maxTfw.get(t) * 1e9d).toLong + 1L)
+          }
+          .sortBy(_._4) // UB ascending: non-essential prefix grows from here
+          .toArray
+        val n = qts.length
+        val qw = qts.map(_._1)
+        val ids = qts.map(_._2)
+        val tfws = qts.map(_._3)
+        val ub = qts.map(_._4)
+        // prefix(i) = Σ ub[0..i-1]: a doc present ONLY in lists [0, B)
+        // has raw score at most prefix(B)
+        val prefix = ub.scanLeft(0L)(_ + _)
+        val pos = new Array[Int](n)
+        def curId(i: Int): Long = if (pos(i) < ids(i).length) ids(i)(pos(i)) else Long.MaxValue
+        def seek(i: Int, target: Long): Unit = {
+          var step = 1
+          val a = ids(i)
+          var p = pos(i)
+          while (p + step < a.length && a(p + step) < target) step <<= 1
+          var hi = math.min(p + step, a.length)
+          while (p < hi) {
+            val mid = (p + hi) >>> 1
+            if (a(mid) < target) p = mid + 1 else hi = mid
+          }
+          pos(i) = p
+        }
+        var scored = 0L
+        var abandoned = 0L
+        // worst-first heap over ROUNDED scores (the render contract):
+        // head = (lowest rounded, largest id)
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+        // conservative raw-scaled floor (same derivation as the WAND arm's
+        // thetaRaw): a raw sum strictly below it rounds strictly below the
+        // heap's worst, so it can neither beat nor tie
+        def thetaRaw: Double =
+          if (heap.size < k) Double.NegativeInfinity
+          else (heap.head._1 - 1e-4d) * 1e9d
+        var essFrom = 0 // lists [essFrom, n) are essential
+        def refreshBoundary(): Unit = {
+          val t = thetaRaw
+          var b = essFrom
+          while (b < n && prefix(b + 1).toDouble < t) b += 1
+          essFrom = b
+        }
+        var done = n == 0
+        while (!done) {
+          var cand = Long.MaxValue
+          var i = essFrom
+          while (i < n) {
+            val c = curId(i); if (c < cand) cand = c
+            i += 1
+          }
+          if (cand == Long.MaxValue) done = true
+          else {
+            // score the essential occurrences, advancing their cursors
+            var s = 0L
+            i = essFrom
+            while (i < n) {
+              if (curId(i) == cand) { s += halfUpLong(qw(i) * tfws(i)(pos(i)) * 1e9d); pos(i) += 1 }
+              i += 1
+            }
+            if (allowed == null || allowed(cand)) {
+              // complete against non-essential lists, descending UB, with
+              // early abandonment on the conservative floor
+              var j = essFrom - 1
+              var rem = prefix(essFrom)
+              var alive = true
+              while (j >= 0 && alive) {
+                if ((s + rem).toDouble < thetaRaw) alive = false
+                else {
+                  seek(j, cand)
+                  if (curId(j) == cand) s += halfUpLong(qw(j) * tfws(j)(pos(j)) * 1e9d)
+                  rem -= ub(j)
+                  j -= 1
+                }
+              }
+              if (alive) {
+                scored += 1
+                val dist = round4(s.toDouble / 1e9d)
+                if (heap.size < k || dist > heap.head._1 ||
+                    (dist == heap.head._1 && cand < heap.head._2)) {
+                  heap.enqueue((dist, cand))
+                  if (heap.size > k) heap.dequeue()
+                  refreshBoundary()
+                }
+              } else abandoned += 1
+            }
+          }
+        }
+        lastScored = scored
+        lastAbandoned = abandoned
         heap.toSeq.map { case (d, id) => (id, d) }
           .sortBy { case (id, d) => (-d, id) }
       }
@@ -1117,18 +1284,16 @@ object Serve {
     val pm = new java.util.HashMap[String, (Array[Long], Array[Double])]()
     val im = new java.util.HashMap[String, Double]()
     val mm = new java.util.HashMap[String, Double]()
-    prep
+    streamRows(prep
       .groupBy(col("term"))
       .agg(sort_array(collect_list(struct(col("id"), col("tfw")))).as("l"),
-        first(col("idf")).as("idf"), max(col("tfw")).as("mt"))
-      .collect()
-      .foreach { r =>
-        val rows = r.getSeq[org.apache.spark.sql.Row](1)
-        val t = r.get(0).toString
-        pm.put(t, (rows.map(_.getLong(0)).toArray, rows.map(_.getDouble(1)).toArray))
-        im.put(t, r.getDouble(2))
-        mm.put(t, r.getDouble(3))
-      }
+        first(col("idf")).as("idf"), max(col("tfw")).as("mt"))) { r =>
+      val rows = r.getSeq[org.apache.spark.sql.Row](1)
+      val t = r.get(0).toString
+      pm.put(t, (rows.map(_.getLong(0)).toArray, rows.map(_.getDouble(1)).toArray))
+      im.put(t, r.getDouble(2))
+      mm.put(t, r.getDouble(3))
+    }
     new LocalSparseBM25Searcher(pm, im, mm)
   }
 
@@ -1143,17 +1308,15 @@ object Serve {
       s"posting shard has $n rows > cap $maxPostings — shard the index across serving nodes")
     val pm = new java.util.HashMap[String, (Array[Long], Array[Long])]()
     val mt = new java.util.HashMap[String, Long]()
-    postings
+    streamRows(postings
       .groupBy(col("term"))
       .agg(sort_array(collect_list(struct(col("id"), col("tf")))).as("l"),
-        max(col("tf")).as("mt"))
-      .collect()
-      .foreach { r =>
-        val rows = r.getSeq[org.apache.spark.sql.Row](1)
-        pm.put(r.get(0).toString,
-          (rows.map(_.getLong(0)).toArray, rows.map(_.getLong(1)).toArray))
-        mt.put(r.get(0).toString, r.getLong(2))
-      }
+        max(col("tf")).as("mt"))) { r =>
+      val rows = r.getSeq[org.apache.spark.sql.Row](1)
+      pm.put(r.get(0).toString,
+        (rows.map(_.getLong(0)).toArray, rows.map(_.getLong(1)).toArray))
+      mt.put(r.get(0).toString, r.getLong(2))
+    }
     new LocalSparseSearcher(pm, mt)
   }
 
@@ -1210,13 +1373,12 @@ object Serve {
     require(n <= maxNodes,
       s"serving shard has $n vectors > cap $maxNodes — shard the graph across serving nodes")
     val adj = new java.util.HashMap[Long, Array[Long]]()
-    graph
+    streamRows(graph
       .groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("adj"))
-      .collect()
-      .foreach(r => adj.put(r.getLong(0), r.getSeq[Long](1).toArray))
+      .agg(sort_array(collect_list(col("dst"))).as("adj")))(
+      r => adj.put(r.getLong(0), r.getSeq[Long](1).toArray))
     val vm = new java.util.HashMap[Long, Array[Float]]()
-    base.collect().foreach(r => vm.put(r.getLong(0), r.getSeq[Float](1).toArray))
+    streamRows(base)(r => vm.put(r.getLong(0), r.getSeq[Float](1).toArray))
     val es = entries.collect().map(_.getLong(0)).sorted
     require(es.nonEmpty, "serving needs at least one entry point")
     new LocalGraphSearcher(adj, vm, es, metric, hasRaw = hasRaw)

@@ -150,21 +150,44 @@ object ShardedServe {
     * postings under the COLLECTION'S global stats (df/idf, N, avgdl), the
     * way a host keeps collection-level stats above its segments; then
     * per-shard scores equal the global scores restricted to shard docs
-    * and the merge is exact. */
+    * and the merge is exact. The bitset passes through unchanged (ids are
+    * global), on the WAND and MaxScore arms alike. */
   final class ShardedSparseBM25Serving(shards: Seq[Serve.LocalSparseBM25Searcher]) {
     require(shards.nonEmpty, "router needs at least one shard")
     def search(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
       mergeTopK(shards.map(_.search(query, k)), k, ascending = false)
+    def search(
+        query: Seq[(String, Long)], k: Int,
+        allowed: Long => Boolean): Seq[(Long, Double)] =
+      mergeTopK(shards.map(_.search(query, k, allowed)), k, ascending = false)
+    def searchMaxScore(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
+      mergeTopK(shards.map(_.searchMaxScore(query, k)), k, ascending = false)
+    def searchMaxScore(
+        query: Seq[(String, Long)], k: Int,
+        allowed: Long => Boolean): Seq[(Long, Double)] =
+      mergeTopK(shards.map(_.searchMaxScore(query, k, allowed)), k, ascending = false)
   }
 
-  /** Scatter-gather router over loaded IVF shards — with full probing the
-    * per-shard arms are exact, so the merged answer equals the
-    * single-index probe over the union bit-for-bit. */
+  /** Scatter-gather router over loaded IVF shards.
+    *
+    * PRECONDITION (asserted): every shard is built over the SAME coarse
+    * quantizer — identical (cluster_id, centroid) sets. The merged answer
+    * equals the single-index answer at FULL probing regardless (every doc
+    * is scanned either way), but at PARTIAL nprobe exactness-vs-the-
+    * single-index holds only because shared centroids give every shard
+    * the single index's probe order, so the union of scanned docs equals
+    * the single index's scanned set (the growing-segment contract,
+    * `ivf.cc:1250-1262`: segments share the collection's trained
+    * quantizer). Shards with private quantizers would probe different
+    * regions and the partial-nprobe merge could drop a true neighbor. */
   final class ShardedIvfServing(
       shards: Seq[Serve.LocalIvfSearcher],
       metric: Metric
   ) {
     require(shards.nonEmpty, "router needs at least one shard")
+    require(shards.forall(_.centroidKey == shards.head.centroidKey),
+      "sharded IVF serving requires every shard built over identical centroids " +
+        "(the shared coarse quantizer) — partial-nprobe merges are exact only then")
     def search(q: Array[Float], k: Int, nprobe: Int): Seq[(Long, Double)] =
       mergeTopK(shards.map(_.search(q, k, nprobe)), k, metric.ascending)
     /** V6 across shards: per-shard ranked streams of depth n, merged and
@@ -180,12 +203,13 @@ object ShardedServe {
         q: Array[Float],
         radius: Double,
         rangeFilter: Double,
-        radii: Seq[java.util.HashMap[Long, Double]]
+        radii: Seq[java.util.HashMap[Long, Double]],
+        allowed: Long => Boolean = null
     ): Seq[(Long, Double)] = {
       require(radii.length == shards.length,
         "per-shard radii metadata must align with the shard list")
       shards.zip(radii)
-        .flatMap { case (s, r) => s.rangeSearch(q, radius, rangeFilter, r) }
+        .flatMap { case (s, r) => s.rangeSearch(q, radius, rangeFilter, r, allowed) }
         .sortBy { case (id, d) => (d, id) }
     }
     def hasRawData: Boolean = shards.forall(_.hasRawData)

@@ -301,6 +301,16 @@ class ServeSpec extends SparkSpec {
     queryVecs.foreach { case (qid, qv) =>
       val got = searcher.rangeSearch(qv, radius = 0.9, rangeFilter = 0.0, rm)
       assert(got == batch.getOrElse(qid, Seq.empty), s"query $qid: $got")
+      val full = searcher.lastCandidates
+      // bitset on the range arm: shell membership is per-doc and the ball
+      // prune bounds lists, not docs — the filtered answer is exactly the
+      // unfiltered shell restricted to allowed ids, and the cost counter
+      // scales with the filter (allowed ids only)
+      val gotF = searcher.rangeSearch(qv, 0.9, 0.0, rm, allowed = (id: Long) => id % 2 == 1)
+      assert(gotF == batch.getOrElse(qid, Seq.empty).filter(_._1 % 2 == 1),
+        s"filtered range for $qid: $gotF")
+      assert(full == 0 || searcher.lastCandidates < full,
+        s"filtered range scored ${searcher.lastCandidates} of $full scanned — not filter-scaled")
     }
     // prune evidence needs separated balls (the corpus embeddings overlap
     // at every granularity): two tight clusters around 0 and 10 — a query
@@ -556,17 +566,129 @@ class ServeSpec extends SparkSpec {
       .map { case (q, rows) =>
         q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (-t._2, t._1)).toSeq
       }
+    // filtered batch oracle: the bitset contract on the BM25 arms
+    val batchF = SparseSearch.searchBM25(qp, model, 10, filter = Some(col("id") % 2 === 1))
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (-t._2, t._1)).toSeq
+      }
     qp.collect()
       .groupBy(_.getLong(0))
       .foreach { case (q, rows) =>
         val terms = rows.map(r => (r.getString(1), r.getLong(2))).toSeq
         val got = searcher.search(terms, 10)
         assert(got == batch(q), s"query $q:\n  serve $got\n  batch ${batch(q)}")
+        // the MaxScore arm must agree in the DEGENERATE-vocabulary regime
+        // too (31 terms: the essential split rarely engages — the
+        // all-essential path is the edge case here)
+        val gotMs = searcher.searchMaxScore(terms, 10)
+        assert(gotMs == batch(q), s"maxscore query $q: $gotMs")
         val gotSharded = router.search(terms, 10)
         assert(gotSharded == batch(q), s"sharded query $q: $gotSharded")
         val gotRange = searcher.rangeSearch(terms, radius = 12.0, rangeFilter = 1e9)
         assert(gotRange == batchRange.getOrElse(q, Seq.empty), s"range query $q: $gotRange")
+        // bitset on BM25 top-k (the last filter-contract asymmetry): WAND,
+        // MaxScore, and the sharded router all match the batch filtered path
+        val allowed = (id: Long) => id % 2 == 1
+        val gotWf = searcher.search(terms, 10, allowed)
+        assert(gotWf == batchF(q), s"filtered query $q: $gotWf != ${batchF(q)}")
+        val gotMsF = searcher.searchMaxScore(terms, 10, allowed)
+        assert(gotMsF == batchF(q), s"filtered maxscore query $q: $gotMsF")
+        assert(router.search(terms, 10, allowed) == batchF(q), s"filtered sharded $q")
+        assert(router.searchMaxScore(terms, 10, allowed) == batchF(q),
+          s"filtered sharded maxscore $q")
       }
+  }
+
+  test("BM25 MaxScore + filtered serving on a Zipf corpus: equality with pruning engaged") {
+    import graft.operators.{SparseIndexModel, SparseSearch}
+    // Zipf-ish corpus (u³-skewed terms over a 2000-term vocabulary) with
+    // VARIABLE doc lengths — the regime where the BM25 essential-list
+    // split discriminates: head terms carry near-zero idf (low UB → non-
+    // essential, their long posting lists never drive candidates), tail
+    // terms stay essential
+    val nDocs = 3000
+    val bp0 = spark.range(nDocs.toLong).toDF("id")
+      .select(col("id"), explode(sequence(lit(1), (lit(20) + pmod(col("id"), lit(21))).cast("int"))).as("j"))
+      .select(col("id"),
+        concat(lit("t"), floor(pow(
+          pmod(xxhash64(col("id") * 7919 + col("j") * 31), lit(1000000)).cast("double")
+            / 1000000.0d, 3.0d) * 2000).cast("long")).as("term"),
+        lit(1L).as("one"))
+      .groupBy(col("id"), col("term")).agg(sum(col("one")).as("tf"))
+    val dls = bp0.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val bp = bp0.join(dls, "id").select(col("term"), col("id"), col("tf"), col("dl"))
+    val termStats = bp.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"), min(col("tf")).as("min_tf"))
+    val avgdl = dls.agg(avg(col("dl"))).head().getDouble(0)
+    val model = new SparseIndexModel(bp, termStats, (nDocs.toLong, avgdl), 1.2, 0.75)
+    val qp = spark.range(5L).toDF("qid")
+      .select(col("qid"), explode(sequence(lit(1), lit(12))).as("j"))
+      .select(col("qid"),
+        concat(lit("t"), floor(pow(
+          pmod(xxhash64(col("qid") * 131 + col("j") * 17 + 7), lit(1000000)).cast("double")
+            / 1000000.0d, 3.0d) * 2000).cast("long")).as("term"),
+        lit(1L).as("one"))
+      .groupBy(col("qid"), col("term")).agg(sum(col("one")).as("qtf"))
+    def batchTop(filter: Option[org.apache.spark.sql.Column]) = SparseSearch
+      .searchBM25(qp, model, 10, filter = filter)
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (-t._2, t._1)).toSeq
+      }
+    val batch = batchTop(None)
+    val batchF = batchTop(Some(col("id") % 2 === 1))
+    val searcher = Serve.loadSparseBM25(model)
+    // sharded: shard-sliced postings under the COLLECTION's global stats
+    val router = new graft.operators.ShardedServe.ShardedSparseBM25Serving(
+      (0 until 3).map { sh =>
+        Serve.loadSparseBM25(new SparseIndexModel(
+          bp.filter(col("id") % 3 === sh), termStats, (nDocs.toLong, avgdl), 1.2, 0.75))
+      })
+    val queriesLocal = qp.collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(r => (r.getString(1), r.getLong(2))).toSeq }
+    val allowed = (id: Long) => id % 2 == 1
+    var anyAbandon = false
+    queriesLocal.foreach { case (q, terms) =>
+      assert(searcher.search(terms, 10) == batch(q), s"wand query $q")
+      val gotMs = searcher.searchMaxScore(terms, 10)
+      assert(gotMs == batch(q), s"maxscore query $q: $gotMs != ${batch(q)}")
+      anyAbandon ||= searcher.lastAbandoned > 0
+      // the essential-list split must keep the arm from fully completing
+      // every doc that has any query term
+      assert(searcher.lastScored < nDocs,
+        s"maxscore completed ${searcher.lastScored} of $nDocs — no pruning")
+      // bitset on both arms + the sharded router (the round-9 contract)
+      assert(searcher.search(terms, 10, allowed) == batchF(q), s"filtered wand $q")
+      assert(searcher.searchMaxScore(terms, 10, allowed) == batchF(q),
+        s"filtered maxscore $q")
+      assert(router.search(terms, 10) == batch(q), s"sharded wand $q")
+      assert(router.searchMaxScore(terms, 10) == batch(q), s"sharded maxscore $q")
+      assert(router.search(terms, 10, allowed) == batchF(q), s"sharded filtered wand $q")
+      assert(router.searchMaxScore(terms, 10, allowed) == batchF(q),
+        s"sharded filtered maxscore $q")
+    }
+    assert(anyAbandon, "BM25 MaxScore early abandonment never engaged on the Zipf corpus")
+    // randomized agreement sweep on the loaded searcher: WAND (already
+    // batch-gated) vs MaxScore under random sub-queries, ks, and bitsets —
+    // the tie/rounding edge cases one query set never covers
+    val rnd = new scala.util.Random(20260815L)
+    val allTerms = queriesLocal.values.flatten.map(_._1).toArray.distinct
+    (1 to 15).foreach { trial =>
+      val terms = (0 until 1 + rnd.nextInt(8))
+        .map(_ => (allTerms(rnd.nextInt(allTerms.length)), 1L + rnd.nextInt(3)))
+        .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).sum) }.toSeq
+      val k = 1 + rnd.nextInt(12)
+      val a = searcher.search(terms, k)
+      val b = searcher.searchMaxScore(terms, k)
+      assert(a == b, s"trial $trial k=$k: wand $a != maxscore $b")
+      val mod = 2 + rnd.nextInt(3); val keep = rnd.nextInt(mod)
+      val aF = searcher.search(terms, k, (id: Long) => id % mod == keep)
+      val bF = searcher.searchMaxScore(terms, k, (id: Long) => id % mod == keep)
+      assert(aF == bF, s"filtered trial $trial k=$k: wand $aF != maxscore $bF")
+    }
   }
 
   test("bitset-filtered serving: filtered nodes route the walk but never answer") {
@@ -902,7 +1024,21 @@ class ServeSpec extends SparkSpec {
       val rs = single.rangeSearch(qv, radius = 0.9, rangeFilter = 0.0, rmAll)
       val rm = router.rangeSearch(qv, radius = 0.9, rangeFilter = 0.0, parts.map(_._2))
       assert(rm == rs, s"query $qid range: sharded $rm != single $rs")
+      // the bitset threads through the sharded range the same way
+      val rmF = router.rangeSearch(qv, 0.9, 0.0, parts.map(_._2),
+        allowed = (id: Long) => id % 2 == 1)
+      assert(rmF == rs.filter(_._1 % 2 == 1), s"query $qid filtered sharded range: $rmF")
     }
+    // the router asserts its shared-coarse-quantizer precondition: shards
+    // with PRIVATE quantizers (different centroid sets) must be rejected —
+    // partial-nprobe merges would silently drop true neighbors there
+    val otherCents = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+    val mismatched = Serve.loadIvf(IvfIndex.build(base, otherCents, Some(4)),
+      otherCents, Metric.L2)
+    assertThrows[IllegalArgumentException](
+      new ShardedServe.ShardedIvfServing(Seq(parts.head._1, mismatched), Metric.L2))
   }
 
   test("serving-side GetVectorByIds/HasRawData equal the batch verbs (V7/V8)") {
