@@ -68,6 +68,32 @@ object ShardedServe {
     BruteForce.topK(perShard, k, metric.ascending)
   }
 
+  /** Parallel scatter — the host pushes one task per segment onto the
+    * serving pool, the way the reference fans every query batch onto its
+    * global search pool (`include/knowhere/comp/thread_pool.h:194-238`;
+    * per-query futures in `src/index/sparse/sparse_index_node.cc:129`),
+    * so router latency tracks the SLOWEST shard, not the shard sum.
+    * Per-shard searchers are independent objects (no shared mutable
+    * state; Telemetry is atomic), and every gather below sorts before
+    * truncating, so the answer is bit-identical to a serial scatter. */
+  private lazy val scatterPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, Runtime.getRuntime.availableProcessors() / 2),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-serve-scatter")
+        t.setDaemon(true)
+        t
+      })
+
+  private def scatter[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(1) <= 0) xs.map(f)
+    else
+      xs.map { x =>
+        scatterPool.submit(new java.util.concurrent.Callable[B] {
+          def call(): B = f(x)
+        })
+      }.map(_.get())
+
   /** Merge per-shard ranked lists to the global top-k under the shared
     * (dist 4dp, id asc) contract — the serving-side segment reduce. */
   def mergeTopK(
@@ -90,15 +116,15 @@ object ShardedServe {
   ) {
     require(shards.nonEmpty, "router needs at least one shard")
     def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] =
-      mergeTopK(shards.map(_.search(q, k, ef)), k, metric.ascending)
+      mergeTopK(scatter(shards)(_.search(q, k, ef)), k, metric.ascending)
     def search(
         q: Array[Float], k: Int, ef: Int,
         allowed: Long => Boolean): Seq[(Long, Double)] =
-      mergeTopK(shards.map(_.search(q, k, ef, allowed)), k, metric.ascending)
+      mergeTopK(scatter(shards)(_.search(q, k, ef, allowed)), k, metric.ascending)
     /** V6 across shards: per-shard walks of depth n merge into one paged
       * stream (exact when each walk is exhaustive over its shard). */
     def iterator(q: Array[Float], n: Int, ef: Int): Serve.ServingIterator =
-      shardedIterator(shards.map(_.search(q, n, ef)), metric.ascending)
+      shardedIterator(scatter(shards)(_.search(q, n, ef)), metric.ascending)
     /** V8 across shards: raw-fetch works only when every shard keeps raw. */
     def hasRawData: Boolean = shards.forall(_.hasRawData)
     /** V7 across shards: each id lives on exactly one shard — scatter the
@@ -133,17 +159,17 @@ object ShardedServe {
   final class ShardedSparseServing(shards: Seq[Serve.LocalSparseSearcher]) {
     require(shards.nonEmpty, "router needs at least one shard")
     def search(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
-      mergeTopK(shards.map(_.search(query, k)), k, ascending = false)
+      mergeTopK(scatter(shards)(_.search(query, k)), k, ascending = false)
     def search(
         query: Seq[(String, Long)], k: Int,
         allowed: Long => Boolean): Seq[(Long, Double)] =
-      mergeTopK(shards.map(_.search(query, k, allowed)), k, ascending = false)
+      mergeTopK(scatter(shards)(_.search(query, k, allowed)), k, ascending = false)
     def searchMaxScore(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
-      mergeTopK(shards.map(_.searchMaxScore(query, k)), k, ascending = false)
+      mergeTopK(scatter(shards)(_.searchMaxScore(query, k)), k, ascending = false)
     def searchMaxScore(
         query: Seq[(String, Long)], k: Int,
         allowed: Long => Boolean): Seq[(Long, Double)] =
-      mergeTopK(shards.map(_.searchMaxScore(query, k, allowed)), k, ascending = false)
+      mergeTopK(scatter(shards)(_.searchMaxScore(query, k, allowed)), k, ascending = false)
   }
 
   /** BM25 router — per-shard searchers must be loaded from shard-sliced
@@ -155,17 +181,17 @@ object ShardedServe {
   final class ShardedSparseBM25Serving(shards: Seq[Serve.LocalSparseBM25Searcher]) {
     require(shards.nonEmpty, "router needs at least one shard")
     def search(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
-      mergeTopK(shards.map(_.search(query, k)), k, ascending = false)
+      mergeTopK(scatter(shards)(_.search(query, k)), k, ascending = false)
     def search(
         query: Seq[(String, Long)], k: Int,
         allowed: Long => Boolean): Seq[(Long, Double)] =
-      mergeTopK(shards.map(_.search(query, k, allowed)), k, ascending = false)
+      mergeTopK(scatter(shards)(_.search(query, k, allowed)), k, ascending = false)
     def searchMaxScore(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
-      mergeTopK(shards.map(_.searchMaxScore(query, k)), k, ascending = false)
+      mergeTopK(scatter(shards)(_.searchMaxScore(query, k)), k, ascending = false)
     def searchMaxScore(
         query: Seq[(String, Long)], k: Int,
         allowed: Long => Boolean): Seq[(Long, Double)] =
-      mergeTopK(shards.map(_.searchMaxScore(query, k, allowed)), k, ascending = false)
+      mergeTopK(scatter(shards)(_.searchMaxScore(query, k, allowed)), k, ascending = false)
   }
 
   /** Scatter-gather router over loaded IVF shards.
@@ -189,12 +215,12 @@ object ShardedServe {
       "sharded IVF serving requires every shard built over identical centroids " +
         "(the shared coarse quantizer) — partial-nprobe merges are exact only then")
     def search(q: Array[Float], k: Int, nprobe: Int): Seq[(Long, Double)] =
-      mergeTopK(shards.map(_.search(q, k, nprobe)), k, metric.ascending)
+      mergeTopK(scatter(shards)(_.search(q, k, nprobe)), k, metric.ascending)
     /** V6 across shards: per-shard ranked streams of depth n, merged and
       * paged. Full probing makes every stream exact, so pages equal the
       * single-index iterator's. */
     def iterator(q: Array[Float], n: Int, nprobe: Int): Serve.ServingIterator =
-      shardedIterator(shards.map(_.search(q, n, nprobe)), metric.ascending)
+      shardedIterator(scatter(shards)(_.search(q, n, nprobe)), metric.ascending)
     /** V5 across shards: range hits are shard-invariant (each doc's shell
       * membership depends only on its own distance), so the sorted union
       * of per-shard answers IS the single-index range answer. `radii` is
@@ -208,8 +234,9 @@ object ShardedServe {
     ): Seq[(Long, Double)] = {
       require(radii.length == shards.length,
         "per-shard radii metadata must align with the shard list")
-      shards.zip(radii)
-        .flatMap { case (s, r) => s.rangeSearch(q, radius, rangeFilter, r, allowed) }
+      scatter(shards.zip(radii)) { case (s, r) =>
+          s.rangeSearch(q, radius, rangeFilter, r, allowed)
+        }.flatten
         .sortBy { case (id, d) => (d, id) }
     }
     def hasRawData: Boolean = shards.forall(_.hasRawData)

@@ -796,6 +796,42 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("coarse entry layer: exhaustive equality kept, recall floor held, seeding evals cut") {
+    // dense entry set (250 of 500 nodes) — the regime where flat seeding's
+    // per-query scan of ALL entries dominates: the coarse layer must cut
+    // total distance evaluations (√E anchors + probes·√E bucket members
+    // vs the flat all-entries scan) while leaving the walk's gates intact.
+    val denseEntries = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("nid"))
+    val g = knnGraph(16)
+    val flat = Serve.load(g, base, denseEntries, Metric.L2)
+    val coarse = Serve.load(g, base, denseEntries, Metric.L2).enableCoarseEntries()
+    val exact = exactTopK(10)
+    // exhaustive walks: the seed cannot change the answer on a connected
+    // graph with ef >= n — both searchers must EQUAL brute force
+    queryVecs.foreach { case (qid, qv) =>
+      assert(flat.search(qv, 10, ef = 500).map(_._1) == exact(qid), s"flat $qid")
+      assert(coarse.search(qv, 10, ef = 500).map(_._1) == exact(qid), s"coarse $qid")
+    }
+    // bounded ef: the coarse seed must cut total evaluations and keep
+    // the ANN floor
+    var flatNdis = 0L
+    var coarseNdis = 0L
+    var hits = 0
+    queryVecs.foreach { case (qid, qv) =>
+      flat.search(qv, 10, ef = 32)
+      flatNdis += flat.lastStats.ndis
+      val got = coarse.search(qv, 10, ef = 32)
+      coarseNdis += coarse.lastStats.ndis
+      hits += got.map(_._1).toSet.intersect(exact(qid).toSet).size
+    }
+    assert(coarseNdis < flatNdis,
+      s"coarse layer did not cut evaluations: $coarseNdis >= $flatNdis")
+    val recall = hits.toDouble / (queryVecs.size * 10)
+    assert(recall >= 0.6, s"coarse-entry recall@10 $recall below the ANN floor")
+  }
+
   test("hybrid RRF serving fuses exact arms bit-identically to the batch pipeline") {
     import graft.operators.{BruteForce, Fusion, IvfIndex, SparseIndexModel, SparseSearch}
     // batch pipeline: exact L2 arm + BM25 arm + integer RRF (the
