@@ -362,6 +362,15 @@ object Serve {
       * storage), so the refined searcher answers the V7/V8 verbs even
       * though its traversal tier is quantized. */
     def hasRawData: Boolean = true
+
+    /** Coarse entry selection on the quantized traversal tier — the
+      * walk seeds from the tier it traverses, so the layer delegates to
+      * [[LocalGraphSearcher.enableCoarseEntries]] unchanged; the raw
+      * refine pass is unaffected (it rescores the walk's window). */
+    def enableCoarseEntries(probes: Int = 8): this.type = {
+      approx.enableCoarseEntries(probes)
+      this
+    }
     def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] =
       ids.flatMap(id => Option(raw.get(id)).map(id -> _))
     def search(q: Array[Float], k: Int, ef: Int, refine: Int = 2): Seq[(Long, Double)] =

@@ -814,6 +814,14 @@ class ServeSpec extends SparkSpec {
       assert(flat.search(qv, 10, ef = 500).map(_._1) == exact(qid), s"flat $qid")
       assert(coarse.search(qv, 10, ef = 500).map(_._1) == exact(qid), s"coarse $qid")
     }
+    // the refined searcher delegates the layer to its traversal tier —
+    // with coinciding tiers the exhaustive walk must still equal brute force
+    val refined = Serve.loadRefined(g, base, base, denseEntries, Metric.L2)
+      .enableCoarseEntries()
+    queryVecs.foreach { case (qid, qv) =>
+      assert(refined.search(qv, 10, ef = 500).map(_._1) == exact(qid),
+        s"refined coarse $qid")
+    }
     // bounded ef: the coarse seed must cut total evaluations and keep
     // the ANN floor
     var flatNdis = 0L
