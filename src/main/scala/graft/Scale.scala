@@ -343,6 +343,32 @@ object Scale {
         f"mean ndis ${ndisTot2 / qv.length} (flat: ${ndisTot / qv.length}), " +
         f"recall@10 ${coarseHits.toDouble / (qv.length * 10)}%.3f " +
         f"(layer build ${buildMs}%.0f ms once)")
+      // packed fp16 tier: the same walk over 2-byte-packed vectors
+      // (resident shard bytes HALVED — double the corpus per serving
+      // node under the same cap), decode-inline per evaluation;
+      // bit-equality vs the decoded-grid float searcher asserted on
+      // every query (both sides narrowed to the half grid)
+      import graft.functions.VectorFunctions.{packFp16, unpackFp16}
+      val packedS = time("serve load (packed fp16 shard)")(Serve.loadPacked(
+        graph, base.select(col("id"), packFp16(col("vec")).as("vec")),
+        entries, Metric.L2))
+      val gridS = Serve.load(
+        graph,
+        base.select(col("id"), unpackFp16(packFp16(col("vec"))).as("vec")),
+        entries, Metric.L2)
+      val qGrid = qv.map { case (qid, v) =>
+        (qid, v.map(f => graft.plans.Half.halfToFloat(graft.plans.Half.floatToHalf(f))))
+      }
+      qGrid.foreach { case (_, v) => packedS.search(v, 10, ef = 64) } // warm-up
+      val t3 = System.nanoTime()
+      qGrid.foreach { case (_, v) => packedS.search(v, 10, ef = 64) }
+      val packedMs = (System.nanoTime() - t3) / 1e6 / qGrid.length
+      qGrid.foreach { case (_, v) =>
+        require(packedS.search(v, 10, ef = 64) == gridS.search(v, 10, ef = 64),
+          "packed fp16 walk != decoded-grid walk")
+      }
+      println(f"packed fp16 serve per-query latency: $packedMs%.2f ms " +
+        "(resident vector bytes halved; grid equality asserted)")
     }
 
     // ---- per-query IVF serving: probed-list scan latency tracks
@@ -588,6 +614,19 @@ object Scale {
       println(f"sharded graph serve (4 shards) per-query latency: $routerMs%.2f ms, " +
         f"recall@10 ${hits.toDouble / (qv16.length * 10)}%.3f " +
         "(merge semantics + order asserted)")
+      // coarse entries on every shard: each walk's seeding scan drops
+      // from its shard's E to ~sqrt(E) + probed buckets
+      graphRouter.enableCoarseEntries()
+      qv16.foreach { case (_, v) => graphRouter.search(v, 10, ef = 64) } // warm-up
+      val t2 = System.nanoTime()
+      var cHits = 0
+      qv16.foreach { case (qid, v) =>
+        val got = graphRouter.search(v, 10, ef = 64)
+        cHits += got.map(_._1).count(id => t.contains((qid, id)))
+      }
+      val coarseMs = (System.nanoTime() - t2) / 1e6 / qv16.length
+      println(f"sharded graph serve (4 shards, coarse entries) per-query latency: " +
+        f"$coarseMs%.2f ms, recall@10 ${cHits.toDouble / (qv16.length * 10)}%.3f")
     }
     spark.stop()
   }

@@ -59,10 +59,27 @@ object Serve {
       entries: Array[Long],
       metric: Metric,
       roundDist: Int = 4,
-      hasRaw: Boolean = true
+      hasRaw: Boolean = true,
+      // PACKED STORAGE TIER (loadPacked): binary16/bfloat16 vectors kept
+      // as 2-byte-packed buffers and decoded inline per evaluation — the
+      // serving twin of the batch packed kernels (`plans/Half.scala`,
+      // operands.h:48-147 real 2-byte storage with fp32 compute,
+      // :180-198). Halves the RESIDENT shard bytes, i.e. doubles the
+      // corpus a serving node holds under the same cap. Decode is exact
+      // (binary16/bfloat16 ⊂ fp32) and accumulation order matches the
+      // float path, so a packed searcher is bit-identical to a float
+      // searcher loaded from the decoded (grid) vectors.
+      packed: java.util.HashMap[Long, Array[Byte]] = null,
+      packedBf16: Boolean = false
   ) {
 
     @volatile var lastStats: ServeStats = ServeStats(0L, 0L)
+
+    private def vecOf(id: Long): Array[Float] =
+      if (packed != null) {
+        val b = packed.get(id)
+        if (b == null) null else graft.plans.Half.unpack(b, packedBf16)
+      } else vecs.get(id)
 
     // COARSE ENTRY LAYER (opt-in, [[enableCoarseEntries]]): the
     // entry-selection analog of the reference's own two-level designs —
@@ -127,12 +144,12 @@ object Serve {
         new scala.collection.mutable.ArrayBuffer[Int])
       var i = 0
       while (i < e) {
-        val vi = vecs.get(entries(i))
+        val vi = vecOf(entries(i))
         var bi = 0
         var bd = Double.PositiveInfinity
         var a = 0
         while (a < coarseAnchors.length) {
-          val d = rawDist(vi, vecs.get(entries(coarseAnchors(a))))
+          val d = rawDist(vi, vecOf(entries(coarseAnchors(a))))
           if (d < bd ||
             (d == bd && entries(coarseAnchors(a)) < entries(coarseAnchors(bi)))) {
             bd = d; bi = a
@@ -159,11 +176,11 @@ object Serve {
     def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
       require(hasRaw,
         "this shard holds a quantized tier only — GetVectorByIds needs raw data")
-      ids.flatMap(id => Option(vecs.get(id)).map(id -> _))
+      ids.flatMap(id => Option(vecOf(id)).map(id -> _))
     }
 
     private def dist(q: Array[Float], id: Long): Double = {
-      val v = vecs.get(id)
+      val v = vecOf(id)
       var s = 0.0d
       var i = 0
       metric match {
@@ -1522,5 +1539,41 @@ object Serve {
     val es = entries.collect().map(_.getLong(0)).sorted
     require(es.nonEmpty, "serving needs at least one entry point")
     new LocalGraphSearcher(adj, vm, es, metric, hasRaw = hasRaw)
+  }
+
+  /** [[load]] over a 2-byte-packed (binary16/bfloat16 BINARY) vector
+    * tier — vectors stay packed in serving memory (HALF the resident
+    * bytes of the fp32 tier, i.e. double the corpus per serving node
+    * under the same cap) and decode inline per distance evaluation, the
+    * serving twin of the batch packed kernels (`plans/Half.scala`;
+    * reference fp16/bf16 storage `operands.h:48-147`, fp32 compute
+    * `:180-198`). Queries must be grid-narrowed (pack→unpack) so both
+    * sides sit on the half grid, exactly as the batch packed queries
+    * narrow both sides; then the walk is bit-identical to a float
+    * searcher loaded from the decoded vectors (ServeSpec-gated). The
+    * packed tier IS this index's raw data (the reference's fp16 flat
+    * answers HasRawData true), so V7 answers with the exact decode. */
+  def loadPacked(
+      graph: DataFrame, // (src, dst)
+      base: DataFrame, // (id, vecb BINARY — VecPackHalf output)
+      entries: DataFrame, // (nid)
+      metric: Metric = Metric.L2,
+      bf16: Boolean = false,
+      maxNodes: Int = 2000000
+  ): LocalGraphSearcher = {
+    val n = base.count()
+    require(n <= maxNodes,
+      s"serving shard has $n vectors > cap $maxNodes — shard the graph across serving nodes")
+    val adj = new java.util.HashMap[Long, Array[Long]]()
+    streamRows(graph
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("adj")))(
+      r => adj.put(r.getLong(0), r.getSeq[Long](1).toArray))
+    val pm = new java.util.HashMap[Long, Array[Byte]]()
+    streamRows(base)(r => pm.put(r.getLong(0), r.getAs[Array[Byte]](1)))
+    val es = entries.collect().map(_.getLong(0)).sorted
+    require(es.nonEmpty, "serving needs at least one entry point")
+    new LocalGraphSearcher(adj, null, es, metric,
+      hasRaw = true, packed = pm, packedBf16 = bf16)
   }
 }

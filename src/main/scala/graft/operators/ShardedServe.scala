@@ -115,6 +115,13 @@ object ShardedServe {
       metric: Metric
   ) {
     require(shards.nonEmpty, "router needs at least one shard")
+    /** Coarse entry selection on every shard's walk (each shard buckets
+      * its own entry set) — see
+      * [[Serve.LocalGraphSearcher.enableCoarseEntries]]. */
+    def enableCoarseEntries(probes: Int = 8): this.type = {
+      shards.foreach(_.enableCoarseEntries(probes))
+      this
+    }
     def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] =
       mergeTopK(scatter(shards)(_.search(q, k, ef)), k, metric.ascending)
     def search(

@@ -840,6 +840,43 @@ class ServeSpec extends SparkSpec {
     assert(recall >= 0.6, s"coarse-entry recall@10 $recall below the ANN floor")
   }
 
+  test("packed fp16 serving tier equals the float-grid searcher bit-for-bit (half the bytes)") {
+    import graft.functions.VectorFunctions.{packFp16, unpackFp16}
+    val g = knnGraph(16)
+    // same half grid on both sides: the packed searcher decodes inline,
+    // the float searcher loads the decoded values — bit-identical walks
+    val bPacked = base.select(col("id"), packFp16(col("vec")).as("vec"))
+    val bGrid = base.select(col("id"), unpackFp16(packFp16(col("vec"))).as("vec"))
+    val packedS = Serve.loadPacked(g, bPacked, entries, Metric.L2)
+    val gridS = Serve.load(g, bGrid, entries, Metric.L2)
+    // queries narrowed to the half grid, as the batch packed queries
+    // narrow both sides (bf_knn_l2_fp16_packed)
+    val qGrid = queryVecs.map { case (qid, qv) =>
+      (qid, qv.map(f => graft.plans.Half.halfToFloat(graft.plans.Half.floatToHalf(f))))
+    }
+    qGrid.foreach { case (qid, qv) =>
+      assert(packedS.search(qv, 10, ef = 500) == gridS.search(qv, 10, ef = 500),
+        s"exhaustive $qid")
+      assert(packedS.search(qv, 10, ef = 32) == gridS.search(qv, 10, ef = 32),
+        s"bounded $qid")
+    }
+    // V7/V8 on the packed tier: the packed data IS this index's raw data
+    // (the reference's fp16 flat answers HasRawData true) — exact decode
+    assert(packedS.hasRawData)
+    val ids = qGrid.map(_._1).take(4)
+    val got = packedS.getVectorByIds(ids).toMap
+    val want = gridS.getVectorByIds(ids).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, v) => assert(v.toSeq == want(id).toSeq, s"V7 $id") }
+    // the coarse entry layer composes with the packed tier (vecOf feeds
+    // the anchor/bucket evaluations too)
+    packedS.enableCoarseEntries()
+    qGrid.foreach { case (qid, qv) =>
+      assert(packedS.search(qv, 10, ef = 500) == gridS.search(qv, 10, ef = 500),
+        s"coarse packed $qid")
+    }
+  }
+
   test("hybrid RRF serving fuses exact arms bit-identically to the batch pipeline") {
     import graft.operators.{BruteForce, Fusion, IvfIndex, SparseIndexModel, SparseSearch}
     // batch pipeline: exact L2 arm + BM25 arm + integer RRF (the
