@@ -106,9 +106,13 @@ object Serve {
     // ~√E + probes·(E/√E) evaluations (memoized, all counted in ndis);
     // exhaustive-walk exactness is untouched and bounded-ef recall
     // keeps its gates.
-    private var coarseAnchors: Array[Int] = null // entry indices, id-ordered sample
-    private var coarseBuckets: Array[Array[Int]] = null // per-anchor member entry indices
-    private var coarseProbes: Int = 8
+    // volatile, and coarseBuckets is written LAST in enableCoarseEntries:
+    // searchImpl branches on coarseBuckets != null, so a searcher thread
+    // (the routers scatter onto a pool) either sees the fully-published
+    // layer or the flat path — never torn state
+    @volatile private var coarseAnchors: Array[Int] = null // entry indices, id-ordered sample
+    @volatile private var coarseProbes: Int = 8
+    @volatile private var coarseBuckets: Array[Array[Int]] = null // per-anchor member entry indices
 
     /** Build the entry-layer bucket assignment (driver-side, E·√E·dim
       * once at enable time — entries are ≪ nodes by construction).
@@ -139,8 +143,12 @@ object Serve {
       }
       val stride = math.max(1, math.floor(math.sqrt(e.toDouble)).toInt)
       val byId = Array.range(0, e).sortBy(entries(_))
-      coarseAnchors = (0 until e by stride).map(byId(_)).toArray
-      val members = Array.fill(coarseAnchors.length)(
+      val anchors = (0 until e by stride).map(byId(_)).toArray
+      // hoist the ~√E anchor vectors once — on the packed tier vecOf
+      // decodes + allocates per call, and the assignment loop below
+      // would otherwise pay E·√E decodes instead of √E
+      val anchorVecs = anchors.map(a => vecOf(entries(a)))
+      val members = Array.fill(anchors.length)(
         new scala.collection.mutable.ArrayBuffer[Int])
       var i = 0
       while (i < e) {
@@ -148,10 +156,10 @@ object Serve {
         var bi = 0
         var bd = Double.PositiveInfinity
         var a = 0
-        while (a < coarseAnchors.length) {
-          val d = rawDist(vi, vecOf(entries(coarseAnchors(a))))
+        while (a < anchors.length) {
+          val d = rawDist(vi, anchorVecs(a))
           if (d < bd ||
-            (d == bd && entries(coarseAnchors(a)) < entries(coarseAnchors(bi)))) {
+            (d == bd && entries(anchors(a)) < entries(anchors(bi)))) {
             bd = d; bi = a
           }
           a += 1
@@ -159,7 +167,8 @@ object Serve {
         members(bi) += i
         i += 1
       }
-      coarseBuckets = members.map(_.toArray)
+      coarseAnchors = anchors
+      coarseBuckets = members.map(_.toArray) // published LAST (the branch flag)
       this
     }
 

@@ -92,7 +92,16 @@ object ShardedServe {
         scatterPool.submit(new java.util.concurrent.Callable[B] {
           def call(): B = f(x)
         })
-      }.map(_.get())
+      }.map { fut =>
+        // rethrow the shard's own exception, not the ExecutionException
+        // wrapper — the single-shard fast path above throws raw, and the
+        // error contract must not depend on shard count
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
 
   /** Merge per-shard ranked lists to the global top-k under the shared
     * (dist 4dp, id asc) contract — the serving-side segment reduce. */
@@ -215,12 +224,22 @@ object ShardedServe {
     * regions and the partial-nprobe merge could drop a true neighbor. */
   final class ShardedIvfServing(
       shards: Seq[Serve.LocalIvfSearcher],
-      metric: Metric
+      metric: Metric,
+      // Partial-nprobe exactness needs the shared coarse quantizer (the
+      // growing-segment contract, ivf.cc:1250-1262), so mismatched
+      // centroid sets are rejected by default. A deployment that ONLY
+      // ever full-probes (nprobe = nlist — exact regardless, every doc
+      // scanned) may opt out explicitly.
+      requireSharedCentroids: Boolean = true
   ) {
     require(shards.nonEmpty, "router needs at least one shard")
-    require(shards.forall(_.centroidKey == shards.head.centroidKey),
-      "sharded IVF serving requires every shard built over identical centroids " +
-        "(the shared coarse quantizer) — partial-nprobe merges are exact only then")
+    if (requireSharedCentroids) {
+      val headKey = shards.head.centroidKey // hoisted — forall would recopy per shard
+      require(shards.forall(_.centroidKey == headKey),
+        "sharded IVF serving requires every shard built over identical centroids " +
+          "(the shared coarse quantizer) — partial-nprobe merges are exact only " +
+          "then; pass requireSharedCentroids = false only for full-probe-only use")
+    }
     def search(q: Array[Float], k: Int, nprobe: Int): Seq[(Long, Double)] =
       mergeTopK(scatter(shards)(_.search(q, k, nprobe)), k, metric.ascending)
     /** V6 across shards: per-shard ranked streams of depth n, merged and
