@@ -19,7 +19,9 @@ import sys
 
 def load(path):
     with open(path) as fh:
-        return json.load(fh)
+        # underscore-prefixed keys are run metadata (e.g. _committed_baseline),
+        # not query entries
+        return {k: v for k, v in json.load(fh).items() if not k.startswith("_")}
 
 
 def fmt_rep(r):

@@ -97,6 +97,37 @@ object Bench {
       def reset(): Unit = all.foreach(_.set(0L))
     }
     spark.sparkContext.addSparkListener(repListener)
+    // streaming-trigger observability: the r9 driver run inflated the
+    // STREAMING family 1.6–3.6× across every retry set while batch peers
+    // sat at their snapshot medians — sustained contention the guard must
+    // NOT retry away (repeatable inflation is indistinguishable from a
+    // real regression by timing alone). These per-rep counters (micro-
+    // batch count, summed trigger-execution / addBatch time, input rows)
+    // let a streaming drift be attributed from the artifact: a plan
+    // regression changes batch counts or addBatch work; contention shows
+    // as wall time OUTSIDE triggerExecution (t − stream_trigger_ms) or
+    // as inflated trigger time at identical batch counts and rows.
+    val streamListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import java.util.concurrent.atomic.AtomicLong
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      val batches, triggerMs, addBatchMs, rowsIn = new AtomicLong
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        batches.incrementAndGet()
+        val dm = p.durationMs
+        if (dm != null) {
+          val t = dm.get("triggerExecution")
+          if (t != null) triggerMs.addAndGet(t.longValue())
+          val a = dm.get("addBatch")
+          if (a != null) addBatchMs.addAndGet(a.longValue())
+        }
+        rowsIn.addAndGet(p.numInputRows)
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      def reset(): Unit = Seq(batches, triggerMs, addBatchMs, rowsIn).foreach(_.set(0L))
+    }
+    spark.streams.addListener(streamListener)
     def mb(b: Long): Long = b >> 20
     // `failed` is explicit: wall-clock t is always non-negative, so a
     // sentinel-on-throw can never be distinguished from a fast success —
@@ -125,6 +156,14 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble)
           .toMap
       } catch { case _: Throwable => Map.empty }
+    // visibility for trigger (b): a serialization change that breaks the
+    // regex above would silently disable the committed-drift guard, so
+    // the load outcome is persisted into the artifact itself (the
+    // `_committed_baseline` meta entry below) and printed here
+    println(s"committed baseline: loaded ${committed.size} medians" +
+      (if (sfName != "sf0.1") " (skipped: not sf0.1)"
+       else if (committed.isEmpty) " (EMPTY — drift trigger (b) DISABLED)"
+       else ""))
     val detail = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -137,6 +176,7 @@ object Bench {
           (1 to reps).map { _ =>
             org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
             repListener.reset()
+            streamListener.reset()
             val (gc0, jit0) = (gcMillis, jitMillis)
             val t0 = System.nanoTime()
             val failed =
@@ -149,13 +189,22 @@ object Bench {
             spark.catalog.clearCache()
             org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
             val l = repListener
+            // streaming reps only (batch reps would carry all-zero noise):
+            // the StreamingQueryProgress rollup for trigger-stall triage
+            val streamExec =
+              if (streamListener.batches.get == 0L) ""
+              else s""","stream_batches":${streamListener.batches.get},""" +
+                s""""stream_trigger_ms":${streamListener.triggerMs.get},""" +
+                s""""stream_addbatch_ms":${streamListener.addBatchMs.get},""" +
+                s""""stream_rows_in":${streamListener.rowsIn.get}"""
             val exec =
               s""""spill_mem_mb":${mb(l.memSpill.get)},"spill_disk_mb":${mb(l.diskSpill.get)},""" +
               s""""shuf_write_mb":${mb(l.shufWrite.get)},"shuf_read_mb":${mb(l.shufRead.get)},""" +
               s""""fetch_wait_ms":${l.fetchWait.get},"input_mb":${mb(l.input.get)},""" +
               s""""task_ms":${l.taskMs.get},"task_gc_ms":${l.taskGcMs.get},""" +
               s""""tasks":${l.tasks.get},"stages":${l.stages.get},""" +
-              s""""rdd_blocks_dropped":${l.rddDropped.get},"rdd_blocks_to_disk":${l.rddToDisk.get}"""
+              s""""rdd_blocks_dropped":${l.rddDropped.get},"rdd_blocks_to_disk":${l.rddToDisk.get}""" +
+              streamExec
             Rep(dt, failed, gcMillis - gc0, jitMillis - jit0, exec)
           }
         }
@@ -191,8 +240,13 @@ object Bench {
         while (retries < 2 && noisy(rs)) {
           val again = runReps()
           val (mA, mR) = (median(again), median(rs))
-          if (mA >= 0 && (mR < 0 || mA < mR)) { discarded += mR; rs = again }
-          else discarded += mA
+          // only real timings enter discarded_medians — an all-failed
+          // retry set (median -1) is already visible via failed_reps and
+          // would otherwise read like a (negative) timing in the audit
+          if (mA >= 0 && (mR < 0 || mA < mR)) {
+            if (mR >= 0) discarded += mR
+            rs = again
+          } else if (mA >= 0) discarded += mA
           retries += 1
         }
         (name, rs, codeCacheMb, retries, discarded.toSeq)
@@ -212,7 +266,12 @@ object Bench {
       val discardedJson = discarded.map(f3).mkString("[", ",", "]")
       val (mn, mx) = if (ts.isEmpty) (-1.0, -1.0) else (ts.head, ts.last)
       s"""  "$name": {"median":${f3(median(rs))},"min":${f3(mn)},"max":${f3(mx)},"retries":$retries,"failed_reps":$nFailed,"discarded_medians":$discardedJson,"reps":$repsJson,"code_cache_mb":$cc}"""
-    }.mkString("{\n", ",\n", "\n}")
+    }.mkString(
+      // meta entry (underscore prefix — bench_diff.py skips it): records
+      // whether the committed-drift retry trigger was armed this run, so
+      // a silently-broken baseline parse is visible from the artifact
+      s"""{\n  "_committed_baseline": {"loaded":${committed.nonEmpty},"entries":${committed.size}},\n""",
+      ",\n", "\n}")
     // FULL runs only: a SPARK_GRAFT_BENCH_ONLY iteration run must not
     // clobber the committed full-inventory snapshot
     if (only.isEmpty)

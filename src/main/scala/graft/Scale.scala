@@ -300,6 +300,9 @@ object Scale {
     // then measure SINGLE-QUERY latency (the ef-early-exit best-first
     // walk) — the number the batch beam cannot express. ndis ≪ nb is the
     // early-exit evidence at scale ----
+    // single-walk recall@10, exported so the sharded-router block below
+    // can assert its merged recall does not regress the single walk
+    var singleGraphRecall = Double.NaN
     locally {
       val searcher = time("serve load (graph+vecs shard, partition-streamed)")(
         Serve.load(graph, base, entries, Metric.L2))
@@ -320,9 +323,10 @@ object Scale {
         flatHits += got.map(_._1).count(id => truthSet.contains((qid, id)))
       }
       val perQueryMs = (System.nanoTime() - t0) / 1e6 / qv.length
+      singleGraphRecall = flatHits.toDouble / (qv.length * 10)
       println(f"serve per-query latency: $perQueryMs%.2f ms, " +
         f"mean ndis ${ndisTot / qv.length} of $nb (early exit), " +
-        f"recall@10 ${flatHits.toDouble / (qv.length * 10)}%.3f")
+        f"recall@10 $singleGraphRecall%.3f")
       // coarse entry layer: replace the per-query all-entries seeding scan
       // (|entries| evaluations) with the √E anchor scan + nearest-bucket
       // probes — ndis/latency delta at held recall is the claim
@@ -611,9 +615,13 @@ object Scale {
           "sharded graph merge not (dist, id)-ordered")
         hits += merged.map(_._1).count(id => t.contains((qid, id)))
       }
+      val shardedRecall = hits.toDouble / (qv16.length * 10)
+      require(shardedRecall >= singleGraphRecall - 1e-9,
+        f"sharded graph recall@10 $shardedRecall%.3f regressed below the " +
+          f"single-walk recall $singleGraphRecall%.3f")
       println(f"sharded graph serve (4 shards) per-query latency: $routerMs%.2f ms, " +
-        f"recall@10 ${hits.toDouble / (qv16.length * 10)}%.3f " +
-        "(merge semantics + order asserted)")
+        f"recall@10 $shardedRecall%.3f " +
+        "(merge semantics + order + recall-floor asserted)")
       // coarse entries on every shard: each walk's seeding scan drops
       // from its shard's E to ~sqrt(E) + probed buckets
       graphRouter.enableCoarseEntries()

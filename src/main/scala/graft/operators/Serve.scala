@@ -70,7 +70,12 @@ object Serve {
       // float path, so a packed searcher is bit-identical to a float
       // searcher loaded from the decoded (grid) vectors.
       packed: java.util.HashMap[Long, Array[Byte]] = null,
-      packedBf16: Boolean = false
+      packedBf16: Boolean = false,
+      // int8 packed tier (loadPackedInt8): 1 byte/element — QUARTER the
+      // fp32 resident bytes; decode = byte/scale in double, correctly
+      // rounded to the float grid (Half.unpackInt8ToFloat)
+      packedInt8: Boolean = false,
+      packedScale: Double = 1.0d
   ) {
 
     @volatile var lastStats: ServeStats = ServeStats(0L, 0L)
@@ -78,7 +83,9 @@ object Serve {
     private def vecOf(id: Long): Array[Float] =
       if (packed != null) {
         val b = packed.get(id)
-        if (b == null) null else graft.plans.Half.unpack(b, packedBf16)
+        if (b == null) null
+        else if (packedInt8) graft.plans.Half.unpackInt8ToFloat(b, packedScale)
+        else graft.plans.Half.unpack(b, packedBf16)
       } else vecs.get(id)
 
     // COARSE ENTRY LAYER (opt-in, [[enableCoarseEntries]]): the
@@ -699,6 +706,667 @@ object Serve {
           rows.map(_.getSeq[Float](1).toArray).toArray))
     }
     new LocalIvfSearcher(cs, lm, metric)
+  }
+
+  // -------------------------------------------------------------------------
+  // Quantized resident IVF serving tier — the reference's IVF_SQ8/IVF_PQ
+  // memory model (`src/index/ivf/ivf.cc:66-1276`): the serving node holds
+  // CODES, not fp32 vectors, in RAM (4× fewer resident bytes for SQ8, up
+  // to 32× for PQ), scores probed lists by decode-inline asymmetric
+  // distance, and rescores only `reorderK` finalists from a raw tier —
+  // the SCANN raw-data rerank contract (`ivf.cc:774-788`).
+  // -------------------------------------------------------------------------
+
+  /** Raw-vector tier behind the quantized serving searchers — where the
+    * `reorderK` finalists' exact vectors come from. Two shapes, mirroring
+    * the reference's two deployments:
+    *  - [[ResidentRawTier]]: raw vectors in serving RAM next to the codes
+    *    (SCANN `with_raw_data`, `ivf.cc:774-788`) — fastest rerank, full
+    *    resident cost.
+    *  - [[PagedRawTier]]: raw vectors stay in the parquet raw tier and
+    *    are fetched per search for the ≤ reorderK finalists only (the
+    *    SSD/mmap analog, `feature.h:40-46` — DiskANN's
+    *    `pq_code_budget_gb` model pages raw data the same way). Resident
+    *    bytes are the CODES ONLY; each search pays one bounded fetch.
+    * Both keep V7 (`GetVectorByIds`) answering exact raw vectors, so the
+    * searcher's HasRawData stays true — the repo's SQ8/PQ are the
+    * SCANN-style raw-rerank composition (see `Capabilities.hasRawData`),
+    * unlike the reference's codes-only IVF_SQ8 which answers false. */
+  sealed trait RawTier {
+    /** Exact raw vectors for the requested ids (absent ids skipped). */
+    def fetch(ids: Seq[Long]): java.util.HashMap[Long, Array[Float]]
+    /** True when the raw vectors are RAM-resident (SCANN shape). */
+    def resident: Boolean
+  }
+
+  final class ResidentRawTier(
+      byId: java.util.HashMap[Long, Array[Float]]
+  ) extends RawTier {
+    def fetch(ids: Seq[Long]): java.util.HashMap[Long, Array[Float]] = {
+      val m = new java.util.HashMap[Long, Array[Float]]()
+      ids.foreach { id =>
+        val v = byId.get(id)
+        if (v != null) m.put(id, v)
+      }
+      m
+    }
+    def resident: Boolean = true
+    /** Resident float count (observability for the SCALE_RUN bytes line). */
+    def residentFloats: Long = {
+      var s = 0L
+      val it = byId.values().iterator()
+      while (it.hasNext) s += it.next().length
+      s
+    }
+  }
+
+  /** Pages finalists from the parquet raw tier per search — one bounded
+    * Spark lookup of ≤ reorderK ids (the SSD fetch analog). The frame is
+    * retained, not collected: nothing raw is resident. */
+  final class PagedRawTier(
+      raw: DataFrame, // (id, vec)
+      idCol: String = "id",
+      vecCol: String = "vec"
+  ) extends RawTier {
+    /** ids fetched by the last call — the "SSD reads" observable. */
+    @volatile var lastFetched: Long = 0L
+    def fetch(ids: Seq[Long]): java.util.HashMap[Long, Array[Float]] = {
+      val m = new java.util.HashMap[Long, Array[Float]]()
+      val want = ids.distinct
+      lastFetched = want.length.toLong
+      raw
+        .filter(col(idCol).isInCollection(want))
+        .select(col(idCol).cast("long"), col(vecCol))
+        .collect() // bounded: ≤ reorderK rows by construction
+        .foreach(r => m.put(r.getLong(0), r.getSeq[Float](1).toArray))
+      m
+    }
+    def resident: Boolean = false
+  }
+
+  /** Shared mechanics of the coded IVF serving searchers: L2 probe order
+    * (identical to [[LocalIvfSearcher]] — 4dp round, ties by cluster id),
+    * bounded (dist, id) heap over decode-inline approximate distances on
+    * the probed lists, then exact L2 rerank of the ≤ reorderK finalists
+    * from the raw tier — step-for-step the batch `IvfIndex.searchSq8`/
+    * `searchPq` composition, so equality is exact, not recall-gated. */
+  sealed abstract class LocalIvfCodedSearcher(
+      cents: Array[(Long, Array[Float])], // sorted by cluster_id
+      lists: java.util.HashMap[Long, (Array[Long], Array[Array[Byte]])],
+      raw: RawTier,
+      roundDist: Int
+  ) {
+
+    /** Approximate (decode-inline) distance of the query to one code —
+      * must reproduce the batch quantized-distance arithmetic bit-for-bit
+      * (double fold, then sqrt, then 4dp round). `qstate` is the per-query
+      * precomputation ([[queryState]]) so per-candidate work is minimal. */
+    protected def adcDist(qstate: AnyRef, code: Array[Byte]): Double
+
+    /** Per-query precomputation handed to every [[adcDist]] call (the
+      * PQ LUT; SQ8 needs none beyond the query itself). */
+    protected def queryState(q: Array[Float]): AnyRef
+
+    /** Telemetry label for the search path. */
+    protected def searchLabel: String
+
+    @volatile var lastCandidates: Long = 0L
+    @volatile var lastRawFetched: Long = 0L
+
+    /** V8: raw data is REACHABLE (rerank + V7 ride the raw tier) — the
+      * SCANN-style contract this repo's SQ8/PQ register
+      * (`Capabilities.hasRawData`); `rawResident` tells the two tier
+      * shapes apart. */
+    def hasRawData: Boolean = true
+    def rawResident: Boolean = raw.resident
+
+    /** Resident bytes of the CODED tier (ids + codes + centroids) — the
+      * serving-memory observable the SCALE_RUN line reports. Excludes the
+      * raw tier (zero when paged; see [[ResidentRawTier.residentFloats]]). */
+    def residentCodeBytes: Long = {
+      var s = 0L
+      val it = lists.values().iterator()
+      while (it.hasNext) {
+        val (ids, codes) = it.next()
+        s += ids.length.toLong * 8L
+        var i = 0
+        while (i < codes.length) { s += codes(i).length.toLong; i += 1 }
+      }
+      s + cents.map(c => 8L + c._2.length.toLong * 4L).sum
+    }
+
+    /** Serving-side V7 (`index_node.h:340-341`): exact raw vectors in
+      * request order via the raw tier; absent ids are skipped. */
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
+      val m = raw.fetch(ids)
+      ids.flatMap(id => Option(m.get(id)).map(id -> _))
+    }
+
+    /** L2 centroid distance under the shared 4dp contract (the probe
+      * ranking of `IvfIndex.probe` with roundDist=4). */
+    private def centDist(q: Array[Float], c: Array[Float]): Double = {
+      var s = 0.0d
+      var i = 0
+      while (i < q.length) {
+        val d = q(i).toDouble - c(i).toDouble
+        s += d * d
+        i += 1
+      }
+      sparkRound(math.sqrt(s), roundDist)
+    }
+
+    /** Exact L2 under the shared contract — the rerank distance. */
+    private def exactDist(q: Array[Float], v: Array[Float]): Double = {
+      var s = 0.0d
+      var i = 0
+      while (i < q.length) {
+        val d = q(i).toDouble - v(i).toDouble
+        s += d * d
+        i += 1
+      }
+      sparkRound(math.sqrt(s), roundDist)
+    }
+
+    /** Two-phase probed search: approx (coded) top-`reorderK` over the
+      * `nprobe` nearest lists, exact rerank of the finalists to top-`k` —
+      * bit-identical to the batch `searchSq8`/`searchPq` over the same
+      * index (same probe order, same candidate cut, same (dist, id)
+      * contract). `allowed` is the universal bitset: disallowed ids are
+      * skipped at the coded scan, costing nothing — equality then holds
+      * vs the batch search over the pre-filtered index under the SAME
+      * quantizer model (the filter must not retrain the quantizer). */
+    def search(
+        q: Array[Float],
+        k: Int,
+        nprobe: Int,
+        reorderK: Int,
+        allowed: Long => Boolean = null
+    ): Seq[(Long, Double)] = Telemetry.timed("SERVE", searchLabel) {
+      val order = cents
+        .map { case (cid, c) => (centDist(q, c), cid) }
+        .sorted
+        .take(nprobe)
+        .map(_._2)
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+      val qs = queryState(q)
+      var candidates = 0L
+      order.foreach { cid =>
+        val l = lists.get(cid)
+        if (l != null) {
+          val (ids, codes) = l
+          var i = 0
+          while (i < ids.length) {
+            if (allowed == null || allowed(ids(i))) {
+              candidates += 1
+              val e = (adcDist(qs, codes(i)), ids(i))
+              if (heap.size < reorderK || ord.lt(e, heap.head)) {
+                heap.enqueue(e)
+                if (heap.size > reorderK) heap.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      lastCandidates = candidates
+      val finalists = heap.toSeq.map(_._2)
+      val rawm = raw.fetch(finalists)
+      lastRawFetched = rawm.size.toLong
+      finalists
+        .flatMap(id => Option(rawm.get(id)).map(v => (id, exactDist(q, v))))
+        .sortBy { case (id, d) => (d, id) }
+        .take(k)
+    }
+  }
+
+  /** IVF_SQ8 serving: 1-byte-per-dim codes resident (4× fewer bytes than
+    * the fp32 [[LocalIvfSearcher]]), decode-inline midpoint reconstruction
+    * per evaluation — the faiss SQ midpoint the batch `Quantization`
+    * expressions compute, reproduced in the same double arithmetic order
+    * so the 4dp-rounded distances are bit-identical. */
+  final class LocalIvfSq8Searcher(
+      cents: Array[(Long, Array[Float])],
+      lists: java.util.HashMap[Long, (Array[Long], Array[Array[Byte]])],
+      mn: Array[Double], // global per-dim bounds (the trained quantizer)
+      mx: Array[Double],
+      raw: RawTier,
+      roundDist: Int = 4
+  ) extends LocalIvfCodedSearcher(cents, lists, raw, roundDist) {
+    protected def searchLabel: String = "search_ivf_sq8"
+    protected def queryState(q: Array[Float]): AnyRef = q
+    protected def adcDist(qstate: AnyRef, code: Array[Byte]): Double = {
+      val q = qstate.asInstanceOf[Array[Float]]
+      var s = 0.0d
+      var i = 0
+      while (i < q.length) {
+        // recon = mn + (code + 0.5)·(mx − mn)/255 — Quantization.sq8Recon
+        // verbatim (same operation order, so bit-identical doubles)
+        val recon = mn(i) + ((code(i) & 0xFF).toDouble + 0.5d) * (mx(i) - mn(i)) / 255.0d
+        val d = q(i).toDouble - recon
+        s += d * d
+        i += 1
+      }
+      sparkRound(math.sqrt(s), roundDist)
+    }
+  }
+
+  /** IVF_PQ serving: m-byte codes resident (d·4/m× fewer bytes than fp32),
+    * per-query subspace LUT computed once, ADC per candidate is m lookups —
+    * the batch `ProductQuant.adcTopK` arithmetic (per-subspace double
+    * folds, subspace sums left-to-right, sqrt, 4dp round) reproduced
+    * bit-for-bit. */
+  final class LocalIvfPqSearcher(
+      cents: Array[(Long, Array[Float])],
+      lists: java.util.HashMap[Long, (Array[Long], Array[Array[Byte]])],
+      model: ProductQuant.PQModel,
+      raw: RawTier,
+      roundDist: Int = 4
+  ) extends LocalIvfCodedSearcher(cents, lists, raw, roundDist) {
+    protected def searchLabel: String = "search_ivf_pq"
+    /** LUT: distances of each query subspace to every codeword —
+      * `ProductQuant.lutExpr`'s double fold per (s, c) cell. */
+    protected def queryState(q: Array[Float]): AnyRef = {
+      val lut = Array.ofDim[Double](model.m, model.ksub)
+      var s = 0
+      while (s < model.m) {
+        var c = 0
+        while (c < model.ksub) {
+          val cw = model.codebooks(s)(c)
+          var acc = 0.0d
+          var j = 0
+          while (j < model.dsub) {
+            val d = q(s * model.dsub + j).toDouble - cw(j).toDouble
+            acc += d * d
+            j += 1
+          }
+          lut(s)(c) = acc
+          c += 1
+        }
+        s += 1
+      }
+      lut
+    }
+    protected def adcDist(qstate: AnyRef, code: Array[Byte]): Double = {
+      val lut = qstate.asInstanceOf[Array[Array[Double]]]
+      var s = 0
+      var acc = 0.0d
+      while (s < model.m) {
+        acc += lut(s)(code(s) & 0xFF)
+        s += 1
+      }
+      sparkRound(math.sqrt(acc), roundDist)
+    }
+  }
+
+  /** Load an IVF_SQ8 serving shard: codes are computed by the SAME Spark
+    * expressions the batch search uses (`Quantization.sq8Code` over the
+    * trained global bounds), so serving and batch quantize identically by
+    * construction. Pass `stats` (the trained quantizer, one row) in a
+    * real deployment so load never retrains — the reference's Train-once
+    * contract (`ivf.cc:440-654`). `rawResident=false` (default) keeps
+    * ONLY codes in serving RAM and pages finalists from the parquet raw
+    * tier; `true` is the SCANN `with_raw_data` shape. */
+  def loadIvfSq8(
+      index: DataFrame, // (id, vec, cluster_id) from IvfIndex.build
+      centroids: DataFrame, // (cluster_id, centroid)
+      stats: Option[DataFrame] = None,
+      rawResident: Boolean = false,
+      maxNodes: Int = 2000000
+  ): LocalIvfSq8Searcher = {
+    val n = index.count()
+    require(n <= maxNodes,
+      s"serving shard has $n vectors > cap $maxNodes — shard the index across serving nodes")
+    val st = stats.getOrElse(Quantization.sq8Train(index.select(col("id"), col("vec"))))
+    val strow = st.select(col("mn"), col("mx")).head()
+    val mn = strow.getSeq[Double](0).toArray
+    val mx = strow.getSeq[Double](1).toArray
+    val cs = centroids
+      .select(col("cluster_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val lm = new java.util.HashMap[Long, (Array[Long], Array[Array[Byte]])]()
+    streamRows(index
+      .withColumn("cluster_id", col("cluster_id").cast("long"))
+      .crossJoin(broadcast(st))
+      .select(col("cluster_id"), col("id"),
+        Quantization.sq8Code(col("vec"), col("mn"), col("mx")).as("codes"))
+      .groupBy(col("cluster_id"))
+      .agg(sort_array(collect_list(struct(col("id"), col("codes")))).as("l"))) { r =>
+      val rows = r.getSeq[org.apache.spark.sql.Row](1)
+      lm.put(r.getLong(0),
+        (rows.map(_.getLong(0)).toArray,
+          rows.map(_.getSeq[Int](1).map(_.toByte).toArray).toArray))
+    }
+    new LocalIvfSq8Searcher(cs, lm, mn, mx, rawTierOf(index, rawResident))
+  }
+
+  /** Load an IVF_PQ serving shard — codes via the batch
+    * `ProductQuant.encodeExpr` (identical first-minimum tie-break), the
+    * codebook resident as the model object (m·ksub·dsub floats — tiny). */
+  def loadIvfPq(
+      index: DataFrame, // (id, vec, cluster_id)
+      centroids: DataFrame,
+      model: ProductQuant.PQModel,
+      rawResident: Boolean = false,
+      maxNodes: Int = 2000000
+  ): LocalIvfPqSearcher = {
+    val n = index.count()
+    require(n <= maxNodes,
+      s"serving shard has $n vectors > cap $maxNodes — shard the index across serving nodes")
+    require(model.ksub <= 256, s"PQ ksub ${model.ksub} exceeds 1-byte codes")
+    val cs = centroids
+      .select(col("cluster_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val lm = new java.util.HashMap[Long, (Array[Long], Array[Array[Byte]])]()
+    streamRows(index
+      .withColumn("cluster_id", col("cluster_id").cast("long"))
+      .select(col("cluster_id"), col("id"),
+        ProductQuant.encodeExpr(col("vec"), model).as("codes"))
+      .groupBy(col("cluster_id"))
+      .agg(sort_array(collect_list(struct(col("id"), col("codes")))).as("l"))) { r =>
+      val rows = r.getSeq[org.apache.spark.sql.Row](1)
+      lm.put(r.getLong(0),
+        (rows.map(_.getLong(0)).toArray,
+          rows.map(_.getSeq[Int](1).map(_.toByte).toArray).toArray))
+    }
+    new LocalIvfPqSearcher(cs, lm, model, rawTierOf(index, rawResident))
+  }
+
+  private def rawTierOf(index: DataFrame, rawResident: Boolean): RawTier =
+    if (!rawResident) new PagedRawTier(index.select(col("id"), col("vec")))
+    else {
+      val byId = new java.util.HashMap[Long, Array[Float]]()
+      streamRows(index.select(col("id"), col("vec")))(
+        r => byId.put(r.getLong(0), r.getSeq[Float](1).toArray))
+      new ResidentRawTier(byId)
+    }
+
+  /** Binary (bin1) serving searcher — the reference serves BIN_FLAT
+    * through the same Search verb as floats (`brute_force.cc:212-236`;
+    * BIN_FLAT registration `flat.cc:398-413`), over sign-bit-packed
+    * vectors: 64 dims per resident long (32× fewer bytes than fp32 for
+    * the same dim count). Hamming is `Long.bitCount(xor)` summed;
+    * Jaccard is 1 − |and|/|or| under the shared 4dp contract — both
+    * reproduce the batch `VectorFunctions.hamming/jaccardDist` arithmetic
+    * exactly (integer popcounts; one double divide for Jaccard), so the
+    * ServeSpec gates are set-equality vs `BruteForce.knn`, not recall.
+    * The packed signature IS this index's raw data (BIN_FLAT answers
+    * HasRawData true) — V7 returns the packed words. */
+  final class LocalBinarySearcher(
+      ids: Array[Long], // sorted asc (ties in the scan break by id)
+      words: Array[Array[Long]],
+      metric: Metric,
+      roundDist: Int = 4
+  ) {
+    require(metric == Metric.Hamming || metric == Metric.Jaccard,
+      s"binary serving supports HAMMING/JACCARD, got ${metric.name}")
+
+    @volatile var lastCandidates: Long = 0L
+
+    def hasRawData: Boolean = true
+
+    /** Resident bytes of the packed tier (ids + signature words). */
+    def residentBytes: Long =
+      ids.length.toLong * 8L + words.iterator.map(_.length.toLong * 8L).sum
+
+    /** Serving-side V7: the packed signatures (the index's raw data). */
+    def getVectorByIds(want: Seq[Long]): Seq[(Long, Array[Long])] = {
+      val m = new java.util.HashMap[Long, Array[Long]]()
+      var i = 0
+      while (i < ids.length) { m.put(ids(i), words(i)); i += 1 }
+      want.flatMap(id => Option(m.get(id)).map(id -> _))
+    }
+
+    private def dist(q: Array[Long], v: Array[Long]): Double = {
+      val n = math.min(q.length, v.length)
+      if (metric == Metric.Hamming) {
+        var h = 0L
+        var i = 0
+        while (i < n) { h += java.lang.Long.bitCount(q(i) ^ v(i)); i += 1 }
+        h.toDouble
+      } else {
+        var inter = 0L
+        var uni = 0L
+        var i = 0
+        while (i < n) {
+          inter += java.lang.Long.bitCount(q(i) & v(i))
+          uni += java.lang.Long.bitCount(q(i) | v(i))
+          i += 1
+        }
+        if (uni == 0L) 0.0d
+        else sparkRound(1.0d - inter.toDouble / uni.toDouble, roundDist)
+      }
+    }
+
+    /** Exact top-k over the packed shard; `allowed` is the universal
+      * bitset (disallowed ids skipped at scan — thread-safe/read-only
+      * when used behind a sharded router). */
+    def search(
+        q: Array[Long], k: Int,
+        allowed: Long => Boolean = null): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "search_binary") {
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+        var candidates = 0L
+        var i = 0
+        while (i < ids.length) {
+          if (allowed == null || allowed(ids(i))) {
+            candidates += 1
+            val e = (dist(q, words(i)), ids(i))
+            if (heap.size < k || ord.lt(e, heap.head)) {
+              heap.enqueue(e)
+              if (heap.size > k) heap.dequeue()
+            }
+          }
+          i += 1
+        }
+        lastCandidates = candidates
+        heap.toSeq.map { case (d, id) => (id, d) }
+          .sortBy { case (id, d) => (d, id) }
+      }
+
+    /** V5 over the packed shard: the [rangeFilter, radius) shell of the
+      * batch `BruteForce.rangeSearch` (ascending metrics), (dist, id)
+      * sorted. */
+    def rangeSearch(
+        q: Array[Long], radius: Double, rangeFilter: Double,
+        allowed: Long => Boolean = null): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "range_binary") {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        var i = 0
+        while (i < ids.length) {
+          if (allowed == null || allowed(ids(i))) {
+            val d = dist(q, words(i))
+            if (d >= rangeFilter && d < radius) out += ((ids(i), d))
+          }
+          i += 1
+        }
+        out.sortBy { case (id, d) => (d, id) }.toSeq
+      }
+  }
+
+  /** DiskANN serving arm — the reference's deployment model
+    * (`src/index/diskann/diskann.cc:560-660`): PQ codes and the Vamana
+    * graph are RAM-resident (the `pq_code_budget_gb` tier) and drive the
+    * beam; full-precision vectors live on SSD and are read only for the
+    * visited set's exact rescoring. The Spark rendering keeps the split:
+    * codes + adjacency + entries resident, raw vectors paged per search
+    * from the parquet raw tier ([[PagedRawTier]] — the SSD fetch analog;
+    * `lastRawFetched` is the per-query IO-request observable).
+    *
+    * The walk replicates the batch [[DiskAnn.search]] step-for-step —
+    * seed = ADC top-L of the entries, each hop expands EVERY frontier
+    * node (beamwidth folded into the hop, `diskann_config.h:73-77`),
+    * pools frontier ∪ newly-scored, keeps top-L, and the answer is the
+    * exact-distance top-k over the FULL visited set — so with the same
+    * index and codebook the result is bit-identical (ServeSpec-gated).
+    * `allowed` applies at the rescoring fetch, matching the batch
+    * `filter` semantics (ADC steering is unfiltered on both sides). */
+  final class LocalDiskAnnSearcher(
+      adj: java.util.HashMap[Long, Array[Long]],
+      codes: java.util.HashMap[Long, Array[Byte]],
+      entries: Array[Long],
+      model: ProductQuant.PQModel,
+      raw: RawTier,
+      searchListSize: Int,
+      beamIters: Int,
+      roundDist: Int = 4
+  ) {
+    @volatile var lastNdis: Long = 0L
+    @volatile var lastRawFetched: Long = 0L
+    @volatile var lastVisited: Long = 0L
+
+    /** DiskANN retains raw data (on "SSD") — V8 true, V7 pages it. */
+    def hasRawData: Boolean = true
+    def rawResident: Boolean = raw.resident
+
+    /** Resident bytes of the RAM tier: codes + adjacency + entries (the
+      * `pq_code_budget_gb` model — raw vectors are NOT in this number). */
+    def residentBytes: Long = {
+      var s = entries.length.toLong * 8L
+      val ci = codes.entrySet().iterator()
+      while (ci.hasNext) { s += 8L + ci.next().getValue.length.toLong; }
+      val ai = adj.entrySet().iterator()
+      while (ai.hasNext) { s += 8L + ai.next().getValue.length.toLong * 8L }
+      s
+    }
+
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
+      val m = raw.fetch(ids)
+      ids.flatMap(id => Option(m.get(id)).map(id -> _))
+    }
+
+    private def lut(q: Array[Float]): Array[Array[Double]] = {
+      val t = Array.ofDim[Double](model.m, model.ksub)
+      var s = 0
+      while (s < model.m) {
+        var c = 0
+        while (c < model.ksub) {
+          val cw = model.codebooks(s)(c)
+          var acc = 0.0d
+          var j = 0
+          while (j < model.dsub) {
+            val d = q(s * model.dsub + j).toDouble - cw(j).toDouble
+            acc += d * d
+            j += 1
+          }
+          t(s)(c) = acc
+          c += 1
+        }
+        s += 1
+      }
+      t
+    }
+
+    private def adc(t: Array[Array[Double]], code: Array[Byte]): Double = {
+      var s = 0
+      var acc = 0.0d
+      while (s < model.m) { acc += t(s)(code(s) & 0xFF); s += 1 }
+      sparkRound(math.sqrt(acc), roundDist)
+    }
+
+    def search(
+        q: Array[Float], k: Int,
+        allowed: Long => Boolean = null): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "search_diskann") {
+        require(searchListSize >= k, s"search_list_size $searchListSize must be >= k $k")
+        val t = lut(q)
+        var ndis = 0L
+        def adcOf(id: Long): Option[(Double, Long)] = {
+          val c = codes.get(id)
+          if (c == null) None
+          else { ndis += 1; Some((adc(t, c), id)) }
+        }
+        val visited = scala.collection.mutable.LinkedHashSet.empty[Long]
+        entries.foreach(visited += _)
+        var frontier = entries.toSeq.flatMap(adcOf)
+          .sortBy { case (d, id) => (d, id) }
+          .take(searchListSize)
+        for (_ <- 1 to beamIters) {
+          // every frontier node expands; new candidates ADC-score once
+          val cands = frontier.flatMap { case (_, id) =>
+            val ns = adj.get(id)
+            if (ns == null) Array.empty[Long] else ns
+          }.distinct
+          cands.foreach(visited += _)
+          val scored = cands.flatMap(adcOf)
+          // pool = frontier ∪ scored, deduped by id (same id ⇒ same ADC
+          // dist — the batch union+distinct), then top-L by (dist, id)
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          frontier = (frontier ++ scored)
+            .filter { case (_, id) => seen.add(id) }
+            .sortBy { case (d, id) => (d, id) }
+            .take(searchListSize)
+        }
+        lastNdis = ndis
+        lastVisited = visited.size.toLong
+        // the SSD fetch: exact rescoring of the full visited set
+        val want = visited.toSeq.filter(id => allowed == null || allowed(id))
+        val rawm = raw.fetch(want)
+        lastRawFetched = rawm.size.toLong
+        want.flatMap { id =>
+          Option(rawm.get(id)).map { v =>
+            var s = 0.0d
+            var i = 0
+            while (i < q.length) {
+              val d = q(i).toDouble - v(i).toDouble
+              s += d * d
+              i += 1
+            }
+            (id, sparkRound(math.sqrt(s), roundDist))
+          }
+        }.sortBy { case (id, d) => (d, id) }.take(k)
+      }
+  }
+
+  /** Load a DiskANN serving shard from a built [[DiskAnnIndex]]: the RAM
+    * tier (codes via the index's own `ProductQuant.encodeExpr` projection,
+    * adjacency, entries) collects bounded; the raw tier stays in parquet
+    * and pages per search. */
+  def loadDiskAnn(
+      idx: DiskAnnIndex,
+      maxNodes: Int = 2000000
+  ): LocalDiskAnnSearcher = {
+    val n = idx.coded.count()
+    require(n <= maxNodes,
+      s"serving shard has $n vectors > cap $maxNodes — shard the index across serving nodes")
+    require(idx.model.ksub <= 256, s"PQ ksub ${idx.model.ksub} exceeds 1-byte codes")
+    val adj = new java.util.HashMap[Long, Array[Long]]()
+    streamRows(idx.graph
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("adj")))(
+      r => adj.put(r.getLong(0), r.getSeq[Long](1).toArray))
+    val cm = new java.util.HashMap[Long, Array[Byte]]()
+    streamRows(idx.coded.select(col("id"), col("codes")))(
+      r => cm.put(r.getLong(0), r.getSeq[Int](1).map(_.toByte).toArray))
+    val es = idx.entries.collect().map(_.getLong(0)).sorted
+    require(es.nonEmpty, "serving needs at least one entry point")
+    new LocalDiskAnnSearcher(adj, cm, es, idx.model,
+      new PagedRawTier(idx.raw.select(col("id"), col("vec"))),
+      idx.searchListSize, idx.beamIters)
+  }
+
+  /** Load a packed-binary shard for serving — bounded collect with a
+    * loud guard (64 bin1 dims per resident long). */
+  def loadBinary(
+      base: DataFrame, // (id, vec ARRAY<BIGINT> — signBits output)
+      metric: Metric = Metric.Hamming,
+      maxNodes: Int = 50000000
+  ): LocalBinarySearcher = {
+    val n = base.count()
+    require(n <= maxNodes,
+      s"serving shard has $n vectors > cap $maxNodes — shard the index across serving nodes")
+    val idsB = Array.newBuilder[Long]
+    val wsB = Array.newBuilder[Array[Long]]
+    streamRows(base.select(col("id").cast("long"), col("vec")).orderBy(col("id"))) { r =>
+      idsB += r.getLong(0)
+      wsB += r.getSeq[Long](1).toArray
+    }
+    new LocalBinarySearcher(idsB.result(), wsB.result(), metric)
   }
 
   /** Per-query DAAT-WAND sparse serving — the reference's own sparse
@@ -1584,5 +2252,39 @@ object Serve {
     require(es.nonEmpty, "serving needs at least one entry point")
     new LocalGraphSearcher(adj, null, es, metric,
       hasRaw = true, packed = pm, packedBf16 = bf16)
+  }
+
+  /** [[loadPacked]] for the int8 storage tier (`operands.h:48-147` int8,
+    * fp32 compute): vectors stay 1-byte-packed in serving memory — a
+    * QUARTER of the fp32 resident bytes, 4× the corpus per serving node
+    * under the same cap — and decode inline per evaluation to the
+    * int8-dequantized float grid (`Half.unpackInt8ToFloat`: byte/scale
+    * in double, correctly rounded to float — identical to the batch
+    * `unpackInt8(..).cast("array<float>")` decode). Queries must be
+    * grid-narrowed the same way; the walk is then bit-identical to a
+    * float searcher loaded from the decoded grid (ServeSpec-gated). The
+    * packed tier IS this index's raw data — V7 answers the exact decode. */
+  def loadPackedInt8(
+      graph: DataFrame, // (src, dst)
+      base: DataFrame, // (id, vecb BINARY — VecPackInt8 output)
+      entries: DataFrame, // (nid)
+      metric: Metric = Metric.L2,
+      scale: Double = 100.0d,
+      maxNodes: Int = 2000000
+  ): LocalGraphSearcher = {
+    val n = base.count()
+    require(n <= maxNodes,
+      s"serving shard has $n vectors > cap $maxNodes — shard the graph across serving nodes")
+    val adj = new java.util.HashMap[Long, Array[Long]]()
+    streamRows(graph
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("adj")))(
+      r => adj.put(r.getLong(0), r.getSeq[Long](1).toArray))
+    val pm = new java.util.HashMap[Long, Array[Byte]]()
+    streamRows(base)(r => pm.put(r.getLong(0), r.getAs[Array[Byte]](1)))
+    val es = entries.collect().map(_.getLong(0)).sorted
+    require(es.nonEmpty, "serving needs at least one entry point")
+    new LocalGraphSearcher(adj, null, es, metric,
+      hasRaw = true, packed = pm, packedInt8 = true, packedScale = scale)
   }
 }

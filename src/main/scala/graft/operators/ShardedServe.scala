@@ -75,7 +75,15 @@ object ShardedServe {
     * so router latency tracks the SLOWEST shard, not the shard sum.
     * Per-shard searchers are independent objects (no shared mutable
     * state; Telemetry is atomic), and every gather below sorts before
-    * truncating, so the answer is bit-identical to a serial scatter. */
+    * truncating, so the answer is bit-identical to a serial scatter.
+    *
+    * CONTRACT: any user-supplied `allowed: Long => Boolean` filter is
+    * invoked CONCURRENTLY from pool threads, one call stream per shard —
+    * it must be thread-safe and side-effect-free (a pure predicate over
+    * the id, like the reference's immutable BitsetView,
+    * `include/knowhere/bitsetview.h`). A stateful/counting closure races
+    * across shards. This applies to every filtered `search`/`rangeSearch`
+    * overload on the routers below. */
   private lazy val scatterPool: java.util.concurrent.ExecutorService =
     java.util.concurrent.Executors.newFixedThreadPool(
       math.max(2, Runtime.getRuntime.availableProcessors() / 2),
@@ -118,7 +126,9 @@ object ShardedServe {
     * every shard's searcher (the host broadcasts the query to all
     * segments) and the per-shard top-k lists merge. The bitset filter
     * passes through to each shard unchanged — ids are global, so the
-    * shard walks apply the same contract the single-index walk does. */
+    * shard walks apply the same contract the single-index walk does.
+    * The filter is invoked concurrently across shards (see [[scatter]]):
+    * it must be thread-safe and side-effect-free. */
   final class ShardedGraphServing(
       shards: Seq[Serve.LocalGraphSearcher],
       metric: Metric
@@ -171,7 +181,9 @@ object ShardedServe {
     * partitioned across shards — each shard is a complete inverted index
     * over its own docs): per-shard WAND/MaxScore arms are EXACT, so the
     * merge under (score desc, id asc) equals the single-index answer over
-    * the union bit-for-bit. The bitset passes through unchanged. */
+    * the union bit-for-bit. The bitset passes through unchanged and is
+    * invoked concurrently across shards (see [[scatter]]): it must be
+    * thread-safe and side-effect-free. */
   final class ShardedSparseServing(shards: Seq[Serve.LocalSparseSearcher]) {
     require(shards.nonEmpty, "router needs at least one shard")
     def search(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
@@ -193,7 +205,9 @@ object ShardedServe {
     * way a host keeps collection-level stats above its segments; then
     * per-shard scores equal the global scores restricted to shard docs
     * and the merge is exact. The bitset passes through unchanged (ids are
-    * global), on the WAND and MaxScore arms alike. */
+    * global), on the WAND and MaxScore arms alike, and is invoked
+    * concurrently across shards (see [[scatter]]): it must be
+    * thread-safe and side-effect-free. */
   final class ShardedSparseBM25Serving(shards: Seq[Serve.LocalSparseBM25Searcher]) {
     require(shards.nonEmpty, "router needs at least one shard")
     def search(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
@@ -221,7 +235,9 @@ object ShardedServe {
     * the single index's scanned set (the growing-segment contract,
     * `ivf.cc:1250-1262`: segments share the collection's trained
     * quantizer). Shards with private quantizers would probe different
-    * regions and the partial-nprobe merge could drop a true neighbor. */
+    * regions and the partial-nprobe merge could drop a true neighbor.
+    * Any `allowed` filter is invoked concurrently across shards (see
+    * [[scatter]]): it must be thread-safe and side-effect-free. */
   final class ShardedIvfServing(
       shards: Seq[Serve.LocalIvfSearcher],
       metric: Metric,
@@ -268,6 +284,39 @@ object ShardedServe {
     def hasRawData: Boolean = shards.forall(_.hasRawData)
     def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
       val m = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
+      shards.foreach(_.getVectorByIds(ids).foreach { case (id, v) =>
+        m.getOrElseUpdate(id, v)
+      })
+      ids.flatMap(id => m.get(id).map(id -> _))
+    }
+  }
+
+  /** Scatter-gather router over packed-binary shards (documents
+    * partitioned across shards): per-shard scans are EXACT, so the merge
+    * under (dist asc, id asc) equals the single-index answer over the
+    * union bit-for-bit — the BIN_FLAT Search verb across segments
+    * (`brute_force.cc:212-236`). The bitset passes through unchanged and
+    * is invoked concurrently across shards (see [[scatter]]): it must be
+    * thread-safe and side-effect-free. */
+  final class ShardedBinaryServing(shards: Seq[Serve.LocalBinarySearcher]) {
+    require(shards.nonEmpty, "router needs at least one shard")
+    def search(q: Array[Long], k: Int): Seq[(Long, Double)] =
+      mergeTopK(scatter(shards)(_.search(q, k)), k, ascending = true)
+    def search(
+        q: Array[Long], k: Int,
+        allowed: Long => Boolean): Seq[(Long, Double)] =
+      mergeTopK(scatter(shards)(_.search(q, k, allowed)), k, ascending = true)
+    /** V5 across shards: shell membership is per-doc, so the sorted
+      * union of per-shard answers IS the single-index range answer. */
+    def rangeSearch(
+        q: Array[Long], radius: Double, rangeFilter: Double,
+        allowed: Long => Boolean = null): Seq[(Long, Double)] =
+      scatter(shards)(_.rangeSearch(q, radius, rangeFilter, allowed))
+        .flatten
+        .sortBy { case (id, d) => (d, id) }
+    def hasRawData: Boolean = shards.forall(_.hasRawData)
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Long])] = {
+      val m = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
       shards.foreach(_.getVectorByIds(ids).foreach { case (id, v) =>
         m.getOrElseUpdate(id, v)
       })

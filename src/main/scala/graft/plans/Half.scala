@@ -187,6 +187,22 @@ object Half {
     out
   }
 
+  /** Unpack to FLOAT grid values — the serving packed-int8 tier's decode:
+    * byte/scale computed in DOUBLE then correctly rounded to float,
+    * identical to Spark's `unpackInt8(...).cast("array<float>")`, so a
+    * packed-int8 serving walk is bit-identical to a float searcher loaded
+    * from that decoded frame (the fp32-compute contract, operands.h). */
+  def unpackInt8ToFloat(bytes: Array[Byte], scale: Double): Array[Float] = {
+    val n = bytes.length
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (bytes(i).toDouble / scale).toFloat
+      i += 1
+    }
+    out
+  }
+
   /** Σ (a_i − b_i)² over int8 buffers, dequantized in DOUBLE inline. */
   def l2SqInt8(a: Array[Byte], b: Array[Byte], scale: Double): Double = {
     val n = math.min(a.length, b.length)

@@ -186,6 +186,203 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  // shared fixture for the quantized IVF serving tests: explicit-centroid
+  // IVF index + the batch-side result collector
+  private def ivfFixture = {
+    import graft.operators.IvfIndex
+    val cents = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+    (cents, IvfIndex.build(base, cents, Some(4)))
+  }
+
+  private def collectKnn(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] =
+    df.select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
+      }
+
+  test("IVF_SQ8 serving (codes resident, paged raw) equals the batch searchSq8 bit-for-bit") {
+    import graft.operators.{IvfIndex, Quantization}
+    val (cents, index) = ivfFixture
+    val st = Quantization.sq8Train(index.select(col("id"), col("vec")))
+    val batch = collectKnn(IvfIndex.searchSq8(
+      queries, index, cents, 10, nprobe = 2, reorderK = 30, Some(4), Some(st)))
+    val searcher = Serve.loadIvfSq8(index, cents, Some(st))
+    // tier semantics: codes-only residency, raw REACHABLE (V8 true — the
+    // SCANN-style raw-rerank contract this repo's SQ8 registers), paged
+    assert(searcher.hasRawData && !searcher.rawResident)
+    val dim = base.head().getSeq[Float](1).length
+    val n = base.count()
+    // resident bytes: 1 byte/dim codes vs 4 bytes/dim fp32 — the coded
+    // tier must hold well under half the fp32 list bytes
+    assert(searcher.residentCodeBytes * 2 < n * (8L + 4L * dim),
+      s"coded tier ${searcher.residentCodeBytes} B not small vs fp32 ${n * (8L + 4L * dim)} B")
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.search(qv, 10, nprobe = 2, reorderK = 30)
+      assert(got == batch(qid), s"query $qid:\n  serve $got\n  batch ${batch(qid)}")
+      // the raw tier is touched for ≤ reorderK finalists only
+      assert(searcher.lastRawFetched <= 30)
+    }
+    // V7 via the paged tier: exact raw vectors, request order
+    val want = queryVecs.take(2).map(_._1)
+    val exactVecs = base.filter(col("id").isInCollection(want)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    searcher.getVectorByIds(want).foreach { case (id, v) =>
+      assert(v.sameElements(exactVecs(id)), s"V7 decode mismatch for $id")
+    }
+  }
+
+  test("IVF_SQ8 serving with resident raw (SCANN with_raw_data shape) matches too") {
+    import graft.operators.{IvfIndex, Quantization}
+    val (cents, index) = ivfFixture
+    val st = Quantization.sq8Train(index.select(col("id"), col("vec")))
+    val batch = collectKnn(IvfIndex.searchSq8(
+      queries, index, cents, 10, nprobe = 2, reorderK = 30, Some(4), Some(st)))
+    val searcher = Serve.loadIvfSq8(index, cents, Some(st), rawResident = true)
+    assert(searcher.hasRawData && searcher.rawResident)
+    queryVecs.foreach { case (qid, qv) =>
+      assert(searcher.search(qv, 10, nprobe = 2, reorderK = 30) == batch(qid))
+    }
+  }
+
+  test("IVF_SQ8 filtered serving equals the batch over the pre-filtered index (same quantizer)") {
+    import graft.operators.{IvfIndex, Quantization}
+    val (cents, index) = ivfFixture
+    // the quantizer is the FULL index's trained model on both sides — a
+    // filter must never retrain bounds (the Train-once contract)
+    val st = Quantization.sq8Train(index.select(col("id"), col("vec")))
+    val allowed: Long => Boolean = id => id % 3 != 0
+    val batch = collectKnn(IvfIndex.searchSq8(
+      queries, index.filter(col("id") % 3 =!= 0), cents, 10,
+      nprobe = 2, reorderK = 30, Some(4), Some(st)))
+    val searcher = Serve.loadIvfSq8(index, cents, Some(st))
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.search(qv, 10, nprobe = 2, reorderK = 30, allowed)
+      assert(got == batch(qid), s"query $qid:\n  serve $got\n  batch ${batch(qid)}")
+      assert(got.forall { case (id, _) => allowed(id) })
+    }
+  }
+
+  test("IVF_PQ serving equals the batch searchPq bit-for-bit") {
+    import graft.operators.{IvfIndex, ProductQuant}
+    val (cents, index) = ivfFixture
+    val model = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
+    val batch = collectKnn(IvfIndex.searchPq(
+      queries, index, cents, model, 10, nprobe = 2, reorderK = 50, Some(4)))
+    val searcher = Serve.loadIvfPq(index, cents, model)
+    assert(searcher.hasRawData && !searcher.rawResident)
+    val dim = base.head().getSeq[Float](1).length
+    val n = base.count()
+    // m=8 code bytes per vector vs 4·dim fp32 bytes — far under a quarter
+    assert(searcher.residentCodeBytes * 4 < n * (8L + 4L * dim),
+      s"PQ coded tier ${searcher.residentCodeBytes} B not small vs fp32")
+    val total = base.count()
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.search(qv, 10, nprobe = 2, reorderK = 50)
+      assert(got == batch(qid), s"query $qid:\n  serve $got\n  batch ${batch(qid)}")
+      searcher.search(qv, 10, nprobe = 1, reorderK = 50)
+      assert(searcher.lastCandidates < total) // probed subset, not a scan
+    }
+  }
+
+  test("binary serving equals the batch BIN_FLAT search (hamming + jaccard, filtered, sharded, range, V7)") {
+    import graft.functions.VectorFunctions.signBits
+    import graft.operators.ShardedServe
+    val bbin = base.select(col("id"), signBits(col("vec")).as("vec"))
+    val qbin = queries.select(col("qid"), signBits(col("qvec")).as("qvec"))
+    val qv = qbin.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val total = bbin.count()
+    Seq(Metric.Hamming -> None, Metric.Jaccard -> Some(4)).foreach { case (metric, round) =>
+      val batch = collectKnn(BruteForce.knn(qbin, bbin, 10, metric, roundDist = round))
+      val s = Serve.loadBinary(bbin, metric)
+      assert(s.hasRawData)
+      // packed residency: 64 bin1 dims per long — far under the fp32 bytes
+      val dim = base.head().getSeq[Float](1).length
+      assert(s.residentBytes < total * (8L + 4L * dim) / 4,
+        s"packed binary tier ${s.residentBytes} B not small vs fp32")
+      qv.foreach { case (qid, q) =>
+        val got = s.search(q, 10)
+        assert(got == batch(qid), s"${metric.name} query $qid:\n  serve $got\n  batch ${batch(qid)}")
+      }
+      // universal bitset: equality vs the batch over the pre-filtered base
+      val allowed: Long => Boolean = id => id % 2 == 0
+      val batchF = collectKnn(
+        BruteForce.knn(qbin, bbin.filter(col("id") % 2 === 0), 10, metric, roundDist = round))
+      qv.foreach { case (qid, q) =>
+        val got = s.search(q, 10, allowed)
+        assert(got == batchF(qid), s"${metric.name} filtered query $qid mismatch")
+        assert(s.lastCandidates < total) // the filter scales the scan cost
+      }
+      // sharded router: 4 doc shards merge to the single-index answer
+      val router = new ShardedServe.ShardedBinaryServing(
+        (0 until 4).map(sh => Serve.loadBinary(
+          bbin.filter(pmod(col("id"), lit(4L)) === sh.toLong), metric)))
+      qv.foreach { case (qid, q) =>
+        assert(router.search(q, 10) == batch(qid), s"${metric.name} sharded query $qid mismatch")
+      }
+    }
+    // V5 shell (hamming): serving range == batch range, single and sharded
+    val s = Serve.loadBinary(bbin, Metric.Hamming)
+    val router = new ShardedServe.ShardedBinaryServing(
+      (0 until 4).map(sh => Serve.loadBinary(
+        bbin.filter(pmod(col("id"), lit(4L)) === sh.toLong), Metric.Hamming)))
+    val batchR = BruteForce
+      .rangeSearch(qbin, bbin, Metric.Hamming, radius = 30.0, rangeFilter = 20.0)
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
+      }
+    qv.foreach { case (qid, q) =>
+      val got = s.rangeSearch(q, radius = 30.0, rangeFilter = 20.0)
+      assert(got == batchR.getOrElse(qid, Seq.empty), s"range query $qid mismatch")
+      assert(router.rangeSearch(q, 30.0, 20.0) == got, s"sharded range $qid mismatch")
+    }
+    // V7: the packed signature is the index's raw data
+    val want = qv.take(2).map(_._1)
+    val exactSig = bbin.filter(col("id").isInCollection(want)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    s.getVectorByIds(want).foreach { case (id, w) =>
+      assert(w.sameElements(exactSig(id)), s"V7 signature mismatch for $id")
+    }
+  }
+
+  test("DiskANN serving (PQ+graph resident, raw paged) equals the batch beam bit-for-bit") {
+    import graft.operators.{DiskAnn, ProductQuant}
+    val model = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
+    val idx = DiskAnn.build(base, model, entries.select(col("nid")),
+      degree = 5, searchListSize = 16, beamIters = 2, roundDist = Some(4))
+    val batch = collectKnn(DiskAnn.search(idx, queries, 10))
+    val searcher = Serve.loadDiskAnn(idx)
+    assert(searcher.hasRawData && !searcher.rawResident)
+    val total = base.count()
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.search(qv, 10)
+      assert(got == batch(qid), s"query $qid:\n  serve $got\n  batch ${batch(qid)}")
+      // the memory/disk split observables: the beam visits a bounded
+      // subset, and the raw tier is touched for the visited set only
+      assert(searcher.lastVisited < total, "beam visited the whole base")
+      assert(searcher.lastRawFetched <= searcher.lastVisited)
+      assert(searcher.lastNdis > 0)
+    }
+    // filter applies at the rescoring fetch (the batch `filter` contract)
+    val batchF = collectKnn(DiskAnn.search(idx, queries, 10,
+      Some(col("id") % 3 =!= 0)))
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.search(qv, 10, id => id % 3 != 0)
+      assert(got == batchF(qid), s"filtered query $qid mismatch")
+    }
+    // V7 pages exact raw vectors from the SSD tier
+    val want = queryVecs.take(2).map(_._1)
+    val exactVecs = base.filter(col("id").isInCollection(want)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    searcher.getVectorByIds(want).foreach { case (id, v) =>
+      assert(v.sameElements(exactVecs(id)), s"V7 mismatch for $id")
+    }
+  }
+
   test("graph range serving: exhaustive walk shell equals the batch brute-force range") {
     val searcher = Serve.load(knnGraph(16), base, entries, Metric.L2)
     val batch = BruteForce
@@ -870,6 +1067,47 @@ class ServeSpec extends SparkSpec {
     got.foreach { case (id, v) => assert(v.toSeq == want(id).toSeq, s"V7 $id") }
     // the coarse entry layer composes with the packed tier (vecOf feeds
     // the anchor/bucket evaluations too)
+    packedS.enableCoarseEntries()
+    qGrid.foreach { case (qid, qv) =>
+      assert(packedS.search(qv, 10, ef = 500) == gridS.search(qv, 10, ef = 500),
+        s"coarse packed $qid")
+    }
+  }
+
+  test("packed int8 serving tier equals the float-grid searcher bit-for-bit (quarter the bytes)") {
+    import graft.functions.VectorFunctions.{packInt8, unpackInt8}
+    val scale = 100.0d
+    val g = knnGraph(16)
+    // same int8-dequantized grid on both sides: the packed searcher
+    // decodes inline (byte/scale → float), the float searcher loads the
+    // decoded frame — bit-identical walks
+    val bPacked = base.select(col("id"), packInt8(col("vec"), scale).as("vec"))
+    val bGrid = base.select(col("id"),
+      unpackInt8(packInt8(col("vec"), scale), scale).cast("array<float>").as("vec"))
+    val packedS = Serve.loadPackedInt8(g, bPacked, entries, Metric.L2, scale)
+    val gridS = Serve.load(g, bGrid, entries, Metric.L2)
+    // queries narrowed to the same grid (the batch bf_knn_l2_int8_packed
+    // narrows both sides): round-half-even of f·scale, clamp, decode
+    val qGrid = queryVecs.map { case (qid, qv) =>
+      (qid, qv.map { f =>
+        val q8 = math.max(-128.0, math.min(127.0, math.rint(f.toDouble * scale)))
+        (q8.toByte.toDouble / scale).toFloat
+      })
+    }
+    qGrid.foreach { case (qid, qv) =>
+      assert(packedS.search(qv, 10, ef = 500) == gridS.search(qv, 10, ef = 500),
+        s"exhaustive $qid")
+      assert(packedS.search(qv, 10, ef = 32) == gridS.search(qv, 10, ef = 32),
+        s"bounded $qid")
+    }
+    // V7/V8: the packed int8 tier is this index's raw data — exact decode
+    assert(packedS.hasRawData)
+    val ids = qGrid.map(_._1).take(4)
+    val got = packedS.getVectorByIds(ids).toMap
+    val want = gridS.getVectorByIds(ids).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, v) => assert(v.toSeq == want(id).toSeq, s"V7 $id") }
+    // the coarse entry layer composes with the int8 tier
     packedS.enableCoarseEntries()
     qGrid.foreach { case (qid, qv) =>
       assert(packedS.search(qv, 10, ef = 500) == gridS.search(qv, 10, ef = 500),
