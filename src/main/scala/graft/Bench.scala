@@ -270,7 +270,10 @@ object Bench {
       // meta entry (underscore prefix — bench_diff.py skips it): records
       // whether the committed-drift retry trigger was armed this run, so
       // a silently-broken baseline parse is visible from the artifact
-      s"""{\n  "_committed_baseline": {"loaded":${committed.nonEmpty},"entries":${committed.size}},\n""",
+      // cpus is recorded because shuffle.partitions follows it: the r9
+      // streaming drift traced to a 32-vs-16 parallelism difference
+      // between driver runs and snapshots (BENCH_TRIAGE round-10 entry)
+      s"""{\n  "_committed_baseline": {"loaded":${committed.nonEmpty},"entries":${committed.size},"cpus":$cpus,"sf":"$sfName","reps":$reps},\n""",
       ",\n", "\n}")
     // FULL runs only: a SPARK_GRAFT_BENCH_ONLY iteration run must not
     // clobber the committed full-inventory snapshot

@@ -177,6 +177,42 @@ object Scale {
       efSearch = 64, beamIters = 4, HnswVariant.Sq8(Quantization.sq8Train(base)))
     time("hnsw_sq quantized beam + exact refine")(hnswSq.search(queries, 10, None).count())
     println(f"hnsw_sq recall@10: ${recallOf(hnswSq.search(queries, 10, None))}%.3f")
+
+    // ---- DiskANN SERVING arm at corpus scale: PQ codes + graph resident
+    // (the pq_code_budget_gb tier), raw vectors PAGED per query from the
+    // parquet-backed tier — the SSD fetch analog. Equality vs the batch
+    // beam asserted in-run; ndis / visited / raw-fetch counters are the
+    // memory-vs-disk traffic observables ----
+    locally {
+      val serving = time("serve load (diskann: codes+graph+entries resident)")(
+        Serve.loadDiskAnn(diskann))
+      val q16 = queries.limit(16)
+      val qv16 = q16.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val batch = diskann.search(q16, 10, None)
+        .select("qid", "nid", "dist").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
+        }
+      qv16.foreach { case (_, v) => serving.search(v, 10) } // warm-up
+      val t0 = System.nanoTime()
+      var ndis = 0L; var visited = 0L; var fetched = 0L
+      qv16.foreach { case (_, v) =>
+        serving.search(v, 10)
+        ndis += serving.lastNdis; visited += serving.lastVisited
+        fetched += serving.lastRawFetched
+      }
+      val perQueryMs = (System.nanoTime() - t0) / 1e6 / qv16.length
+      qv16.foreach { case (qid, v) =>
+        require(serving.search(v, 10) == batch(qid),
+          s"diskann serving != batch beam for query $qid at corpus scale")
+      }
+      println(f"diskann serve per-query latency: $perQueryMs%.2f ms " +
+        f"(ADC ndis ${ndis / qv16.length}, visited ${visited / qv16.length} of $nb, " +
+        f"raw fetched ${fetched / qv16.length}/query — the SSD reads; " +
+        f"resident RAM tier ${serving.residentBytes >> 20} MiB vs " +
+        f"fp32 ${(nb.toLong * (8L + 4L * dim)) >> 20} MiB; batch equality asserted)")
+    }
     graph.unpersist()
 
     // ---- embedding near-dup: LSH bucketing (no all-pairs verify) ----
@@ -419,6 +455,100 @@ object Scale {
         f"(single-searcher: $perQueryMs%.2f ms; merge exactness asserted)")
     }
 
+    // ---- QUANTIZED RESIDENT IVF serving: the reference's IVF_SQ8/IVF_PQ
+    // memory model (codes, not fp32, in serving RAM; ivf.cc:66-1276).
+    // Two raw-tier shapes measured: PAGED (codes-only residency, each
+    // query pays one bounded parquet fetch for ≤ reorderK finalists —
+    // the SSD/mmap analog) and RESIDENT (SCANN with_raw_data). In-run
+    // equality vs the batch searchSq8/searchPq over the same index. ----
+    locally {
+      val q16 = queries.limit(16)
+      val qv = q16.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val fp32Bytes = nb.toLong * (8L + 4L * dim)
+      def collectBatch(df: DataFrame): Map[Long, Seq[(Long, Double)]] = df
+        .select("qid", "nid", "dist").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
+        }
+      // SQ8: 1 byte/dim codes — 4x fewer resident bytes than fp32
+      val st = Quantization.sq8Train(index.select(col("id"), col("vec")))
+      val sq8Paged = time("serve load (IVF_SQ8 codes, paged raw)")(
+        Serve.loadIvfSq8(index, cents, Some(st)))
+      val sq8Res = Serve.loadIvfSq8(index, cents, Some(st), rawResident = true)
+      val sq8Batch = collectBatch(IvfIndex.searchSq8(
+        q16, index, cents, 10, nprobe, reorderK = 50, Some(4), Some(st)))
+      qv.foreach { case (_, v) =>
+        sq8Paged.search(v, 10, nprobe, 50); sq8Res.search(v, 10, nprobe, 50)
+      } // warm-up
+      val t0 = System.nanoTime()
+      qv.foreach { case (_, v) => sq8Res.search(v, 10, nprobe, 50) }
+      val sq8ResMs = (System.nanoTime() - t0) / 1e6 / qv.length
+      val t1 = System.nanoTime()
+      var fetched = 0L
+      qv.foreach { case (_, v) =>
+        sq8Paged.search(v, 10, nprobe, 50); fetched += sq8Paged.lastRawFetched
+      }
+      val sq8PagedMs = (System.nanoTime() - t1) / 1e6 / qv.length
+      qv.foreach { case (qid, v) =>
+        require(sq8Paged.search(v, 10, nprobe, 50) == sq8Batch(qid),
+          s"IVF_SQ8 serving (paged) != batch searchSq8 for query $qid")
+        require(sq8Res.search(v, 10, nprobe, 50) == sq8Batch(qid),
+          s"IVF_SQ8 serving (resident raw) != batch searchSq8 for query $qid")
+      }
+      println(f"ivf_sq8 serve per-query latency: resident-raw $sq8ResMs%.2f ms, " +
+        f"paged-raw $sq8PagedMs%.2f ms (${fetched / qv.length}/query raw fetches — the SSD reads); " +
+        f"resident codes ${sq8Paged.residentCodeBytes >> 20} MiB vs fp32 ${fp32Bytes >> 20} MiB; " +
+        "batch equality asserted on both tiers")
+      // PQ: m=8 bytes/vector — 32x fewer resident bytes than fp32 at dim 64
+      val pqServe = time("serve load (IVF_PQ codes, paged raw)")(
+        Serve.loadIvfPq(index, cents, pq))
+      val pqBatch = collectBatch(IvfIndex.searchPq(
+        q16, index, cents, pq, 10, nprobe, reorderK = 50, Some(4)))
+      qv.foreach { case (_, v) => pqServe.search(v, 10, nprobe, 50) } // warm-up
+      val t2 = System.nanoTime()
+      qv.foreach { case (_, v) => pqServe.search(v, 10, nprobe, 50) }
+      val pqMs = (System.nanoTime() - t2) / 1e6 / qv.length
+      qv.foreach { case (qid, v) =>
+        require(pqServe.search(v, 10, nprobe, 50) == pqBatch(qid),
+          s"IVF_PQ serving != batch searchPq for query $qid")
+      }
+      println(f"ivf_pq serve per-query latency: $pqMs%.2f ms (paged raw); " +
+        f"resident codes ${pqServe.residentCodeBytes >> 20} MiB vs fp32 ${fp32Bytes >> 20} MiB; " +
+        "batch equality asserted")
+    }
+
+    // ---- binary (bin1) serving: packed-long signatures resident (64
+    // dims/long — 32x under fp32), Long.bitCount hamming scan; 4-shard
+    // router must merge to the single-index answer bit-for-bit ----
+    locally {
+      import graft.functions.VectorFunctions.signBits
+      val bbin = base.select(col("id"), signBits(col("vec")).as("vec"))
+      val single = time("serve load (binary shard, packed longs)")(
+        Serve.loadBinary(bbin, Metric.Hamming))
+      val qbin = queries.limit(16)
+        .select(col("qid"), signBits(col("qvec")).as("qvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      qbin.foreach { case (_, q) => single.search(q, 10) } // warm-up
+      val t0 = System.nanoTime()
+      qbin.foreach { case (_, q) => single.search(q, 10) }
+      val binMs = (System.nanoTime() - t0) / 1e6 / qbin.length
+      val binRouter = new ShardedServe.ShardedBinaryServing(
+        (0 until 4).map(sh => Serve.loadBinary(
+          bbin.filter(pmod(col("id"), lit(4L)) === sh.toLong), Metric.Hamming)))
+      qbin.foreach { case (_, q) => binRouter.search(q, 10) } // warm-up
+      val t1 = System.nanoTime()
+      qbin.foreach { case (_, q) => binRouter.search(q, 10) }
+      val binShMs = (System.nanoTime() - t1) / 1e6 / qbin.length
+      qbin.foreach { case (_, q) =>
+        require(binRouter.search(q, 10) == single.search(q, 10),
+          "sharded binary merge != single-index answer at corpus scale")
+      }
+      println(f"binary serve per-query latency: $binMs%.2f ms single, " +
+        f"$binShMs%.2f ms 4-shard router (resident ${single.residentBytes >> 20} MiB " +
+        f"vs fp32 ${(nb.toLong * (8L + 4L * dim)) >> 20} MiB; merge exactness asserted)")
+    }
+
     // ---- per-query sparse WAND serving over the Zipf postings: the
     // skip counters are the pruning evidence at corpus vocabulary ----
     locally {
@@ -581,7 +711,10 @@ object Scale {
     // and (b) recall vs exact truth at least the single-graph walk's
     // (4 independent quarter-corpus walks search MORE total ef). ----
     locally {
-      val shardSearchers = time("serve load (4 graph shards, incl. builds)") {
+      // per-shard frames persist so the float, packed, and decoded-grid
+      // loads below stream the SAME built graph instead of recomputing
+      // the IVF-bucketed build per load
+      val shardFrames = time("sharded graph builds (4 shards, persisted)") {
         (0 until 4).map { sh =>
           val sb = base.filter(pmod(col("id"), lit(4L)) === sh.toLong)
           val shNb = nb / 4
@@ -590,11 +723,15 @@ object Scale {
           val shCents = sb.filter(pmod(col("id"), lit(4L * shStep)) === sh.toLong)
             .select((col("id") / (4L * shStep)).cast("long").as("cluster_id"),
               col("vec").as("centroid"))
-          val g = GraphSearch.knnGraphIvf(sb, shCents, degree = 5, nprobe = 2)
+          val g = GraphSearch.knnGraphIvf(sb, shCents, degree = 5, nprobe = 2).persist()
+          g.count()
           val es = sb.filter(pmod(col("id"), lit(4L * shStep)) === sh.toLong)
             .select(col("id").as("nid"))
-          Serve.load(g, sb, es, Metric.L2)
+          (g, sb, es)
         }
+      }
+      val shardSearchers = time("serve load (4 graph shards)") {
+        shardFrames.map { case (g, sb, es) => Serve.load(g, sb, es, Metric.L2) }
       }
       val graphRouter = new ShardedServe.ShardedGraphServing(shardSearchers, Metric.L2)
       val qv16 = queries.limit(16).collect()
@@ -635,6 +772,43 @@ object Scale {
       val coarseMs = (System.nanoTime() - t2) / 1e6 / qv16.length
       println(f"sharded graph serve (4 shards, coarse entries) per-query latency: " +
         f"$coarseMs%.2f ms, recall@10 ${cHits.toDouble / (qv16.length * 10)}%.3f")
+
+      // ---- the REALISTIC DEPLOYMENT composition: packed fp16 residency
+      // + coarse entries + 4-shard parallel scatter, all at once. Packed
+      // walks must equal decoded-grid float walks shard-for-shard, so the
+      // composed router is asserted against a grid-float router with the
+      // same coarse layer — half the resident bytes at router latency ----
+      import graft.functions.VectorFunctions.{packFp16, unpackFp16}
+      val packedRouter = new ShardedServe.ShardedGraphServing(
+        time("serve load (4 packed fp16 shards)") {
+          shardFrames.map { case (g, sb, es) =>
+            Serve.loadPacked(g, sb.select(col("id"), packFp16(col("vec")).as("vec")), es, Metric.L2)
+          }
+        }, Metric.L2).enableCoarseEntries()
+      val gridRouter = new ShardedServe.ShardedGraphServing(
+        shardFrames.map { case (g, sb, es) =>
+          Serve.load(g, sb.select(col("id"), unpackFp16(packFp16(col("vec"))).as("vec")), es, Metric.L2)
+        }, Metric.L2).enableCoarseEntries()
+      val qGrid = qv16.map { case (qid, v) =>
+        (qid, v.map(f => graft.plans.Half.halfToFloat(graft.plans.Half.floatToHalf(f))))
+      }
+      qGrid.foreach { case (_, v) => packedRouter.search(v, 10, ef = 64) } // warm-up
+      val t3 = System.nanoTime()
+      var pHits = 0
+      qGrid.foreach { case (qid, v) =>
+        val got = packedRouter.search(v, 10, ef = 64)
+        pHits += got.map(_._1).count(id => t.contains((qid, id)))
+      }
+      val packedShardedMs = (System.nanoTime() - t3) / 1e6 / qGrid.length
+      qGrid.foreach { case (qid, v) =>
+        require(packedRouter.search(v, 10, ef = 64) == gridRouter.search(v, 10, ef = 64),
+          s"packed sharded walk != decoded-grid sharded walk for query $qid")
+      }
+      println(f"sharded graph serve (4 shards, packed fp16 + coarse entries) " +
+        f"per-query latency: $packedShardedMs%.2f ms, " +
+        f"recall@10 ${pHits.toDouble / (qGrid.length * 10)}%.3f " +
+        "(half the resident bytes; grid equality asserted per shard merge)")
+      shardFrames.foreach(_._1.unpersist())
     }
     spark.stop()
   }

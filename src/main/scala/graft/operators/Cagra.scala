@@ -116,8 +116,16 @@ final class CagraIndex(
 
   /** Per-query serving adapter over the optimized CAGRA graph — the
     * adapt_for_cpu serving contract run sequentially per query. */
-  def serving(maxNodes: Int = 2000000): Serve.LocalGraphSearcher =
-    Serve.load(graph, base, entries, metric, maxNodes)
+  /** Coarse entry selection ON by default (round-10 randomized sweep:
+    * recall parity at fewer seed evaluations — see
+    * [[HnswIndex.serving]]); `coarseEntries = false` forces the flat
+    * all-entries seeding scan. */
+  def serving(
+      maxNodes: Int = 2000000,
+      coarseEntries: Boolean = true): Serve.LocalGraphSearcher = {
+    val s = Serve.load(graph, base, entries, metric, maxNodes)
+    if (coarseEntries) s.enableCoarseEntries() else s
+  }
 
   override def indexType: String = "GPU_CAGRA"
   override lazy val count: Long = base.count()

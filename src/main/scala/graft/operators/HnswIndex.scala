@@ -51,9 +51,19 @@ final class HnswIndex(
 
   /** Per-query serving adapter over this handle's shard (the reference's
     * online path — IndexHNSWWrapper's ef-early-exit walk): graph + raw
-    * tier loaded once, each search one sequential best-first walk. */
-  def serving(maxNodes: Int = 2000000): Serve.LocalGraphSearcher =
-    Serve.load(graph, base, entries, metric, maxNodes)
+    * tier loaded once, each search one sequential best-first walk.
+    * Coarse entry selection (the upper-layer-descent analog — see
+    * [[Serve.LocalGraphSearcher.enableCoarseEntries]]) is ON by default
+    * since round 10's randomized sweep (dims 16/64/256 × entry counts,
+    * ServeSpec): recall parity with the flat argmin at up to 2.9× fewer
+    * seed evaluations; pass `coarseEntries = false` to force the flat
+    * all-entries scan. */
+  def serving(
+      maxNodes: Int = 2000000,
+      coarseEntries: Boolean = true): Serve.LocalGraphSearcher = {
+    val s = Serve.load(graph, base, entries, metric, maxNodes)
+    if (coarseEntries) s.enableCoarseEntries() else s
+  }
 
   override def indexType: String = variant.name
   override lazy val count: Long = base.count()

@@ -813,6 +813,16 @@ object Serve {
     @volatile var lastCandidates: Long = 0L
     @volatile var lastRawFetched: Long = 0L
 
+    /** The shard's coarse quantizer, exposed so routers can assert the
+      * shared-centroid precondition (see [[ShardedServe]]). */
+    private[operators] def centroidKey: Seq[(Long, Seq[Float])] =
+      cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+
+    /** The shard's VECTOR quantizer identity (SQ8 bounds / PQ codebooks) —
+      * sharded routers additionally require every shard coded under the
+      * same trained model, or per-shard ADC distances are incomparable. */
+    private[operators] def quantKey: Seq[Double]
+
     /** V8: raw data is REACHABLE (rerank + V7 ride the raw tier) — the
       * SCANN-style contract this repo's SQ8/PQ register
       * (`Capabilities.hasRawData`); `rawResident` tells the two tier
@@ -865,6 +875,48 @@ object Serve {
         i += 1
       }
       sparkRound(math.sqrt(s), roundDist)
+    }
+
+    /** V5 on the coded tier — the reference's IVF_SQ8/IVF_PQ range path
+      * scans probed lists by CODE distance (`ivf.cc` range over the
+      * quantized lists; no raw tier is touched). The serving shell is the
+      * [rangeFilter, radius) band of decode-inline distances over the
+      * `nprobe` nearest lists — bit-identical to the batch
+      * `IvfIndex.rangeSearch` over the reconstructed-code frame (same
+      * decode arithmetic, same probe order), ServeSpec-gated. `allowed`
+      * skips disallowed ids at scan. Output sorted (dist, id). */
+    def rangeSearch(
+        q: Array[Float],
+        radius: Double,
+        rangeFilter: Double,
+        nprobe: Int,
+        allowed: Long => Boolean = null
+    ): Seq[(Long, Double)] = Telemetry.timed("SERVE", searchLabel + "_range") {
+      val order = cents
+        .map { case (cid, c) => (centDist(q, c), cid) }
+        .sorted
+        .take(nprobe)
+        .map(_._2)
+      val qs = queryState(q)
+      var candidates = 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      order.foreach { cid =>
+        val l = lists.get(cid)
+        if (l != null) {
+          val (ids, codes) = l
+          var i = 0
+          while (i < ids.length) {
+            if (allowed == null || allowed(ids(i))) {
+              candidates += 1
+              val d = adcDist(qs, codes(i))
+              if (d >= rangeFilter && d < radius) out += ((ids(i), d))
+            }
+            i += 1
+          }
+        }
+      }
+      lastCandidates = candidates
+      out.sortBy { case (id, d) => (d, id) }.toSeq
     }
 
     /** Two-phase probed search: approx (coded) top-`reorderK` over the
@@ -934,6 +986,7 @@ object Serve {
       roundDist: Int = 4
   ) extends LocalIvfCodedSearcher(cents, lists, raw, roundDist) {
     protected def searchLabel: String = "search_ivf_sq8"
+    private[operators] def quantKey: Seq[Double] = (mn ++ mx).toSeq
     protected def queryState(q: Array[Float]): AnyRef = q
     protected def adcDist(qstate: AnyRef, code: Array[Byte]): Double = {
       val q = qstate.asInstanceOf[Array[Float]]
@@ -964,6 +1017,8 @@ object Serve {
       roundDist: Int = 4
   ) extends LocalIvfCodedSearcher(cents, lists, raw, roundDist) {
     protected def searchLabel: String = "search_ivf_pq"
+    private[operators] def quantKey: Seq[Double] =
+      model.codebooks.flatten.flatten.map(_.toDouble).toSeq
     /** LUT: distances of each query subspace to every codeword —
       * `ProductQuant.lutExpr`'s double fold per (s, c) cell. */
     protected def queryState(q: Array[Float]): AnyRef = {
@@ -1214,8 +1269,13 @@ object Serve {
       raw: RawTier,
       searchListSize: Int,
       beamIters: Int,
-      roundDist: Int = 4
+      // the index's own rounding contract (DiskAnnIndex.roundDigits):
+      // None = raw doubles, matching a batch index built without rounding
+      roundDist: Option[Int] = Some(4)
   ) {
+    private val rd: Int = roundDist.getOrElse(-1)
+    @inline private def contract(x: Double): Double =
+      if (rd >= 0) sparkRound(x, rd) else x
     @volatile var lastNdis: Long = 0L
     @volatile var lastRawFetched: Long = 0L
     @volatile var lastVisited: Long = 0L
@@ -1266,7 +1326,7 @@ object Serve {
       var s = 0
       var acc = 0.0d
       while (s < model.m) { acc += t(s)(code(s) & 0xFF); s += 1 }
-      sparkRound(math.sqrt(acc), roundDist)
+      contract(math.sqrt(acc))
     }
 
     def search(
@@ -1317,7 +1377,7 @@ object Serve {
               s += d * d
               i += 1
             }
-            (id, sparkRound(math.sqrt(s), roundDist))
+            (id, contract(math.sqrt(s)))
           }
         }.sortBy { case (id, d) => (d, id) }.take(k)
       }
@@ -1347,7 +1407,149 @@ object Serve {
     require(es.nonEmpty, "serving needs at least one entry point")
     new LocalDiskAnnSearcher(adj, cm, es, idx.model,
       new PagedRawTier(idx.raw.select(col("id"), col("vec"))),
-      idx.searchListSize, idx.beamIters)
+      idx.searchListSize, idx.beamIters, idx.roundDigits)
+  }
+
+  /** Binary IVF serving — BIN_IVF through the probed-scan verb
+    * (`ivf.cc` binary arms; BIN_FLAT/BIN_IVF share the Search contract,
+    * `flat.cc:398-413`): packed-long centroids rank by the same binary
+    * metric, only the `nprobe` nearest lists are scanned. Hamming is
+    * exact integers (no rounding, matching the batch's unrounded double
+    * cast); Jaccard rounds at 4dp like every float-valued metric. Probe
+    * ties break by cluster id, scan ties by doc id — the batch
+    * `IvfIndex.search(.., Metric.Hamming)` contract, equality-gated. */
+  final class LocalBinaryIvfSearcher(
+      cents: Array[(Long, Array[Long])], // sorted by cluster_id
+      lists: java.util.HashMap[Long, (Array[Long], Array[Array[Long]])],
+      metric: Metric,
+      roundDist: Int = 4
+  ) {
+    require(metric == Metric.Hamming || metric == Metric.Jaccard,
+      s"binary IVF serving supports HAMMING/JACCARD, got ${metric.name}")
+
+    @volatile var lastCandidates: Long = 0L
+
+    /** BIN_IVF keeps the packed signatures in its lists — V8 true. */
+    def hasRawData: Boolean = true
+
+    def getVectorByIds(want: Seq[Long]): Seq[(Long, Array[Long])] = {
+      val m = new java.util.HashMap[Long, Array[Long]]()
+      val it = lists.values().iterator()
+      while (it.hasNext) {
+        val (ids, vs) = it.next()
+        var i = 0
+        while (i < ids.length) { m.put(ids(i), vs(i)); i += 1 }
+      }
+      want.flatMap(id => Option(m.get(id)).map(id -> _))
+    }
+
+    private def dist(q: Array[Long], v: Array[Long]): Double = {
+      val n = math.min(q.length, v.length)
+      if (metric == Metric.Hamming) {
+        var h = 0L
+        var i = 0
+        while (i < n) { h += java.lang.Long.bitCount(q(i) ^ v(i)); i += 1 }
+        h.toDouble
+      } else {
+        var inter = 0L; var uni = 0L; var i = 0
+        while (i < n) {
+          inter += java.lang.Long.bitCount(q(i) & v(i))
+          uni += java.lang.Long.bitCount(q(i) | v(i))
+          i += 1
+        }
+        if (uni == 0L) 0.0d
+        else sparkRound(1.0d - inter.toDouble / uni.toDouble, roundDist)
+      }
+    }
+
+    private def probeOrder(q: Array[Long]): Array[Long] =
+      cents.map { case (cid, c) => (dist(q, c), cid) }.sorted.map(_._2)
+
+    def search(
+        q: Array[Long], k: Int, nprobe: Int,
+        allowed: Long => Boolean = null): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "search_binary_ivf") {
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+        var candidates = 0L
+        probeOrder(q).take(nprobe).foreach { cid =>
+          val l = lists.get(cid)
+          if (l != null) {
+            val (ids, vs) = l
+            var i = 0
+            while (i < ids.length) {
+              if (allowed == null || allowed(ids(i))) {
+                candidates += 1
+                val e = (dist(q, vs(i)), ids(i))
+                if (heap.size < k || ord.lt(e, heap.head)) {
+                  heap.enqueue(e)
+                  if (heap.size > k) heap.dequeue()
+                }
+              }
+              i += 1
+            }
+          }
+        }
+        lastCandidates = candidates
+        heap.toSeq.map { case (d, id) => (id, d) }
+          .sortBy { case (id, d) => (d, id) }
+      }
+
+    /** V5 over the probed lists — the batch `IvfIndex.rangeSearch`
+      * shell under a binary metric. */
+    def rangeSearch(
+        q: Array[Long], radius: Double, rangeFilter: Double, nprobe: Int,
+        allowed: Long => Boolean = null): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "range_binary_ivf") {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        var candidates = 0L
+        probeOrder(q).take(nprobe).foreach { cid =>
+          val l = lists.get(cid)
+          if (l != null) {
+            val (ids, vs) = l
+            var i = 0
+            while (i < ids.length) {
+              if (allowed == null || allowed(ids(i))) {
+                candidates += 1
+                val d = dist(q, vs(i))
+                if (d >= rangeFilter && d < radius) out += ((ids(i), d))
+              }
+              i += 1
+            }
+          }
+        }
+        lastCandidates = candidates
+        out.sortBy { case (id, d) => (d, id) }.toSeq
+      }
+  }
+
+  /** Load a binary IVF shard (packed-long centroids + per-list packed
+    * signatures) for serving — bounded collect with a loud guard. */
+  def loadBinaryIvf(
+      index: DataFrame, // (id, vec ARRAY<BIGINT>, cluster_id)
+      centroids: DataFrame, // (cluster_id, centroid ARRAY<BIGINT>)
+      metric: Metric = Metric.Hamming,
+      maxNodes: Int = 50000000
+  ): LocalBinaryIvfSearcher = {
+    val n = index.count()
+    require(n <= maxNodes,
+      s"serving shard has $n vectors > cap $maxNodes — shard the index across serving nodes")
+    val cs = centroids
+      .select(col("cluster_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    val lm = new java.util.HashMap[Long, (Array[Long], Array[Array[Long]])]()
+    streamRows(index
+      .withColumn("cluster_id", col("cluster_id").cast("long"))
+      .groupBy(col("cluster_id"))
+      .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("l"))) { r =>
+      val rows = r.getSeq[org.apache.spark.sql.Row](1)
+      lm.put(r.getLong(0),
+        (rows.map(_.getLong(0)).toArray,
+          rows.map(_.getSeq[Long](1).toArray).toArray))
+    }
+    new LocalBinaryIvfSearcher(cs, lm, metric)
   }
 
   /** Load a packed-binary shard for serving — bounded collect with a

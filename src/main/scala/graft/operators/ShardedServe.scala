@@ -291,6 +291,57 @@ object ShardedServe {
     }
   }
 
+  /** Scatter-gather router over QUANTIZED (coded) IVF shards — the host
+    * segment layer over IVF_SQ8/IVF_PQ serving searchers. PRECONDITIONS
+    * (asserted): every shard shares the coarse quantizer (probe-order
+    * exactness, as [[ShardedIvfServing]]) AND the vector quantizer (SQ8
+    * bounds / PQ codebooks) — per-shard ADC distances are comparable only
+    * under one trained model (the collection-level Train-once contract,
+    * `ivf.cc:440-654`).
+    *
+    * MERGE SEMANTICS: each segment reranks its own top-`reorderK` ADC
+    * finalists and the host merges exact distances — the reference's
+    * per-segment reorder contract. The union of per-shard finalist pools
+    * is a SUPERSET of the single index's global-reorderK pool, so the
+    * merged answer is at least as good per rank (never worse — asserted
+    * in ServeSpec), and EQUAL whenever reorderK covers the probed docs.
+    * Any `allowed` filter is invoked concurrently across shards (see
+    * [[scatter]]): it must be thread-safe and side-effect-free. */
+  final class ShardedIvfCodedServing(
+      shards: Seq[Serve.LocalIvfCodedSearcher]
+  ) {
+    require(shards.nonEmpty, "router needs at least one shard")
+    locally {
+      val headCents = shards.head.centroidKey
+      require(shards.forall(_.centroidKey == headCents),
+        "sharded coded-IVF serving requires every shard built over identical " +
+          "centroids (the shared coarse quantizer)")
+      val headQuant = shards.head.quantKey
+      require(shards.forall(_.quantKey == headQuant),
+        "sharded coded-IVF serving requires every shard coded under the same " +
+          "trained quantizer (SQ8 bounds / PQ codebooks)")
+    }
+    def search(
+        q: Array[Float], k: Int, nprobe: Int, reorderK: Int): Seq[(Long, Double)] =
+      mergeTopK(scatter(shards)(_.search(q, k, nprobe, reorderK)), k, ascending = true)
+    def search(
+        q: Array[Float], k: Int, nprobe: Int, reorderK: Int,
+        allowed: Long => Boolean): Seq[(Long, Double)] =
+      mergeTopK(scatter(shards)(_.search(q, k, nprobe, reorderK, allowed)),
+        k, ascending = true)
+    /** V6: merged exact-rerank streams, paged. */
+    def iterator(q: Array[Float], n: Int, nprobe: Int, reorderK: Int): Serve.ServingIterator =
+      shardedIterator(scatter(shards)(_.search(q, n, nprobe, reorderK)), ascending = true)
+    def hasRawData: Boolean = shards.forall(_.hasRawData)
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
+      val m = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
+      shards.foreach(_.getVectorByIds(ids).foreach { case (id, v) =>
+        m.getOrElseUpdate(id, v)
+      })
+      ids.flatMap(id => m.get(id).map(id -> _))
+    }
+  }
+
   /** Scatter-gather router over packed-binary shards (documents
     * partitioned across shards): per-shard scans are EXACT, so the merge
     * under (dist asc, id asc) equals the single-index answer over the

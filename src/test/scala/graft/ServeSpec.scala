@@ -349,6 +349,113 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("sharded quantized-IVF router: per-segment rerank merges exactly at full rerank, never worse at partial") {
+    import graft.operators.{Quantization, ShardedServe}
+    val (cents, index) = ivfFixture
+    val st = Quantization.sq8Train(index.select(col("id"), col("vec")))
+    val shards = (0 until 4).map(sh => Serve.loadIvfSq8(
+      index.filter(pmod(col("id"), lit(4L)) === sh.toLong), cents, Some(st)))
+    val router = new ShardedServe.ShardedIvfCodedServing(shards)
+    val single = Serve.loadIvfSq8(index, cents, Some(st))
+    queryVecs.foreach { case (qid, qv) =>
+      // reorderK covering every probed doc: per-shard pools union to the
+      // single index's pool, so the merged exact top-k is EQUAL
+      val full = router.search(qv, 10, nprobe = 2, reorderK = 1000)
+      assert(full == single.search(qv, 10, 2, 1000), s"full-rerank mismatch $qid")
+      // partial rerank: the reference's per-segment reorder contract —
+      // merged == mergeTopK of per-shard answers, and the union pool is
+      // a SUPERSET of the single pool so no rank gets worse
+      val merged = router.search(qv, 10, 2, 30)
+      assert(merged == ShardedServe.mergeTopK(
+        shards.map(_.search(qv, 10, 2, 30)), 10, ascending = true),
+        s"router != mergeTopK for $qid")
+      val sres = single.search(qv, 10, 2, 30)
+      merged.zip(sres).foreach { case ((_, dm), (_, ds)) =>
+        assert(dm <= ds + 1e-12, s"rank got worse under sharding for $qid: $dm > $ds")
+      }
+    }
+    // a shard coded under a DIFFERENT trained quantizer is rejected loudly
+    val stOther = Quantization.sq8Train(
+      index.filter(col("id") % 2 === 0).select(col("id"), col("vec")))
+    intercept[IllegalArgumentException] {
+      new ShardedServe.ShardedIvfCodedServing(Seq(
+        shards.head,
+        Serve.loadIvfSq8(index.filter(pmod(col("id"), lit(4L)) === 1L),
+          cents, Some(stOther))))
+    }
+  }
+
+  test("quantized IVF serving range equals the batch range over the reconstructed-code frame") {
+    import graft.operators.{IvfIndex, Quantization}
+    val (cents, index) = ivfFixture
+    val st = Quantization.sq8Train(index.select(col("id"), col("vec")))
+    // the coded tier's exact geometry: the reconstructed-code frame (the
+    // decode the serving scan computes inline)
+    val recon = index.crossJoin(broadcast(st)).select(
+      col("id"),
+      Quantization.sq8Recon(
+        Quantization.sq8Code(col("vec"), col("mn"), col("mx")),
+        col("mn"), col("mx")).as("vec"),
+      col("cluster_id"))
+    val batch = IvfIndex
+      .rangeSearch(queries, recon, cents, nprobe = 2, Metric.L2,
+        radius = 1.2, rangeFilter = 0.5, Some(4))
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
+      }
+    val s = Serve.loadIvfSq8(index, cents, Some(st))
+    var any = 0
+    queryVecs.foreach { case (qid, qv) =>
+      val got = s.rangeSearch(qv, radius = 1.2, rangeFilter = 0.5, nprobe = 2)
+      assert(got == batch.getOrElse(qid, Seq.empty),
+        s"coded range mismatch for $qid:\n  serve $got\n  batch ${batch.get(qid)}")
+      any += got.size
+    }
+    assert(any > 0, "degenerate fixture: no range hits at all")
+  }
+
+  test("binary IVF serving equals the batch probed search (knn + range + filtered)") {
+    import graft.functions.VectorFunctions.signBits
+    import graft.operators.IvfIndex
+    val bbin = base.select(col("id"), signBits(col("vec")).as("vec"))
+    val qbin = queries.select(col("qid"), signBits(col("qvec")).as("qvec"))
+    val cents = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("cluster_id"), signBits(col("embedding")).as("centroid"))
+    val index = IvfIndex.build(bbin, cents, None, Metric.Hamming)
+    val qv = qbin.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val s = Serve.loadBinaryIvf(index, cents, Metric.Hamming)
+    val total = bbin.count()
+    val batch = collectKnn(IvfIndex.search(qbin, index, cents, 10, nprobe = 1, Metric.Hamming))
+    qv.foreach { case (qid, q) =>
+      val got = s.search(q, 10, nprobe = 1)
+      assert(got == batch(qid), s"bin IVF knn $qid:\n  serve $got\n  batch ${batch(qid)}")
+      assert(s.lastCandidates < total) // probed subset, not a scan
+    }
+    // V5: the batch bin_ivf_range_hamming shell
+    val batchR = IvfIndex
+      .rangeSearch(qbin, index, cents, nprobe = 1, Metric.Hamming,
+        radius = 26.0, rangeFilter = 1.0)
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
+      }
+    qv.foreach { case (qid, q) =>
+      assert(s.rangeSearch(q, 26.0, 1.0, nprobe = 1) == batchR.getOrElse(qid, Seq.empty),
+        s"bin IVF range $qid mismatch")
+    }
+    // bitset: equality vs the batch over the pre-filtered index
+    val batchF = collectKnn(IvfIndex.search(
+      qbin, index.filter(col("id") % 2 === 0), cents, 10, nprobe = 1, Metric.Hamming))
+    qv.foreach { case (qid, q) =>
+      assert(s.search(q, 10, 1, id => id % 2 == 0) == batchF(qid),
+        s"bin IVF filtered $qid mismatch")
+    }
+  }
+
   test("DiskANN serving (PQ+graph resident, raw paged) equals the batch beam bit-for-bit") {
     import graft.operators.{DiskAnn, ProductQuant}
     val model = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
@@ -1113,6 +1220,58 @@ class ServeSpec extends SparkSpec {
       assert(packedS.search(qv, 10, ef = 500) == gridS.search(qv, 10, ef = 500),
         s"coarse packed $qid")
     }
+  }
+
+  test("coarse entry sweep: random corpora x dims x entry counts hold recall at fewer evaluations") {
+    // the evidence the default flip rests on (single-corpus nb=200k
+    // numbers were one-point): seeded random corpora across dimensions
+    // and entry-set sizes, asserting the coarse seed (a) never loses
+    // meaningful recall vs the flat all-entries argmin scan and (b)
+    // cuts total distance evaluations
+    val sess = spark
+    import sess.implicits._
+    val nb = 2000
+    var worstDelta = 0.0d
+    for (dim <- Seq(16, 64, 256); nEntries <- Seq(144, 1024)) {
+      val rnd = new scala.util.Random(dim * 7919L + nEntries)
+      val bdf = (0 until nb).map(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextFloat()))).toDF("id", "vec")
+      val qs = (0 until 8).map(i =>
+        ((100000 + i).toLong, Array.fill(dim)(rnd.nextFloat())))
+      val qdf = qs.toDF("qid", "qvec")
+      val stride = nb / nEntries
+      val edf = bdf.filter(col("id") % stride === 0).select(col("id").as("nid"))
+      val g = BruteForce
+        .knnFused(bdf.select(col("id").as("qid"), col("vec").as("qvec")),
+          bdf, 8, Metric.L2, roundDist = Some(4), excludeSelf = true)
+        .select(col("qid").as("src"), col("nid").as("dst"))
+      // two independent searchers over the same shard: flat seeding vs
+      // coarse (bucketed) seeding
+      val flat = Serve.load(g, bdf, edf, Metric.L2)
+      val coarse = Serve.load(g, bdf, edf, Metric.L2).enableCoarseEntries()
+      val truth = BruteForce.knn(qdf, bdf, 10, Metric.L2, roundDist = Some(4))
+        .select("qid", "nid").collect()
+        .groupBy(_.getLong(0)).map { case (q, r) => q -> r.map(_.getLong(1)).toSet }
+      var fHits = 0; var cHits = 0; var fNdis = 0L; var cNdis = 0L
+      qs.foreach { case (qid, qv) =>
+        val f = flat.search(qv, 10, ef = 64).map(_._1).toSet
+        fNdis += flat.lastStats.ndis
+        val c = coarse.search(qv, 10, ef = 64).map(_._1).toSet
+        cNdis += coarse.lastStats.ndis
+        fHits += f.intersect(truth(qid)).size
+        cHits += c.intersect(truth(qid)).size
+      }
+      val (fR, cR) = (fHits / 80.0, cHits / 80.0)
+      worstDelta = math.min(worstDelta, cR - fR)
+      info(f"dim=$dim%3d E=$nEntries%4d: flat recall $fR%.3f ndis $fNdis; " +
+        f"coarse recall $cR%.3f ndis $cNdis (${fNdis.toDouble / cNdis}%.2fx fewer)")
+      assert(cNdis < fNdis,
+        s"dim=$dim E=$nEntries: coarse did not cut evaluations ($cNdis >= $fNdis)")
+      assert(cR >= fR - 0.05,
+        f"dim=$dim E=$nEntries: coarse recall $cR%.3f fell >0.05 under flat $fR%.3f")
+    }
+    // aggregate parity: across the sweep the coarse seed must track flat
+    assert(worstDelta >= -0.05, f"worst recall delta $worstDelta%.3f")
   }
 
   test("hybrid RRF serving fuses exact arms bit-identically to the batch pipeline") {
