@@ -409,6 +409,52 @@ object Scale {
       }
       println(f"packed fp16 serve per-query latency: $packedMs%.2f ms " +
         "(resident vector bytes halved; grid equality asserted)")
+      // int8 tier: 1 byte/element — QUARTER the fp32 resident bytes;
+      // decode-inline to the int8-dequantized float grid, walk equality
+      // vs the decoded-grid float searcher asserted per query
+      import graft.functions.VectorFunctions.{packInt8, unpackInt8}
+      val i8scale = 100.0d
+      val packedI8 = time("serve load (packed int8 shard)")(Serve.loadPackedInt8(
+        graph, base.select(col("id"), packInt8(col("vec"), i8scale).as("vec")),
+        entries, Metric.L2, i8scale))
+      val gridI8 = Serve.load(
+        graph,
+        base.select(col("id"),
+          unpackInt8(packInt8(col("vec"), i8scale), i8scale).cast("array<float>").as("vec")),
+        entries, Metric.L2)
+      val qGrid8 = qv.map { case (qid, v) =>
+        (qid, v.map { f =>
+          val q8 = math.max(-128.0, math.min(127.0, math.rint(f.toDouble * i8scale)))
+          (q8.toByte.toDouble / i8scale).toFloat
+        })
+      }
+      qGrid8.foreach { case (_, v) => packedI8.search(v, 10, ef = 64) } // warm-up
+      val t4 = System.nanoTime()
+      qGrid8.foreach { case (_, v) => packedI8.search(v, 10, ef = 64) }
+      val packedI8Ms = (System.nanoTime() - t4) / 1e6 / qGrid8.length
+      qGrid8.foreach { case (_, v) =>
+        require(packedI8.search(v, 10, ef = 64) == gridI8.search(v, 10, ef = 64),
+          "packed int8 walk != decoded-grid walk")
+      }
+      println(f"packed int8 serve per-query latency: $packedI8Ms%.2f ms " +
+        "(resident vector bytes quartered; grid equality asserted)")
+      // HNSW_SQ serving-memory parity: SQ8 CODES traverse (4x fewer
+      // resident traversal bytes), raw refines — per-query walk+refine
+      // latency and recall vs exact truth
+      val stG = Quantization.sq8Train(base)
+      val refSq8 = time("serve load (hnsw_sq coded tier + raw refine)")(
+        Serve.loadRefinedSq8(graph, base, entries, Some(stG)))
+      qv.foreach { case (_, v) => refSq8.search(v, 10, ef = 64) } // warm-up
+      val t5 = System.nanoTime()
+      var sqHits = 0
+      qv.foreach { case (qid, v) =>
+        val got = refSq8.search(v, 10, ef = 64)
+        sqHits += got.map(_._1).count(id => truthSet.contains((qid, id)))
+      }
+      val refSq8Ms = (System.nanoTime() - t5) / 1e6 / qv.length
+      println(f"hnsw_sq coded serve per-query latency: $refSq8Ms%.2f ms, " +
+        f"recall@10 ${sqHits.toDouble / (qv.length * 10)}%.3f " +
+        "(SQ8 codes traverse at 1 byte/dim, raw refine tier rescores)")
     }
 
     // ---- per-query IVF serving: probed-list scan latency tracks

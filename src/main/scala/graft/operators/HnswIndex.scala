@@ -65,6 +65,30 @@ final class HnswIndex(
     if (coarseEntries) s.enableCoarseEntries() else s
   }
 
+  /** Variant-faithful refined serving — the handle's own memory split,
+    * served: quantized kinds traverse their CODED tier (SQ8 codes at
+    * 1 byte/dim, PQ codes at m bytes — `Serve.loadPackedSq8/loadPackedPq`;
+    * PRQ's two-stage reconstruction stays a decoded float frame) and
+    * rescore the walk's window from the raw refine tier, exactly as the
+    * batch `search` does relationally. Exact kind refines over raw (a
+    * no-op rescoring — kept so every variant serves through one verb). */
+  def servingRefined(
+      maxNodes: Int = 2000000,
+      coarseEntries: Boolean = true): Serve.RefinedSearcher = {
+    val s = variant match {
+      case HnswVariant.Sq8(stats) =>
+        Serve.loadRefinedSq8(graph, base, entries, Some(stats), metric, maxNodes)
+      case HnswVariant.Pq(model) =>
+        Serve.loadRefinedPq(graph, base, entries, model, metric, maxNodes)
+      case HnswVariant.Prq(m1, m2) =>
+        Serve.loadRefined(graph, ProductQuant.prqReconTier(base, m1, m2),
+          base, entries, metric, maxNodes)
+      case HnswVariant.Exact =>
+        Serve.loadRefined(graph, base, base, entries, metric, maxNodes)
+    }
+    if (coarseEntries) s.enableCoarseEntries() else s
+  }
+
   override def indexType: String = variant.name
   override lazy val count: Long = base.count()
   override lazy val dim: Int = base.select(max(size(col("vec")))).head().getInt(0)

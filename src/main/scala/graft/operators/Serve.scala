@@ -70,12 +70,10 @@ object Serve {
       // float path, so a packed searcher is bit-identical to a float
       // searcher loaded from the decoded (grid) vectors.
       packed: java.util.HashMap[Long, Array[Byte]] = null,
-      packedBf16: Boolean = false,
-      // int8 packed tier (loadPackedInt8): 1 byte/element — QUARTER the
-      // fp32 resident bytes; decode = byte/scale in double, correctly
-      // rounded to the float grid (Half.unpackInt8ToFloat)
-      packedInt8: Boolean = false,
-      packedScale: Double = 1.0d
+      // decode-inline closure for the packed tier: fp16/bf16 halves,
+      // int8 dequantization, SQ8 midpoint recon, PQ codeword concat —
+      // each loader passes its own exact-grid decoder (see loadPacked*)
+      packedDecode: Array[Byte] => Array[Float] = null
   ) {
 
     @volatile var lastStats: ServeStats = ServeStats(0L, 0L)
@@ -83,10 +81,23 @@ object Serve {
     private def vecOf(id: Long): Array[Float] =
       if (packed != null) {
         val b = packed.get(id)
-        if (b == null) null
-        else if (packedInt8) graft.plans.Half.unpackInt8ToFloat(b, packedScale)
-        else graft.plans.Half.unpack(b, packedBf16)
+        if (b == null) null else packedDecode(b)
       } else vecs.get(id)
+
+    /** Resident bytes of the vector tier this shard traverses (packed
+      * buffers or fp32 arrays; ids + adjacency excluded) — the serving-
+      * memory observable the SCALE_RUN lines report. */
+    def residentVectorBytes: Long = {
+      var s = 0L
+      if (packed != null) {
+        val it = packed.values().iterator()
+        while (it.hasNext) s += it.next().length.toLong
+      } else {
+        val it = vecs.values().iterator()
+        while (it.hasNext) s += it.next().length.toLong * 4L
+      }
+      s
+    }
 
     // COARSE ENTRY LAYER (opt-in, [[enableCoarseEntries]]): the
     // entry-selection analog of the reference's own two-level designs —
@@ -2453,7 +2464,8 @@ object Serve {
     val es = entries.collect().map(_.getLong(0)).sorted
     require(es.nonEmpty, "serving needs at least one entry point")
     new LocalGraphSearcher(adj, null, es, metric,
-      hasRaw = true, packed = pm, packedBf16 = bf16)
+      hasRaw = true, packed = pm,
+      packedDecode = b => graft.plans.Half.unpack(b, bf16))
   }
 
   /** [[loadPacked]] for the int8 storage tier (`operands.h:48-147` int8,
@@ -2487,6 +2499,139 @@ object Serve {
     val es = entries.collect().map(_.getLong(0)).sorted
     require(es.nonEmpty, "serving needs at least one entry point")
     new LocalGraphSearcher(adj, null, es, metric,
-      hasRaw = true, packed = pm, packedInt8 = true, packedScale = scale)
+      hasRaw = true, packed = pm,
+      packedDecode = b => graft.plans.Half.unpackInt8ToFloat(b, scale))
+  }
+
+  /** Shared mechanics of the CODED graph loaders below: collect the
+    * adjacency + per-node code buffers (computed by the given Spark
+    * projection, so serving quantizes identically to the batch tier by
+    * construction) and wire the decode closure. The coded tier answers
+    * V8 false — it is not the raw data (the reference's HNSW_SQ/HNSW_PQ
+    * hold codes, `faiss_hnsw.cc:2928-2939`); V7 routes through a
+    * [[RefinedSearcher]]'s raw tier instead. */
+  private def loadCodedGraph(
+      graph: DataFrame,
+      coded: DataFrame, // (id, codes ARRAY<INT> in [0, 255])
+      entries: DataFrame,
+      metric: Metric,
+      decode: Array[Byte] => Array[Float],
+      maxNodes: Int
+  ): LocalGraphSearcher = {
+    val n = coded.count()
+    require(n <= maxNodes,
+      s"serving shard has $n vectors > cap $maxNodes — shard the graph across serving nodes")
+    val adj = new java.util.HashMap[Long, Array[Long]]()
+    streamRows(graph
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("adj")))(
+      r => adj.put(r.getLong(0), r.getSeq[Long](1).toArray))
+    val pm = new java.util.HashMap[Long, Array[Byte]]()
+    streamRows(coded)(
+      r => pm.put(r.getLong(0), r.getSeq[Int](1).map(_.toByte).toArray))
+    val es = entries.collect().map(_.getLong(0)).sorted
+    require(es.nonEmpty, "serving needs at least one entry point")
+    new LocalGraphSearcher(adj, null, es, metric,
+      hasRaw = false, packed = pm, packedDecode = decode)
+  }
+
+  /** HNSW_SQ serving-memory parity: the graph's traversal tier holds
+    * 1-byte-per-dim SQ8 CODES (4× fewer resident bytes than the decoded
+    * fp32 tier `loadRefined` collects) and decodes inline per distance
+    * evaluation to the same float grid the batch quantized tier computes
+    * (`sq8Recon(..).cast("array<float>")` — midpoint recon in double,
+    * correctly rounded to float), so the walk is bit-identical to a
+    * float searcher loaded from that decoded frame (ServeSpec-gated). */
+  def loadPackedSq8(
+      graph: DataFrame, // (src, dst)
+      base: DataFrame, // (id, vec) — raw fp32; codes computed here
+      entries: DataFrame, // (nid)
+      stats: Option[DataFrame] = None, // trained quantizer (Train-once)
+      metric: Metric = Metric.L2,
+      maxNodes: Int = 2000000
+  ): LocalGraphSearcher = {
+    val st = stats.getOrElse(Quantization.sq8Train(base))
+    val strow = st.select(col("mn"), col("mx")).head()
+    val mn = strow.getSeq[Double](0).toArray
+    val mx = strow.getSeq[Double](1).toArray
+    val coded = base
+      .crossJoin(broadcast(st))
+      .select(col("id"),
+        Quantization.sq8Code(col("vec"), col("mn"), col("mx")).as("codes"))
+    loadCodedGraph(graph, coded, entries, metric,
+      decode = b => {
+        val out = new Array[Float](b.length)
+        var i = 0
+        while (i < b.length) {
+          out(i) = (mn(i) + ((b(i) & 0xFF).toDouble + 0.5d) * (mx(i) - mn(i)) / 255.0d).toFloat
+          i += 1
+        }
+        out
+      },
+      maxNodes)
+  }
+
+  /** HNSW_PQ serving-memory parity: m-byte PQ codes resident (d·4/m×
+    * fewer bytes), decode = the per-subspace codeword concatenation
+    * (`ProductQuant.reconExpr` — codewords are floats, so decode is
+    * exact) — walk-identical to a float searcher over the recon frame. */
+  def loadPackedPq(
+      graph: DataFrame, // (src, dst)
+      base: DataFrame, // (id, vec)
+      entries: DataFrame, // (nid)
+      model: ProductQuant.PQModel,
+      metric: Metric = Metric.L2,
+      maxNodes: Int = 2000000
+  ): LocalGraphSearcher = {
+    require(model.ksub <= 256, s"PQ ksub ${model.ksub} exceeds 1-byte codes")
+    val coded = base.select(col("id"),
+      ProductQuant.encodeExpr(col("vec"), model).as("codes"))
+    loadCodedGraph(graph, coded, entries, metric,
+      decode = b => {
+        val out = new Array[Float](model.m * model.dsub)
+        var s = 0
+        while (s < model.m) {
+          System.arraycopy(model.codebooks(s)(b(s) & 0xFF), 0, out, s * model.dsub, model.dsub)
+          s += 1
+        }
+        out
+      },
+      maxNodes)
+  }
+
+  /** [[loadRefined]] with the traversal tier held as SQ8 CODES instead
+    * of decoded fp32 — the reference's HNSW_SQ-with-refine memory model
+    * (codes traverse, refine-flat raw rescoring, `faiss_hnsw.cc` refine
+    * 739-860): the walk is bit-identical to the decoded-frame refined
+    * searcher at a quarter of the traversal-tier bytes. */
+  def loadRefinedSq8(
+      graph: DataFrame,
+      base: DataFrame, // (id, vec) — raw tier (codes derived from it)
+      entries: DataFrame,
+      stats: Option[DataFrame] = None,
+      metric: Metric = Metric.L2,
+      maxNodes: Int = 2000000
+  ): RefinedSearcher = {
+    val inner = loadPackedSq8(graph, base, entries, stats, metric, maxNodes)
+    val vm = new java.util.HashMap[Long, Array[Float]]()
+    streamRows(base.select(col("id"), col("vec")))(
+      r => vm.put(r.getLong(0), r.getSeq[Float](1).toArray))
+    new RefinedSearcher(inner, vm, metric)
+  }
+
+  /** [[loadRefinedSq8]]'s PQ twin (HNSW_PQ-with-refine). */
+  def loadRefinedPq(
+      graph: DataFrame,
+      base: DataFrame,
+      entries: DataFrame,
+      model: ProductQuant.PQModel,
+      metric: Metric = Metric.L2,
+      maxNodes: Int = 2000000
+  ): RefinedSearcher = {
+    val inner = loadPackedPq(graph, base, entries, model, metric, maxNodes)
+    val vm = new java.util.HashMap[Long, Array[Float]]()
+    streamRows(base.select(col("id"), col("vec")))(
+      r => vm.put(r.getLong(0), r.getSeq[Float](1).toArray))
+    new RefinedSearcher(inner, vm, metric)
   }
 }

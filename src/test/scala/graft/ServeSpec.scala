@@ -1274,6 +1274,84 @@ class ServeSpec extends SparkSpec {
     assert(worstDelta >= -0.05, f"worst recall delta $worstDelta%.3f")
   }
 
+  test("coded graph traversal tiers (SQ8/PQ) walk bit-identically to the decoded-frame searchers") {
+    import graft.operators.{ProductQuant, Quantization}
+    val g = knnGraph(16)
+    // SQ8 codes resident: walk == float searcher over the decoded grid
+    val st = Quantization.sq8Train(base)
+    val codedS = Serve.loadPackedSq8(g, base, entries, Some(st))
+    val gridFrame = base.crossJoin(broadcast(st)).select(col("id"),
+      Quantization.sq8Recon(
+        Quantization.sq8Code(col("vec"), col("mn"), col("mx")),
+        col("mn"), col("mx")).cast("array<float>").as("vec"))
+    val gridS = Serve.load(g, gridFrame, entries, Metric.L2)
+    queryVecs.foreach { case (qid, qv) =>
+      assert(codedS.search(qv, 10, ef = 500) == gridS.search(qv, 10, ef = 500),
+        s"sq8 exhaustive $qid")
+      assert(codedS.search(qv, 10, ef = 32) == gridS.search(qv, 10, ef = 32),
+        s"sq8 bounded $qid")
+    }
+    // the coded tier is NOT raw data: V8 false, V7 refuses (the
+    // reference's HNSW_SQ contract — fetch rides the refine tier)
+    assert(!codedS.hasRawData)
+    intercept[IllegalArgumentException](codedS.getVectorByIds(Seq(0L)))
+    // 1 byte/dim codes vs 4 bytes/dim decoded floats
+    assert(codedS.residentVectorBytes * 3 < gridS.residentVectorBytes,
+      s"${codedS.residentVectorBytes} vs ${gridS.residentVectorBytes}")
+    // refined composition: codes traverse, raw rescores — bit-identical
+    // to the decoded-frame refined searcher
+    val refCoded = Serve.loadRefinedSq8(g, base, entries, Some(st))
+    val refFrame = Serve.loadRefined(g, gridFrame, base, entries, Metric.L2)
+    queryVecs.foreach { case (qid, qv) =>
+      assert(refCoded.search(qv, 10, ef = 32) == refFrame.search(qv, 10, ef = 32),
+        s"sq8 refined $qid")
+    }
+    assert(refCoded.hasRawData)
+    // coarse entry layer composes with the coded tier
+    codedS.enableCoarseEntries()
+    val gridS2 = Serve.load(g, gridFrame, entries, Metric.L2).enableCoarseEntries()
+    queryVecs.foreach { case (qid, qv) =>
+      assert(codedS.search(qv, 10, ef = 500) == gridS2.search(qv, 10, ef = 500),
+        s"sq8 coarse $qid")
+    }
+    // PQ codes resident: walk == float searcher over the recon frame
+    val model = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
+    val codedP = Serve.loadPackedPq(g, base, entries, model)
+    val reconFrame = base.select(col("id"),
+      ProductQuant.reconExpr(
+        ProductQuant.encodeExpr(col("vec"), model), model).as("vec"))
+    val gridP = Serve.load(g, reconFrame, entries, Metric.L2)
+    queryVecs.foreach { case (qid, qv) =>
+      assert(codedP.search(qv, 10, ef = 500) == gridP.search(qv, 10, ef = 500),
+        s"pq exhaustive $qid")
+      assert(codedP.search(qv, 10, ef = 32) == gridP.search(qv, 10, ef = 32),
+        s"pq bounded $qid")
+    }
+    assert(codedP.residentVectorBytes * 8 < gridP.residentVectorBytes)
+    // PQ refined composition
+    val refP = Serve.loadRefinedPq(g, base, entries, model)
+    val refPFrame = Serve.loadRefined(g, reconFrame, base, entries, Metric.L2)
+    queryVecs.foreach { case (qid, qv) =>
+      assert(refP.search(qv, 10, ef = 32) == refPFrame.search(qv, 10, ef = 32),
+        s"pq refined $qid")
+    }
+  }
+
+  test("HnswIndex.servingRefined serves each variant through its own coded tier") {
+    import graft.operators.{HnswIndex, HnswVariant, Quantization}
+    val g = knnGraph(8)
+    val st = Quantization.sq8Train(base)
+    val h = new HnswIndex(g, base, entries, Metric.L2,
+      efSearch = 32, beamIters = 4, HnswVariant.Sq8(st))
+    val viaHandle = h.servingRefined()
+    val direct = Serve.loadRefinedSq8(g, base, entries, Some(st)).enableCoarseEntries()
+    assert(viaHandle.hasRawData)
+    queryVecs.foreach { case (qid, qv) =>
+      assert(viaHandle.search(qv, 10, ef = 32) == direct.search(qv, 10, ef = 32),
+        s"handle-served $qid differs from the direct coded loader")
+    }
+  }
+
   test("hybrid RRF serving fuses exact arms bit-identically to the batch pipeline") {
     import graft.operators.{BruteForce, Fusion, IvfIndex, SparseIndexModel, SparseSearch}
     // batch pipeline: exact L2 arm + BM25 arm + integer RRF (the
