@@ -291,6 +291,41 @@ object ShardedServe {
     }
   }
 
+  /** Scatter-gather router over REFINED graph shards (quantized
+    * traversal tier + raw refine per shard): every shard runs its own
+    * walk-then-rescore and the host merges the EXACT (refined) distances
+    * — so the merge is a plain (dist, id) top-k like the raw router's,
+    * and per-shard refine windows compose the same way per-segment
+    * reorder does on the IVF side. The bitset passes through unchanged
+    * and is invoked concurrently across shards (see [[scatter]]): it
+    * must be thread-safe and side-effect-free. */
+  final class ShardedRefinedServing(
+      shards: Seq[Serve.RefinedSearcher],
+      metric: Metric
+  ) {
+    require(shards.nonEmpty, "router needs at least one shard")
+    def enableCoarseEntries(probes: Int = 8): this.type = {
+      shards.foreach(_.enableCoarseEntries(probes))
+      this
+    }
+    def search(
+        q: Array[Float], k: Int, ef: Int, refine: Int = 2): Seq[(Long, Double)] =
+      mergeTopK(scatter(shards)(_.search(q, k, ef, refine)), k, metric.ascending)
+    def search(
+        q: Array[Float], k: Int, ef: Int, refine: Int,
+        allowed: Long => Boolean): Seq[(Long, Double)] =
+      mergeTopK(scatter(shards)(_.search(q, k, ef, refine, allowed)), k, metric.ascending)
+    /** V8/V7 ride each shard's raw refine tier. */
+    def hasRawData: Boolean = shards.forall(_.hasRawData)
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
+      val m = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
+      shards.foreach(_.getVectorByIds(ids).foreach { case (id, v) =>
+        m.getOrElseUpdate(id, v)
+      })
+      ids.flatMap(id => m.get(id).map(id -> _))
+    }
+  }
+
   /** Scatter-gather router over QUANTIZED (coded) IVF shards — the host
     * segment layer over IVF_SQ8/IVF_PQ serving searchers. PRECONDITIONS
     * (asserted): every shard shares the coarse quantizer (probe-order

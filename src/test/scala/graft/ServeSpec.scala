@@ -1337,6 +1337,55 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("sharded refined router merges per-shard coded-walk rescores; coded shards ride the graph router") {
+    import graft.operators.{Quantization, ShardedServe}
+    val st = Quantization.sq8Train(base)
+    // per-shard graphs over doc shards (ids are global), coded traversal
+    def shardOf(sh: Int) = {
+      val sb = base.filter(pmod(col("id"), lit(2L)) === sh.toLong)
+      val g = BruteForce
+        .knnFused(sb.select(col("id").as("qid"), col("vec").as("qvec")),
+          sb, 8, Metric.L2, roundDist = Some(4), excludeSelf = true)
+        .select(col("qid").as("src"), col("nid").as("dst"))
+      // entries must live inside the shard: ids ≡ sh (mod 100) share the
+      // shard's parity (shard key is id % 2)
+      val es = sb.filter(pmod(col("id"), lit(100L)) === sh.toLong).select(col("id").as("nid"))
+      (g, sb, es)
+    }
+    val frames = (0 until 2).map(shardOf)
+    val refShards = frames.map { case (g, sb, es) =>
+      Serve.loadRefinedSq8(g, sb, es, Some(st))
+    }
+    val router = new ShardedServe.ShardedRefinedServing(refShards, Metric.L2)
+    assert(router.hasRawData)
+    queryVecs.foreach { case (qid, qv) =>
+      val merged = router.search(qv, 10, ef = 500, refine = 2)
+      // router == mergeTopK of the per-shard refined answers
+      assert(merged == ShardedServe.mergeTopK(
+        refShards.map(_.search(qv, 10, ef = 500, refine = 2)), 10, ascending = true),
+        s"refined router != mergeTopK for $qid")
+      assert(merged == merged.sortBy { case (id, d) => (d, id) })
+    }
+    // V7 across shards returns exact raw through each refine tier
+    val want = queryVecs.take(2).map(_._1)
+    val exactVecs = base.filter(col("id").isInCollection(want)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    router.getVectorByIds(want).foreach { case (id, v) =>
+      assert(v.sameElements(exactVecs(id)))
+    }
+    // coded LocalGraphSearchers are LocalGraphSearchers: the existing
+    // graph router shards them directly, merge == mergeTopK
+    val codedShards = frames.map { case (g, sb, es) =>
+      Serve.loadPackedSq8(g, sb, es, Some(st))
+    }
+    val codedRouter = new ShardedServe.ShardedGraphServing(codedShards, Metric.L2)
+    queryVecs.foreach { case (qid, qv) =>
+      assert(codedRouter.search(qv, 10, ef = 500) == ShardedServe.mergeTopK(
+        codedShards.map(_.search(qv, 10, ef = 500)), 10, ascending = true),
+        s"coded graph router != mergeTopK for $qid")
+    }
+  }
+
   test("HnswIndex.servingRefined serves each variant through its own coded tier") {
     import graft.operators.{HnswIndex, HnswVariant, Quantization}
     val g = knnGraph(8)
