@@ -377,6 +377,34 @@ object ShardedServe {
     }
   }
 
+  /** Scatter-gather router over DiskANN serving shards — the host
+    * segment layer over the `pq_code_budget_gb` deployment: every shard
+    * beams its own coded tier and rescores its visited set from its raw
+    * tier, so the merge is over EXACT distances and equals the top-k of
+    * the union of per-shard answers (the per-segment search-list
+    * contract — each segment searches its own L). `allowed` applies at
+    * each shard's rescoring fetch (the batch `filter` semantics) and is
+    * invoked concurrently across shards (see [[scatter]]): it must be
+    * thread-safe and side-effect-free. */
+  final class ShardedDiskAnnServing(shards: Seq[Serve.LocalDiskAnnSearcher]) {
+    require(shards.nonEmpty, "router needs at least one shard")
+    def search(q: Array[Float], k: Int): Seq[(Long, Double)] =
+      mergeTopK(scatter(shards)(_.search(q, k)), k, ascending = true)
+    def search(q: Array[Float], k: Int, allowed: Long => Boolean): Seq[(Long, Double)] =
+      mergeTopK(scatter(shards)(_.search(q, k, allowed)), k, ascending = true)
+    /** V6: merged exact-rescored streams, paged. */
+    def iterator(q: Array[Float], n: Int): Serve.ServingIterator =
+      shardedIterator(scatter(shards)(_.search(q, n)), ascending = true)
+    def hasRawData: Boolean = shards.forall(_.hasRawData)
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
+      val m = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
+      shards.foreach(_.getVectorByIds(ids).foreach { case (id, v) =>
+        m.getOrElseUpdate(id, v)
+      })
+      ids.flatMap(id => m.get(id).map(id -> _))
+    }
+  }
+
   /** Scatter-gather router over packed-binary shards (documents
     * partitioned across shards): per-shard scans are EXACT, so the merge
     * under (dist asc, id asc) equals the single-index answer over the

@@ -301,6 +301,19 @@ object SparseSearch {
     * exact-rescored with the FULL query, and emitted in exact order.
     * Every approx candidate shares a term with the full query (pruned
     * terms ⊆ query terms), so the rescore preserves the window. */
+  /** Materialize an over-fetched refine window ONCE as a local frame —
+    * it is nq·page·pageSize·refineRatio rows by construction (tiny), and
+    * it feeds TWO consumers (the doc-set scan prune and the (qid, nid)
+    * gate). Catalyst's ReusedExchange often dedups the lineage today,
+    * but that reuse is plan-shape-dependent; the explicit bounded
+    * collect (the probeAndPrune pattern) guarantees the approx search
+    * runs exactly once and both consumers become local broadcasts. */
+  private def localizeWindow(window: DataFrame): DataFrame = {
+    val spark = window.sparkSession
+    val rows = window.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), window.schema)
+  }
+
   def annIteratorRefinedPage(
       queryPostings: DataFrame, // (qid, term, qtf)
       basePostings: DataFrame, // (id, term, tf)
@@ -309,10 +322,10 @@ object SparseSearch {
       pageSize: Int,
       refineRatio: Int = 2
   ): DataFrame = {
-    val window = searchIP(
+    val window = localizeWindow(searchIP(
       pruneQueryTermsQuantile(queryPostings, dropRatio),
       basePostings, page * pageSize * refineRatio)
-      .select(col("qid"), col("nid"))
+      .select(col("qid"), col("nid")))
     // the rescore touches only window docs: prune the postings scan to the
     // (tiny, broadcast) window doc set BEFORE the term join — a superset
     // filter, the per-(qid, nid) window semi-join below stays the gate
@@ -320,7 +333,7 @@ object SparseSearch {
     val exact = broadcast(queryPostings)
       .join(basePostings.withColumnRenamed("id", "nid")
         .join(broadcast(winDocs), Seq("nid"), "left_semi"), "term")
-      .join(window, Seq("qid", "nid"), "left_semi")
+      .join(broadcast(window), Seq("qid", "nid"), "left_semi")
       .groupBy(col("qid"), col("nid"))
       .agg(sum(col("qtf") * col("tf")).cast("double").as("dist"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist").desc, col("nid").asc)
@@ -344,10 +357,10 @@ object SparseSearch {
       refineRatio: Int = 2,
       roundDist: Option[Int] = Some(4)
   ): DataFrame = {
-    val window = searchBM25(
+    val window = localizeWindow(searchBM25(
       pruneQueryTermsQuantile(queryPostings, dropRatio),
       model, page * pageSize * refineRatio, roundDist)
-      .select(col("qid"), col("nid"))
+      .select(col("qid"), col("nid")))
     val statsQ = model.termStats
       .join(broadcast(queryPostings.select(col("term")).distinct()), Seq("term"), "left_semi")
       .select(col("term"), col("df"))
@@ -360,7 +373,7 @@ object SparseSearch {
       .groupBy(col("qid"), col("id").as("nid"))
       .agg((sum(bm25ContribScaled(model.n, model.avgdl, model.k1, model.b))
         .cast("double") / 1e9d).as("raw"))
-      .join(window, Seq("qid", "nid"), "left_semi")
+      .join(broadcast(window), Seq("qid", "nid"), "left_semi")
     val d = roundDist.map(r => round(col("raw"), r)).getOrElse(col("raw"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist").desc, col("nid").asc)
     scored

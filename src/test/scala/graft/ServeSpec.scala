@@ -456,6 +456,41 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("randomized sweep: quantized IVF serving equals the batch across seeded corpora") {
+    import graft.operators.{IvfIndex, ProductQuant, Quantization}
+    val sess = spark
+    import sess.implicits._
+    for (dim <- Seq(8, 32, 64)) {
+      val n = 400
+      val rnd = new scala.util.Random(dim * 31L + 7)
+      val bdf = (0 until n).map(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))).toDF("id", "vec")
+      val cents = bdf.filter(col("id") % 50 === 0)
+        .select(col("id").as("cluster_id"), col("vec").as("centroid"))
+      val index = IvfIndex.build(bdf, cents, Some(4))
+      val st = Quantization.sq8Train(index.select(col("id"), col("vec")))
+      val qdf = (0 until 5).map(i =>
+        ((1000 + i).toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))).toDF("qid", "qvec")
+      val qv = qdf.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val batchS = collectKnn(IvfIndex.searchSq8(
+        qdf, index, cents, 5, nprobe = 3, reorderK = 20, Some(4), Some(st)))
+      val s8 = Serve.loadIvfSq8(index, cents, Some(st))
+      qv.foreach { case (qid, v) =>
+        assert(s8.search(v, 5, nprobe = 3, reorderK = 20) == batchS(qid),
+          s"sq8 sweep dim=$dim query $qid")
+      }
+      // PQ arm (dim divisible by m=4, explicit codebook from the corpus)
+      val model = ProductQuant.explicitModel(bdf, m = 4, ksub = 8, step = 50)
+      val batchP = collectKnn(IvfIndex.searchPq(
+        qdf, index, cents, model, 5, nprobe = 3, reorderK = 20, Some(4)))
+      val sp = Serve.loadIvfPq(index, cents, model)
+      qv.foreach { case (qid, v) =>
+        assert(sp.search(v, 5, nprobe = 3, reorderK = 20) == batchP(qid),
+          s"pq sweep dim=$dim query $qid")
+      }
+    }
+  }
+
   test("DiskANN serving (PQ+graph resident, raw paged) equals the batch beam bit-for-bit") {
     import graft.operators.{DiskAnn, ProductQuant}
     val model = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
@@ -487,6 +522,37 @@ class ServeSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     searcher.getVectorByIds(want).foreach { case (id, v) =>
       assert(v.sameElements(exactVecs(id)), s"V7 mismatch for $id")
+    }
+  }
+
+  test("sharded DiskANN router merges per-shard beams to the union top-k") {
+    import graft.operators.{DiskAnn, ProductQuant, ShardedServe}
+    val model = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
+    // two doc shards, each its own DiskANN index (graph + codes + raw)
+    val shards = (0 until 2).map { sh =>
+      val sb = base.filter(pmod(col("id"), lit(2L)) === sh.toLong)
+      val es = sb.filter(pmod(col("id"), lit(100L)) === sh.toLong).select(col("id").as("nid"))
+      Serve.loadDiskAnn(DiskAnn.build(sb, model, es,
+        degree = 5, searchListSize = 16, beamIters = 2, roundDist = Some(4)))
+    }
+    val router = new ShardedServe.ShardedDiskAnnServing(shards)
+    assert(router.hasRawData)
+    queryVecs.foreach { case (qid, qv) =>
+      val merged = router.search(qv, 10)
+      assert(merged == ShardedServe.mergeTopK(
+        shards.map(_.search(qv, 10)), 10, ascending = true),
+        s"diskann router != mergeTopK for $qid")
+      assert(merged == merged.sortBy { case (id, d) => (d, id) })
+      // filter passes through to each shard's rescoring fetch
+      val filt = router.search(qv, 10, id => id % 3 != 0)
+      assert(filt.forall { case (id, _) => id % 3 != 0 })
+    }
+    // V7 scatter-unions exact raw from the shard raw tiers
+    val want = queryVecs.take(2).map(_._1)
+    val exactVecs = base.filter(col("id").isInCollection(want)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    router.getVectorByIds(want).foreach { case (id, v) =>
+      assert(v.sameElements(exactVecs(id)))
     }
   }
 
