@@ -128,6 +128,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("serving loaders are layout-independent: identical answers under any repartitioning") {
+    import graft.functions.VectorFunctions.signBits
+    import graft.operators.{IvfIndex, Quantization, Serve}
+    val rnd = new scala.util.Random(4242)
+    val bdf = (0 until 300).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f))).toDF("id", "vec")
+    val cents = bdf.filter(col("id") % 50 === 0)
+      .select(col("id").as("cluster_id"), col("vec").as("centroid"))
+    val qs = (0 until 4).map(_ => Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    // binary flat: the loader's orderBy pins the scan order regardless of
+    // the input frame's physical layout
+    val bbin = bdf.select(col("id"), signBits(col("vec")).as("vec"))
+    val b1 = Serve.loadBinary(bbin, Metric.Hamming)
+    val b2 = Serve.loadBinary(bbin.repartition(7), Metric.Hamming)
+    qs.foreach { q0 =>
+      val q = signBitsLocal(q0)
+      assert(b1.search(q, 5) == b2.search(q, 5), "binary serving layout-dependent")
+    }
+    // coded IVF: groupBy + sort_array pins per-list order
+    val index = IvfIndex.build(bdf, cents, Some(4))
+    val st = Quantization.sq8Train(index.select(col("id"), col("vec")))
+    val s1 = Serve.loadIvfSq8(index, cents, Some(st))
+    val s2 = Serve.loadIvfSq8(index.repartition(5), cents, Some(st))
+    qs.foreach { q =>
+      assert(s1.search(q, 5, nprobe = 2, reorderK = 15) ==
+        s2.search(q, 5, nprobe = 2, reorderK = 15), "sq8 serving layout-dependent")
+    }
+  }
+
+  /** Driver-side sign-bit packing (32 dims/word, matching
+    * VectorFunctions.signBits) for the layout property above. */
+  private def signBitsLocal(v: Array[Float]): Array[Long] = {
+    val words = (v.length + 31) / 32
+    val out = new Array[Long](words)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) > 0) out(i / 32) |= (1L << (i % 32))
+      i += 1
+    }
+    out
+  }
+
   test("knnFused on a filtered-to-empty query side returns an empty frame like knn") {
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 100.0f)).map(_.toArray)
     val base = (0 until 10).map(i => (i.toLong, sample(vecGen, i))).toDF("id", "vec")
