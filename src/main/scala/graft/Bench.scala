@@ -273,7 +273,9 @@ object Bench {
       // cpus is recorded because shuffle.partitions follows it: the r9
       // streaming drift traced to a 32-vs-16 parallelism difference
       // between driver runs and snapshots (BENCH_TRIAGE round-10 entry)
-      s"""{\n  "_committed_baseline": {"loaded":${committed.nonEmpty},"entries":${committed.size},"cpus":$cpus,"sf":"$sfName","reps":$reps},\n""",
+      // cpus is the raw env STRING (Spark accepts e.g. "*") — quote it so
+      // a non-numeric value cannot emit malformed JSON
+      s"""{\n  "_committed_baseline": {"loaded":${committed.nonEmpty},"entries":${committed.size},"cpus":"$cpus","sf":"$sfName","reps":$reps},\n""",
       ",\n", "\n}")
     // FULL runs only: a SPARK_GRAFT_BENCH_ONLY iteration run must not
     // clobber the committed full-inventory snapshot

@@ -51,6 +51,13 @@ object Scale {
       r
     }
 
+    // ONE trained SQ8 quantizer for every arm that needs it (hnsw_sq,
+    // the coded graph tier, the quantized IVF serving block) — the
+    // Train-once contract; retraining per block re-ran the corpus-wide
+    // min/max aggregation three times
+    val sqStats = Quantization.sq8Train(base).persist()
+    sqStats.count()
+
     time("bf_knn k=10")(BruteForce.knn(queries, base, 10, Metric.L2).count())
     val cents = time("ivf train")(IvfIndex.trainKMeans(spark, base.sample(0.1, 42), nlist))
     val index = time("ivf build (assign)")(IvfIndex.build(base, cents).persist())
@@ -174,7 +181,7 @@ object Scale {
     time("hnsw exact beam (ef=64, 4 hops)")(hnsw.search(queries, 10, None).count())
     println(f"hnsw recall@10: ${recallOf(hnsw.search(queries, 10, None))}%.3f")
     val hnswSq = new HnswIndex(graph, base, entries, Metric.L2,
-      efSearch = 64, beamIters = 4, HnswVariant.Sq8(Quantization.sq8Train(base)))
+      efSearch = 64, beamIters = 4, HnswVariant.Sq8(sqStats))
     time("hnsw_sq quantized beam + exact refine")(hnswSq.search(queries, 10, None).count())
     println(f"hnsw_sq recall@10: ${recallOf(hnswSq.search(queries, 10, None))}%.3f")
 
@@ -441,7 +448,7 @@ object Scale {
       // HNSW_SQ serving-memory parity: SQ8 CODES traverse (4x fewer
       // resident traversal bytes), raw refines — per-query walk+refine
       // latency and recall vs exact truth
-      val stG = Quantization.sq8Train(base)
+      val stG = sqStats
       val refSq8 = time("serve load (hnsw_sq coded tier + raw refine)")(
         Serve.loadRefinedSq8(graph, base, entries, Some(stG)))
       qv.foreach { case (_, v) => refSq8.search(v, 10, ef = 64) } // warm-up
@@ -518,7 +525,8 @@ object Scale {
           q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
         }
       // SQ8: 1 byte/dim codes — 4x fewer resident bytes than fp32
-      val st = Quantization.sq8Train(index.select(col("id"), col("vec")))
+      // index rows carry the same vec values as base — one quantizer
+      val st = sqStats
       val sq8Paged = time("serve load (IVF_SQ8 codes, paged raw)")(
         Serve.loadIvfSq8(index, cents, Some(st)))
       val sq8Res = Serve.loadIvfSq8(index, cents, Some(st), rawResident = true)
@@ -565,7 +573,8 @@ object Scale {
     }
 
     // ---- binary (bin1) serving: packed-long signatures resident (64
-    // dims/long — 32x under fp32), Long.bitCount hamming scan; 4-shard
+    // dims/long, the signBits layout — 16x under fp32), Long.bitCount
+    // hamming scan; 4-shard
     // router must merge to the single-index answer bit-for-bit ----
     locally {
       import graft.functions.VectorFunctions.signBits
@@ -799,8 +808,13 @@ object Scale {
         hits += merged.map(_._1).count(id => t.contains((qid, id)))
       }
       val shardedRecall = hits.toDouble / (qv16.length * 10)
-      require(shardedRecall >= singleGraphRecall - 1e-9,
-        f"sharded graph recall@10 $shardedRecall%.3f regressed below the " +
+      // floor with ANN slack: the shard graphs are INDEPENDENT quarter-
+      // corpus builds (own centroids/entries), so a doc reachable in the
+      // full graph can be unreachable in its shard's degree-5 graph — a
+      // strict >= would abort the run on a single lost hit under
+      // different nb/dim/seed args; 0.05 matches the coarse-sweep slack
+      require(shardedRecall >= singleGraphRecall - 0.05,
+        f"sharded graph recall@10 $shardedRecall%.3f fell >0.05 below the " +
           f"single-walk recall $singleGraphRecall%.3f")
       println(f"sharded graph serve (4 shards) per-query latency: $routerMs%.2f ms, " +
         f"recall@10 $shardedRecall%.3f " +

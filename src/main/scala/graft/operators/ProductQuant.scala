@@ -144,6 +144,32 @@ object ProductQuant {
       .select(col("id"),
         zip_with(col("_r1"), col("_r2"), (a, b) => (a + b).cast("float")).as("vec"))
 
+  /** Driver-side per-query LUT — `lutExpr`'s arithmetic (per-(s, c)
+    * double folds over the subspace slice) for the serving searchers
+    * (IVF_PQ decode-inline scoring, the DiskANN beam). Bit-identical to
+    * the Catalyst formulation by the shared fold order. */
+  private[operators] def lutLocal(q: Array[Float], model: PQModel): Array[Array[Double]] = {
+    val t = Array.ofDim[Double](model.m, model.ksub)
+    var s = 0
+    while (s < model.m) {
+      var c = 0
+      while (c < model.ksub) {
+        val cw = model.codebooks(s)(c)
+        var acc = 0.0d
+        var j = 0
+        while (j < model.dsub) {
+          val d = q(s * model.dsub + j).toDouble - cw(j).toDouble
+          acc += d * d
+          j += 1
+        }
+        t(s)(c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    t
+  }
+
   /** Per-query LUT for subspace s: distances to all ksub codewords. */
   private[operators] def lutExpr(qvec: Column, model: PQModel, s: Int): Column = {
     val sub = slice(qvec, s * model.dsub + 1, model.dsub)

@@ -49,6 +49,33 @@ object Serve {
   private def sparkRound(x: Double, n: Int): Double =
     java.math.BigDecimal.valueOf(x).setScale(n, java.math.RoundingMode.HALF_UP).doubleValue
 
+  /** Binary metric over packed signatures — the single arithmetic shared
+    * by the flat and IVF binary searchers (Hamming = integer popcount of
+    * xor, exact; Jaccard = 1 − |and|/|or| under the 4dp contract),
+    * reproducing `VectorFunctions.hamming/jaccardDist` exactly. */
+  private def binaryDist(
+      metric: Metric, roundDist: Int,
+      q: Array[Long], v: Array[Long]): Double = {
+    val n = math.min(q.length, v.length)
+    if (metric == Metric.Hamming) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h += java.lang.Long.bitCount(q(i) ^ v(i)); i += 1 }
+      h.toDouble
+    } else {
+      var inter = 0L
+      var uni = 0L
+      var i = 0
+      while (i < n) {
+        inter += java.lang.Long.bitCount(q(i) & v(i))
+        uni += java.lang.Long.bitCount(q(i) | v(i))
+        i += 1
+      }
+      if (uni == 0L) 0.0d
+      else sparkRound(1.0d - inter.toDouble / uni.toDouble, roundDist)
+    }
+  }
+
   /** Search statistics mirroring faiss `HNSWStats`: distance evaluations
     * and hop (pop) count — the instrumentation the early-exit gates read. */
   final case class ServeStats(ndis: Long, nhops: Long)
@@ -1031,28 +1058,9 @@ object Serve {
     private[operators] def quantKey: Seq[Double] =
       model.codebooks.flatten.flatten.map(_.toDouble).toSeq
     /** LUT: distances of each query subspace to every codeword —
-      * `ProductQuant.lutExpr`'s double fold per (s, c) cell. */
-    protected def queryState(q: Array[Float]): AnyRef = {
-      val lut = Array.ofDim[Double](model.m, model.ksub)
-      var s = 0
-      while (s < model.m) {
-        var c = 0
-        while (c < model.ksub) {
-          val cw = model.codebooks(s)(c)
-          var acc = 0.0d
-          var j = 0
-          while (j < model.dsub) {
-            val d = q(s * model.dsub + j).toDouble - cw(j).toDouble
-            acc += d * d
-            j += 1
-          }
-          lut(s)(c) = acc
-          c += 1
-        }
-        s += 1
-      }
-      lut
-    }
+      * `ProductQuant.lutLocal` (the lutExpr arithmetic). */
+    protected def queryState(q: Array[Float]): AnyRef =
+      ProductQuant.lutLocal(q, model)
     protected def adcDist(qstate: AnyRef, code: Array[Byte]): Double = {
       val lut = qstate.asInstanceOf[Array[Array[Double]]]
       var s = 0
@@ -1154,7 +1162,8 @@ object Serve {
   /** Binary (bin1) serving searcher — the reference serves BIN_FLAT
     * through the same Search verb as floats (`brute_force.cc:212-236`;
     * BIN_FLAT registration `flat.cc:398-413`), over sign-bit-packed
-    * vectors: 64 dims per resident long (32× fewer bytes than fp32 for
+    * vectors: 32 dims per resident long (the `signBits` packer's layout —
+    * 16× fewer bytes than fp32 for
     * the same dim count). Hamming is `Long.bitCount(xor)` summed;
     * Jaccard is 1 − |and|/|or| under the shared 4dp contract — both
     * reproduce the batch `VectorFunctions.hamming/jaccardDist` arithmetic
@@ -1179,34 +1188,17 @@ object Serve {
     def residentBytes: Long =
       ids.length.toLong * 8L + words.iterator.map(_.length.toLong * 8L).sum
 
-    /** Serving-side V7: the packed signatures (the index's raw data). */
-    def getVectorByIds(want: Seq[Long]): Seq[(Long, Array[Long])] = {
-      val m = new java.util.HashMap[Long, Array[Long]]()
-      var i = 0
-      while (i < ids.length) { m.put(ids(i), words(i)); i += 1 }
-      want.flatMap(id => Option(m.get(id)).map(id -> _))
-    }
-
-    private def dist(q: Array[Long], v: Array[Long]): Double = {
-      val n = math.min(q.length, v.length)
-      if (metric == Metric.Hamming) {
-        var h = 0L
-        var i = 0
-        while (i < n) { h += java.lang.Long.bitCount(q(i) ^ v(i)); i += 1 }
-        h.toDouble
-      } else {
-        var inter = 0L
-        var uni = 0L
-        var i = 0
-        while (i < n) {
-          inter += java.lang.Long.bitCount(q(i) & v(i))
-          uni += java.lang.Long.bitCount(q(i) | v(i))
-          i += 1
-        }
-        if (uni == 0L) 0.0d
-        else sparkRound(1.0d - inter.toDouble / uni.toDouble, roundDist)
+    /** Serving-side V7: the packed signatures (the index's raw data).
+      * `ids` is load-sorted ascending, so the lookup is a binary search —
+      * no per-call map build over the shard. */
+    def getVectorByIds(want: Seq[Long]): Seq[(Long, Array[Long])] =
+      want.flatMap { id =>
+        val i = java.util.Arrays.binarySearch(ids, id)
+        if (i >= 0) Some(id -> words(i)) else None
       }
-    }
+
+    private def dist(q: Array[Long], v: Array[Long]): Double =
+      binaryDist(metric, roundDist, q, v)
 
     /** Exact top-k over the packed shard; `allowed` is the universal
       * bitset (disallowed ids skipped at scan — thread-safe/read-only
@@ -1311,27 +1303,8 @@ object Serve {
       ids.flatMap(id => Option(m.get(id)).map(id -> _))
     }
 
-    private def lut(q: Array[Float]): Array[Array[Double]] = {
-      val t = Array.ofDim[Double](model.m, model.ksub)
-      var s = 0
-      while (s < model.m) {
-        var c = 0
-        while (c < model.ksub) {
-          val cw = model.codebooks(s)(c)
-          var acc = 0.0d
-          var j = 0
-          while (j < model.dsub) {
-            val d = q(s * model.dsub + j).toDouble - cw(j).toDouble
-            acc += d * d
-            j += 1
-          }
-          t(s)(c) = acc
-          c += 1
-        }
-        s += 1
-      }
-      t
-    }
+    private def lut(q: Array[Float]): Array[Array[Double]] =
+      ProductQuant.lutLocal(q, model)
 
     private def adc(t: Array[Array[Double]], code: Array[Byte]): Double = {
       var s = 0
@@ -1443,7 +1416,9 @@ object Serve {
     /** BIN_IVF keeps the packed signatures in its lists — V8 true. */
     def hasRawData: Boolean = true
 
-    def getVectorByIds(want: Seq[Long]): Seq[(Long, Array[Long])] = {
+    // id → signature, built ONCE on first V7 call (references only — the
+    // arrays are shared with the list storage)
+    private lazy val byId: java.util.HashMap[Long, Array[Long]] = {
       val m = new java.util.HashMap[Long, Array[Long]]()
       val it = lists.values().iterator()
       while (it.hasNext) {
@@ -1451,27 +1426,14 @@ object Serve {
         var i = 0
         while (i < ids.length) { m.put(ids(i), vs(i)); i += 1 }
       }
-      want.flatMap(id => Option(m.get(id)).map(id -> _))
+      m
     }
 
-    private def dist(q: Array[Long], v: Array[Long]): Double = {
-      val n = math.min(q.length, v.length)
-      if (metric == Metric.Hamming) {
-        var h = 0L
-        var i = 0
-        while (i < n) { h += java.lang.Long.bitCount(q(i) ^ v(i)); i += 1 }
-        h.toDouble
-      } else {
-        var inter = 0L; var uni = 0L; var i = 0
-        while (i < n) {
-          inter += java.lang.Long.bitCount(q(i) & v(i))
-          uni += java.lang.Long.bitCount(q(i) | v(i))
-          i += 1
-        }
-        if (uni == 0L) 0.0d
-        else sparkRound(1.0d - inter.toDouble / uni.toDouble, roundDist)
-      }
-    }
+    def getVectorByIds(want: Seq[Long]): Seq[(Long, Array[Long])] =
+      want.flatMap(id => Option(byId.get(id)).map(id -> _))
+
+    private def dist(q: Array[Long], v: Array[Long]): Double =
+      binaryDist(metric, roundDist, q, v)
 
     private def probeOrder(q: Array[Long]): Array[Long] =
       cents.map { case (cid, c) => (dist(q, c), cid) }.sorted.map(_._2)
@@ -1564,7 +1526,7 @@ object Serve {
   }
 
   /** Load a packed-binary shard for serving — bounded collect with a
-    * loud guard (64 bin1 dims per resident long). */
+    * loud guard (32 bin1 dims per resident long — signBits layout). */
   def loadBinary(
       base: DataFrame, // (id, vec ARRAY<BIGINT> — signBits output)
       metric: Metric = Metric.Hamming,

@@ -122,6 +122,17 @@ object ShardedServe {
       .sortBy { case (id, d) => (if (ascending) d else -d, id) }
       .take(k)
 
+  /** First-wins union of per-shard V7 answers in request order — the
+    * router-side GetVectorByIds gather every router shares (doc shards
+    * are disjoint, so first-wins is merely defensive). */
+  private def unionById[V](
+      ids: Seq[Long],
+      perShard: Seq[Seq[(Long, V)]]): Seq[(Long, V)] = {
+    val m = scala.collection.mutable.HashMap.empty[Long, V]
+    perShard.foreach(_.foreach { case (id, v) => m.getOrElseUpdate(id, v) })
+    ids.flatMap(id => m.get(id).map(id -> _))
+  }
+
   /** Scatter-gather router over loaded graph shards: every query walks
     * every shard's searcher (the host broadcasts the query to all
     * segments) and the per-shard top-k lists merge. The bitset filter
@@ -155,13 +166,8 @@ object ShardedServe {
     def hasRawData: Boolean = shards.forall(_.hasRawData)
     /** V7 across shards: each id lives on exactly one shard — scatter the
       * request, union the answers, preserve request order. */
-    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
-      val m = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
-      shards.foreach(_.getVectorByIds(ids).foreach { case (id, v) =>
-        m.getOrElseUpdate(id, v)
-      })
-      ids.flatMap(id => m.get(id).map(id -> _))
-    }
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] =
+      unionById(ids, shards.map(_.getVectorByIds(ids)))
   }
 
   /** Paged iterator across shards — the V6 verb over segments: each
@@ -282,13 +288,8 @@ object ShardedServe {
         .sortBy { case (id, d) => (d, id) }
     }
     def hasRawData: Boolean = shards.forall(_.hasRawData)
-    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
-      val m = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
-      shards.foreach(_.getVectorByIds(ids).foreach { case (id, v) =>
-        m.getOrElseUpdate(id, v)
-      })
-      ids.flatMap(id => m.get(id).map(id -> _))
-    }
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] =
+      unionById(ids, shards.map(_.getVectorByIds(ids)))
   }
 
   /** Scatter-gather router over REFINED graph shards (quantized
@@ -317,13 +318,8 @@ object ShardedServe {
       mergeTopK(scatter(shards)(_.search(q, k, ef, refine, allowed)), k, metric.ascending)
     /** V8/V7 ride each shard's raw refine tier. */
     def hasRawData: Boolean = shards.forall(_.hasRawData)
-    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
-      val m = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
-      shards.foreach(_.getVectorByIds(ids).foreach { case (id, v) =>
-        m.getOrElseUpdate(id, v)
-      })
-      ids.flatMap(id => m.get(id).map(id -> _))
-    }
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] =
+      unionById(ids, shards.map(_.getVectorByIds(ids)))
   }
 
   /** Scatter-gather router over QUANTIZED (coded) IVF shards — the host
@@ -368,13 +364,8 @@ object ShardedServe {
     def iterator(q: Array[Float], n: Int, nprobe: Int, reorderK: Int): Serve.ServingIterator =
       shardedIterator(scatter(shards)(_.search(q, n, nprobe, reorderK)), ascending = true)
     def hasRawData: Boolean = shards.forall(_.hasRawData)
-    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
-      val m = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
-      shards.foreach(_.getVectorByIds(ids).foreach { case (id, v) =>
-        m.getOrElseUpdate(id, v)
-      })
-      ids.flatMap(id => m.get(id).map(id -> _))
-    }
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] =
+      unionById(ids, shards.map(_.getVectorByIds(ids)))
   }
 
   /** Scatter-gather router over DiskANN serving shards — the host
@@ -396,13 +387,8 @@ object ShardedServe {
     def iterator(q: Array[Float], n: Int): Serve.ServingIterator =
       shardedIterator(scatter(shards)(_.search(q, n)), ascending = true)
     def hasRawData: Boolean = shards.forall(_.hasRawData)
-    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
-      val m = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
-      shards.foreach(_.getVectorByIds(ids).foreach { case (id, v) =>
-        m.getOrElseUpdate(id, v)
-      })
-      ids.flatMap(id => m.get(id).map(id -> _))
-    }
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] =
+      unionById(ids, shards.map(_.getVectorByIds(ids)))
   }
 
   /** Scatter-gather router over packed-binary shards (documents
@@ -429,12 +415,7 @@ object ShardedServe {
         .flatten
         .sortBy { case (id, d) => (d, id) }
     def hasRawData: Boolean = shards.forall(_.hasRawData)
-    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Long])] = {
-      val m = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
-      shards.foreach(_.getVectorByIds(ids).foreach { case (id, v) =>
-        m.getOrElseUpdate(id, v)
-      })
-      ids.flatMap(id => m.get(id).map(id -> _))
-    }
+    def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Long])] =
+      unionById(ids, shards.map(_.getVectorByIds(ids)))
   }
 }

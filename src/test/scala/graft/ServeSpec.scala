@@ -298,7 +298,8 @@ class ServeSpec extends SparkSpec {
       val batch = collectKnn(BruteForce.knn(qbin, bbin, 10, metric, roundDist = round))
       val s = Serve.loadBinary(bbin, metric)
       assert(s.hasRawData)
-      // packed residency: 64 bin1 dims per long — far under the fp32 bytes
+      // packed residency: 32 bin1 dims per long (signBits layout) — far
+      // under the fp32 bytes
       val dim = base.head().getSeq[Float](1).length
       assert(s.residentBytes < total * (8L + 4L * dim) / 4,
         s"packed binary tier ${s.residentBytes} B not small vs fp32")
