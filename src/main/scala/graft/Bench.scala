@@ -236,28 +236,42 @@ object Bench {
         }
         var rs = runReps()
         var retries = 0
+        var failedRetrySets = 0
         val discarded = scala.collection.mutable.ArrayBuffer.empty[Double]
         while (retries < 2 && noisy(rs)) {
           val again = runReps()
           val (mA, mR) = (median(again), median(rs))
           // only real timings enter discarded_medians — an all-failed
-          // retry set (median -1) is already visible via failed_reps and
-          // would otherwise read like a (negative) timing in the audit
+          // retry set (median -1) would read like a (negative) timing in
+          // the audit; it is counted in failed_retry_sets instead (the
+          // kept set's failed_reps cannot carry it — that counter covers
+          // the KEPT reps only)
+          if (mA < 0) failedRetrySets += 1
           if (mA >= 0 && (mR < 0 || mA < mR)) {
             if (mR >= 0) discarded += mR
             rs = again
           } else if (mA >= 0) discarded += mA
           retries += 1
         }
-        (name, rs, codeCacheMb, retries, discarded.toSeq)
+        (name, rs, codeCacheMb, retries, discarded.toSeq, failedRetrySets)
       }
-    val results = detail.map { case (name, rs, _, _, _) =>
+    val results = detail.map { case (name, rs, _, _, _, _) =>
       name -> median(rs)
     }.toMap
     // per-rep detail (RUN ORDER, with gc/jit attribution + post-query code
     // cache) goes to a FILE — the driver captures only a ~3 KB tail of
     // stdout, so the printed line stays median-only
-    val detailJson = detail.toSeq.sortBy(_._1).map { case (name, rs, cc, retries, discarded) =>
+    // minimal JSON string escaping for env-derived values (cpus may be
+    // "*", sfDir is a user path) — quotes/backslashes/control chars must
+    // not produce a malformed artifact
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val detailJson = detail.toSeq.sortBy(_._1).map { case (name, rs, cc, retries, discarded, failedSets) =>
       val ts = goodTs(rs)
       val nFailed = rs.count(_.failed)
       val repsJson = rs
@@ -265,17 +279,15 @@ object Bench {
         .mkString("[", ",", "]")
       val discardedJson = discarded.map(f3).mkString("[", ",", "]")
       val (mn, mx) = if (ts.isEmpty) (-1.0, -1.0) else (ts.head, ts.last)
-      s"""  "$name": {"median":${f3(median(rs))},"min":${f3(mn)},"max":${f3(mx)},"retries":$retries,"failed_reps":$nFailed,"discarded_medians":$discardedJson,"reps":$repsJson,"code_cache_mb":$cc}"""
+      s"""  "$name": {"median":${f3(median(rs))},"min":${f3(mn)},"max":${f3(mx)},"retries":$retries,"failed_reps":$nFailed,"failed_retry_sets":$failedSets,"discarded_medians":$discardedJson,"reps":$repsJson,"code_cache_mb":$cc}"""
     }.mkString(
       // meta entry (underscore prefix — bench_diff.py skips it): records
       // whether the committed-drift retry trigger was armed this run, so
-      // a silently-broken baseline parse is visible from the artifact
+      // a silently-broken baseline parse is visible from the artifact.
       // cpus is recorded because shuffle.partitions follows it: the r9
       // streaming drift traced to a 32-vs-16 parallelism difference
       // between driver runs and snapshots (BENCH_TRIAGE round-10 entry)
-      // cpus is the raw env STRING (Spark accepts e.g. "*") — quote it so
-      // a non-numeric value cannot emit malformed JSON
-      s"""{\n  "_committed_baseline": {"loaded":${committed.nonEmpty},"entries":${committed.size},"cpus":"$cpus","sf":"$sfName","reps":$reps},\n""",
+      s"""{\n  "_committed_baseline": {"loaded":${committed.nonEmpty},"entries":${committed.size},"cpus":${jstr(cpus)},"sf":${jstr(sfName)},"reps":$reps},\n""",
       ",\n", "\n}")
     // FULL runs only: a SPARK_GRAFT_BENCH_ONLY iteration run must not
     // clobber the committed full-inventory snapshot

@@ -51,6 +51,15 @@ object Scale {
       r
     }
 
+    // shared batch-result collector for the serving equality assertions:
+    // per-qid (nid, dist) lists under the (dist, id) tie contract
+    def collectKnn(df: DataFrame): Map[Long, Seq[(Long, Double)]] = df
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
+      }
+
     // ONE trained SQ8 quantizer for every arm that needs it (hnsw_sq,
     // the coded graph tier, the quantized IVF serving block) — the
     // Train-once contract; retraining per block re-ran the corpus-wide
@@ -195,12 +204,7 @@ object Scale {
         Serve.loadDiskAnn(diskann))
       val q16 = queries.limit(16)
       val qv16 = q16.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      val batch = diskann.search(q16, 10, None)
-        .select("qid", "nid", "dist").collect()
-        .groupBy(_.getLong(0))
-        .map { case (q, rows) =>
-          q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
-        }
+      val batch = collectKnn(diskann.search(q16, 10, None))
       qv16.foreach { case (_, v) => serving.search(v, 10) } // warm-up
       val t0 = System.nanoTime()
       var ndis = 0L; var visited = 0L; var fetched = 0L
@@ -518,12 +522,7 @@ object Scale {
       val q16 = queries.limit(16)
       val qv = q16.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       val fp32Bytes = nb.toLong * (8L + 4L * dim)
-      def collectBatch(df: DataFrame): Map[Long, Seq[(Long, Double)]] = df
-        .select("qid", "nid", "dist").collect()
-        .groupBy(_.getLong(0))
-        .map { case (q, rows) =>
-          q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
-        }
+      def collectBatch(df: DataFrame): Map[Long, Seq[(Long, Double)]] = collectKnn(df)
       // SQ8: 1 byte/dim codes — 4x fewer resident bytes than fp32
       // index rows carry the same vec values as base — one quantizer
       val st = sqStats
@@ -572,10 +571,10 @@ object Scale {
         "batch equality asserted")
     }
 
-    // ---- binary (bin1) serving: packed-long signatures resident (64
+    // ---- binary (bin1) serving: packed-long signatures resident (32
     // dims/long, the signBits layout — 16x under fp32), Long.bitCount
-    // hamming scan; 4-shard
-    // router must merge to the single-index answer bit-for-bit ----
+    // hamming scan; the 4-shard router must merge to the single-index
+    // answer bit-for-bit ----
     locally {
       import graft.functions.VectorFunctions.signBits
       val bbin = base.select(col("id"), signBits(col("vec")).as("vec"))

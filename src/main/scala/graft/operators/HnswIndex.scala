@@ -84,7 +84,9 @@ final class HnswIndex(
         Serve.loadRefined(graph, ProductQuant.prqReconTier(base, m1, m2),
           base, entries, metric, maxNodes)
       case HnswVariant.Exact =>
-        Serve.loadRefined(graph, base, base, entries, metric, maxNodes)
+        // traversal tier == raw tier: one shared map, half the bytes of
+        // loading two identical tiers
+        Serve.loadRefinedShared(graph, base, entries, metric, maxNodes)
     }
     if (coarseEntries) s.enableCoarseEntries() else s
   }

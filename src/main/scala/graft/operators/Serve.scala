@@ -56,6 +56,11 @@ object Serve {
   private def binaryDist(
       metric: Metric, roundDist: Int,
       q: Array[Long], v: Array[Long]): Double = {
+    // loud on dimension mismatch: a silent common-prefix distance would
+    // return plausible-but-wrong neighbors (the batch zip_with twin
+    // fails loudly via null padding)
+    require(q.length == v.length,
+      s"packed signature length mismatch: query ${q.length} words vs shard ${v.length}")
     val n = math.min(q.length, v.length)
     if (metric == Metric.Hamming) {
       var h = 0L
@@ -502,12 +507,42 @@ object Serve {
   ): RefinedSearcher = {
     // the traversal tier is quantized/reconstructed — it answers V8 false
     val inner = load(graph, approx, entries, metric, maxNodes, hasRaw = false)
+    new RefinedSearcher(inner, rawMapOf(base, maxNodes), metric)
+  }
+
+  /** Raw refine-tier map with the loud cap — the single collection used
+    * by every refined loader. */
+  private def rawMapOf(
+      base: DataFrame, maxNodes: Int): java.util.HashMap[Long, Array[Float]] = {
     val nRaw = base.count()
     require(nRaw <= maxNodes,
       s"raw rerank tier has $nRaw vectors > cap $maxNodes — shard the index across serving nodes")
     val vm = new java.util.HashMap[Long, Array[Float]]()
     streamRows(base)(r => vm.put(r.getLong(0), r.getSeq[Float](1).toArray))
-    new RefinedSearcher(inner, vm, metric)
+    vm
+  }
+
+  /** [[loadRefined]] for the EXACT variant (traversal tier == raw tier):
+    * the corpus streams ONCE into a single map shared by the walk and the
+    * rescore — half the resident bytes of loading two identical tiers.
+    * The rescore over the same vectors is a no-op reordering; kept so
+    * every variant serves through one refined verb. */
+  def loadRefinedShared(
+      graph: DataFrame, // (src, dst)
+      base: DataFrame, // (id, vec)
+      entries: DataFrame, // (nid)
+      metric: Metric = Metric.L2,
+      maxNodes: Int = 2000000
+  ): RefinedSearcher = {
+    val adj = new java.util.HashMap[Long, Array[Long]]()
+    streamRows(graph
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("adj")))(
+      r => adj.put(r.getLong(0), r.getSeq[Long](1).toArray))
+    val vm = rawMapOf(base, maxNodes)
+    val es = entries.collect().map(_.getLong(0)).sorted
+    require(es.nonEmpty, "serving needs at least one entry point")
+    new RefinedSearcher(new LocalGraphSearcher(adj, vm, es, metric), vm, metric)
   }
 
   /** Per-query IVF serving — the probed-list search run sequentially over
@@ -2575,10 +2610,7 @@ object Serve {
       maxNodes: Int = 2000000
   ): RefinedSearcher = {
     val inner = loadPackedSq8(graph, base, entries, stats, metric, maxNodes)
-    val vm = new java.util.HashMap[Long, Array[Float]]()
-    streamRows(base.select(col("id"), col("vec")))(
-      r => vm.put(r.getLong(0), r.getSeq[Float](1).toArray))
-    new RefinedSearcher(inner, vm, metric)
+    new RefinedSearcher(inner, rawMapOf(base.select(col("id"), col("vec")), maxNodes), metric)
   }
 
   /** [[loadRefinedSq8]]'s PQ twin (HNSW_PQ-with-refine). */
@@ -2591,9 +2623,6 @@ object Serve {
       maxNodes: Int = 2000000
   ): RefinedSearcher = {
     val inner = loadPackedPq(graph, base, entries, model, metric, maxNodes)
-    val vm = new java.util.HashMap[Long, Array[Float]]()
-    streamRows(base.select(col("id"), col("vec")))(
-      r => vm.put(r.getLong(0), r.getSeq[Float](1).toArray))
-    new RefinedSearcher(inner, vm, metric)
+    new RefinedSearcher(inner, rawMapOf(base.select(col("id"), col("vec")), maxNodes), metric)
   }
 }

@@ -167,7 +167,7 @@ object ShardedServe {
     /** V7 across shards: each id lives on exactly one shard — scatter the
       * request, union the answers, preserve request order. */
     def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] =
-      unionById(ids, shards.map(_.getVectorByIds(ids)))
+      unionById(ids, scatter(shards)(_.getVectorByIds(ids)))
   }
 
   /** Paged iterator across shards — the V6 verb over segments: each
@@ -289,7 +289,7 @@ object ShardedServe {
     }
     def hasRawData: Boolean = shards.forall(_.hasRawData)
     def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] =
-      unionById(ids, shards.map(_.getVectorByIds(ids)))
+      unionById(ids, scatter(shards)(_.getVectorByIds(ids)))
   }
 
   /** Scatter-gather router over REFINED graph shards (quantized
@@ -319,7 +319,7 @@ object ShardedServe {
     /** V8/V7 ride each shard's raw refine tier. */
     def hasRawData: Boolean = shards.forall(_.hasRawData)
     def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] =
-      unionById(ids, shards.map(_.getVectorByIds(ids)))
+      unionById(ids, scatter(shards)(_.getVectorByIds(ids)))
   }
 
   /** Scatter-gather router over QUANTIZED (coded) IVF shards — the host
@@ -360,12 +360,16 @@ object ShardedServe {
         allowed: Long => Boolean): Seq[(Long, Double)] =
       mergeTopK(scatter(shards)(_.search(q, k, nprobe, reorderK, allowed)),
         k, ascending = true)
-    /** V6: merged exact-rerank streams, paged. */
+    /** V6: merged exact-rerank streams, paged. Each shard's rerank pool
+      * widens to at least `n` — a pool smaller than the requested stream
+      * depth would silently exhaust the pages at reorderK rows. */
     def iterator(q: Array[Float], n: Int, nprobe: Int, reorderK: Int): Serve.ServingIterator =
-      shardedIterator(scatter(shards)(_.search(q, n, nprobe, reorderK)), ascending = true)
+      shardedIterator(
+        scatter(shards)(_.search(q, n, nprobe, math.max(reorderK, n))),
+        ascending = true)
     def hasRawData: Boolean = shards.forall(_.hasRawData)
     def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] =
-      unionById(ids, shards.map(_.getVectorByIds(ids)))
+      unionById(ids, scatter(shards)(_.getVectorByIds(ids)))
   }
 
   /** Scatter-gather router over DiskANN serving shards — the host
@@ -388,7 +392,7 @@ object ShardedServe {
       shardedIterator(scatter(shards)(_.search(q, n)), ascending = true)
     def hasRawData: Boolean = shards.forall(_.hasRawData)
     def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] =
-      unionById(ids, shards.map(_.getVectorByIds(ids)))
+      unionById(ids, scatter(shards)(_.getVectorByIds(ids)))
   }
 
   /** Scatter-gather router over packed-binary shards (documents
@@ -416,6 +420,6 @@ object ShardedServe {
         .sortBy { case (id, d) => (d, id) }
     def hasRawData: Boolean = shards.forall(_.hasRawData)
     def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Long])] =
-      unionById(ids, shards.map(_.getVectorByIds(ids)))
+      unionById(ids, scatter(shards)(_.getVectorByIds(ids)))
   }
 }

@@ -1466,6 +1466,24 @@ class ServeSpec extends SparkSpec {
       assert(viaHandle.search(qv, 10, ef = 32) == direct.search(qv, 10, ef = 32),
         s"handle-served $qid differs from the direct coded loader")
     }
+    // Exact variant rides the SHARED-tier refined loader (one map for
+    // walk + rescore): answers equal the plain walk bit-for-bit (the
+    // rescore recomputes identical distances)
+    val he = new HnswIndex(g, base, entries, Metric.L2,
+      efSearch = 32, beamIters = 4, HnswVariant.Exact)
+    val se = he.servingRefined()
+    val plain = Serve.load(g, base, entries, Metric.L2).enableCoarseEntries()
+    queryVecs.foreach { case (qid, qv) =>
+      assert(se.search(qv, 10, ef = 32) == plain.search(qv, 10, ef = 32),
+        s"shared-tier refined $qid differs from the plain walk")
+    }
+    // V7 answers through the shared map
+    val want = queryVecs.take(2).map(_._1)
+    val exactVecs = base.filter(col("id").isInCollection(want)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    se.getVectorByIds(want).foreach { case (id, v) =>
+      assert(v.sameElements(exactVecs(id)))
+    }
   }
 
   test("hybrid RRF serving fuses exact arms bit-identically to the batch pipeline") {
