@@ -200,18 +200,21 @@ object Scale {
     // beam asserted in-run; ndis / visited / raw-fetch counters are the
     // memory-vs-disk traffic observables ----
     locally {
-      val serving = time("serve load (diskann: codes+graph+entries resident)")(
+      val serving = time("serve load (diskann: codes+graph+entries resident, sector-store raw)")(
         Serve.loadDiskAnn(diskann))
+      val tier = serving.rawTier.asInstanceOf[Serve.PagedRawTier]
       val q16 = queries.limit(16)
       val qv16 = q16.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       val batch = collectKnn(diskann.search(q16, 10, None))
       qv16.foreach { case (_, v) => serving.search(v, 10) } // warm-up
       val t0 = System.nanoTime()
       var ndis = 0L; var visited = 0L; var fetched = 0L
+      var sectors = 0L; var ioBytes = 0L
       qv16.foreach { case (_, v) =>
         serving.search(v, 10)
         ndis += serving.lastNdis; visited += serving.lastVisited
         fetched += serving.lastRawFetched
+        sectors += tier.lastSectorsRead; ioBytes += tier.lastBytesRead
       }
       val perQueryMs = (System.nanoTime() - t0) / 1e6 / qv16.length
       qv16.foreach { case (qid, v) =>
@@ -220,9 +223,35 @@ object Scale {
       }
       println(f"diskann serve per-query latency: $perQueryMs%.2f ms " +
         f"(ADC ndis ${ndis / qv16.length}, visited ${visited / qv16.length} of $nb, " +
-        f"raw fetched ${fetched / qv16.length}/query — the SSD reads; " +
+        f"raw fetched ${fetched / qv16.length}/query — the SSD reads: " +
+        f"${sectors / qv16.length} sectors / ${(ioBytes / qv16.length) >> 10} KiB of " +
+        f"${tier.totalSectors} sectors / ${tier.totalBytes >> 20} MiB total; " +
         f"resident RAM tier ${serving.residentBytes >> 20} MiB vs " +
         f"fp32 ${(nb.toLong * (8L + 4L * dim)) >> 20} MiB; batch equality asserted)")
+      // WARM-NODE CACHE (search_cache_budget_gb analog, diskann.cc:714-726):
+      // entry-BFS raw vectors pinned in RAM — identical answers (asserted),
+      // paged reads cut by the cache hit fraction
+      val warm = time("serve load (diskann + warm-node cache)")(
+        Serve.loadDiskAnn(diskann, cacheNodes = nb / 10))
+      val wTier = warm.rawTier.asInstanceOf[Serve.PagedRawTier]
+      qv16.foreach { case (_, v) => warm.search(v, 10) } // warm-up
+      val t1 = System.nanoTime()
+      var wFetched = 0L; var wHits = 0L; var wSectors = 0L
+      qv16.foreach { case (_, v) =>
+        warm.search(v, 10)
+        wFetched += warm.lastRawFetched; wHits += warm.lastCacheHits
+        wSectors += wTier.lastSectorsRead
+      }
+      val warmMs = (System.nanoTime() - t1) / 1e6 / qv16.length
+      qv16.foreach { case (qid, v) =>
+        require(warm.search(v, 10) == batch(qid),
+          s"diskann warm-cache serving != batch beam for query $qid")
+      }
+      println(f"diskann serve (warm cache ${warm.warmCachedNodes} nodes, " +
+        f"${warm.residentCacheBytes >> 20} MiB) per-query latency: $warmMs%.2f ms " +
+        f"(cache hits ${wHits / qv16.length}/query, paged ${wFetched / qv16.length}/query " +
+        f"in ${wSectors / qv16.length} sectors — vs ${fetched / qv16.length} uncached; " +
+        f"batch equality asserted)")
     }
     graph.unpersist()
 
@@ -537,10 +566,12 @@ object Scale {
       val t0 = System.nanoTime()
       qv.foreach { case (_, v) => sq8Res.search(v, 10, nprobe, 50) }
       val sq8ResMs = (System.nanoTime() - t0) / 1e6 / qv.length
+      val sq8Tier = sq8Paged.rawTier.asInstanceOf[Serve.PagedRawTier]
       val t1 = System.nanoTime()
-      var fetched = 0L
+      var fetched = 0L; var sectors = 0L; var ioBytes = 0L
       qv.foreach { case (_, v) =>
         sq8Paged.search(v, 10, nprobe, 50); fetched += sq8Paged.lastRawFetched
+        sectors += sq8Tier.lastSectorsRead; ioBytes += sq8Tier.lastBytesRead
       }
       val sq8PagedMs = (System.nanoTime() - t1) / 1e6 / qv.length
       qv.foreach { case (qid, v) =>
@@ -550,7 +581,9 @@ object Scale {
           s"IVF_SQ8 serving (resident raw) != batch searchSq8 for query $qid")
       }
       println(f"ivf_sq8 serve per-query latency: resident-raw $sq8ResMs%.2f ms, " +
-        f"paged-raw $sq8PagedMs%.2f ms (${fetched / qv.length}/query raw fetches — the SSD reads); " +
+        f"paged-raw $sq8PagedMs%.2f ms (${fetched / qv.length}/query raw fetches — the SSD " +
+        f"reads: ${sectors / qv.length} sectors / ${(ioBytes / qv.length) >> 10} KiB of " +
+        f"${sq8Tier.totalSectors} sectors / ${sq8Tier.totalBytes >> 20} MiB total); " +
         f"resident codes ${sq8Paged.residentCodeBytes >> 20} MiB vs fp32 ${fp32Bytes >> 20} MiB; " +
         "batch equality asserted on both tiers")
       // PQ: m=8 bytes/vector — 32x fewer resident bytes than fp32 at dim 64

@@ -38,7 +38,12 @@ object IndexStatic {
 
   /** Estimated in-memory load size in bytes for an index over
     * (count, dim) fp32 vectors — mirrors the reference's per-type resource
-    * estimation (vectors + ids + structure overhead). */
+    * estimation (vectors + ids + structure overhead). This is the QUICK
+    * whole-enum heuristic (every registered kind answers, fixed default
+    * degrees, no build params); for capacity planning against the actual
+    * serving tiers use [[IndexStatics.estimateLoadResource]], whose
+    * param-driven per-family estimates are gated EXACTLY equal to the
+    * loaded searchers' measured `resident*Bytes` (IndexStaticsSpec). */
   def estimateLoadResourceBytes(indexType: String, count: Long, dim: Int): Long =
     estimateLoadResourceBytes(indexType, count, dim, "fp32")
 

@@ -155,6 +155,18 @@ object Capabilities {
       case _ => false
     }
 
+  /** Static V13 `EstimateLoadResource` (`index_static.h:98-140`):
+    * predicted resident bytes of loading an index for serving, from
+    * (type, count, dim, params) alone — no load. Delegates to
+    * [[IndexStatics.estimateLoadResource]]; IndexStaticsSpec gates the
+    * estimates against every loaded searcher's measured observables. */
+  def estimateLoadResource(
+      indexType: String,
+      count: Long,
+      dim: Int,
+      params: Map[String, Long] = Map.empty): Long =
+    IndexStatics.estimateLoadResource(indexType, count, dim, params)
+
   /** Index-version gating (`include/knowhere/version.h:23-57`: versions
     * 0..6 with `VersionSupport`/min/current/default): factories accept a
     * version and refuse out-of-range ones. All kinds in [[IndexTypes]]

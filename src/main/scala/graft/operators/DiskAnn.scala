@@ -52,7 +52,11 @@ final class DiskAnnIndex(
     val searchListSize: Int, // search_list_size (L)
     val beamIters: Int,
     roundDist: Option[Int] = None,
-    degreeHint: Option[Long] = None // from build-time metadata on load
+    degreeHint: Option[Long] = None, // from build-time metadata on load
+    // where the raw tier's SECTOR layout lives on disk, when this handle
+    // came from save/load — Serve.loadDiskAnn pages straight from it
+    // instead of materializing a fresh store
+    val rawDir: Option[String] = None
 ) extends graft.VectorIndex {
   override def indexType: String = "DISKANN"
   override lazy val count: Long = raw.count()
@@ -74,7 +78,11 @@ final class DiskAnnIndex(
   override def save(dir: String): Unit = {
     graph.write.mode("overwrite").parquet(s"$dir/graph")
     coded.write.mode("overwrite").parquet(s"$dir/codes")
-    raw.write.mode("overwrite").parquet(s"$dir/raw")
+    // the SSD tier is written in SECTOR layout (globally id-sorted, small
+    // row groups) so a serving load pages row groups by footer fence —
+    // the reference lays its disk file out in per-node sectors at build
+    // for exactly this reason (`diskann.cc:560-660` AlignedRead offsets)
+    graft.sources.SectorStore.save(raw, s"$dir/raw")
     entries.write.mode("overwrite").parquet(s"$dir/entries")
     ProductQuant.saveModel(raw.sparkSession, model, s"$dir/pq")
     // degree stats become BUILD-TIME metadata: a loaded index answers meta
@@ -166,7 +174,8 @@ object DiskAnn {
       searchListSize,
       beamIters,
       roundDist,
-      degreeHint = hint)
+      degreeHint = hint,
+      rawDir = Some(s"$dir/raw"))
   }
 
   /** ADC distance for explicit (qid, nid) candidate pairs: the in-memory

@@ -61,7 +61,7 @@ object Serve {
     // fails loudly via null padding)
     require(q.length == v.length,
       s"packed signature length mismatch: query ${q.length} words vs shard ${v.length}")
-    val n = math.min(q.length, v.length)
+    val n = q.length
     if (metric == Metric.Hamming) {
       var h = 0L
       var i = 0
@@ -572,6 +572,20 @@ object Serve {
       * IVF_FLAT / SCANN-with-raw-data shape, `flat.cc:258-283`). */
     def hasRawData: Boolean = true
 
+    /** Resident payload bytes (list ids + fp32 vectors + centroids) —
+      * the measured side of `IndexStatics.ivfFloatBytes`. */
+    def residentBytes: Long = {
+      var s = 0L
+      val it = lists.values().iterator()
+      while (it.hasNext) {
+        val (ids0, vs) = it.next()
+        s += ids0.length.toLong * 8L
+        var i = 0
+        while (i < vs.length) { s += vs(i).length.toLong * 4L; i += 1 }
+      }
+      s + cents.map(c => 8L + c._2.length.toLong * 4L).sum
+    }
+
     // id → raw vector, built once on first V7 call (references only —
     // the vectors themselves are shared with the list arrays)
     private lazy val byId: java.util.HashMap[Long, Array[Float]] = {
@@ -833,28 +847,85 @@ object Serve {
     }
   }
 
-  /** Pages finalists from the parquet raw tier per search — one bounded
-    * Spark lookup of ≤ reorderK ids (the SSD fetch analog). The frame is
-    * retained, not collected: nothing raw is resident. */
+  /** Pages finalists from a sector-laid-out parquet store per search —
+    * the SSD fetch analog done the way the reference does it
+    * (`diskann.cc:560-660`: per-node SECTOR reads at known offsets, never
+    * a file scan). The store ([[graft.sources.SectorStore]]) is globally
+    * id-sorted with small row groups; only the footer manifest (per-group
+    * (min, max) id fences) is resident, and a fetch reads exactly the row
+    * groups containing requested ids through parquet-mr — no Spark job on
+    * the query path, IO proportional to the FETCH COUNT, not the corpus.
+    * (The previous DataFrame-filter shape re-scanned the raw table per
+    * query unless parquet happened to prune — the round-10 scale flag;
+    * this layout retires it.) */
   final class PagedRawTier(
-      raw: DataFrame, // (id, vec)
-      idCol: String = "id",
-      vecCol: String = "vec"
+      store: graft.sources.SectorStore.Reader
   ) extends RawTier {
-    /** ids fetched by the last call — the "SSD reads" observable. */
+    /** distinct ids requested by the last call. */
+    @volatile var lastRequested: Long = 0L
+    /** rows actually returned by the last call (absent ids excluded). */
     @volatile var lastFetched: Long = 0L
+    /** row groups ("sectors") read by the last call — the IO-request
+      * observable; ≤ lastRequested by the sorted-disjoint invariant. */
+    @volatile var lastSectorsRead: Long = 0L
+    /** compressed bytes of the sectors the last call read. */
+    @volatile var lastBytesRead: Long = 0L
+    /** rows decoded across those sectors (≈ sectors × rowsPerGroup). */
+    @volatile var lastRowsScanned: Long = 0L
+
+    /** Store-wide manifest totals, for ≪-full-scan assertions. */
+    def totalSectors: Long = store.totalSectors
+    def totalRows: Long = store.totalRows
+    def totalBytes: Long = store.totalCompressedBytes
+
     def fetch(ids: Seq[Long]): java.util.HashMap[Long, Array[Float]] = {
       val m = new java.util.HashMap[Long, Array[Float]]()
       val want = ids.distinct
-      lastFetched = want.length.toLong
-      raw
-        .filter(col(idCol).isInCollection(want))
-        .select(col(idCol).cast("long"), col(vecCol))
-        .collect() // bounded: ≤ reorderK rows by construction
-        .foreach(r => m.put(r.getLong(0), r.getSeq[Float](1).toArray))
+      lastRequested = want.length.toLong
+      val wantSet = new java.util.HashSet[Long](want.length * 2)
+      want.foreach(wantSet.add)
+      // plan: map ids to sectors via the fence table (binary search each),
+      // then read each hit sector once
+      val hit = scala.collection.mutable.SortedSet.empty[Int]
+      want.foreach { id =>
+        val si = store.sectorOf(id)
+        if (si >= 0) hit += si
+      }
+      var scanned = 0L
+      var bytes = 0L
+      hit.foreach { si =>
+        scanned += store.readSector(si, wantSet.contains, (id, v) => m.put(id, v))
+        bytes += store.sectors(si).compressedBytes
+      }
+      lastSectorsRead = hit.size.toLong
+      lastBytesRead = bytes
+      lastRowsScanned = scanned
+      lastFetched = m.size.toLong
       m
     }
     def resident: Boolean = false
+  }
+
+  /** Build the paged tier for a raw frame: open `storeDir` when it already
+    * holds a valid sector store (a [[graft.sources.SectorStore.save]]d
+    * layout — e.g. `DiskAnnIndex.save`'s raw tier), else materialize one
+    * under a managed temp dir — the "lay the SSD tier out" step of load,
+    * one sort job once, after which every fetch is footer-guided random
+    * access. */
+  private def pagedTierOf(
+      raw: DataFrame, // (id, vec)
+      storeDir: Option[String]
+  ): PagedRawTier = {
+    val spark = raw.sparkSession
+    storeDir.flatMap(graft.sources.SectorStore.openIfValid(spark, _)) match {
+      case Some(r) => new PagedRawTier(r)
+      case None =>
+        val dir = java.nio.file.Files.createTempDirectory("graft-rawstore-").toString
+        graft.sources.SectorStore.save(raw, dir)
+        new PagedRawTier(graft.sources.SectorStore.openIfValid(spark, dir).getOrElse(
+          throw new IllegalStateException(
+            s"sector store just written to $dir failed to open sorted")))
+    }
   }
 
   /** Shared mechanics of the coded IVF serving searchers: L2 probe order
@@ -902,6 +973,9 @@ object Serve {
       * shapes apart. */
     def hasRawData: Boolean = true
     def rawResident: Boolean = raw.resident
+
+    /** The raw tier behind the rerank — exposed for IO-observable gates. */
+    private[graft] def rawTier: RawTier = raw
 
     /** Resident bytes of the CODED tier (ids + codes + centroids) — the
       * serving-memory observable the SCALE_RUN line reports. Excludes the
@@ -965,6 +1039,9 @@ object Serve {
         nprobe: Int,
         allowed: Long => Boolean = null
     ): Seq[(Long, Double)] = Telemetry.timed("SERVE", searchLabel + "_range") {
+      // the range path never touches the raw tier — zero the observable so
+      // interleaved knn/range calls don't report a stale fetch count
+      lastRawFetched = 0L
       val order = cents
         .map { case (cid, c) => (centDist(q, c), cid) }
         .sorted
@@ -1121,7 +1198,10 @@ object Serve {
       centroids: DataFrame, // (cluster_id, centroid)
       stats: Option[DataFrame] = None,
       rawResident: Boolean = false,
-      maxNodes: Int = 2000000
+      maxNodes: Int = 2000000,
+      // an existing SectorStore layout for the paged tier (e.g. a saved
+      // index's raw dir); absent → one is materialized under tmp at load
+      rawStoreDir: Option[String] = None
   ): LocalIvfSq8Searcher = {
     val n = index.count()
     require(n <= maxNodes,
@@ -1148,7 +1228,7 @@ object Serve {
         (rows.map(_.getLong(0)).toArray,
           rows.map(_.getSeq[Int](1).map(_.toByte).toArray).toArray))
     }
-    new LocalIvfSq8Searcher(cs, lm, mn, mx, rawTierOf(index, rawResident))
+    new LocalIvfSq8Searcher(cs, lm, mn, mx, rawTierOf(index, rawResident, rawStoreDir))
   }
 
   /** Load an IVF_PQ serving shard — codes via the batch
@@ -1159,7 +1239,8 @@ object Serve {
       centroids: DataFrame,
       model: ProductQuant.PQModel,
       rawResident: Boolean = false,
-      maxNodes: Int = 2000000
+      maxNodes: Int = 2000000,
+      rawStoreDir: Option[String] = None
   ): LocalIvfPqSearcher = {
     val n = index.count()
     require(n <= maxNodes,
@@ -1182,11 +1263,14 @@ object Serve {
         (rows.map(_.getLong(0)).toArray,
           rows.map(_.getSeq[Int](1).map(_.toByte).toArray).toArray))
     }
-    new LocalIvfPqSearcher(cs, lm, model, rawTierOf(index, rawResident))
+    new LocalIvfPqSearcher(cs, lm, model, rawTierOf(index, rawResident, rawStoreDir))
   }
 
-  private def rawTierOf(index: DataFrame, rawResident: Boolean): RawTier =
-    if (!rawResident) new PagedRawTier(index.select(col("id"), col("vec")))
+  private def rawTierOf(
+      index: DataFrame,
+      rawResident: Boolean,
+      rawStoreDir: Option[String] = None): RawTier =
+    if (!rawResident) pagedTierOf(index.select(col("id"), col("vec")), rawStoreDir)
     else {
       val byId = new java.util.HashMap[Long, Array[Float]]()
       streamRows(index.select(col("id"), col("vec")))(
@@ -1262,6 +1346,18 @@ object Serve {
           .sortBy { case (id, d) => (d, id) }
       }
 
+    /** V6 over the packed shard — a ranked stream of depth `n`, paged.
+      * The reference serves the iterator verb uniformly across index
+      * kinds (`index_node.h:148-153`; its binary brute-force iterator is
+      * `brute_force.cc:750-876`, a precomputed-distance stream over the
+      * same metric arithmetic) — this was the one serving arm without
+      * it. The scan is exact, so pages equal the batch
+      * `AnnIteratorOp.open` pages under the shared (dist, id) contract. */
+    def iterator(
+        q: Array[Long], n: Int,
+        allowed: Long => Boolean = null): ServingIterator =
+      new ServingIterator(search(q, n, allowed))
+
     /** V5 over the packed shard: the [rangeFilter, radius) shell of the
       * batch `BruteForce.rangeSearch` (ascending metrics), (dist, id)
       * sorted. */
@@ -1317,10 +1413,100 @@ object Serve {
     @volatile var lastNdis: Long = 0L
     @volatile var lastRawFetched: Long = 0L
     @volatile var lastVisited: Long = 0L
+    /** rescoring hits served from the warm-node cache by the last search. */
+    @volatile var lastCacheHits: Long = 0L
+
+    // WARM-NODE CACHE (`diskann.cc:714-726`, `search_cache_budget_gb` +
+    // `GenerateCacheList`: the reference BFS's from the medoid and pins the
+    // first `num_nodes_to_cache` levels' raw data in RAM, because entry-
+    // adjacent nodes recur in EVERY query's visited set). Same model here:
+    // a bounded entry-BFS set of exact raw vectors consulted before the
+    // paged fetch. Values are the raw tier's own vectors, so answers are
+    // bit-identical cache on/off (ServeSpec-gated); only the IO observables
+    // move. volatile for safe publication to router pool threads.
+    @volatile private var warmCache: java.util.HashMap[Long, Array[Float]] = null
+
+    /** BFS from the entry points over the resident graph until `budget`
+      * nodes, fetch their raw vectors ONCE, keep them resident. Level
+      * order with sorted adjacency makes the cached set deterministic. */
+    def enableWarmCache(budget: Int): this.type = {
+      val picked = new java.util.LinkedHashSet[Long]()
+      var frontier: Seq[Long] = entries.toSeq.distinct
+      frontier.foreach(id => if (picked.size < budget) picked.add(id))
+      while (frontier.nonEmpty && picked.size < budget) {
+        val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val fit = frontier.iterator
+        while (fit.hasNext && picked.size < budget) {
+          val ns = adj.get(fit.next())
+          if (ns != null) {
+            var i = 0
+            while (i < ns.length && picked.size < budget) {
+              if (picked.add(ns(i))) next += ns(i)
+              i += 1
+            }
+          }
+        }
+        frontier = next.toSeq
+      }
+      import scala.jdk.CollectionConverters._
+      warmCache = raw.fetch(picked.iterator().asScala.toSeq)
+      this
+    }
+
+    /** Nodes resident in the warm cache (0 when disabled). */
+    def warmCachedNodes: Long =
+      if (warmCache == null) 0L else warmCache.size.toLong
+
+    /** Resident bytes the warm cache adds on top of [[residentBytes]]
+      * (ids + fp32 vectors) — the `search_cache_budget_gb` spend. */
+    def residentCacheBytes: Long = {
+      if (warmCache == null) return 0L
+      var s = 0L
+      val it = warmCache.values().iterator()
+      while (it.hasNext) s += 8L + it.next().length.toLong * 4L
+      s
+    }
+
+    /** Raw vectors for `want`: warm-cache hits first, one paged fetch for
+      * the misses. Sets the per-query IO observables. */
+    private def fetchRaw(want: Seq[Long]): java.util.HashMap[Long, Array[Float]] = {
+      val cache = warmCache
+      if (cache == null) {
+        val m = raw.fetch(want)
+        lastCacheHits = 0L
+        lastRawFetched = m.size.toLong
+        m
+      } else {
+        val m = new java.util.HashMap[Long, Array[Float]]()
+        val misses = scala.collection.mutable.ArrayBuffer.empty[Long]
+        want.foreach { id =>
+          val v = cache.get(id)
+          if (v != null) m.put(id, v) else misses += id
+        }
+        lastCacheHits = m.size.toLong
+        val paged = raw.fetch(misses.toSeq)
+        lastRawFetched = paged.size.toLong
+        val it = paged.entrySet().iterator()
+        while (it.hasNext) { val e = it.next(); m.put(e.getKey, e.getValue) }
+        m
+      }
+    }
 
     /** DiskANN retains raw data (on "SSD") — V8 true, V7 pages it. */
     def hasRawData: Boolean = true
     def rawResident: Boolean = raw.resident
+
+    /** The raw tier behind the rescoring — exposed for IO-observable gates. */
+    private[graft] def rawTier: RawTier = raw
+
+    /** A searcher over the SAME resident tiers with a different
+      * search-list size — the reference tunes L per query-time target
+      * without reloading (`benchmark_float_qps.cpp:365-414` sweeps the
+      * knob on one loaded index); shares codes/graph/raw, so the sweep
+      * costs nothing but the new handle (warm cache not carried —
+      * re-enable if wanted). */
+    def withSearchListSize(l: Int): LocalDiskAnnSearcher =
+      new LocalDiskAnnSearcher(adj, codes, entries, model, raw, l, beamIters, roundDist)
 
     /** Resident bytes of the RAM tier: codes + adjacency + entries (the
       * `pq_code_budget_gb` model — raw vectors are NOT in this number). */
@@ -1334,7 +1520,7 @@ object Serve {
     }
 
     def getVectorByIds(ids: Seq[Long]): Seq[(Long, Array[Float])] = {
-      val m = raw.fetch(ids)
+      val m = fetchRaw(ids)
       ids.flatMap(id => Option(m.get(id)).map(id -> _))
     }
 
@@ -1383,10 +1569,10 @@ object Serve {
         }
         lastNdis = ndis
         lastVisited = visited.size.toLong
-        // the SSD fetch: exact rescoring of the full visited set
+        // the SSD fetch: exact rescoring of the full visited set (warm-
+        // cache hits resident, misses one bounded sector-store fetch)
         val want = visited.toSeq.filter(id => allowed == null || allowed(id))
-        val rawm = raw.fetch(want)
-        lastRawFetched = rawm.size.toLong
+        val rawm = fetchRaw(want)
         want.flatMap { id =>
           Option(rawm.get(id)).map { v =>
             var s = 0.0d
@@ -1408,7 +1594,15 @@ object Serve {
     * and pages per search. */
   def loadDiskAnn(
       idx: DiskAnnIndex,
-      maxNodes: Int = 2000000
+      maxNodes: Int = 2000000,
+      // sector store for the SSD tier: an explicit dir, else the saved
+      // index's own raw dir (DiskAnnIndex.save writes sector layout), else
+      // one is materialized under tmp at load
+      rawStoreDir: Option[String] = None,
+      // warm-node cache budget (`search_cache_budget_gb` analog,
+      // `diskann.cc:714-726`): entry-BFS nodes whose raw vectors stay
+      // resident; 0 disables
+      cacheNodes: Int = 0
   ): LocalDiskAnnSearcher = {
     val n = idx.coded.count()
     require(n <= maxNodes,
@@ -1424,9 +1618,11 @@ object Serve {
       r => cm.put(r.getLong(0), r.getSeq[Int](1).map(_.toByte).toArray))
     val es = idx.entries.collect().map(_.getLong(0)).sorted
     require(es.nonEmpty, "serving needs at least one entry point")
-    new LocalDiskAnnSearcher(adj, cm, es, idx.model,
-      new PagedRawTier(idx.raw.select(col("id"), col("vec"))),
+    val s = new LocalDiskAnnSearcher(adj, cm, es, idx.model,
+      pagedTierOf(idx.raw.select(col("id"), col("vec")),
+        rawStoreDir.orElse(idx.rawDir)),
       idx.searchListSize, idx.beamIters, idx.roundDigits)
+    if (cacheNodes > 0) s.enableWarmCache(cacheNodes) else s
   }
 
   /** Binary IVF serving — BIN_IVF through the probed-scan verb
@@ -1450,6 +1646,20 @@ object Serve {
 
     /** BIN_IVF keeps the packed signatures in its lists — V8 true. */
     def hasRawData: Boolean = true
+
+    /** Resident payload bytes (list ids + signature words + packed
+      * centroids) — the measured side of `IndexStatics.binaryIvfBytes`. */
+    def residentBytes: Long = {
+      var s = 0L
+      val it = lists.values().iterator()
+      while (it.hasNext) {
+        val (ids0, vs) = it.next()
+        s += ids0.length.toLong * 8L
+        var i = 0
+        while (i < vs.length) { s += vs(i).length.toLong * 8L; i += 1 }
+      }
+      s + cents.map(c => 8L + c._2.length.toLong * 8L).sum
+    }
 
     // id → signature, built ONCE on first V7 call (references only — the
     // arrays are shared with the list storage)

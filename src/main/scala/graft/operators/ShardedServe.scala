@@ -410,6 +410,16 @@ object ShardedServe {
         q: Array[Long], k: Int,
         allowed: Long => Boolean): Seq[(Long, Double)] =
       mergeTopK(scatter(shards)(_.search(q, k, allowed)), k, ascending = true)
+    /** V6 across shards: per-shard exact scans of depth n merge into one
+      * paged stream — completes verb uniformity on the binary router
+      * (`index_node.h:148-153`). Exact arms ⇒ pages equal the
+      * single-index iterator's page for page. */
+    def iterator(q: Array[Long], n: Int): Serve.ServingIterator =
+      shardedIterator(scatter(shards)(_.search(q, n)), ascending = true)
+    def iterator(
+        q: Array[Long], n: Int,
+        allowed: Long => Boolean): Serve.ServingIterator =
+      shardedIterator(scatter(shards)(_.search(q, n, allowed)), ascending = true)
     /** V5 across shards: shell membership is per-doc, so the sorted
       * union of per-shard answers IS the single-index range answer. */
     def rangeSearch(

@@ -1,0 +1,250 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sector-addressed raw-vector store — the SSD layout of the reference's
+  * paged tiers, rendered in parquet.
+  *
+  * The reference's DiskANN never scans its disk file: each raw-vector read
+  * is one aligned SECTOR fetch at a known offset
+  * (`src/index/diskann/diskann.cc:560-660` — the search issues
+  * `beamwidth` AlignedRead IO requests per hop, each `SECTOR_LEN` bytes),
+  * so per-query IO is proportional to the FETCH COUNT, never to the corpus.
+  * The parquet analog of a sector is a ROW GROUP: [[save]] lays the raw
+  * tier out globally range-partitioned and sorted by id with deliberately
+  * small row groups, and [[Reader]] keeps only the footer metadata resident
+  * (per-row-group (min, max) id fences — the "sector table") and reads
+  * exactly the row groups that contain requested ids, through
+  * parquet-mr's own `ParquetFileReader.readRowGroup`. No Spark job runs on
+  * the fetch path — a serving node reads bytes from index files, it does
+  * not schedule cluster work per query.
+  *
+  * Because the layout is globally sorted and ids are unique, every id maps
+  * to at most ONE row group, so a fetch of `w` distinct ids reads at most
+  * `w` sectors (exactly `hit-group count` — adjacent ids share groups) of
+  * ~`rowsPerGroup` rows each, whatever the corpus size. The Reader verifies
+  * the sorted-disjoint fence invariant at open and refuses unsorted files,
+  * so a store can never silently degrade to a scan.
+  */
+object SectorStore {
+
+  /** One row group's manifest entry: the resident "sector table" row. */
+  final case class Sector(
+      fileIdx: Int,
+      blockIdx: Int,
+      minId: Long,
+      maxId: Long,
+      rows: Long,
+      compressedBytes: Long)
+
+  /** Write `(id, vec)` rows in sector layout: `files` range partitions
+    * (disjoint id ranges), sorted by id within each, with
+    * `parquet.block.size` chosen so a row group holds ~`sectorBytes` of
+    * rows. The sector size follows the reference's own disk unit
+    * (`SECTOR_LEN` = 4096-byte aligned reads, `diskann.cc:560-660`):
+    * SMALL sectors are what make per-query IO proportional to the fetch
+    * count even when the wanted ids scatter across the id space — a
+    * visited set of v nodes reads ≈ v sectors ≈ v·sectorBytes, not the
+    * corpus. `rowsPerGroup > 0` overrides the derived row count (tests
+    * pin exact granularity with it). One shuffle, once, at save time;
+    * every subsequent fetch is footer-guided random access. */
+  def save(
+      df: DataFrame, // (idCol LONG-castable, vecCol ARRAY<FLOAT>)
+      dir: String,
+      idCol: String = "id",
+      vecCol: String = "vec",
+      sectorBytes: Long = 8192L,
+      rowsPerGroup: Int = 0,
+      groupsPerFile: Int = 512): Unit = {
+    val rows = df.count()
+    val projected = df.select(col(idCol).cast("long").as(idCol), col(vecCol))
+    if (rows == 0L) {
+      projected.coalesce(1).write.mode("overwrite").parquet(dir)
+      return
+    }
+    val dim = projected.select(size(col(vecCol))).head().getInt(0)
+    // in-memory (uncompressed) bytes per buffered row — what the writer's
+    // block-size check measures; +8 covers list/definition-level structure
+    val bytesPerRow = 8L + 4L * dim + 8L
+    val rpg: Long =
+      if (rowsPerGroup > 0) rowsPerGroup.toLong
+      else math.max(8L, sectorBytes / bytesPerRow)
+    val blockSize = rpg * bytesPerRow
+    val perFile = rpg * groupsPerFile
+    val files = math.max(1L, (rows + perFile - 1L) / perFile).toInt
+    projected
+      .repartitionByRange(files, col(idCol))
+      .sortWithinPartitions(idCol)
+      .write
+      .mode("overwrite")
+      .option("parquet.block.size", blockSize.toString)
+      // the writer only re-checks buffered size every N records (default
+      // min 100) — small sectors need a tighter check interval (these
+      // page-size-check knobs also govern the ROW GROUP size check in
+      // InternalParquetRecordWriter)
+      .option("parquet.page.size.row.check.min",
+        math.max(1L, rpg / 4L).toString)
+      .option("parquet.page.size.row.check.max",
+        math.max(1L, rpg / 2L).toString)
+      .parquet(dir)
+  }
+
+  /** Open a store directory; None when the layout does not satisfy the
+    * sorted-disjoint sector invariant (e.g. parquet written by a plain
+    * unsorted save) — callers then re-materialize with [[save]]. */
+  def openIfValid(
+      spark: SparkSession,
+      dir: String,
+      idCol: String = "id",
+      vecCol: String = "vec"): Option[Reader] =
+    try {
+      val r = new Reader(spark, dir, idCol, vecCol)
+      if (r.layoutSorted) Some(r) else { r.close(); None }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Footer-manifest reader over a [[save]]d store. Resident state is the
+    * sector table only (O(row groups)); vectors are paged per fetch.
+    * Row-group reads synchronize on their file's reader (the underlying
+    * stream seeks), distinct files read concurrently.
+    */
+  final class Reader(
+      spark: SparkSession,
+      dir: String,
+      idCol: String,
+      vecCol: String) extends AutoCloseable {
+
+    private val conf: Configuration = spark.sparkContext.hadoopConfiguration
+    private val fs = new Path(dir).getFileSystem(conf)
+    private val paths: Array[Path] = fs
+      .listStatus(new Path(dir))
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .sortBy(_.getName)
+    require(paths.nonEmpty, s"no parquet files under $dir")
+
+    /** Sector table, sorted by minId — built once from footers (readers
+      * opened and closed; fetch-path readers open lazily below). */
+    val sectors: Array[Sector] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Sector]
+      paths.zipWithIndex.foreach { case (p, fi) =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try {
+          val blocks = r.getFooter.getBlocks
+          var bi = 0
+          while (bi < blocks.size()) {
+            val b = blocks.get(bi)
+            var ci = 0
+            var done = false
+            val cols = b.getColumns
+            while (ci < cols.size() && !done) {
+              val cc = cols.get(ci)
+              if (cc.getPath.toDotString == idCol) {
+                val st = cc.getStatistics
+                require(st != null && st.hasNonNullValue,
+                  s"id column statistics missing in ${p.getName} block $bi — " +
+                    "sector fences need min/max; rewrite the store with SectorStore.save")
+                out += Sector(fi, bi,
+                  st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue(),
+                  b.getRowCount, b.getCompressedSize)
+                done = true
+              }
+              ci += 1
+            }
+            require(done, s"id column '$idCol' not found in ${p.getName}")
+            bi += 1
+          }
+        } finally r.close()
+      }
+      out.sortBy(s => (s.minId, s.maxId)).toArray
+    }
+
+    /** True when sector fences are pairwise disjoint and ascending — the
+      * invariant that makes id → sector a binary search and bounds every
+      * fetch to the hit groups. */
+    val layoutSorted: Boolean =
+      sectors.indices.drop(1).forall(i => sectors(i).minId > sectors(i - 1).maxId)
+
+    def totalSectors: Long = sectors.length.toLong
+    def totalRows: Long = sectors.iterator.map(_.rows).sum
+    def totalCompressedBytes: Long = sectors.iterator.map(_.compressedBytes).sum
+
+    // fetch-path file handles, opened on first touch and kept (bounded by
+    // the file count); each guards its stream with its own monitor
+    private val readers = new Array[ParquetFileReader](paths.length)
+    private def readerFor(fi: Int): ParquetFileReader = readers.synchronized {
+      if (readers(fi) == null)
+        readers(fi) = ParquetFileReader.open(HadoopInputFile.fromPath(paths(fi), conf))
+      readers(fi)
+    }
+
+    /** Index of the sector whose fence contains `id`, or -1 (absent id —
+      * ids between fences were never stored). */
+    def sectorOf(id: Long): Int = {
+      var lo = 0
+      var hi = sectors.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val s = sectors(mid)
+        if (id < s.minId) hi = mid - 1
+        else if (id > s.maxId) lo = mid + 1
+        else return mid
+      }
+      -1
+    }
+
+    /** Read ONE sector and hand every (id, vec) row with a wanted id to
+      * `sink`. Returns the sector's row count (rows decoded this read). */
+    def readSector(
+        si: Int,
+        wanted: Long => Boolean,
+        sink: (Long, Array[Float]) => Unit): Long = {
+      val s = sectors(si)
+      val reader = readerFor(s.fileIdx)
+      reader.synchronized {
+        val pages = reader.readRowGroup(s.blockIdx)
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val idIdx = schema.getFieldIndex(idCol)
+        val vecIdx = schema.getFieldIndex(vecCol)
+        val rr = new ColumnIOFactory()
+          .getColumnIO(schema)
+          .getRecordReader(pages, new GroupRecordConverter(schema))
+        var i = 0L
+        val n = pages.getRowCount
+        while (i < n) {
+          val g = rr.read()
+          val id = g.getLong(idIdx, 0)
+          if (wanted(id)) {
+            // Spark's standard 3-level list: vec { repeated list { element } }
+            val lg = g.getGroup(vecIdx, 0)
+            val m = lg.getFieldRepetitionCount(0)
+            val arr = new Array[Float](m)
+            var j = 0
+            while (j < m) {
+              arr(j) = lg.getGroup(0, j).getFloat(0, 0)
+              j += 1
+            }
+            sink(id, arr)
+          }
+          i += 1
+        }
+        n
+      }
+    }
+
+    override def close(): Unit = readers.synchronized {
+      var i = 0
+      while (i < readers.length) {
+        if (readers(i) != null) { readers(i).close(); readers(i) = null }
+        i += 1
+      }
+    }
+  }
+}

@@ -350,6 +350,49 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("binary serving iterator pages equal the batch binary AnnIterator pages (filtered + sharded)") {
+    import graft.functions.VectorFunctions.signBits
+    import graft.operators.ShardedServe
+    val bbin = base.select(col("id"), signBits(col("vec")).as("vec"))
+    val qbin = queries.select(col("qid"), signBits(col("qvec")).as("qvec"))
+    val qv = qbin.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def batchPage(p: Int, filter: Option[org.apache.spark.sql.Column]) = BruteForce
+      .annIteratorPage(qbin, bbin, Metric.Hamming, page = p, pageSize = 5,
+        baseFilter = filter)
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
+      }
+    val (p1, p2) = (batchPage(1, None), batchPage(2, None))
+    val s = Serve.loadBinary(bbin, Metric.Hamming)
+    val router = new ShardedServe.ShardedBinaryServing(
+      (0 until 4).map(sh => Serve.loadBinary(
+        bbin.filter(pmod(col("id"), lit(4L)) === sh.toLong), Metric.Hamming)))
+    qv.foreach { case (qid, q) =>
+      val it = s.iterator(q, n = 15)
+      assert(it.nextPage(5) == p1(qid), s"page 1 mismatch for $qid")
+      assert(it.nextPage(5) == p2(qid), s"page 2 mismatch for $qid")
+      it.reset()
+      assert(it.nextPage(5) == p1(qid), "reset did not rewind")
+      // sharded stream: exact per-shard scans merge page-for-page
+      val rit = router.iterator(q, n = 15)
+      assert(rit.nextPage(5) == p1(qid), s"sharded page 1 for $qid")
+      assert(rit.nextPage(5) == p2(qid), s"sharded page 2 for $qid")
+    }
+    // filtered stream vs the batch iterator over the pre-filtered base
+    val allowed: Long => Boolean = id => id % 2 == 0
+    val fCol = Some(col("id") % 2 === 0)
+    val (f1, f2) = (batchPage(1, fCol), batchPage(2, fCol))
+    qv.foreach { case (qid, q) =>
+      val it = s.iterator(q, n = 15, allowed)
+      assert(it.nextPage(5) == f1(qid), s"filtered page 1 for $qid")
+      assert(it.nextPage(5) == f2(qid), s"filtered page 2 for $qid")
+      val rit = router.iterator(q, n = 15, allowed)
+      assert(rit.nextPage(5) == f1(qid), s"sharded filtered page 1 for $qid")
+    }
+  }
+
   test("sharded quantized-IVF router: per-segment rerank merges exactly at full rerank, never worse at partial") {
     import graft.operators.{Quantization, ShardedServe}
     val (cents, index) = ivfFixture
@@ -523,6 +566,90 @@ class ServeSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     searcher.getVectorByIds(want).foreach { case (id, v) =>
       assert(v.sameElements(exactVecs(id)), s"V7 mismatch for $id")
+    }
+  }
+
+  test("paged raw tier reads sectors by footer fence — bounded by the fetch, never a store scan") {
+    import graft.operators.{IvfIndex, Quantization}
+    import graft.sources.SectorStore
+    val (cents, index) = ivfFixture
+    val st = Quantization.sq8Train(index.select(col("id"), col("vec")))
+    // sector store at FINE granularity so the 500-row fixture spans many
+    // row groups (production stores use the default ~1024 rows/sector)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sectors").toString
+    SectorStore.save(index.select(col("id"), col("vec")), dir, rowsPerGroup = 16)
+    val batch = collectKnn(IvfIndex.searchSq8(
+      queries, index, cents, 5, nprobe = 2, reorderK = 5, Some(4), Some(st)))
+    val searcher = Serve.loadIvfSq8(index, cents, Some(st), rawStoreDir = Some(dir))
+    val tier = searcher.rawTier.asInstanceOf[Serve.PagedRawTier]
+    assert(tier.totalSectors >= 8, s"store has only ${tier.totalSectors} sectors")
+    assert(tier.totalRows == base.count())
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.search(qv, 5, nprobe = 2, reorderK = 5)
+      assert(got == batch(qid), s"query $qid:\n  serve $got\n  batch ${batch(qid)}")
+      // THE BOUNDED-READ CONTRACT (diskann.cc:560-660 sector reads): the
+      // fetch touches at most one sector per requested id and decodes a
+      // strict subset of the store — IO tracks the fetch count, not the
+      // corpus size
+      assert(tier.lastSectorsRead <= tier.lastRequested,
+        s"$qid read ${tier.lastSectorsRead} sectors for ${tier.lastRequested} ids")
+      assert(tier.lastSectorsRead < tier.totalSectors,
+        s"$qid read the whole store (${tier.lastSectorsRead} sectors)")
+      assert(tier.lastRowsScanned < tier.totalRows,
+        s"$qid decoded ${tier.lastRowsScanned} of ${tier.totalRows} rows")
+      assert(tier.lastBytesRead * 2 < tier.totalBytes,
+        s"$qid read ${tier.lastBytesRead} of ${tier.totalBytes} bytes")
+      assert(tier.lastFetched == tier.lastRequested, "finalist id missing from store")
+    }
+    // absent ids: beyond every fence → zero sectors read, zero rows back
+    // (lastFetched counts rows RETURNED, not ids requested)
+    val m = tier.fetch(Seq(10000000L))
+    assert(m.isEmpty && tier.lastFetched == 0L && tier.lastSectorsRead == 0L)
+  }
+
+  test("DiskANN warm-node cache: answers bit-identical, paged reads cut by the cached fraction") {
+    import graft.operators.{DiskAnn, ProductQuant}
+    val model = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
+    val idx = DiskAnn.build(base, model, entries.select(col("nid")),
+      degree = 5, searchListSize = 16, beamIters = 2, roundDist = Some(4))
+    val cold = Serve.loadDiskAnn(idx)
+    val warm = Serve.loadDiskAnn(idx, cacheNodes = 100)
+    assert(warm.warmCachedNodes == 100L && warm.residentCacheBytes > 0L)
+    assert(cold.warmCachedNodes == 0L && cold.residentCacheBytes == 0L)
+    var coldFetched = 0L
+    var warmFetched = 0L
+    queryVecs.foreach { case (qid, qv) =>
+      val a = cold.search(qv, 10)
+      val b = warm.search(qv, 10)
+      assert(a == b, s"query $qid: cache changed the answer\n  cold $a\n  warm $b")
+      // same walk ⇒ same rescoring want-set; the cache only re-routes IO
+      assert(warm.lastCacheHits + warm.lastRawFetched == cold.lastRawFetched,
+        s"query $qid: hits ${warm.lastCacheHits} + paged ${warm.lastRawFetched} " +
+          s"!= cold ${cold.lastRawFetched}")
+      coldFetched += cold.lastRawFetched
+      warmFetched += warm.lastRawFetched
+    }
+    // entry-adjacent nodes recur in every visited set — the cache must
+    // absorb a real fraction of the paged reads
+    assert(warmFetched * 2 < coldFetched,
+      s"warm cache saved too little: $warmFetched vs $coldFetched paged reads")
+  }
+
+  test("saved DiskANN serves straight from its sector-laid raw dir") {
+    import graft.operators.{DiskAnn, ProductQuant}
+    val model = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
+    val idx = DiskAnn.build(base, model, entries.select(col("nid")),
+      degree = 5, searchListSize = 16, beamIters = 2, roundDist = Some(4))
+    val dir = java.nio.file.Files.createTempDirectory("graft-diskann-store").toString
+    idx.save(dir)
+    val idx2 = DiskAnn.load(spark, dir)
+    assert(idx2.rawDir.contains(s"$dir/raw"))
+    val batch = collectKnn(DiskAnn.search(idx, queries, 10))
+    val searcher = Serve.loadDiskAnn(idx2)
+    val tier = searcher.rawTier.asInstanceOf[Serve.PagedRawTier]
+    queryVecs.take(3).foreach { case (qid, qv) =>
+      assert(searcher.search(qv, 10) == batch(qid), s"saved-index serve $qid mismatch")
+      assert(tier.lastSectorsRead > 0L && tier.lastSectorsRead <= tier.lastRequested)
     }
   }
 
@@ -1668,6 +1795,50 @@ class ServeSpec extends SparkSpec {
         s"query $qid full-probe")
       assert(router.search(qv, 10, 2) == single.search(qv, 10, 2),
         s"query $qid nprobe=2")
+    }
+  }
+
+  test("growing-segment serving composes with the coded-IVF and binary routers") {
+    import graft.functions.VectorFunctions.signBits
+    import graft.operators.{IvfIndex, Quantization, ShardedServe}
+    // the r10 arms under the *_CC deployment (ivf.cc:1250-1262): a sealed
+    // CODED segment plus an appended segment, both quantized under the
+    // collection's ONE trained model (Train-once, ivf.cc:440-654), must
+    // answer through the router exactly like the compacted single index.
+    val cents = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+    val nlist = cents.count().toInt
+    val sealedIdx = IvfIndex.build(base.filter(col("id") % 2 === 0), cents, Some(4))
+    val growIdx = IvfIndex.build(base.filter(col("id") % 2 === 1), cents, Some(4))
+    val union = sealedIdx.unionByName(growIdx)
+    // quantizer trained ONCE over the collection — segments never retrain
+    val st = Quantization.sq8Train(union.select(col("id"), col("vec")))
+    val single = Serve.loadIvfSq8(union, cents, Some(st))
+    val router = new ShardedServe.ShardedIvfCodedServing(
+      Seq(Serve.loadIvfSq8(sealedIdx, cents, Some(st)),
+        Serve.loadIvfSq8(growIdx, cents, Some(st))))
+    val n = base.count().toInt
+    queryVecs.foreach { case (qid, qv) =>
+      // full rerank window ⇒ per-segment reorder pools cover the probed
+      // docs ⇒ merged exact distances equal the single index bit-for-bit
+      assert(router.search(qv, 10, nlist, n) == single.search(qv, 10, nlist, n),
+        s"coded query $qid full-probe")
+      assert(router.search(qv, 10, 2, n) == single.search(qv, 10, 2, n),
+        s"coded query $qid nprobe=2")
+    }
+    // binary arm: exact per-segment scans, any k
+    val bbin = base.select(col("id"), signBits(col("vec")).as("vec"))
+    val qbin = queries.select(col("qid"), signBits(col("qvec")).as("qvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val singleB = Serve.loadBinary(bbin, Metric.Hamming)
+    val routerB = new ShardedServe.ShardedBinaryServing(
+      Seq(Serve.loadBinary(bbin.filter(col("id") % 2 === 0), Metric.Hamming),
+        Serve.loadBinary(bbin.filter(col("id") % 2 === 1), Metric.Hamming)))
+    qbin.foreach { case (qid, q) =>
+      assert(routerB.search(q, 10) == singleB.search(q, 10), s"binary query $qid")
+      assert(routerB.rangeSearch(q, 30.0, 0.0) == singleB.rangeSearch(q, 30.0, 0.0),
+        s"binary range $qid")
     }
   }
 
