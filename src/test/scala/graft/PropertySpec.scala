@@ -245,4 +245,42 @@ class PropertySpec extends SparkSpec {
       assert(a.intersect(b).nonEmpty, s"trial $trial: planted run '$run' shared no fingerprint")
     }
   }
+
+  test("sector store: fetch equals the source for any scattered id set, absent ids skipped, reads bounded") {
+    import graft.sources.SectorStore
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(trial * 9176L + 3)
+      val dim = Seq(4, 17, 64)(trial % 3)
+      val n = 300 + trial * 137
+      // NON-CONTIGUOUS ids (gaps + random stride) — the fence lookup must
+      // not assume density, and ids between fences must come back absent
+      val rows = (0 until n).map { i =>
+        (i.toLong * 7L + rnd.nextInt(5), Array.fill(dim)(rnd.nextFloat() * 4f - 2f))
+      }.distinctBy(_._1)
+      val df = spark.createDataFrame(rows).toDF("id", "vec")
+        .repartition(1 + trial) // arbitrary input layout; save re-sorts
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-sectors-prop$trial").toString
+      SectorStore.save(df, dir, rowsPerGroup = 32)
+      val reader = SectorStore.openIfValid(spark, dir).getOrElse(
+        fail(s"trial $trial: sector store failed the sorted-fence invariant"))
+      val tier = new graft.operators.Serve.PagedRawTier(reader)
+      assert(tier.totalRows == rows.length.toLong)
+      val byId = rows.toMap
+      // scattered wanted set: present ids + guaranteed-absent ids
+      val present = rnd.shuffle(rows.map(_._1)).take(40)
+      val absent = Seq(-5L, rows.map(_._1).max + 100L, 3L).filterNot(byId.contains)
+      val got = tier.fetch(present ++ absent)
+      assert(got.size == present.distinct.size, s"trial $trial: wrong row count")
+      present.foreach { id =>
+        assert(Option(got.get(id)).exists(_.sameElements(byId(id))),
+          s"trial $trial: vector mismatch for id $id")
+      }
+      assert(tier.lastFetched == present.distinct.size.toLong)
+      assert(tier.lastSectorsRead <= tier.lastRequested,
+        s"trial $trial: ${tier.lastSectorsRead} sectors for ${tier.lastRequested} ids")
+      assert(tier.lastRowsScanned < tier.totalRows,
+        s"trial $trial: scanned the whole store")
+      reader.close()
+    }
+  }
 }
