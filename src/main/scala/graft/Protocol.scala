@@ -122,7 +122,10 @@ object Protocol {
       println(f"PROTOCOL family=$family target_knob $knobName=$knob " +
         f"recall@$k=$recall%.3f qps=$q%.1f (single-thread serving)")
 
-    // ---- IVF_FLAT: knob = nprobe in [1, 256] ----
+    // ---- IVF_FLAT: knob = nprobe in [1, nlist] — the full legal range
+    // (the reference sweeps PARAMS_RANGE up to its nprobe ceiling and
+    // clamps at nlist; capping below nlist mislabels reachable targets
+    // "UNREACHED", as the r10 run did at 256/1024 → 0.912) ----
     if (families("ivf")) {
       val nlist = 1024
       val cents = time(s"ivf train (kmeans, nlist=$nlist)")(
@@ -132,7 +135,7 @@ object Protocol {
       locally {
         val s = time("serve load (IVF fp32 lists)")(Serve.loadIvf(index, cents, Metric.L2))
         targets.foreach { t =>
-          val (knob, rec) = tune(1, 256, t)(np =>
+          val (knob, rec) = tune(1, nlist, t)(np =>
             recallOf(qv)(v => s.search(v, k, np).map(_._1)))
           val q = qps(v => s.search(v, k, knob))
           report("ivf_flat", "nprobe", knob, rec, q)
@@ -147,7 +150,7 @@ object Protocol {
           Serve.loadIvfSq8(index, cents, Some(st)))
         val reorderK = 3 * k
         targets.foreach { t =>
-          val (knob, rec) = tune(1, 256, t)(np =>
+          val (knob, rec) = tune(1, nlist, t)(np =>
             recallOf(qv)(v => s.search(v, k, np, reorderK).map(_._1)))
           val q = qps(v => s.search(v, k, knob, reorderK))
           report("ivf_sq8", "nprobe", knob, rec, q)
@@ -167,11 +170,29 @@ object Protocol {
     val gStep = math.max(1L, nb.toLong / gNlist)
     val gCents = base.filter(col("id") % gStep === 0)
       .select((col("id") / gStep).cast("long").as("cluster_id"), col("vec").as("centroid"))
-    // degree 16 ≈ HNSW's default M — the degree-5 graph Scale uses for
-    // build-cost probes caps recall well below 0.95 on overlapping
-    // clusters (the knob saturates instead of converging)
-    val graph = time(s"graph build IVF-bucketed (degree 16, nprobe 2, nlist=$gNlist)") {
-      val g = GraphSearch.knnGraphIvf(base, gCents, degree = 16, nprobe = 2).persist()
+    // degree 16 ≈ HNSW's default M. A PLAIN kNN graph at this degree is a
+    // poor navigator — its edges all point into the local clique and the
+    // r10 run measured a hard 0.651 recall ceiling at ef=4096 no matter
+    // the knob. The DIVERSIFIED build (NN-descent refinement → detour
+    // prune with the Vamana α slack → reverse-edge merge) is what the
+    // reference's graph indexes actually ship (hnswlib heuristic neighbor
+    // selection; DiskANN RobustPrune; CAGRA optimize) and is the default
+    // here. Env knobs for sweep re-runs: GRAFT_GRAPH_BUILD=plain|div,
+    // GRAFT_INTER_DEGREE, GRAFT_DESCENT_ROUNDS, GRAFT_ALPHA.
+    val buildMode = sys.env.getOrElse("GRAFT_GRAPH_BUILD", "div")
+    val interDegree = sys.env.getOrElse("GRAFT_INTER_DEGREE", "32").toInt
+    val descentRounds = sys.env.getOrElse("GRAFT_DESCENT_ROUNDS", "1").toInt
+    val alpha = sys.env.getOrElse("GRAFT_ALPHA", "1.0").toDouble
+    val graph = time(
+      s"graph build $buildMode (degree 16, inter=$interDegree, rounds=$descentRounds, " +
+        s"alpha=$alpha, nprobe 2, nlist=$gNlist)") {
+      val g =
+        if (buildMode == "plain")
+          GraphSearch.knnGraphIvf(base, gCents, degree = 16, nprobe = 2).persist()
+        else
+          GraphSearch.knnGraphDiversified(base, gCents, degree = 16,
+            intermediateDegree = interDegree, nprobe = 2,
+            descentRounds = descentRounds, sampleDegree = 8, alpha = alpha)
       g.count()
       g
     }

@@ -46,17 +46,27 @@ object Cagra {
     * the rounded grid. A node's nearest edge is never detourable (no leg
     * can beat the rank-1 distance), so every node keeps an out-edge and
     * the pruned graph stays entry-reachable.
-    */
-  def optimize(edges: DataFrame, graphDegree: Int): DataFrame = {
+    *
+    * `alpha` is the Vamana RobustPrune slack (DiskANN's build `alpha`,
+    * default 1.2 in `src/index/diskann/diskann.cc`'s config): an edge s→d
+    * is only detourable when the detour's second leg makes real progress —
+    * α·d(m,d) < d(s,d). α=1.0 (the default) is CAGRA's plain
+    * both-legs-shorter rule, preserved bit-for-bit for the hash-gated
+    * build queries; α<1 prunes MORE redundant in-clique edges (the re-cap
+    * then admits longer-range survivors — the navigability lever), α>1
+    * prunes fewer. */
+  def optimize(edges: DataFrame, graphDegree: Int, alpha: Double = 1.0): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("dist"))
     // two-hop routes s→m→d restricted to graph edges: join on the shared
     // midpoint — |E|·degree rows of 3 longs + 2 doubles, no payloads
     val hop1 = e.select(col("src"), col("dst").as("mid"), col("dist").as("d_sm"))
     val hop2 = e.select(col("src").as("mid"), col("dst"), col("dist").as("d_md"))
+    val secondLeg =
+      if (alpha == 1.0) col("d_md") else col("d_md") * lit(alpha)
     val detourable = e
       .join(hop1, Seq("src"))
       .join(hop2, Seq("mid", "dst"))
-      .filter(col("d_sm") < col("dist") && col("d_md") < col("dist"))
+      .filter(col("d_sm") < col("dist") && secondLeg < col("dist"))
       .select(col("src"), col("dst"))
       .distinct()
     val kept = e.join(detourable, Seq("src", "dst"), "left_anti")

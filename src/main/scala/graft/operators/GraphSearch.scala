@@ -96,6 +96,126 @@ object GraphSearch {
     out
   }
 
+  /** NN-DESCENT refinement rounds (Dong, Charikar & Li, WWW 2011 — the
+    * builder the reference configures for CAGRA's intermediate graph:
+    * `gpu_raft_cagra_config.h` `build_algo=NN_DESCENT`, `nn_descent_niter`).
+    * The paper's step — "a neighbor of a neighbor is likely a neighbor" —
+    * proposes every two-hop pair through the sampled UNDIRECTED
+    * neighborhood, scores proposals exactly, and keeps the best `degree`
+    * per node. One round typically lifts an approximate kNN graph's edge
+    * recall dramatically; the improved edges are what the diversify prune
+    * ([[Cagra.optimize]]) and the beam walk then navigate.
+    *
+    * Relational rendering, scale-first: the sampled neighborhood is a
+    * bounded top-`sampleDegree` per node (the paper's ρK sample — ρ·K
+    * bounds the join fan-out, here deterministically by rank instead of
+    * coin flips so the whole refinement stays oracle-expressible); the
+    * proposal set is ONE self-join on the shared midpoint — |V|·s² rows of
+    * three longs, no vectors move; scoring joins each endpoint's vector
+    * once; the merge is union + the bounded top-k heap. Per round:
+    * two shuffles of id-only frames + one vector join — never all pairs.
+    * Fixed rounds + round-before-rank ⇒ hash-gateable end to end. */
+  def nnDescent(
+      edges: DataFrame, // (src, dst, dist) — dist on the rounded grid
+      base: DataFrame, // (id, vec)
+      degree: Int,
+      rounds: Int = 1,
+      sampleDegree: Int = 8,
+      metric: Metric = Metric.L2,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val dedup: Column => Column =
+      if (metric.ascending) min(_) else max(_)
+    var e = edges.select(col("src"), col("dst"), col("dist"))
+    val checkpointed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      // sampled undirected neighborhood: out-edges ∪ reverse edges, capped
+      // at the sampleDegree nearest per node (metric distances are
+      // symmetric, so the reverse edge reuses the stored dist)
+      val und = BruteForce.topK(
+        e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+          .groupBy(col("src"), col("dst"))
+          .agg(dedup(col("dist")).as("dist")),
+        sampleDegree, metric.ascending, qidCol = "src", idCol = "dst")
+        .select(col("src"), col("dst"))
+      // two-hop proposals s→m→d through the shared midpoint
+      val cands = und.select(col("src"), col("dst").as("mid"))
+        .join(und.select(col("src").as("mid"), col("dst")), "mid")
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+        .distinct()
+      val raw = metric.dist(col("_svec"), col("vec"))
+      val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
+      val scored = cands
+        .join(base.select(col("id").as("dst"), col("vec")), "dst")
+        .join(base.select(col("id").as("src"), col("vec").as("_svec")), "src")
+        .select(col("src"), col("dst"), d.as("dist"))
+      val next = BruteForce.topK(
+        e.unionByName(scored)
+          .groupBy(col("src"), col("dst"))
+          .agg(dedup(col("dist")).as("dist")),
+        degree, metric.ascending, qidCol = "src", idCol = "dst")
+        .select(col("src"), col("dst"), col("dist"))
+      // CHECKPOINT per round, not just persist: round r's expression
+      // references e four times, so the LOGICAL plan grows ~5× per round
+      // even when the data is cached (persist truncates execution, not
+      // the analyzed tree) — measured 120 s analyzer/codegen time and
+      // ~1 GB driver heap by round 4 on 4,000 edges. localCheckpoint
+      // rebases the plan on the materialized blocks (the pointer-doubled
+      // CC's pattern, Dedup.scala) and the RETURNED graph is also re-read
+      // several times by every consumer (the detour prune alone
+      // references it five times).
+      val next2 = next.localCheckpoint(true)
+      checkpointed += next2
+      // strip the checkpoint's inherited constraint set: the next round
+      // self-unions this frame with its own reversal, and Union's
+      // constraint rewrite throws on the origin attributes otherwise
+      e = org.apache.spark.sql.GraftExpr.stripCheckpointConstraints(next2)
+    }
+    checkpointed.dropRight(1).foreach(org.apache.spark.sql.GraftExpr.unpersistCheckpoint)
+    e
+  }
+
+  /** The NAVIGABLE graph build — IVF-bucketed candidates → NN-descent
+    * refinement → diversify prune + reverse-edge merge ([[Cagra.optimize]]
+    * with the robust-prune slack α). This is the composition the
+    * reference's graph indexes actually ship: hnswlib's heuristic neighbor
+    * selection and DiskANN's Vamana RobustPrune (α, `diskann.cc` build
+    * config) both exist because a PLAIN kNN graph is a poor navigator —
+    * its edges all point into the local clique, the beam cannot cross
+    * cluster boundaries, and recall saturates far below 1.0 no matter the
+    * ef (measured: 0.651 ceiling at ef=4096, nb=1M — SCALE_RUN round 11).
+    * Diversified edges + reverse links restore reachability at the SAME
+    * degree budget. Every step is bounded relational algebra; with
+    * deterministic centroids the whole build is oracle-expressible. */
+  def knnGraphDiversified(
+      base: DataFrame, // (id, vec)
+      centroids: DataFrame, // (cluster_id, centroid)
+      degree: Int,
+      intermediateDegree: Int,
+      nprobe: Int = 2,
+      descentRounds: Int = 1,
+      sampleDegree: Int = 8,
+      alpha: Double = 1.0,
+      metric: Metric = Metric.L2,
+      roundDist: Option[Int] = None
+  ): DataFrame = {
+    val inter = knnGraphIvfWithDist(
+      base, centroids, intermediateDegree, nprobe, metric, roundDist)
+    val refined =
+      if (descentRounds > 0)
+        nnDescent(inter, base, intermediateDegree, descentRounds, sampleDegree,
+          metric, roundDist)
+      else inter
+    val out = Cagra.optimize(refined, degree, alpha).select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    inter.unpersist()
+    if (descentRounds > 0)
+      org.apache.spark.sql.GraftExpr.unpersistCheckpoint(refined)
+    out
+  }
+
   /** Exact distances for candidate (qid, nid) pairs. */
   private def score(
       cands: DataFrame, // (qid, nid)

@@ -279,9 +279,14 @@ ${rangeBound.fold(
       * into [[graphBeam]]'s graphCtes slot. `ivfBucketed` swaps the
       * all-pairs intermediate graph for the IVF-bucketed candidate build
       * (deterministic vec_id%250 centroids, nprobe=2 — mirrors
-      * Cagra.build via knnGraphIvfWithDist, the factory arm's path). */
+      * Cagra.build via knnGraphIvfWithDist, the factory arm's path).
+      * `descentRounds`/`sampleDegree` interpose NN-descent refinement
+      * rounds (mirrors GraphSearch.nnDescent) between the intermediate
+      * graph and the prune; `alpha` is the Vamana RobustPrune slack on
+      * the detour's second leg (mirrors Cagra.optimize's alpha). */
     def cagraGraphCtes(interDegree: Int, graphDegree: Int,
-        ivfBucketed: Boolean = false): String = {
+        ivfBucketed: Boolean = false, alpha: Double = 1.0,
+        descentRounds: Int = 0, sampleDegree: Int = 8): String = {
       val dAB =
         "round(sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> " +
           "(CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) * " +
@@ -328,16 +333,53 @@ knng AS (
     WHERE a.vec_id <> b.vec_id
   ) WHERE rnk <= $interDegree
 )"""
-      s"""$knngCtes,
+      // NN-descent refinement rounds between the intermediate graph and
+      // the prune (mirrors GraphSearch.nnDescent: sampled undirected
+      // neighborhood → two-hop proposals → exact scoring → bounded top-k
+      // merge; same grouped-min dedup and dist/dst tie-breaks)
+      val descentCtes = (1 to descentRounds).map { r =>
+        val prev = if (r == 1) "knng" else s"knng${r - 1}"
+        s"""und$r AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+    FROM (SELECT src, dst, min(dist) AS dist FROM (
+      SELECT src, dst, dist FROM $prev UNION ALL SELECT dst AS src, src AS dst, dist FROM $prev
+    ) GROUP BY 1, 2)
+  ) WHERE rn <= $sampleDegree
+),
+cand$r AS (
+  SELECT DISTINCT h1.src AS src, h2.dst AS dst
+  FROM und$r h1 JOIN und$r h2 ON h2.src = h1.dst
+  WHERE h1.src <> h2.dst
+),
+sc$r AS (
+  SELECT c.src, c.dst, $dAB AS dist
+  FROM cand$r c
+  JOIN embeddings a ON a.vec_id = c.src
+  JOIN embeddings b ON b.vec_id = c.dst
+),
+knng$r AS (
+  SELECT src, dst, dist FROM (
+    SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+    FROM (SELECT src, dst, min(dist) AS dist FROM (
+      SELECT src, dst, dist FROM $prev UNION ALL SELECT src, dst, dist FROM sc$r
+    ) GROUP BY 1, 2)
+  ) WHERE rn <= $interDegree
+)"""
+      }
+      val refined = if (descentRounds == 0) "knng" else s"knng$descentRounds"
+      val allCtes = (knngCtes +: descentCtes).mkString(",\n")
+      val secondLeg = if (alpha == 1.0) "md.dist" else s"md.dist * $alpha"
+      s"""$allCtes,
 det AS (
   SELECT DISTINCT sd.src AS src, sd.dst AS dst
-  FROM knng sd
-  JOIN knng sm ON sm.src = sd.src
-  JOIN knng md ON md.src = sm.dst AND md.dst = sd.dst
-  WHERE sm.dist < sd.dist AND md.dist < sd.dist
+  FROM $refined sd
+  JOIN $refined sm ON sm.src = sd.src
+  JOIN $refined md ON md.src = sm.dst AND md.dst = sd.dst
+  WHERE sm.dist < sd.dist AND $secondLeg < sd.dist
 ),
 kept AS (
-  SELECT k.src, k.dst, k.dist FROM knng k
+  SELECT k.src, k.dst, k.dist FROM $refined k
   WHERE NOT EXISTS (SELECT 1 FROM det d WHERE d.src = k.src AND d.dst = k.dst)
 ),
 merged AS (
@@ -1668,6 +1710,112 @@ SELECT src, dst, dist, rnk FROM g""")),
       },
       Some(s"""WITH ${Sql.cagraGraphCtes(interDegree = 8, graphDegree = 4, ivfBucketed = true)}
 SELECT src, dst, dist, rnk FROM g""")),
+    // S10/S7 — the Vamana RobustPrune slack (DiskANN's build alpha,
+    // src/index/diskann/diskann.cc config; default 1.2 there): the
+    // detour's second leg is scaled by alpha before the drop test.
+    // alpha<1 prunes MORE redundant in-clique edges, so the re-cap
+    // admits longer-range survivors — the navigability lever the
+    // protocol run measures. Pure relational algebra ⇒ hash-gated
+    GraftQuery(
+      "cagra_build_alpha",
+      (s, dir) => {
+        val all = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val inter = BruteForce
+          .knnFused(all, baseVecs(s, dir).select(col("id"), col("vec")), 8, Metric.L2,
+            roundDist = ROUND, excludeSelf = true)
+          .select(col("qid").as("src"), col("nid").as("dst"), col("dist"))
+        Cagra.optimize(inter, graphDegree = 4, alpha = 0.8)
+      },
+      Some(s"""WITH ${Sql.cagraGraphCtes(interDegree = 8, graphDegree = 4, alpha = 0.8)}
+SELECT src, dst, dist, rnk FROM g""")),
+    // S7 — ONE NN-DESCENT ROUND (Dong, Charikar & Li, WWW 2011 — the
+    // builder the reference configures for CAGRA's intermediate graph:
+    // gpu_raft_cagra_config.h build_algo=NN_DESCENT, nn_descent_niter):
+    // a deterministic arithmetic seed graph (ids carry no embedding
+    // locality, so the round's improvement is real work) refined by the
+    // two-hop proposal step. Bounded self-joins of id-only frames —
+    // hash-gated end to end
+    GraftQuery(
+      "nn_descent_build",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val scatter = base
+          .select(col("id"), explode(sequence(lit(1), lit(6))).as("off"))
+          .select(col("id").as("src"), pmod(col("id") + col("off") * 83, lit(500L)).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val seed = scatter
+          .join(base.select(col("id").as("dst"), col("vec")), "dst")
+          .join(base.select(col("id").as("src"), col("vec").as("_sv")), "src")
+          .select(col("src"), col("dst"),
+            round(Metric.L2.dist(col("_sv"), col("vec")), 4).as("dist"))
+        GraphSearch.nnDescent(seed, base, degree = 6, rounds = 1,
+          sampleDegree = 6, metric = Metric.L2, roundDist = ROUND)
+      },
+      Some("""WITH scatter AS (
+  SELECT s.vec_id AS src, CAST((s.vec_id + o.off * 83) % 500 AS BIGINT) AS dst
+  FROM embeddings s CROSS JOIN (SELECT unnest(range(1, 7)) AS off) o
+  WHERE s.vec_id <> (s.vec_id + o.off * 83) % 500
+),
+seed AS (
+  SELECT c.src, c.dst,
+    round(sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+      (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+      (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 4) AS dist
+  FROM scatter c
+  JOIN embeddings a ON a.vec_id = c.src
+  JOIN embeddings b ON b.vec_id = c.dst
+),
+und AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+    FROM (SELECT src, dst, min(dist) AS dist FROM (
+      SELECT src, dst, dist FROM seed UNION ALL SELECT dst AS src, src AS dst, dist FROM seed
+    ) GROUP BY 1, 2)
+  ) WHERE rn <= 6
+),
+cand AS (
+  SELECT DISTINCT h1.src AS src, h2.dst AS dst
+  FROM und h1 JOIN und h2 ON h2.src = h1.dst
+  WHERE h1.src <> h2.dst
+),
+sc AS (
+  SELECT c.src, c.dst,
+    round(sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i ->
+      (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) *
+      (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))))), 4) AS dist
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.src
+  JOIN embeddings b ON b.vec_id = c.dst
+)
+SELECT src, dst, dist FROM (
+  SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+  FROM (SELECT src, dst, min(dist) AS dist FROM (
+    SELECT src, dst, dist FROM seed UNION ALL SELECT src, dst, dist FROM sc
+  ) GROUP BY 1, 2)
+) WHERE rn <= 6""")),
+    // S7/S8 — the NAVIGABLE graph build the protocol run ships for the
+    // HNSW/DiskANN arms: IVF-bucketed candidates → NN-descent refinement
+    // → robust-prune (alpha) + reverse-edge merge. The full composition,
+    // hash-gated with deterministic centroids — a plain kNN graph's edges
+    // all point into the local clique and its beam recall saturates
+    // (measured 0.651 ceiling at nb=1M); this is the published fix
+    GraftQuery(
+      "knn_graph_diversified",
+      (s, dir) => {
+        val base = baseVecs(s, dir).select(col("id"), col("vec"))
+        val cents = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+        GraphSearch.knnGraphDiversified(base, cents, degree = 4,
+          intermediateDegree = 8, nprobe = 2, descentRounds = 1,
+          sampleDegree = 6, alpha = 0.9, metric = Metric.L2, roundDist = ROUND)
+      },
+      Some(s"""WITH ${Sql.cagraGraphCtes(interDegree = 8, graphDegree = 4,
+        ivfBucketed = true, alpha = 0.9, descentRounds = 1, sampleDegree = 6)}
+SELECT src, dst FROM g""")),
     // S10 — CAGRA SEARCH (itopk_size beam over the optimized graph,
     // gpu_raft_cagra.cc:48-60 CPU search): same beam mechanics as the
     // HNSW analog, ef = itopk, fixed 2-hop unrolling ⇒ hash-gated

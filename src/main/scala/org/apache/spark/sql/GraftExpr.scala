@@ -32,4 +32,24 @@ object GraftExpr {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** Rebuild a `localCheckpoint`ed Dataset's LogicalRDD without its origin
+    * stats/constraints. The checkpoint copies the source plan's constraint
+    * set verbatim; when the checkpointed frame is then self-unioned (an
+    * iterative builder unioning a frame with its own reversal),
+    * `UnionBase.rewriteConstraints` looks those origin attributes up in the
+    * union child's output map and throws `key not found` — the constraints
+    * mention attributes the LogicalRDD no longer produces. Dropping them
+    * loses only optimizer hints, never rows. No-op for non-checkpointed
+    * frames. */
+  def stripCheckpointConstraints(df: Dataset[_]): DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD =>
+        val clean = new execution.LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(
+          df.sparkSession.asInstanceOf[classic.SparkSession], None, None)
+        ofRows(df.sparkSession, clean)
+      case _ => df.toDF()
+    }
 }
