@@ -373,7 +373,11 @@ object IndexFactory {
       // utils.h:101-104): fp16/bf16 on FLAT build TRUE 2-byte storage
       // (PackedFlatIndex); on other kinds they keep the fp32 compute
       // path over the value grid (operands.h:180-198 mocking)
-      elementType: String = "fp32"
+      elementType: String = "fp32",
+      // graph-construction quality knobs for the graph-family arms
+      // (NN-descent rounds, RobustPrune alpha — Params.GraphBuildParams);
+      // the default reproduces the plain bucketed kNN graph bit-for-bit
+      graphBuild: Params.GraphBuildParams = Params.GraphBuildParams()
   ): VectorIndex = {
     require(Capabilities.versionSupported(version),
       s"index version $version outside supported range " +
@@ -453,7 +457,15 @@ object IndexFactory {
         // degree 8 ≈ the reference's default M band (hnsw_config.h M):
         // degree-5 graphs measured 0.56 recall at nb=500 — under-connected
         val c = cents
-        val graph = GraphSearch.knnGraphIvf(base, c, degree = 8, nprobe = 2, metric, roundDist)
+        val graph =
+          if (graphBuild.isPlain)
+            GraphSearch.knnGraphIvf(base, c, degree = 8, nprobe = 2, metric, roundDist)
+          else
+            GraphSearch.knnGraphDiversified(base, c, degree = 8,
+              intermediateDegree = graphBuild.interOr(8), nprobe = 2,
+              descentRounds = graphBuild.descentRounds,
+              sampleDegree = graphBuild.sampleDegree,
+              alpha = graphBuild.alpha, metric = metric, roundDist = roundDist)
         val variant = indexType match {
           case "HNSW" => HnswVariant.Exact
           case "HNSW_SQ" => HnswVariant.Sq8(Quantization.sq8Train(base))
@@ -478,7 +490,9 @@ object IndexFactory {
         // ef = itopk_size (reorderK here)
         val c = cents
         val graph = Cagra.build(base, c, intermediateDegree = 8, graphDegree = 4,
-          nprobe = 2, metric, roundDist)
+          nprobe = 2, metric, roundDist,
+          descentRounds = graphBuild.descentRounds,
+          sampleDegree = graphBuild.sampleDegree, alpha = graphBuild.alpha)
         new CagraIndex(graph.select(col("src"), col("dst")), base, clusterMedoids(c),
           metric, itopkSize = reorderK, beamIters = 4, roundDist)
       case "DISKANN" =>
@@ -490,7 +504,7 @@ object IndexFactory {
         val c = cents
         DiskAnn.buildIvf(base, ProductQuant.train(spark, base, pqM, pqKsub, seed),
           clusterMedoids(c), c, degree = 5, nprobe = 2, searchListSize = reorderK,
-          beamIters = 4, roundDist = roundDist)
+          beamIters = 4, roundDist = roundDist, graphBuild = graphBuild)
       case s if s.startsWith("SPARSE_") =>
         throw new IllegalArgumentException(
           s"sparse kind $s builds from a documents frame — use IndexFactory.buildSparse")

@@ -82,8 +82,12 @@ object Cagra {
       .select(col("src"), col("dst"), col("dist"), col("rnk"))
   }
 
-  /** Full build: IVF-bucketed intermediate graph → optimize. Returns the
-    * optimized (src, dst, dist, rnk) edge list. */
+  /** Full build: IVF-bucketed intermediate graph → optional NN-descent
+    * refinement rounds (the reference's build_algo=NN_DESCENT /
+    * nn_descent_niter, `gpu_raft_cagra_config.h`) → optimize with the
+    * RobustPrune slack `alpha`. Returns the optimized
+    * (src, dst, dist, rnk) edge list; the defaults reproduce the original
+    * two-step build bit-for-bit. */
   def build(
       base: DataFrame, // (id, vec)
       centroids: DataFrame, // (cluster_id, centroid)
@@ -91,7 +95,10 @@ object Cagra {
       graphDegree: Int,
       nprobe: Int = 2,
       metric: Metric = Metric.L2,
-      roundDist: Option[Int] = None
+      roundDist: Option[Int] = None,
+      descentRounds: Int = 0,
+      sampleDegree: Int = 8,
+      alpha: Double = 1.0
   ): DataFrame = {
     // degree relation + metric gate per the reference's config registry
     // (gpu_raft_cagra_config.h ranges — Params.CagraParams mirrors them)
@@ -102,7 +109,20 @@ object Cagra {
       graphDegree = graphDegree).validated
     val inter = GraphSearch.knnGraphIvfWithDist(
       base, centroids, intermediateDegree, nprobe, metric, roundDist)
-    optimize(inter, graphDegree)
+    val refined =
+      if (descentRounds > 0)
+        GraphSearch.nnDescent(inter, base, intermediateDegree, descentRounds,
+          sampleDegree, metric, roundDist)
+      else inter
+    val out = optimize(refined, graphDegree, alpha)
+    if (descentRounds > 0) {
+      // force the prune before releasing the descent checkpoint it reads
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      inter.unpersist()
+      org.apache.spark.sql.GraftExpr.unpersistCheckpoint(refined)
+    }
+    out
   }
 }
 

@@ -146,9 +146,22 @@ object DiskAnn {
       nprobe: Int = 2,
       searchListSize: Int = 16,
       beamIters: Int = 2,
-      roundDist: Option[Int] = Some(4)
+      roundDist: Option[Int] = Some(4),
+      // Vamana proper IS robust-pruned (diskann.cc build alpha): non-plain
+      // knobs route the graph through NN-descent + the alpha detour prune
+      // + reverse-edge merge (Params.GraphBuildParams; default = the
+      // plain bucketed kNN graph, bit-for-bit)
+      graphBuild: Params.GraphBuildParams = Params.GraphBuildParams()
   ): DiskAnnIndex = {
-    val graph = GraphSearch.knnGraphIvf(base, centroids, degree, nprobe, Metric.L2, roundDist)
+    val graph =
+      if (graphBuild.isPlain)
+        GraphSearch.knnGraphIvf(base, centroids, degree, nprobe, Metric.L2, roundDist)
+      else
+        GraphSearch.knnGraphDiversified(base, centroids, degree,
+          intermediateDegree = graphBuild.interOr(degree), nprobe = nprobe,
+          descentRounds = graphBuild.descentRounds,
+          sampleDegree = graphBuild.sampleDegree,
+          alpha = graphBuild.alpha, metric = Metric.L2, roundDist = roundDist)
     val coded = base.select(col("id"), ProductQuant.encodeExpr(col("vec"), model).as("codes"))
     new DiskAnnIndex(graph, coded, base, entries, model, searchListSize, beamIters, roundDist)
   }

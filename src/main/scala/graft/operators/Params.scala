@@ -7,6 +7,36 @@ package graft.operators
   */
 object Params {
 
+  /** Graph-construction quality knobs shared by the graph-family factory
+    * arms (HNSW*, DISKANN, GPU_CAGRA). The defaults reproduce the plain
+    * IVF-bucketed kNN graph bit-for-bit; turning the knobs buys the
+    * published navigability fixes:
+    *  - `descentRounds` — NN-descent refinement rounds over the
+    *    intermediate graph (Dong et al. 2011; the reference's CAGRA
+    *    builder: `gpu_raft_cagra_config.h` build_algo=NN_DESCENT,
+    *    nn_descent_niter);
+    *  - `alpha` — the Vamana RobustPrune slack on the detour prune
+    *    (DiskANN's build alpha, `src/index/diskann/diskann.cc` config);
+    *    α<1 prunes more redundant in-clique edges so the degree re-cap
+    *    admits longer-range survivors;
+    *  - `intermediateDegree` — candidate-graph degree before pruning
+    *    (CAGRA's intermediate_graph_degree; None = 2× the arm's final
+    *    degree, the reference's default ratio).
+    * A plain kNN graph's edges all point into the local clique and its
+    * beam recall saturates — measured 0.651 at ef=4096, nb=1M — while the
+    * diversified build reaches the protocol targets at the same degree. */
+  final case class GraphBuildParams(
+      descentRounds: Int = 0,
+      sampleDegree: Int = 8,
+      alpha: Double = 1.0,
+      intermediateDegree: Option[Int] = None
+  ) {
+    /** True when the knobs reproduce the plain bucketed kNN graph. */
+    def isPlain: Boolean = descentRounds == 0 && alpha == 1.0
+    def interOr(finalDegree: Int): Int =
+      intermediateDegree.getOrElse(2 * finalDegree)
+  }
+
   final case class KnnParams(
       k: Int,
       metric: String = "l2",

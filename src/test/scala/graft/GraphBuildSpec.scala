@@ -100,4 +100,27 @@ class GraphBuildSpec extends SparkSpec {
     assert(divR >= 0.6, s"diversified beam recall $divR below the ANN floor")
     assert(divR >= plainR, s"diversify+reverse lost recall: plain $plainR vs div $divR")
   }
+
+  test("factory graphBuild knobs route HNSW through the diversified composition") {
+    val gb = Params.GraphBuildParams(descentRounds = 1, sampleDegree = 6, alpha = 0.9)
+    val idx = graft.IndexFactory
+      .build(spark, "HNSW", base, Metric.L2, roundDist = Some(4), graphBuild = gb)
+      .asInstanceOf[HnswIndex]
+    // the factory's own kmeans (nlist=16, seed=42 defaults) — rebuilt here
+    // so the direct composition sees identical centroids
+    val cents = IvfIndex.trainKMeans(spark, base, 16, 42L)
+    val direct = GraphSearch.knnGraphDiversified(base, cents, degree = 8,
+      intermediateDegree = gb.interOr(8), nprobe = 2, descentRounds = 1,
+      sampleDegree = 6, alpha = 0.9, metric = Metric.L2, roundDist = Some(4))
+    assert(idx.graph.exceptAll(direct).isEmpty && direct.exceptAll(idx.graph).isEmpty,
+      "factory-built diversified graph differs from the direct composition")
+    // defaults stay plain: bit-identical to the old factory output
+    val plainIdx = graft.IndexFactory
+      .build(spark, "HNSW", base, Metric.L2, roundDist = Some(4))
+      .asInstanceOf[HnswIndex]
+    val plainGraph = GraphSearch.knnGraphIvf(base, cents, degree = 8, nprobe = 2,
+      Metric.L2, Some(4))
+    assert(plainIdx.graph.exceptAll(plainGraph).isEmpty &&
+      plainGraph.exceptAll(plainIdx.graph).isEmpty)
+  }
 }
