@@ -489,7 +489,11 @@ object IndexFactory {
         // the HNSW arm scales M) — searched by the batch beam with
         // ef = itopk_size (reorderK here)
         val c = cents
-        val graph = Cagra.build(base, c, intermediateDegree = 8, graphDegree = 4,
+        // interOr(4) keeps the arm's historical default intermediate
+        // degree 8 (= 2× graph_degree, the reference's ratio) while
+        // honoring an explicit graphBuild.intermediateDegree override
+        val graph = Cagra.build(base, c,
+          intermediateDegree = graphBuild.interOr(4), graphDegree = 4,
           nprobe = 2, metric, roundDist,
           descentRounds = graphBuild.descentRounds,
           sampleDegree = graphBuild.sampleDegree, alpha = graphBuild.alpha)

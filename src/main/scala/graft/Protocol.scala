@@ -16,8 +16,22 @@ import graft.operators._
   *
   * Usage: runMain graft.Protocol [nb] [nq] [dim] [k] [noise] [families]
   * (defaults 1000000 100 128 100 0.7 all — the published protocol
-  * scale; `families` is a csv subset of ivf,graph,diskann,cagra for
-  * re-running one phase without repaying the others' builds)
+  * scale; `families` is a csv subset of
+  * ivf,ivf_pq,scann,graph,diskann,cagra,filtered for re-running one
+  * phase without repaying the others' builds).
+  *
+  * Round-12 breadth, tracking the reference's full harness:
+  *  - client-thread QPS sweep t ∈ {1,2,4,8}
+  *    (`benchmark_float_qps.cpp:27-46,394` THREAD_NUMs_) on every
+  *    reached target — the searchers are consulted concurrently, the
+  *    same contract the shard routers already exercise;
+  *  - IVF_PQ arm, m ∈ {8,16,32} at nbits=8 (`benchmark_float_qps.cpp:
+  *    400-401`) and SCANN arm, reorder_k ∈ {256,512,1024} (`:408-409`),
+  *    both over the repo's coded-IVF serving tier;
+  *  - bitset-filtered QPS at filtered-out ratios {0.5, 0.9, 0.93, 0.97}
+  *    (`benchmark_float_bitset.cpp`), with the adaptive-fallback
+  *    decision (`IndexConditionalWrapper.h:27-29`) reported and the
+  *    ≥0.93 brute-force fallback measured as the reference takes it.
   */
 object Protocol {
   def main(args: Array[String]): Unit = {
@@ -38,7 +52,7 @@ object Protocol {
     val noise = if (args.length > 4) args(4).toDouble else 0.7d
     val families: Set[String] =
       if (args.length > 5) args(5).split(",").map(_.trim).toSet
-      else Set("ivf", "graph", "diskann", "cagra")
+      else Set("ivf", "ivf_pq", "scann", "graph", "diskann", "cagra", "filtered")
     // latent-center count: sized so a cluster holds ~k/2 points — with
     // k=100 and ~50 points per center, a query's true top-k MUST span
     // several nearby clusters (and hence several IVF cells / graph
@@ -118,6 +132,38 @@ object Protocol {
       qv.length.toDouble / ((System.nanoTime() - t0) / 1e9)
     }
 
+    // the reference's client-thread sweep (`benchmark_float_qps.cpp:27-46`
+    // THREAD_NUMs_ ∈ {1,2,4,8}, `:394`): a fixed pool splits the query set
+    // across t clients; the searchers are read-only after load and are the
+    // same objects the shard routers already consult concurrently. Three
+    // passes of the full set per measurement so per-thread work stays off
+    // the timer-resolution floor at nq=100.
+    val threadCounts: Seq[Int] = sys.env.getOrElse("GRAFT_THREADS", "1,2,4,8")
+      .split(",").map(_.trim.toInt).toSeq
+    def qpsThreads(t: Int)(search: Array[Float] => Unit): Double = {
+      qv.foreach { case (_, v) => search(v) } // untimed warm-up (JIT)
+      val reps = 3
+      val work = Seq.fill(reps)(qv).flatten
+      val chunks = work.zipWithIndex.groupBy(_._2 % t).values.map(_.map(_._1)).toSeq
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(t)
+      val t0 = System.nanoTime()
+      val fs = chunks.map(c => pool.submit(new Runnable {
+        def run(): Unit = c.foreach { case (_, v) => search(v) }
+      }))
+      fs.foreach(_.get())
+      val dt = (System.nanoTime() - t0) / 1e9
+      pool.shutdown()
+      work.length.toDouble / dt
+    }
+
+    def reportThreads(family: String, knobName: String, knob: Int)(
+        search: Array[Float] => Unit): Unit = {
+      val cols = threadCounts
+        .map(t => f"t$t=${qpsThreads(t)(search)}%.1f")
+        .mkString(" ")
+      println(s"PROTOCOL_THREADS family=$family $knobName=$knob qps[$cols]")
+    }
+
     def report(family: String, knobName: String, knob: Int, recall: Double, q: Double): Unit =
       println(f"PROTOCOL family=$family target_knob $knobName=$knob " +
         f"recall@$k=$recall%.3f qps=$q%.1f (single-thread serving)")
@@ -126,25 +172,72 @@ object Protocol {
     // (the reference sweeps PARAMS_RANGE up to its nprobe ceiling and
     // clamps at nlist; capping below nlist mislabels reachable targets
     // "UNREACHED", as the r10 run did at 256/1024 → 0.912) ----
-    if (families("ivf")) {
+    val needIvfIndex =
+      families("ivf") || families("ivf_pq") || families("scann") || families("filtered")
+    if (needIvfIndex) {
       val nlist = 1024
       val cents = time(s"ivf train (kmeans, nlist=$nlist)")(
         IvfIndex.trainKMeans(spark, base.sample(0.05, 42), nlist))
       val index = time("ivf build (assign)")(IvfIndex.build(base, cents).persist())
       index.count()
-      locally {
+      if (families("ivf") || families("filtered")) {
         val s = time("serve load (IVF fp32 lists)")(Serve.loadIvf(index, cents, Metric.L2))
-        targets.foreach { t =>
+        var knob80 = nlist
+        if (families("ivf")) targets.foreach { t =>
           val (knob, rec) = tune(1, nlist, t)(np =>
             recallOf(qv)(v => s.search(v, k, np).map(_._1)))
           val q = qps(v => s.search(v, k, knob))
           report("ivf_flat", "nprobe", knob, rec, q)
+          if (t == 0.80 && rec >= t) knob80 = knob
+          if (rec >= t) reportThreads("ivf_flat", "nprobe", knob)(v => s.search(v, k, knob))
+        }
+
+        // ---- bitset-filtered QPS (`benchmark_float_bitset.cpp`): the
+        // filter is id-keyed (ids are uncorrelated with vectors here —
+        // cluster assignment hashes the id), recall is vs the FILTERED
+        // exact top-k, and the adaptive decision + nprobe scaling
+        // (`IndexConditionalWrapper.h:27-29`, `ivf.cc:750-760`) are
+        // reported and taken: at filtered-out ≥ 0.93 the reference scans
+        // the survivors linearly — measured here as the nprobe=nlist
+        // full-probe scan, which IS that linear scan over survivors. ----
+        if (families("filtered")) {
+          Seq(0.50, 0.90, 0.93, 0.97).foreach { ratio =>
+            val allowedPct = math.round((1.0 - ratio) * 100).toInt
+            val pred: Long => Boolean = id => id % 100 < allowedPct
+            val truthF: Map[Long, Set[Long]] =
+              time(f"filtered ground truth (ratio=$ratio%.2f)")(
+                BruteForce.knnFused(queries,
+                  base.filter(col("id") % 100 < allowedPct), k, Metric.L2,
+                  roundDist = Some(4))
+                  .select("qid", "nid").collect()
+                  .groupBy(_.getLong(0))
+                  .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet })
+            def recallF(search: Array[Float] => Seq[Long]): Double = {
+              var hits = 0L
+              var denom = 0L
+              qv.foreach { case (qid, v) =>
+                val t = truthF.getOrElse(qid, Set.empty)
+                denom += t.size
+                hits += search(v).count(t.contains)
+              }
+              hits.toDouble / math.max(1L, denom)
+            }
+            val surviving = nb.toLong * allowedPct / 100
+            val decision = AdaptiveSearch.choose(k, nb.toLong, surviving)
+            val np = AdaptiveSearch.scaledNprobe(knob80, nlist, nb.toLong, surviving)
+            val effNp = if (decision == "bf") nlist else np
+            val rec = recallF(v => s.search(v, k, effNp, pred).map(_._1))
+            val q = qps(v => s.search(v, k, effNp, pred))
+            println(f"PROTOCOL_FILTERED family=ivf_flat ratio=$ratio%.2f " +
+              f"decision=$decision nprobe=$effNp (scaled from $knob80) " +
+              f"recall@$k=$rec%.3f qps=$q%.1f")
+          }
         }
       }
 
       // IVF_SQ8 (codes resident, sector-paged raw rerank):
       // knob = nprobe at reorder_k = 3k
-      locally {
+      if (families("ivf")) {
         val st = Quantization.sq8Train(base)
         val s = time("serve load (IVF_SQ8 codes + sector store)")(
           Serve.loadIvfSq8(index, cents, Some(st)))
@@ -154,12 +247,55 @@ object Protocol {
             recallOf(qv)(v => s.search(v, k, np, reorderK).map(_._1)))
           val q = qps(v => s.search(v, k, knob, reorderK))
           report("ivf_sq8", "nprobe", knob, rec, q)
+          if (rec >= t)
+            reportThreads("ivf_sq8", "nprobe", knob)(v => s.search(v, k, knob, reorderK))
+        }
+      }
+
+      // ---- IVF_PQ: the reference sweeps m ∈ {8,16,32} at nbits=8
+      // (`benchmark_float_qps.cpp:400-401`); knob = nprobe at
+      // reorder_k = 3k over the coded tier + sector-paged exact rerank ----
+      if (families("ivf_pq")) {
+        Seq(8, 16, 32).foreach { m =>
+          val pq = time(s"ivf_pq train (m=$m, ksub=256)")(
+            ProductQuant.train(spark, base.sample(0.02, 7), m = m, ksub = 256))
+          val s = time(s"serve load (IVF_PQ m=$m codes + sector store)")(
+            Serve.loadIvfPq(index, cents, pq))
+          val reorderK = 3 * k
+          targets.foreach { t =>
+            val (knob, rec) = tune(1, nlist, t)(np =>
+              recallOf(qv)(v => s.search(v, k, np, reorderK).map(_._1)))
+            val q = qps(v => s.search(v, k, knob, reorderK))
+            report(s"ivf_pq_m$m", "nprobe", knob, rec, q)
+            if (rec >= t)
+              reportThreads(s"ivf_pq_m$m", "nprobe", knob)(v => s.search(v, k, knob, reorderK))
+          }
+        }
+      }
+
+      // ---- SCANN: same coded artifact in its with_raw_data rerank
+      // configuration; the reference sweeps reorder_k ∈ {256..1024}
+      // (`benchmark_float_qps.cpp:408-409`) — knob = nprobe per
+      // reorder_k point ----
+      if (families("scann")) {
+        val pq = time("scann train (m=16, ksub=256)")(
+          ProductQuant.train(spark, base.sample(0.02, 7), m = 16, ksub = 256))
+        val s = time("serve load (SCANN m=16 codes + sector store)")(
+          Serve.loadIvfPq(index, cents, pq))
+        Seq(256, 512, 1024).foreach { reorderK =>
+          targets.foreach { t =>
+            val (knob, rec) = tune(1, nlist, t)(np =>
+              recallOf(qv)(v => s.search(v, k, np, reorderK).map(_._1)))
+            val q = qps(v => s.search(v, k, knob, reorderK))
+            report(s"scann_reorder$reorderK", "nprobe", knob, rec, q)
+          }
         }
       }
       index.unpersist()
     }
 
-    if (!families("graph") && !families("diskann") && !families("cagra")) {
+    if (!families("graph") && !families("diskann") && !families("cagra") &&
+      !families("filtered")) {
       spark.stop()
       return
     }
@@ -180,17 +316,18 @@ object Protocol {
     // here. Env knobs for sweep re-runs: GRAFT_GRAPH_BUILD=plain|div,
     // GRAFT_INTER_DEGREE, GRAFT_DESCENT_ROUNDS, GRAFT_ALPHA.
     val buildMode = sys.env.getOrElse("GRAFT_GRAPH_BUILD", "div")
+    val degree = sys.env.getOrElse("GRAFT_DEGREE", "16").toInt
     val interDegree = sys.env.getOrElse("GRAFT_INTER_DEGREE", "32").toInt
     val descentRounds = sys.env.getOrElse("GRAFT_DESCENT_ROUNDS", "1").toInt
     val alpha = sys.env.getOrElse("GRAFT_ALPHA", "1.0").toDouble
     val graph = time(
-      s"graph build $buildMode (degree 16, inter=$interDegree, rounds=$descentRounds, " +
+      s"graph build $buildMode (degree $degree, inter=$interDegree, rounds=$descentRounds, " +
         s"alpha=$alpha, nprobe 2, nlist=$gNlist)") {
       val g =
         if (buildMode == "plain")
-          GraphSearch.knnGraphIvf(base, gCents, degree = 16, nprobe = 2).persist()
+          GraphSearch.knnGraphIvf(base, gCents, degree = degree, nprobe = 2).persist()
         else
-          GraphSearch.knnGraphDiversified(base, gCents, degree = 16,
+          GraphSearch.knnGraphDiversified(base, gCents, degree = degree,
             intermediateDegree = interDegree, nprobe = 2,
             descentRounds = descentRounds, sampleDegree = 8, alpha = alpha)
       g.count()
@@ -210,14 +347,65 @@ object Protocol {
       .groupBy(pmod(xxhash64(col("id")), lit(centers)).as("_c"))
       .agg(min(col("id")).as("nid"))
       .select(col("nid"))
-    if (families("graph")) {
+    if (families("graph") || families("filtered")) {
       val s = time("serve load (graph + fp32 vectors)")(
         Serve.load(graph, base, entries, Metric.L2)).enableCoarseEntries()
-      targets.foreach { t =>
+      var knob80 = 4096
+      if (families("graph")) targets.foreach { t =>
         val (knob, rec) = tune(k, 4096, t)(ef =>
           recallOf(qv)(v => s.search(v, k, ef).map(_._1)))
         val q = qps(v => s.search(v, k, knob))
         report("hnsw_graph", "ef", knob, rec, q)
+        if (t == 0.80 && rec >= t) knob80 = knob
+        if (rec >= t) reportThreads("hnsw_graph", "ef", knob)(v => s.search(v, k, knob))
+      }
+
+      // ---- bitset-filtered QPS on the graph walk
+      // (`benchmark_float_bitset.cpp` HNSW arm): filtered nodes still
+      // route but cannot answer; at filtered-out ≥ FilterRatioKnn=0.93
+      // the reference's conditional wrapper drops the graph entirely for
+      // a survivor scan (`IndexConditionalWrapper.h:28`) — the decision
+      // is reported and the fallback measured (exact over survivors). ----
+      if (families("filtered")) {
+        Seq(0.50, 0.90, 0.93, 0.97).foreach { ratio =>
+          val allowedPct = math.round((1.0 - ratio) * 100).toInt
+          val pred: Long => Boolean = id => id % 100 < allowedPct
+          val truthF: Map[Long, Set[Long]] =
+            time(f"filtered ground truth (ratio=$ratio%.2f)")(
+              BruteForce.knnFused(queries,
+                base.filter(col("id") % 100 < allowedPct), k, Metric.L2,
+                roundDist = Some(4))
+                .select("qid", "nid").collect()
+                .groupBy(_.getLong(0))
+                .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet })
+          def recallF(search: Array[Float] => Seq[Long]): Double = {
+            var hits = 0L
+            var denom = 0L
+            qv.foreach { case (qid, v) =>
+              val tr = truthF.getOrElse(qid, Set.empty)
+              denom += tr.size
+              hits += search(v).count(tr.contains)
+            }
+            hits.toDouble / math.max(1L, denom)
+          }
+          val surviving = nb.toLong * allowedPct / 100
+          val decision = AdaptiveSearch.choose(k, nb.toLong, surviving)
+          // under heavy filters the walk needs a wider candidate buffer
+          // to gather k allowed answers — the same cost scaling the
+          // reference's wrapper avoids by falling back at 0.93
+          val ef = math.min(4096, (knob80.toLong * nb / math.max(1L, surviving)).toInt)
+          val (rec, q) =
+            if (decision == "bf")
+              // the wrapper's actual fallback: exact scan over survivors
+              (recallF(v => s.bruteSearch(v, k, pred).map(_._1)),
+                qps(v => s.bruteSearch(v, k, pred)))
+            else
+              (recallF(v => s.search(v, k, ef, pred).map(_._1)),
+                qps(v => s.search(v, k, ef, pred)))
+          println(f"PROTOCOL_FILTERED family=hnsw_graph ratio=$ratio%.2f " +
+            f"decision=$decision ef=$ef (scaled from $knob80) " +
+            f"recall@$k=$rec%.3f qps=$q%.1f")
+        }
       }
     }
 
@@ -226,17 +414,29 @@ object Protocol {
     // 16-query subset (each eval pages the visited set from disk); the
     // reported recall/QPS at the tuned L use all nq queries. ----
     if (families("diskann")) {
-      // m scales with dim (dim/4 subspaces = 4-dim codewords): ADC
-      // steering at m=dim/8 was too coarse at dim 128 — the beam wanders
-      // and exact rescoring can't recover neighbors it never visited
-      val pqM = math.max(8, dim / 4)
-      val pq = time(s"pq train (m=$pqM, ksub=16)")(
-        ProductQuant.train(spark, base.sample(0.02, 7), m = pqM, ksub = 16))
+      // STEERING-CODE FIDELITY is the binding constraint at nb=1M
+      // (SCALE_RUN r11: the diversified graph moved recall 0.595 → 0.741
+      // at L=1024, so the graph is fixed and the m=dim/4, ksub=16 ADC is
+      // what caps the beam — it wanders where ADC is coarse and exact
+      // rescoring cannot recover nodes never visited). The reference
+      // holds recall by spending RAM on codes (`pq_code_budget_gb`,
+      // `diskann.cc` build config — more chunks per vector); same trade
+      // here: m=dim/2 two-dim subcodes at ksub=256 (nbits=8, the faiss
+      // default) = 64 B/node steering. Env knobs for sweep re-runs:
+      // GRAFT_PQ_M, GRAFT_PQ_KSUB, GRAFT_BEAM_ITERS.
+      val pqM = sys.env.get("GRAFT_PQ_M").map(_.toInt).getOrElse(math.max(8, dim / 2))
+      val pqKsub = sys.env.getOrElse("GRAFT_PQ_KSUB", "256").toInt
+      val beamIters = sys.env.getOrElse("GRAFT_BEAM_ITERS", "3").toInt
+      val pq = time(s"pq train (m=$pqM, ksub=$pqKsub)")(
+        ProductQuant.train(spark, base.sample(0.02, 7), m = pqM, ksub = pqKsub))
       val diskann = new DiskAnnIndex(
         graph, base.select(col("id"), ProductQuant.encodeExpr(col("vec"), pq).as("codes")),
-        base, entries, pq, searchListSize = k, beamIters = 3)
+        base, entries, pq, searchListSize = k, beamIters = beamIters)
       val s0 = time("serve load (diskann + warm cache nb/10)")(
         Serve.loadDiskAnn(diskann, cacheNodes = nb / 10))
+      println(s"  (diskann resident: codes+graph ${s0.residentBytes} B " +
+        s"[${s0.residentBytes / math.max(1, nb)} B/node], " +
+        s"warm cache ${s0.residentCacheBytes} B)")
       val sub16 = qv.take(16)
       targets.foreach { t =>
         val (knob, rec16) = tune(k, 1024, t) { l =>
@@ -248,6 +448,8 @@ object Protocol {
         val q = qps(v => s.search(v, k))
         println(f"  (diskann tune recall on 16q: $rec16%.3f)")
         report("diskann", "search_list_size", knob, rec, q)
+        if (rec >= t)
+          reportThreads("diskann", "search_list_size", knob)(v => s.search(v, k))
       }
     }
 
@@ -268,6 +470,7 @@ object Protocol {
           recallOf(qv)(v => s.search(v, k, itopk).map(_._1)))
         val q = qps(v => s.search(v, k, knob))
         report("cagra", "itopk", knob, rec, q)
+        if (rec >= t) reportThreads("cagra", "itopk", knob)(v => s.search(v, k, knob))
       }
       cagraGraph.unpersist()
     }

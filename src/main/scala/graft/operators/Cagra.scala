@@ -54,8 +54,23 @@ object Cagra {
     * both-legs-shorter rule, preserved bit-for-bit for the hash-gated
     * build queries; α<1 prunes MORE redundant in-clique edges (the re-cap
     * then admits longer-range survivors — the navigability lever), α>1
-    * prunes fewer. */
-  def optimize(edges: DataFrame, graphDegree: Int, alpha: Double = 1.0): DataFrame = {
+    * prunes fewer.
+    *
+    * `metric` orients every comparison: for similarity metrics (IP/cosine,
+    * `ascending=false`) "shorter leg" means MORE similar, the reverse-merge
+    * dedup keeps the max, and the re-cap ranks descending. The α slack is
+    * only defined on the distance scale (the reference's RobustPrune is a
+    * distance-space rule, `diskann.cc` build config — similarities can be
+    * negative, where a multiplicative slack inverts), so α≠1 with a
+    * similarity metric is rejected rather than silently mis-scaled. */
+  def optimize(
+      edges: DataFrame,
+      graphDegree: Int,
+      alpha: Double = 1.0,
+      metric: Metric = Metric.L2): DataFrame = {
+    require(alpha == 1.0 || metric.ascending,
+      s"RobustPrune alpha=$alpha is a distance-space slack; " +
+        s"similarity metric ${metric.name} supports only alpha=1.0")
     val e = edges.select(col("src"), col("dst"), col("dist"))
     // two-hop routes s→m→d restricted to graph edges: join on the shared
     // midpoint — |E|·degree rows of 3 longs + 2 doubles, no payloads
@@ -63,22 +78,26 @@ object Cagra {
     val hop2 = e.select(col("src").as("mid"), col("dst"), col("dist").as("d_md"))
     val secondLeg =
       if (alpha == 1.0) col("d_md") else col("d_md") * lit(alpha)
+    val better: (Column, Column) => Column =
+      if (metric.ascending) _ < _ else _ > _
     val detourable = e
       .join(hop1, Seq("src"))
       .join(hop2, Seq("mid", "dst"))
-      .filter(col("d_sm") < col("dist") && secondLeg < col("dist"))
+      .filter(better(col("d_sm"), col("dist")) && better(secondLeg, col("dist")))
       .select(col("src"), col("dst"))
       .distinct()
     val kept = e.join(detourable, Seq("src", "dst"), "left_anti")
     // reverse-edge merge (CAGRA keeps the graph navigable after pruning);
-    // metric distances are symmetric so the reverse edge reuses the stored
-    // dist, and the (src,dst) group-by dedupes edges present both ways
+    // metric distances/similarities are symmetric so the reverse edge
+    // reuses the stored dist, and the (src,dst) group-by dedupes edges
+    // present both ways, keeping the better score
+    val dedup: Column => Column = if (metric.ascending) min(_) else max(_)
     val merged = kept
       .unionByName(kept.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
       .groupBy(col("src"), col("dst"))
-      .agg(min(col("dist")).as("dist"))
+      .agg(dedup(col("dist")).as("dist"))
     BruteForce
-      .topK(merged, graphDegree, ascending = true, qidCol = "src", idCol = "dst")
+      .topK(merged, graphDegree, ascending = metric.ascending, qidCol = "src", idCol = "dst")
       .select(col("src"), col("dst"), col("dist"), col("rnk"))
   }
 
@@ -114,7 +133,7 @@ object Cagra {
         GraphSearch.nnDescent(inter, base, intermediateDegree, descentRounds,
           sampleDegree, metric, roundDist)
       else inter
-    val out = optimize(refined, graphDegree, alpha)
+    val out = optimize(refined, graphDegree, alpha, metric)
     if (descentRounds > 0) {
       // force the prune before releasing the descent checkpoint it reads
       out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

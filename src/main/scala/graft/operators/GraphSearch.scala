@@ -122,13 +122,14 @@ object GraphSearch {
       rounds: Int = 1,
       sampleDegree: Int = 8,
       metric: Metric = Metric.L2,
-      roundDist: Option[Int] = None
+      roundDist: Option[Int] = None,
+      checkpointFinal: Boolean = true
   ): DataFrame = {
     val dedup: Column => Column =
       if (metric.ascending) min(_) else max(_)
     var e = edges.select(col("src"), col("dst"), col("dist"))
     val checkpointed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       // sampled undirected neighborhood: out-edges ∪ reverse edges, capped
       // at the sampleDegree nearest per node (metric distances are
       // symmetric, so the reverse edge reuses the stored dist)
@@ -138,12 +139,20 @@ object GraphSearch {
           .agg(dedup(col("dist")).as("dist")),
         sampleDegree, metric.ascending, qidCol = "src", idCol = "dst")
         .select(col("src"), col("dst"))
-      // two-hop proposals s→m→d through the shared midpoint
+      // two-hop proposals s→m→d through the shared midpoint; proposals
+      // that are ALREADY edges carry the identical (metric + rounding)
+      // dist in `e`, so the anti-join skips their vector join + score
+      // entirely — the union/dedup below would discard the duplicate
+      // anyway. On a degree-32 descent most proposals are re-proposals
+      // of existing edges, so this halves-or-better the round's vector
+      // join (the build's dominant cost) without moving a single row of
+      // the result.
       val cands = und.select(col("src"), col("dst").as("mid"))
         .join(und.select(col("src").as("mid"), col("dst")), "mid")
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"))
         .distinct()
+        .join(e.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
       val raw = metric.dist(col("_svec"), col("vec"))
       val d = roundDist.map(n => round(raw, n)).getOrElse(raw)
       val scored = cands
@@ -165,13 +174,26 @@ object GraphSearch {
       // CC's pattern, Dedup.scala) and the RETURNED graph is also re-read
       // several times by every consumer (the detour prune alone
       // references it five times).
-      val next2 = next.localCheckpoint(true)
-      checkpointed += next2
-      // strip the checkpoint's inherited constraint set: the next round
-      // self-unions this frame with its own reversal, and Union's
-      // constraint rewrite throws on the origin attributes otherwise
-      e = org.apache.spark.sql.GraftExpr.stripCheckpointConstraints(next2)
+      if (r == rounds && !checkpointFinal) {
+        // caller opted out of the final checkpoint (a one-round build
+        // returned straight to a consumer that would otherwise have to
+        // release the cached RDD itself): hand back the plain plan — for
+        // rounds == 1 it references only `edges`/`base`, nothing cached.
+        // Deeper builds keep the per-round checkpoints regardless (the
+        // returned plan would reference round r-1's blocks anyway).
+        e = next
+      } else {
+        val next2 = next.localCheckpoint(true)
+        checkpointed += next2
+        // strip the checkpoint's inherited constraint set: the next round
+        // self-unions this frame with its own reversal, and Union's
+        // constraint rewrite throws on the origin attributes otherwise
+        e = org.apache.spark.sql.GraftExpr.stripCheckpointConstraints(next2)
+      }
     }
+    // keep the newest checkpoint alive: either it IS the returned frame
+    // (checkpointFinal) or the returned plan still reads it (rounds > 1
+    // with checkpointFinal=false — only rounds == 1 is fully cache-free)
     checkpointed.dropRight(1).foreach(org.apache.spark.sql.GraftExpr.unpersistCheckpoint)
     e
   }
@@ -207,7 +229,7 @@ object GraphSearch {
         nnDescent(inter, base, intermediateDegree, descentRounds, sampleDegree,
           metric, roundDist)
       else inter
-    val out = Cagra.optimize(refined, degree, alpha).select(col("src"), col("dst"))
+    val out = Cagra.optimize(refined, degree, alpha, metric).select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     inter.unpersist()

@@ -31,8 +31,12 @@ object Params {
       alpha: Double = 1.0,
       intermediateDegree: Option[Int] = None
   ) {
-    /** True when the knobs reproduce the plain bucketed kNN graph. */
-    def isPlain: Boolean = descentRounds == 0 && alpha == 1.0
+    /** True when the knobs reproduce the plain bucketed kNN graph. An
+      * explicit `intermediateDegree` alone already selects the diversified
+      * build (candidate graph at that degree, detour-pruned down to the
+      * arm's final degree) — it must not be silently discarded. */
+    def isPlain: Boolean =
+      descentRounds == 0 && alpha == 1.0 && intermediateDegree.isEmpty
     def interOr(finalDegree: Int): Int =
       intermediateDegree.getOrElse(2 * finalDegree)
   }

@@ -307,6 +307,37 @@ object Serve {
     def search(q: Array[Float], k: Int, ef: Int, allowed: Long => Boolean): Seq[(Long, Double)] =
       Telemetry.timed("SERVE", "search")(searchImpl(q, k, ef, allowed))
 
+    /** Linear exact scan over this shard's resident vector tier — the
+      * reference's conditional-wrapper FALLBACK under heavy filters
+      * (`IndexConditionalWrapper.cc:34-95`: k ≥ 0.5·surviving or
+      * filtered-out ≥ 0.93 drops the graph for brute force over the same
+      * vectors, thresholds `IndexConditionalWrapper.h:27-29`). Exact by
+      * construction, same distance contract and (dist, id) order as the
+      * walk — a query whose filter starves the graph gets the answer the
+      * wrapper would return. */
+    def bruteSearch(
+        q: Array[Float], k: Int,
+        allowed: Long => Boolean = null): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "search_bf_fallback") {
+        def key(d: Double): Double = if (metric.ascending) d else -d
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+        val it = (if (packed != null) packed.keySet() else vecs.keySet()).iterator()
+        while (it.hasNext) {
+          val id = it.next()
+          if (allowed == null || allowed(id)) {
+            val e = (key(dist(q, id)), id)
+            if (heap.size < k || ord.lt(e, heap.head)) {
+              heap.enqueue(e)
+              if (heap.size > k) heap.dequeue()
+            }
+          }
+        }
+        heap.toSeq
+          .map { case (d, id) => (id, if (metric.ascending) d else -d) }
+          .sortBy { case (id, d) => (key(d), id) }
+      }
+
     /** Per-query range search from the ef-bounded walk — the reference
       * derives graph range results from the beam stream
       * (`faiss_hnsw.cc:1319-1478`), same as the batch
@@ -1526,11 +1557,15 @@ object Serve {
     /** A searcher over the SAME resident tiers with a different
       * search-list size — the reference tunes L per query-time target
       * without reloading (`benchmark_float_qps.cpp:365-414` sweeps the
-      * knob on one loaded index); shares codes/graph/raw, so the sweep
-      * costs nothing but the new handle (warm cache not carried —
-      * re-enable if wanted). */
-    def withSearchListSize(l: Int): LocalDiskAnnSearcher =
-      new LocalDiskAnnSearcher(adj, codes, entries, model, raw, l, beamIters, roundDist)
+      * knob on one loaded index); shares codes/graph/raw AND the warm
+      * cache (the cached set depends only on the graph + entries, not on
+      * L, so the handle inherits it — a tuned deployment keeps the
+      * `search_cache_budget_gb` latency win without re-running the BFS). */
+    def withSearchListSize(l: Int): LocalDiskAnnSearcher = {
+      val s = new LocalDiskAnnSearcher(adj, codes, entries, model, raw, l, beamIters, roundDist)
+      s.warmCache = warmCache
+      s
+    }
 
     /** Resident bytes of the RAM tier: codes + adjacency + entries (the
       * `pq_code_budget_gb` model — raw vectors are NOT in this number). */

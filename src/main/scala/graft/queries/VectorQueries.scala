@@ -1750,8 +1750,12 @@ SELECT src, dst, dist, rnk FROM g""")),
           .join(base.select(col("id").as("src"), col("vec").as("_sv")), "src")
           .select(col("src"), col("dst"),
             round(Metric.L2.dist(col("_sv"), col("vec")), 4).as("dist"))
+        // checkpointFinal=false: this query returns the round's frame
+        // straight to the harness, which never releases a cached RDD —
+        // a one-round build needs no checkpoint (plan depth is bounded)
         GraphSearch.nnDescent(seed, base, degree = 6, rounds = 1,
-          sampleDegree = 6, metric = Metric.L2, roundDist = ROUND)
+          sampleDegree = 6, metric = Metric.L2, roundDist = ROUND,
+          checkpointFinal = false)
       },
       Some("""WITH scatter AS (
   SELECT s.vec_id AS src, CAST((s.vec_id + o.off * 83) % 500 AS BIGINT) AS dst

@@ -237,13 +237,25 @@ object SectorStore {
     def totalRows: Long = sectors.iterator.map(_.rows).sum
     def totalCompressedBytes: Long = sectors.iterator.map(_.compressedBytes).sum
 
-    // fetch-path file handles, opened on first touch and kept (bounded by
-    // the file count); each guards its stream with its own monitor
-    private val readers = new Array[ParquetFileReader](paths.length)
-    private def readerFor(fi: Int): ParquetFileReader = readers.synchronized {
-      if (readers(fi) == null)
-        readers(fi) = ParquetFileReader.open(HadoopInputFile.fromPath(paths(fi), conf))
-      readers(fi)
+    // fetch-path file handles: a POOL of readers per file, not one guarded
+    // by a monitor — `ParquetFileReader.readRowGroup` seeks a stateful
+    // stream, so one shared reader serializes every concurrent client on
+    // that file's lock (measured: 4-thread QPS collapsing BELOW the
+    // 1-thread number on a single-file store — a lock convoy, not IO).
+    // Borrow-or-open keeps the footer parse amortized: steady-state pool
+    // size = the peak client concurrency per file, each reader reused.
+    private val pools = Array.fill(paths.length)(
+      new java.util.concurrent.ConcurrentLinkedQueue[ParquetFileReader]())
+    @volatile private var closed = false
+    private def withReader[T](fi: Int)(f: ParquetFileReader => T): T = {
+      var r = pools(fi).poll()
+      if (r == null)
+        r = ParquetFileReader.open(HadoopInputFile.fromPath(paths(fi), conf))
+      var ok = false
+      try { val out = f(r); ok = true; out }
+      finally {
+        if (ok && !closed) pools(fi).offer(r) else r.close()
+      }
     }
 
     // per-file decode context, built once on first touch: schema field
@@ -296,9 +308,8 @@ object SectorStore {
         wanted: Long => Boolean,
         sink: (Long, Array[Float]) => Unit): Long =
       mapConcurrent(sis.groupBy(si => sectors(si).fileIdx).toSeq) { case (fi, fsis) =>
-        val reader = readerFor(fi)
-        val ctx = ctxFor(fi, reader)
-        reader.synchronized {
+        withReader(fi) { reader =>
+          val ctx = ctxFor(fi, reader)
           var decoded = 0L
           fsis.sortBy(sectors(_).blockIdx).foreach { si =>
             decoded += decodeSector(reader.readRowGroup(sectors(si).blockIdx),
@@ -366,10 +377,12 @@ object SectorStore {
       n.toLong
     }
 
-    override def close(): Unit = readers.synchronized {
+    override def close(): Unit = {
+      closed = true
       var i = 0
-      while (i < readers.length) {
-        if (readers(i) != null) { readers(i).close(); readers(i) = null }
+      while (i < pools.length) {
+        var r = pools(i).poll()
+        while (r != null) { r.close(); r = pools(i).poll() }
         i += 1
       }
     }

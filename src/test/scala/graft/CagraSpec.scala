@@ -62,6 +62,54 @@ class CagraSpec extends SparkSpec {
     assert(reversedOnly.count() > 0)
   }
 
+  test("optimize under a similarity metric keeps the MOST similar edges") {
+    // IP is descending (bigger = better): the re-cap must rank by max
+    // similarity and the reverse-merge dedup must keep the max — a
+    // min-oriented prune would keep the k LEAST-similar neighbors
+    val interIp = BruteForce
+      .knnFused(
+        base.select(col("id").as("qid"), col("vec").as("qvec")),
+        base, 8, Metric.IP, roundDist = Some(4), excludeSelf = true)
+      .select(col("qid").as("src"), col("nid").as("dst"), col("dist"))
+      .cache()
+    val g = Cagra.optimize(interIp, graphDegree = 4, metric = Metric.IP).cache()
+    // rank-1 out-edge per node is that node's max-similarity kept edge
+    val rank1 = g.filter(col("rnk") === 1).select(col("src"), col("dist").as("d1"))
+    val worse = g.join(rank1, "src").filter(col("dist") > col("d1"))
+    assert(worse.count() == 0)
+    // the most similar intermediate edge is never detourable (no leg can
+    // beat the rank-1 similarity) — it must survive at rank 1
+    val best = BruteForce
+      .topK(interIp, 1, ascending = false, qidCol = "src", idCol = "dst")
+      .select(col("src"), col("dst"))
+    assert(best.join(g.filter(col("rnk") === 1), Seq("src", "dst")).count()
+      == best.count())
+    interIp.unpersist(); g.unpersist()
+  }
+
+  test("optimize rejects an alpha slack on a similarity metric") {
+    // RobustPrune alpha is a distance-space rule; similarities can be
+    // negative, where a multiplicative slack silently inverts
+    val ex = intercept[IllegalArgumentException] {
+      Cagra.optimize(intermediate, graphDegree = 4, alpha = 1.2, metric = Metric.IP)
+    }
+    assert(ex.getMessage.contains("alpha"))
+  }
+
+  test("graphBuild.intermediateDegree alone selects the diversified build") {
+    // an explicit intermediate degree must not be silently discarded:
+    // isPlain is false and the factory's CAGRA arm passes it through
+    val gb = Params.GraphBuildParams(intermediateDegree = Some(12))
+    assert(!gb.isPlain)
+    assert(gb.interOr(4) == 12)
+    assert(Params.GraphBuildParams().isPlain)
+    assert(Params.GraphBuildParams().interOr(4) == 8)
+    val idx = IndexFactory.build(spark, "GPU_CAGRA", base, Metric.L2,
+      nlist = 8, roundDist = Some(4), reorderK = 32, graphBuild = gb)
+    val got = idx.search(queries, K, None)
+    assert(recall(got, truth) >= 0.6)
+  }
+
   test("factory GPU_CAGRA: recall >= 0.6 (ANN floor) and meta JSON") {
     val idx = IndexFactory.build(spark, "GPU_CAGRA", base, Metric.L2,
       nlist = 8, roundDist = Some(4), reorderK = 32)

@@ -54,6 +54,27 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("bruteSearch fallback equals exact brute force, filtered and not") {
+    // the conditional-wrapper fallback (IndexConditionalWrapper.cc:34-95):
+    // exact by construction over the resident tier, so it must EQUAL the
+    // batch answer under the same 4dp/(dist,id) contract
+    val searcher = Serve.load(knnGraph(8), base, entries, Metric.L2)
+    val exact = exactTopK(10)
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.bruteSearch(qv, 10).map(_._1)
+      assert(got == exact(qid), s"query $qid: $got != ${exact(qid)}")
+    }
+    val exactF = BruteForce
+      .knn(queries, base.filter(col("id") % 3 === 0), 10, Metric.L2, roundDist = Some(4))
+      .select("qid", "nid", "rnk").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.bruteSearch(qv, 10, id => id % 3 == 0).map(_._1)
+      assert(got == exactF(qid), s"query $qid filtered: $got != ${exactF(qid)}")
+    }
+  }
+
   test("ef-bounded walk keeps the recall floor and exits early") {
     val searcher = Serve.load(knnGraph(8), base, entries, Metric.L2)
     val exact = exactTopK(10)
@@ -633,6 +654,43 @@ class ServeSpec extends SparkSpec {
     // absorb a real fraction of the paged reads
     assert(warmFetched * 2 < coldFetched,
       s"warm cache saved too little: $warmFetched vs $coldFetched paged reads")
+
+    // THE KNOB-SWEEP HANDLE CARRIES THE CACHE (benchmark_float_qps.cpp
+    // sweeps L on one loaded index): a tuned deployment must keep the
+    // search_cache_budget_gb latency win through withSearchListSize
+    val tuned = warm.withSearchListSize(24)
+    assert(tuned.warmCachedNodes == warm.warmCachedNodes,
+      "withSearchListSize dropped the warm cache")
+    val coldTuned = cold.withSearchListSize(24)
+    queryVecs.foreach { case (qid, qv) =>
+      val a = coldTuned.search(qv, 10)
+      val b = tuned.search(qv, 10)
+      assert(a == b, s"query $qid: carried cache changed the answer at L=24")
+      assert(tuned.lastCacheHits + tuned.lastRawFetched == coldTuned.lastRawFetched,
+        s"query $qid: tuned-handle IO split inconsistent")
+    }
+    assert(queryVecs.exists { case (_, qv) => tuned.search(qv, 10); tuned.lastCacheHits > 0 },
+      "carried cache never hit")
+  }
+
+  test("DiskANN shard router: per-shard warm caches keep the merge bit-identical") {
+    import graft.operators.{DiskAnn, ProductQuant, ShardedServe}
+    val model = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
+    val half = base.count() / 2
+    val parts = Seq(base.filter(col("id") < half), base.filter(col("id") >= half))
+    def routerWith(cacheNodes: Int) = new ShardedServe.ShardedDiskAnnServing(
+      parts.map { p =>
+        val idx = DiskAnn.build(p, model, p.select(min(col("id")).as("nid")),
+          degree = 5, searchListSize = 16, beamIters = 2, roundDist = Some(4))
+        Serve.loadDiskAnn(idx, cacheNodes = cacheNodes)
+      })
+    val cold = routerWith(0)
+    val warm = routerWith(50)
+    queryVecs.foreach { case (qid, qv) =>
+      val a = cold.search(qv, 10)
+      val b = warm.search(qv, 10)
+      assert(a == b, s"query $qid: shard caches changed the merged answer")
+    }
   }
 
   test("saved DiskANN serves straight from its sector-laid raw dir") {
