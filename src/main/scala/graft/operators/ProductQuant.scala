@@ -99,15 +99,16 @@ object ProductQuant {
 
   /** Codes column: for each subspace, the index of the nearest codeword
     * (first-minimum ⇒ deterministic tie-break). */
-  def encodeExpr(vec: Column, model: PQModel): Column = {
-    val codeCols = (0 until model.m).map { s =>
-      val sub = slice(vec, s * model.dsub + 1, model.dsub)
-      val dists = array((0 until model.ksub).map(c =>
-        VectorFunctions.l2Sq(sub, typedlit(model.codebooks(s)(c).toSeq))): _*)
-      (array_position(dists, array_min(dists)) - 1L).cast("int")
-    }
-    array(codeCols: _*)
-  }
+  def encodeExpr(vec: Column, model: PQModel): Column =
+    // native triple-loop kernel (graft.plans.PqEncode) — bit-identical to
+    // the relational array_position(array_min) formulation it replaced,
+    // whose O(m·ksub) expression NODES stopped JIT-compiling past ksub=16
+    // (16,384 kernels per row at m=64/ksub=256; one partition measured
+    // 24+ min of interpreted codegen)
+    org.apache.spark.sql.GraftExpr.column(
+      graft.plans.PqEncode(
+        org.apache.spark.sql.GraftExpr.expression(vec),
+        model.codebooks, model.m, model.ksub, model.dsub))
 
   /** Reconstructed vector from codes: the per-subspace codeword slices
     * concatenated in subspace order. L2 against a reconstruction equals

@@ -614,4 +614,38 @@ class PlanSpec extends SparkSpec {
     assert(!pk.contains("SortMergeJoin"),
       s"kappa's tiny marginal join should never sort-merge:\n$pk")
   }
+
+  test("PqEncode native kernel is bit-identical to the relational argmin formulation") {
+    // the formulation PqEncode replaced (array_position over an array of
+    // m·ksub VecL2Sq nodes) — kept here as the cross-check reference; it
+    // pins first-minimum tie-breaks and the min-length slice rule
+    import graft.functions.VectorFunctions
+    def relationalEncode(vec: org.apache.spark.sql.Column,
+        model: ProductQuant.PQModel): org.apache.spark.sql.Column = {
+      val codeCols = (0 until model.m).map { s =>
+        val sub = slice(vec, s * model.dsub + 1, model.dsub)
+        val dists = array((0 until model.ksub).map(c =>
+          VectorFunctions.l2Sq(sub, typedlit(model.codebooks(s)(c).toSeq))): _*)
+        (array_position(dists, array_min(dists)) - 1L).cast("int")
+      }
+      array(codeCols: _*)
+    }
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // explicit codebooks straight from base rows ⇒ exact-tie codewords
+    // exist (a vector IS its own codeword slice), exercising the
+    // first-minimum rule; ksub=25 exceeds any historical small-ksub path
+    val model = ProductQuant.explicitModel(base, m = 8, ksub = 25, step = 17)
+    val got = base.select(col("id"),
+      ProductQuant.encodeExpr(col("vec"), model).as("codes"))
+    val want = base.select(col("id"), relationalEncode(col("vec"), model).as("codes"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "native PqEncode diverged from the relational argmin")
+    // and the whole-stage-codegen path actually runs it (no fallback):
+    // the executed plan's Project carrying pq_encode must sit inside a
+    // codegen stage (the `*(n)` marker)
+    val p = plan(got)
+    assert(p.linesIterator.exists(l => l.contains("pq_encode") && l.trim.startsWith("*(")),
+      s"PqEncode fell out of codegen:\n$p")
+  }
 }
