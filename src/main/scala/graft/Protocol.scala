@@ -320,18 +320,39 @@ object Protocol {
     val interDegree = sys.env.getOrElse("GRAFT_INTER_DEGREE", "32").toInt
     val descentRounds = sys.env.getOrElse("GRAFT_DESCENT_ROUNDS", "1").toInt
     val alpha = sys.env.getOrElse("GRAFT_ALPHA", "1.0").toDouble
-    val graph = time(
-      s"graph build $buildMode (degree $degree, inter=$interDegree, rounds=$descentRounds, " +
-        s"alpha=$alpha, nprobe 2, nlist=$gNlist)") {
-      val g =
-        if (buildMode == "plain")
-          GraphSearch.knnGraphIvf(base, gCents, degree = degree, nprobe = 2).persist()
-        else
-          GraphSearch.knnGraphDiversified(base, gCents, degree = degree,
-            intermediateDegree = interDegree, nprobe = 2,
-            descentRounds = descentRounds, sampleDegree = 8, alpha = alpha)
-      g.count()
-      g
+    // GRAFT_GRAPH_DIR: parquet cache for the built graph, so a knob re-run
+    // of one serving family (diskann beam iters, say) doesn't repay the
+    // build — the V9 serialize/load contract applied to the harness. The
+    // corpus is a pure function of (nb, dim, noise, centers), so a cached
+    // graph keyed by the caller on those knobs is exact, not approximate.
+    val graphDir = sys.env.get("GRAFT_GRAPH_DIR")
+    def cached(d: String): Boolean = new java.io.File(s"$d/_SUCCESS").exists
+    val graph = graphDir.filter(cached) match {
+      case Some(d) =>
+        time(s"graph load ($d)") {
+          val g = spark.read.parquet(d).persist()
+          g.count()
+          g
+        }
+      case None =>
+        val g0 = time(
+          s"graph build $buildMode (degree $degree, inter=$interDegree, rounds=$descentRounds, " +
+            s"alpha=$alpha, nprobe 2, nlist=$gNlist)") {
+          val g =
+            if (buildMode == "plain")
+              GraphSearch.knnGraphIvf(base, gCents, degree = degree, nprobe = 2).persist()
+            else
+              GraphSearch.knnGraphDiversified(base, gCents, degree = degree,
+                intermediateDegree = interDegree, nprobe = 2,
+                descentRounds = descentRounds, sampleDegree = 8, alpha = alpha)
+          g.count()
+          g
+        }
+        graphDir.foreach { d =>
+          g0.write.mode("overwrite").parquet(d)
+          println(s"graph cached -> $d")
+        }
+        g0
     }
     // ENTRY COVERAGE MUST TRACK THE CORPUS'S CLUSTER COUNT: a kNN graph
     // on tightly clustered data is one island per cluster, so entries

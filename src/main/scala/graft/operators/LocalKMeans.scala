@@ -57,13 +57,20 @@ object LocalKMeans {
 
   /** Best-of-`restarts` Lloyd (by total within-cluster SSE) — the sample is
     * driver-local, so restarts cost milliseconds and recover the quality of
-    * MLlib's k-means|| init. Deterministic: seeds are seed, seed+1, …. */
+    * MLlib's k-means|| init. Deterministic: seeds are seed, seed+1, …, the
+    * restarts run in parallel (each is an independent pure function of its
+    * seed) and the winner is picked by (SSE, restart index) exactly as the
+    * sequential first-strict-improvement loop did. */
   def fit(points: Array[Array[Float]], k: Int, maxIter: Int = 15, seed: Long = 42L, restarts: Int = 4): Array[Array[Float]] = {
-    var best: Array[Array[Float]] = null
-    var bestSse = Double.MaxValue
-    for (r <- 0 until restarts) {
+    val fits = new Array[(Double, Array[Array[Float]])](restarts)
+    java.util.stream.IntStream.range(0, restarts).parallel().forEach { r =>
       val c = fitOnce(points, k, maxIter, seed + r)
-      val sse = points.map { p =>
+      // per-point nearest-centroid SSE: the point map is parallel (pure per
+      // point), the reduction stays in index order — bit-identical to the
+      // sequential fold
+      val perPoint = new Array[Double](points.length)
+      java.util.stream.IntStream.range(0, points.length).parallel().forEach { i =>
+        val p = points(i)
         var m = Double.MaxValue
         var ci = 0
         while (ci < c.length) {
@@ -72,10 +79,16 @@ object LocalKMeans {
           if (s < m) m = s
           ci += 1
         }
-        m
-      }.sum
-      if (sse < bestSse) { bestSse = sse; best = c }
+        perPoint(i) = m
+      }
+      var sse = 0.0
+      var i = 0
+      while (i < perPoint.length) { sse += perPoint(i); i += 1 }
+      fits(r) = (sse, c)
     }
+    var best = fits(0)._2
+    var bestSse = fits(0)._1
+    for (r <- 1 until restarts) if (fits(r)._1 < bestSse) { bestSse = fits(r)._1; best = fits(r)._2 }
     best
   }
 
@@ -99,17 +112,23 @@ object LocalKMeans {
       s
     }
 
-    // k-means++ seeding
+    // k-means++ seeding. The per-point distances to the newest center are
+    // pure and compute in parallel; the minD update + running total stay
+    // in index order, so the picked seeds are bit-identical to the
+    // sequential loop (the n·k seeding pass dominates at ksub=256-scale
+    // codebooks and nlist=1024 coarse quantizers).
     val centers = Array.ofDim[Double](k, dim)
     val first = points((nextDouble() * n).toInt.min(n - 1))
     for (j <- 0 until dim) centers(0)(j) = first(j)
     val minD = Array.fill(n)(Double.MaxValue)
+    val dTmp = new Array[Double](n)
     for (c <- 1 until k) {
+      java.util.stream.IntStream.range(0, n).parallel()
+        .forEach(i => dTmp(i) = d2(points(i), centers(c - 1)))
       var total = 0.0
       var i = 0
       while (i < n) {
-        val d = d2(points(i), centers(c - 1))
-        if (d < minD(i)) minD(i) = d
+        if (dTmp(i) < minD(i)) minD(i) = dTmp(i)
         total += minD(i)
         i += 1
       }
@@ -120,14 +139,18 @@ object LocalKMeans {
       for (j <- 0 until dim) centers(c)(j) = points(pick)(j)
     }
 
-    // Lloyd
+    // Lloyd. The n·k·dim assignment pass is pure per point and runs in
+    // parallel into a scratch array; the changed test and the centroid
+    // sums accumulate sequentially in index order afterwards — assignment,
+    // iteration count, and every double sum are bit-identical to the
+    // sequential loop.
     val assign = Array.fill(n)(-1)
+    val newAssign = new Array[Int](n)
     var iter = 0
     var changed = true
     while (iter < maxIter && changed) {
       changed = false
-      var i = 0
-      while (i < n) {
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < k) {
@@ -135,7 +158,11 @@ object LocalKMeans {
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
-        if (best != assign(i)) { assign(i) = best; changed = true }
+        newAssign(i) = best
+      }
+      var i = 0
+      while (i < n) {
+        if (newAssign(i) != assign(i)) { assign(i) = newAssign(i); changed = true }
         i += 1
       }
       val sums = Array.ofDim[Double](k, dim)

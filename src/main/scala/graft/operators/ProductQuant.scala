@@ -39,10 +39,15 @@ object ProductQuant {
     // vectors than ksub) is clamped so every subspace codebook stays
     // rectangular and code values stay in [0, ksub)
     val kEff = math.min(ksub, sample.length)
-    val raw = (0 until m).map { s =>
+    // the m subspace fits are independent and individually seeded, so they
+    // parallelize across driver cores with a deterministic result; at
+    // nbits=8 (ksub=256, 64Ki sample — the faiss max_points_per_centroid
+    // contract) a sequential loop is minutes of single-threaded Lloyd
+    val raw = new Array[Array[Array[Float]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
       val subPoints = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
-      LocalKMeans.fit(subPoints, kEff, maxIter = 15, seed = seed + s)
-    }.toArray
+      raw(s) = LocalKMeans.fit(subPoints, kEff, maxIter = 15, seed = seed + s)
+    }
     val kMin = raw.map(_.length).min
     PQModel(m, kMin, dsub, raw.map(_.take(kMin)))
   }
