@@ -66,6 +66,11 @@ object Protocol {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // graph builds at nb=1M shuffle multi-billion-row detour frames: at
+      // `cpus` initial partitions each sort task holds GBs and spills the
+      // disk dry. AQE starts wide and coalesces the small stages back down
+      // — the 1000-executor sizing rule applied to the local harness.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -80,10 +80,16 @@ object Cagra {
       if (alpha == 1.0) col("d_md") else col("d_md") * lit(alpha)
     val better: (Column, Column) => Column =
       if (metric.ascending) _ < _ else _ > _
+    // the first-leg test references only (e ⋈ hop1) columns, so it is
+    // applied EXPLICITLY between the joins: it halves the |E|·degree
+    // frame before the (mid, dst) shuffle — at degree 32/1M nodes that
+    // shuffle is ~4G rows and the dominant build-disk cost (a conjunct
+    // split of the original post-join filter; bit-identical survivors)
     val detourable = e
       .join(hop1, Seq("src"))
+      .filter(better(col("d_sm"), col("dist")))
       .join(hop2, Seq("mid", "dst"))
-      .filter(better(col("d_sm"), col("dist")) && better(secondLeg, col("dist")))
+      .filter(better(secondLeg, col("dist")))
       .select(col("src"), col("dst"))
       .distinct()
     val kept = e.join(detourable, Seq("src", "dst"), "left_anti")
