@@ -471,10 +471,20 @@ object Protocol {
       // protocol rows; the default stays cheap for iteration.
       val tuneNq = sys.env.getOrElse("GRAFT_TUNE_NQ", "16").toInt
       val sub16 = qv.take(tuneNq)
-      targets.foreach { t =>
-        val (knob, rec16) = tune(k, 1024, t) { l =>
-          val s = s0.withSearchListSize(l)
-          recallOf(sub16)(v => s.search(v, k).map(_._1))
+      // GRAFT_DISKANN_L pins the knob and skips the binary search — for
+      // re-measuring QPS/threads at an already-tuned L without repaying
+      // the ~20 min full-nq tune (recall is still measured and reported
+      // at the pinned knob, so the row stays honest)
+      val pinnedL = sys.env.get("GRAFT_DISKANN_L").map(_.toInt)
+      val effTargets = if (pinnedL.isDefined) targets.take(1) else targets
+      effTargets.foreach { t =>
+        val (knob, rec16) = pinnedL match {
+          case Some(l) =>
+            (l, recallOf(sub16)(v => s0.withSearchListSize(l).search(v, k).map(_._1)))
+          case None => tune(k, 1024, t) { l =>
+            val s = s0.withSearchListSize(l)
+            recallOf(sub16)(v => s.search(v, k).map(_._1))
+          }
         }
         val s = s0.withSearchListSize(knob)
         val rec = recallOf(qv)(v => s.search(v, k).map(_._1))
