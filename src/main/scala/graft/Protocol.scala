@@ -52,7 +52,7 @@ object Protocol {
     val noise = if (args.length > 4) args(4).toDouble else 0.7d
     val families: Set[String] =
       if (args.length > 5) args(5).split(",").map(_.trim).toSet
-      else Set("ivf", "ivf_pq", "scann", "graph", "diskann", "cagra", "filtered")
+      else Set("ivf", "ivf_pq", "scann", "graph", "diskann", "cagra", "filtered", "range")
     // latent-center count: sized so a cluster holds ~k/2 points — with
     // k=100 and ~50 points per center, a query's true top-k MUST span
     // several nearby clusters (and hence several IVF cells / graph
@@ -110,6 +110,43 @@ object Protocol {
       sub.foreach { case (qid, v) => hits += search(v).count(truth(qid).contains) }
       hits.toDouble / (sub.length.toLong * k)
     }
+
+    // ---- range-search protocol point (`benchmark_float_range.cpp`):
+    // the reference publishes range QPS alongside knn QPS — radius here
+    // is the MEDIAN exact kth-NN distance over the query set, so each
+    // query's in-radius set averages ≈ k rows (the selectivity its
+    // per-dataset radius encodes); range recall = Σhits / Σ|truth|. ----
+    val (rangeRadius, truthRange): (Double, Map[Long, Set[Long]]) =
+      if (!families("range")) (0.0, Map.empty)
+      else {
+        val kth = time("range radius (exact kth-NN distances)")(
+          BruteForce.knnFused(queries, base, k, Metric.L2, roundDist = Some(4))
+            .groupBy(col("qid")).agg(max(col("dist")).as("dk"))
+            .collect().map(_.getDouble(1)).sorted)
+        val radius = kth(kth.length / 2)
+        val tr = time(f"range ground truth (radius=$radius%.4f)")(
+          BruteForce.rangeSearch(queries, base, Metric.L2, radius, 0.0,
+            roundDist = Some(4))
+            .select("qid", "nid").collect()
+            .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet })
+        val avg = tr.values.map(_.size).sum.toDouble / math.max(1, tr.size)
+        println(f"range: radius=$radius%.4f avg in-radius rows/query=$avg%.1f")
+        (radius, tr)
+      }
+    def recallRange(search: Array[Float] => Seq[Long]): Double = {
+      var hits = 0L
+      var denom = 0L
+      qv.foreach { case (qid, v) =>
+        val tr = truthRange.getOrElse(qid, Set.empty)
+        denom += tr.size
+        hits += search(v).count(tr.contains)
+      }
+      hits.toDouble / math.max(1L, denom)
+    }
+    def reportRange(family: String, knobName: String, knob: Int,
+        recall: Double, q: Double): Unit =
+      println(f"PROTOCOL_RANGE family=$family radius=$rangeRadius%.4f " +
+        f"$knobName=$knob range_recall=$recall%.3f qps=$q%.1f (single-thread serving)")
 
     /** The reference's knob search (`benchmark_float_qps.cpp:365-414`):
       * smallest knob in [lo, hi] whose recall reaches `target` (recall is
@@ -178,7 +215,8 @@ object Protocol {
     // clamps at nlist; capping below nlist mislabels reachable targets
     // "UNREACHED", as the r10 run did at 256/1024 → 0.912) ----
     val needIvfIndex =
-      families("ivf") || families("ivf_pq") || families("scann") || families("filtered")
+      families("ivf") || families("ivf_pq") || families("scann") ||
+        families("filtered") || families("range")
     if (needIvfIndex) {
       val nlist = 1024
       val cents = time(s"ivf train (kmeans, nlist=$nlist)")(
@@ -281,11 +319,21 @@ object Protocol {
       // ---- SCANN: same coded artifact in its with_raw_data rerank
       // configuration; the reference sweeps reorder_k ∈ {256..1024}
       // (`benchmark_float_qps.cpp:408-409`) — knob = nprobe per
-      // reorder_k point ----
+      // reorder_k point. CODE FIDELITY per the reference's own SCANN
+      // convention (faiss fast-scan): m = dim/2 two-dim subquantizers at
+      // nbits=4 (ksub=16) — the r12 run's m=16/ksub=256 was UNDER the
+      // reference's fidelity and its UNREACHED 0.95 rows were a config
+      // artifact (ADC too coarse for the true top-100 to enter even a
+      // 1024-wide reorder window), not a family ceiling. ----
       if (families("scann")) {
-        val pq = time("scann train (m=16, ksub=256)")(
-          ProductQuant.train(spark, base.sample(0.02, 7), m = 16, ksub = 256))
-        val s = time("serve load (SCANN m=16 codes + sector store)")(
+        val scannM = sys.env.get("GRAFT_SCANN_M").map(_.toInt).getOrElse(math.max(8, dim / 2))
+        val scannKsub = sys.env.getOrElse("GRAFT_SCANN_KSUB", "16").toInt
+        val packedBits = scannM * (32 - Integer.numberOfLeadingZeros(scannKsub - 1))
+        val pq = time(s"scann train (m=$scannM, ksub=$scannKsub)")(
+          ProductQuant.train(spark, base.sample(0.02, 7), m = scannM, ksub = scannKsub))
+        println(s"  (scann code fidelity: m=$scannM ksub=$scannKsub = " +
+          s"${packedBits / 8} B/node packed, $scannM B/node resident here)")
+        val s = time(s"serve load (SCANN m=$scannM codes + sector store)")(
           Serve.loadIvfPq(index, cents, pq))
         Seq(256, 512, 1024).foreach { reorderK =>
           targets.foreach { t =>
@@ -293,14 +341,43 @@ object Protocol {
               recallOf(qv)(v => s.search(v, k, np, reorderK).map(_._1)))
             val q = qps(v => s.search(v, k, knob, reorderK))
             report(s"scann_reorder$reorderK", "nprobe", knob, rec, q)
+            if (rec >= t)
+              reportThreads(s"scann_reorder$reorderK", "nprobe", knob)(
+                v => s.search(v, k, knob, reorderK))
           }
+        }
+      }
+      // ---- RANGE-SEARCH QPS, IVF arms (`benchmark_float_range.cpp`):
+      // ivf_flat serves V5 through the LOSSLESS centroid-ball prune
+      // (lists intersecting the shell are scanned exactly — recall 1.0
+      // by construction, QPS is the measurement); ivf_sq8 bands by
+      // decode-inline distance over nprobe lists — knob tuned per
+      // target like the knn rows. ----
+      if (families("range")) {
+        val sF = time("serve load (IVF fp32 lists, range)")(
+          Serve.loadIvf(index, cents, Metric.L2))
+        val radiiMap = new java.util.HashMap[Long, Double]()
+        IvfIndex.listRadii(index, cents).collect()
+          .foreach(r => radiiMap.put(r.getLong(0), r.getDouble(1)))
+        val recF = recallRange(v => sF.rangeSearch(v, rangeRadius, 0.0, radiiMap).map(_._1))
+        val qF = qps(v => sF.rangeSearch(v, rangeRadius, 0.0, radiiMap))
+        reportRange("ivf_flat", "nlist", nlist, recF, qF)
+
+        val st8 = Quantization.sq8Train(base)
+        val s8 = time("serve load (IVF_SQ8 codes, range)")(
+          Serve.loadIvfSq8(index, cents, Some(st8)))
+        targets.foreach { t =>
+          val (knob, rec) = tune(1, nlist, t)(np =>
+            recallRange(v => s8.rangeSearch(v, rangeRadius, 0.0, np).map(_._1)))
+          val q = qps(v => s8.rangeSearch(v, rangeRadius, 0.0, knob))
+          reportRange("ivf_sq8", "nprobe", knob, rec, q)
         }
       }
       index.unpersist()
     }
 
     if (!families("graph") && !families("diskann") && !families("cagra") &&
-      !families("filtered")) {
+      !families("filtered") && !families("range")) {
       spark.stop()
       return
     }
@@ -328,12 +405,30 @@ object Protocol {
     // GRAFT_GRAPH_DIR: parquet cache for the built graph, so a knob re-run
     // of one serving family (diskann beam iters, say) doesn't repay the
     // build — the V9 serialize/load contract applied to the harness. The
-    // corpus is a pure function of (nb, dim, noise, centers), so a cached
-    // graph keyed by the caller on those knobs is exact, not approximate.
+    // cached graph is a pure function of the corpus knobs (nb, dim, noise,
+    // centers) AND the build knobs (mode, degree, interDegree, rounds,
+    // alpha), so BOTH sets are written as a meta file next to the parquet
+    // and re-checked on load — a re-run with different knobs fails loudly
+    // instead of silently serving a stale graph under fresh labels.
     val graphDir = sys.env.get("GRAFT_GRAPH_DIR")
+    val graphMeta = s"mode=$buildMode degree=$degree inter=$interDegree " +
+      s"rounds=$descentRounds alpha=$alpha nb=$nb dim=$dim noise=$noise centers=$centers"
     def cached(d: String): Boolean = new java.io.File(s"$d/_SUCCESS").exists
+    def checkMeta(d: String): Unit = {
+      val mf = java.nio.file.Paths.get(d, "_GRAFT_META")
+      if (!java.nio.file.Files.exists(mf))
+        println(s"WARNING: graph cache $d has no _GRAFT_META (pre-r13 cache) — " +
+          s"build knobs unverified; expected [$graphMeta]")
+      else {
+        val got = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8").trim
+        require(got == graphMeta,
+          s"graph cache $d was built with [$got] but this run wants [$graphMeta] — " +
+            "delete the cache dir or match the knobs")
+      }
+    }
     val graph = graphDir.filter(cached) match {
       case Some(d) =>
+        checkMeta(d)
         time(s"graph load ($d)") {
           val g = spark.read.parquet(d).persist()
           g.count()
@@ -355,7 +450,9 @@ object Protocol {
         }
         graphDir.foreach { d =>
           g0.write.mode("overwrite").parquet(d)
-          println(s"graph cached -> $d")
+          java.nio.file.Files.write(java.nio.file.Paths.get(d, "_GRAFT_META"),
+            (graphMeta + "\n").getBytes("UTF-8"))
+          println(s"graph cached -> $d [$graphMeta]")
         }
         g0
     }
@@ -373,7 +470,7 @@ object Protocol {
       .groupBy(pmod(xxhash64(col("id")), lit(centers)).as("_c"))
       .agg(min(col("id")).as("nid"))
       .select(col("nid"))
-    if (families("graph") || families("filtered")) {
+    if (families("graph") || families("filtered") || families("range")) {
       val s = time("serve load (graph + fp32 vectors)")(
         Serve.load(graph, base, entries, Metric.L2)).enableCoarseEntries()
       var knob80 = 4096
@@ -384,6 +481,16 @@ object Protocol {
         report("hnsw_graph", "ef", knob, rec, q)
         if (t == 0.80 && rec >= t) knob80 = knob
         if (rec >= t) reportThreads("hnsw_graph", "ef", knob)(v => s.search(v, k, knob))
+      }
+
+      // ---- RANGE-SEARCH QPS, graph arm: the beam stream's ef-bounded
+      // pool filtered to the shell (`faiss_hnsw.cc:1319-1478` range-from-
+      // beam contract) — knob = ef tuned to the range-recall target. ----
+      if (families("range")) targets.foreach { t =>
+        val (knob, rec) = tune(k, 4096, t)(ef =>
+          recallRange(v => s.rangeSearch(v, rangeRadius, 0.0, ef).map(_._1)))
+        val q = qps(v => s.rangeSearch(v, rangeRadius, 0.0, knob))
+        reportRange("hnsw_graph", "ef", knob, rec, q)
       }
 
       // ---- bitset-filtered QPS on the graph walk
@@ -474,14 +581,28 @@ object Protocol {
       // GRAFT_DISKANN_L pins the knob and skips the binary search — for
       // re-measuring QPS/threads at an already-tuned L without repaying
       // the ~20 min full-nq tune (recall is still measured and reported
-      // at the pinned knob, so the row stays honest)
+      // at the pinned knob, so the row stays honest).
+      // GRAFT_DISKANN_TARGET names the target a pinned re-measure belongs
+      // to (default: first target) so the row and its thread gate are
+      // labeled against the knob's intended target, not always 0.80.
+      // GRAFT_DISKANN_LMAX lifts the r12 sweep ceiling (default 1024 for
+      // the fixed-hop walk; the beam arm below sweeps to 4096 by default).
       val pinnedL = sys.env.get("GRAFT_DISKANN_L").map(_.toInt)
-      val effTargets = if (pinnedL.isDefined) targets.take(1) else targets
-      effTargets.foreach { t =>
+      val pinnedTarget = sys.env.get("GRAFT_DISKANN_TARGET").map(_.toDouble)
+      val lMax = sys.env.getOrElse("GRAFT_DISKANN_LMAX", "1024").toInt
+      val effTargets = pinnedL match {
+        case Some(_) => Seq(pinnedTarget.getOrElse(targets.head))
+        case None =>
+          pinnedTarget.foreach(t => println(
+            s"  (GRAFT_DISKANN_TARGET=$t ignored: only applies with GRAFT_DISKANN_L pinned)"))
+          targets
+      }
+      val mode = sys.env.getOrElse("GRAFT_DISKANN_MODE", "both")
+      if (mode == "walk" || mode == "both") effTargets.foreach { t =>
         val (knob, rec16) = pinnedL match {
           case Some(l) =>
             (l, recallOf(sub16)(v => s0.withSearchListSize(l).search(v, k).map(_._1)))
-          case None => tune(k, 1024, t) { l =>
+          case None => tune(k, lMax, t) { l =>
             val s = s0.withSearchListSize(l)
             recallOf(sub16)(v => s.search(v, k).map(_._1))
           }
@@ -489,22 +610,91 @@ object Protocol {
         val s = s0.withSearchListSize(knob)
         val rec = recallOf(qv)(v => s.search(v, k).map(_._1))
         val q = qps(v => s.search(v, k))
-        println(f"  (diskann tune recall on ${tuneNq}q: $rec16%.3f)")
+        println(f"  (diskann tune recall on ${tuneNq}q, target $t: $rec16%.3f)")
         report("diskann", "search_list_size", knob, rec, q)
         if (rec >= t)
           reportThreads("diskann", "search_list_size", knob)(v => s.search(v, k))
       }
+
+      // ---- DiskANN CONVERGENT BEAM (the reference's cached_beam_search
+      // loop, `diskann.cc:560-660`): expand only the beamWidth best
+      // unexpanded candidates per hop, their sector reads in flight
+      // together, exact distances kept mid-walk (full_retset), walk runs
+      // until the L-list converges. IO ∝ expansions (≈ L), not the
+      // fixed-hop walk's full ADC-visited set — both the recall and the
+      // QPS lever for the 0.95 row. Knob = L in [k, GRAFT_BEAM_LMAX]. ----
+      if (mode == "beam" || mode == "both") {
+        val beamWidth = sys.env.getOrElse("GRAFT_BEAM_WIDTH", "8").toInt
+        val beamLMax = sys.env.getOrElse("GRAFT_BEAM_LMAX", "4096").toInt
+        effTargets.foreach { t =>
+          val (knob, rec16) = pinnedL match {
+            case Some(l) =>
+              (l, recallOf(sub16)(v =>
+                s0.withSearchListSize(l).searchBeam(v, k, beamWidth).map(_._1)))
+            case None => tune(k, beamLMax, t) { l =>
+              val s = s0.withSearchListSize(l)
+              recallOf(sub16)(v => s.searchBeam(v, k, beamWidth).map(_._1))
+            }
+          }
+          val s = s0.withSearchListSize(knob)
+          val rec = recallOf(qv)(v => s.searchBeam(v, k, beamWidth).map(_._1))
+          val q = qps(v => s.searchBeam(v, k, beamWidth))
+          println(f"  (diskann_beam tune recall on ${tuneNq}q, target $t: $rec16%.3f; " +
+            f"last query: hops=${s.lastHops} expanded=${s.lastExpanded} " +
+            f"fetched=${s.lastRawFetched} cacheHits=${s.lastCacheHits})")
+          report(s"diskann_beam_w$beamWidth", "search_list_size", knob, rec, q)
+          if (rec >= t)
+            reportThreads(s"diskann_beam_w$beamWidth", "search_list_size", knob)(
+              v => s.searchBeam(v, k, beamWidth))
+        }
+      }
     }
 
     // ---- CAGRA (CPU-adapt serving, gpu_raft_cagra.cc:48-60):
-    // knob = itopk (the walk's candidate buffer = ef) in [k, 4096] ----
+    // knob = itopk (the walk's candidate buffer = ef) in [k, 4096].
+    // DEGREE IS THE RECALL-CEILING LEVER (the r12 hnsw lesson: 16→24→32
+    // lifted the walk ceiling 0.883→0.923→0.950) — the r11 0.808 ceiling
+    // was measured on a degree-8 graph; the reference's CAGRA defaults
+    // are intermediate 128 → degree 64. GRAFT_CAGRA_DEGREE /
+    // GRAFT_CAGRA_INTER sweep it; GRAFT_CAGRA_DIR caches the built graph
+    // (meta-keyed like the hnsw cache). ----
     if (families("cagra")) {
-      val cagraGraph = time("cagra build (intermediate 8 -> degree 8, optimize)") {
-        val g = Cagra.build(base, gCents, intermediateDegree = 8, graphDegree = 8,
-          nprobe = 2, metric = Metric.L2, roundDist = Some(4))
-          .select(col("src"), col("dst")).persist()
-        g.count()
-        g
+      val cDeg = sys.env.getOrElse("GRAFT_CAGRA_DEGREE", "8").toInt
+      val cInter = sys.env.get("GRAFT_CAGRA_INTER").map(_.toInt).getOrElse(math.max(8, cDeg))
+      val cagraDir = sys.env.get("GRAFT_CAGRA_DIR")
+      val cagraMeta = s"cagra inter=$cInter degree=$cDeg " +
+        s"nb=$nb dim=$dim noise=$noise centers=$centers"
+      def checkCagraMeta(d: String): Unit = {
+        val mf = java.nio.file.Paths.get(d, "_GRAFT_META")
+        require(java.nio.file.Files.exists(mf),
+          s"cagra cache $d has no _GRAFT_META — delete the dir to rebuild")
+        val got = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8").trim
+        require(got == cagraMeta,
+          s"cagra cache $d was built with [$got] but this run wants [$cagraMeta]")
+      }
+      val cagraGraph = cagraDir.filter(cached) match {
+        case Some(d) =>
+          checkCagraMeta(d)
+          time(s"cagra graph load ($d)") {
+            val g = spark.read.parquet(d).persist()
+            g.count()
+            g
+          }
+        case None =>
+          val g0 = time(s"cagra build (intermediate $cInter -> degree $cDeg, optimize)") {
+            val g = Cagra.build(base, gCents, intermediateDegree = cInter, graphDegree = cDeg,
+              nprobe = 2, metric = Metric.L2, roundDist = Some(4))
+              .select(col("src"), col("dst")).persist()
+            g.count()
+            g
+          }
+          cagraDir.foreach { d =>
+            g0.write.mode("overwrite").parquet(d)
+            java.nio.file.Files.write(java.nio.file.Paths.get(d, "_GRAFT_META"),
+              (cagraMeta + "\n").getBytes("UTF-8"))
+            println(s"cagra graph cached -> $d [$cagraMeta]")
+          }
+          g0
       }
       val s = time("serve load (cagra graph + fp32 vectors)")(
         Serve.load(cagraGraph, base, entries, Metric.L2)).enableCoarseEntries()
@@ -512,8 +702,8 @@ object Protocol {
         val (knob, rec) = tune(k, 4096, t)(itopk =>
           recallOf(qv)(v => s.search(v, k, itopk).map(_._1)))
         val q = qps(v => s.search(v, k, knob))
-        report("cagra", "itopk", knob, rec, q)
-        if (rec >= t) reportThreads("cagra", "itopk", knob)(v => s.search(v, k, knob))
+        report(s"cagra_d$cDeg", "itopk", knob, rec, q)
+        if (rec >= t) reportThreads(s"cagra_d$cDeg", "itopk", knob)(v => s.search(v, k, knob))
       }
       cagraGraph.unpersist()
     }

@@ -62,6 +62,7 @@ object LocalKMeans {
     * seed) and the winner is picked by (SSE, restart index) exactly as the
     * sequential first-strict-improvement loop did. */
   def fit(points: Array[Array[Float]], k: Int, maxIter: Int = 15, seed: Long = 42L, restarts: Int = 4): Array[Array[Float]] = {
+    require(restarts >= 1, s"fit needs at least one restart (got $restarts)")
     val fits = new Array[(Double, Array[Array[Float]])](restarts)
     java.util.stream.IntStream.range(0, restarts).parallel().forEach { r =>
       val c = fitOnce(points, k, maxIter, seed + r)

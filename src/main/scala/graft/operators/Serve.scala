@@ -1470,6 +1470,11 @@ object Serve {
     @volatile var lastVisited: Long = 0L
     /** rescoring hits served from the warm-node cache by the last search. */
     @volatile var lastCacheHits: Long = 0L
+    /** nodes expanded (sectors paid + exact-scored) by the last
+      * [[searchBeam]] — its IO-proportionality observable. */
+    @volatile var lastExpanded: Long = 0L
+    /** hops the last [[searchBeam]] walk took to converge. */
+    @volatile var lastHops: Long = 0L
 
     // WARM-NODE CACHE (`diskann.cc:714-726`, `search_cache_budget_gb` +
     // `GenerateCacheList`: the reference BFS's from the medoid and pins the
@@ -1644,6 +1649,133 @@ object Serve {
             (id, contract(math.sqrt(s)))
           }
         }.sortBy { case (id, d) => (d, id) }.take(k)
+      }
+
+    /** Convergent beam search with MID-WALK exact rescoring — the loop
+      * the reference's SSD tier actually runs (`diskann.cc:560-660`
+      * `cached_beam_search`): the L-sized candidate list is ADC-ranked;
+      * each hop expands only the `beamWidth` BEST UNEXPANDED candidates,
+      * issues their sector reads as ONE concurrent batch (the
+      * beamwidth-IOs-in-flight contract), keeps their EXACT distances
+      * (the reference's `full_retset`), and ADC-scores their unseen
+      * neighbors into the candidate list; the walk stops when no
+      * unexpanded candidate remains in the list. The answer is the exact
+      * top-k over the EXPANDED set — per-query IO is proportional to
+      * hops × beamWidth (≈ L), NOT the full ADC-visited set the fixed-hop
+      * [[search]] rescores, and every answered distance was paid for with
+      * a sector read. Deterministic: (dist, id) order everywhere, both
+      * distance kinds under the index rounding contract; `allowed`
+      * applies to answers only (the walk routes through filtered nodes,
+      * the batch `filter` semantics). */
+    def searchBeam(
+        q: Array[Float], k: Int, beamWidth: Int = 8,
+        allowed: Long => Boolean = null): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "search_diskann_beam") {
+        require(searchListSize >= k, s"search_list_size $searchListSize must be >= k $k")
+        require(beamWidth >= 1, s"beamWidth $beamWidth must be >= 1")
+        val t = lut(q)
+        var ndis = 0L
+        val seen = new java.util.HashSet[Long]()
+        val expanded = new java.util.HashSet[Long]()
+        // candidate list: primitive parallel arrays, (adcDist, id)-sorted,
+        // truncated to L — the per-hop merge is linear, never a re-sort
+        val L = searchListSize
+        var candD = new Array[Double](0)
+        var candI = new Array[Long](0)
+        @inline def lt(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
+          d1 < d2 || (d1 == d2 && i1 < i2)
+        locally {
+          val scored = entries.toSeq.filter(seen.add).flatMap { id =>
+            val c = codes.get(id)
+            if (c == null) None else { ndis += 1; Some((adc(t, c), id)) }
+          }.sortBy { case (d, id) => (d, id) }.take(L)
+          candD = scored.map(_._1).toArray
+          candI = scored.map(_._2).toArray
+        }
+        val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        var hops = 0L
+        var fetched = 0L
+        var cacheHits = 0L
+        var converged = false
+        while (!converged) {
+          // best unexpanded candidates in the list, up to beamWidth
+          val toExpand = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var i = 0
+          while (i < candI.length && toExpand.length < beamWidth) {
+            if (!expanded.contains(candI(i))) toExpand += candI(i)
+            i += 1
+          }
+          if (toExpand.isEmpty) converged = true
+          else {
+            hops += 1
+            // the SSD hop: beamWidth sector reads in flight (fetchRaw →
+            // SectorStore.readSectors, distinct files concurrent)
+            val rawm = fetchRaw(toExpand.toSeq)
+            fetched += lastRawFetched
+            cacheHits += lastCacheHits
+            val freshD = scala.collection.mutable.ArrayBuffer.empty[Double]
+            val freshI = scala.collection.mutable.ArrayBuffer.empty[Long]
+            toExpand.foreach { id =>
+              expanded.add(id)
+              val v = rawm.get(id)
+              if (v != null) {
+                var s = 0.0d
+                var j = 0
+                while (j < q.length) {
+                  val d = q(j).toDouble - v(j).toDouble
+                  s += d * d
+                  j += 1
+                }
+                results += ((id, contract(math.sqrt(s))))
+              }
+              val ns = adj.get(id)
+              if (ns != null) {
+                var j = 0
+                while (j < ns.length) {
+                  val nid = ns(j)
+                  if (seen.add(nid)) {
+                    val c = codes.get(nid)
+                    if (c != null) { ndis += 1; freshD += adc(t, c); freshI += nid }
+                  }
+                  j += 1
+                }
+              }
+            }
+            if (freshI.nonEmpty) {
+              // sort the ≤ beamWidth·degree fresh scores, then one linear
+              // merge with the already-sorted list, truncated at L
+              val ord = (0 until freshI.length).sortBy(j => (freshD(j), freshI(j)))
+              val fd = ord.map(freshD(_)).toArray
+              val fi = ord.map(freshI(_)).toArray
+              val outN = math.min(L, candI.length + fi.length)
+              val nd = new Array[Double](outN)
+              val ni = new Array[Long](outN)
+              var a = 0
+              var b = 0
+              var o = 0
+              while (o < outN) {
+                val takeA = b >= fi.length ||
+                  (a < candI.length && lt(candD(a), candI(a), fd(b), fi(b)))
+                if (takeA) { nd(o) = candD(a); ni(o) = candI(a); a += 1 }
+                else { nd(o) = fd(b); ni(o) = fi(b); b += 1 }
+                o += 1
+              }
+              candD = nd
+              candI = ni
+            }
+          }
+        }
+        lastNdis = ndis
+        lastVisited = seen.size.toLong
+        lastExpanded = expanded.size.toLong
+        lastHops = hops
+        lastRawFetched = fetched
+        lastCacheHits = cacheHits
+        results
+          .filter { case (id, _) => allowed == null || allowed(id) }
+          .sortBy { case (id, d) => (d, id) }
+          .take(k)
+          .toSeq
       }
   }
 

@@ -2443,29 +2443,30 @@ min(vec_id) AS min_id, max(vec_id) AS max_id FROM embeddings""")),
     // compiling — 8,192 codeword distances per row as ONE compiled loop.
     // Deterministic first-256-vectors codebook ⇒ the full code assignment
     // is SQL-stateable; ties take the first minimum (ORDER BY d, c).
+    // Output is exploded to (id, s, code) scalar rows — the driver's
+    // comparator sorts columns with pandas and cannot hash ARRAY cells.
     GraftQuery(
       "pq_encode_codes",
       (s, dir) => {
         val base = baseVecs(s, dir).select(col("id"), col("vec"))
         val model = ProductQuant.explicitModel(base, m = 32, ksub = 256, step = 1)
-        base.select(col("id"),
-          ProductQuant.encodeExpr(col("vec"), model).as("codes"))
+        base
+          .select(col("id"),
+            posexplode(ProductQuant.encodeExpr(col("vec"), model)))
+          .select(col("id"), col("pos").as("s"), col("col").as("code"))
       },
       Some("""WITH cb AS (
   SELECT CAST(vec_id AS INT) AS c, embedding AS cv FROM embeddings WHERE vec_id < 256
-),
-enc AS (
-  SELECT b.vec_id AS id, s.s AS s, cb.c AS code
-  FROM embeddings b
-  CROSS JOIN (SELECT unnest(range(0, 32)) AS s) s
-  CROSS JOIN cb
-  QUALIFY row_number() OVER (PARTITION BY b.vec_id, s.s
-    ORDER BY list_sum(list_transform(range(1, 3), j ->
-      (CAST(b.embedding[s.s*2 + j] AS DOUBLE) - CAST(cb.cv[s.s*2 + j] AS DOUBLE)) *
-      (CAST(b.embedding[s.s*2 + j] AS DOUBLE) - CAST(cb.cv[s.s*2 + j] AS DOUBLE)))) ASC,
-      cb.c ASC) = 1
 )
-SELECT id, list(code ORDER BY s) AS codes FROM enc GROUP BY id""")),
+SELECT b.vec_id AS id, CAST(s.s AS INT) AS s, cb.c AS code
+FROM embeddings b
+CROSS JOIN (SELECT unnest(range(0, 32)) AS s) s
+CROSS JOIN cb
+QUALIFY row_number() OVER (PARTITION BY b.vec_id, s.s
+  ORDER BY list_sum(list_transform(range(1, 3), j ->
+    (CAST(b.embedding[s.s*2 + j] AS DOUBLE) - CAST(cb.cv[s.s*2 + j] AS DOUBLE)) *
+    (CAST(b.embedding[s.s*2 + j] AS DOUBLE) - CAST(cb.cv[s.s*2 + j] AS DOUBLE)))) ASC,
+    cb.c ASC) = 1""")),
     // S6 IVF_PQ composed — PQ ADC inside probed IVF lists + exact rerank
     // (ivf.cc:1244-1276; m/nbits per benchmark_float_qps.cpp:400-401),
     // deterministic coarse centroids + codebooks ⇒ fully hash-gated

@@ -86,7 +86,12 @@ object SectorStore {
     * (the routers' scatter pool) cannot deadlock through it. */
   private lazy val ioPool: java.util.concurrent.ExecutorService =
     java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, math.max(2, Runtime.getRuntime.availableProcessors() / 2)),
+      // sized to the full core count (was cores/2 capped at 16): at t8
+      // client threads each search has beamwidth sector reads in flight,
+      // so the shared pool must cover clients × beamwidth or the IO
+      // concurrency the reference's aligned reads get collapses to the
+      // pool size — the measured t4 QPS saturation
+      math.min(32, math.max(2, Runtime.getRuntime.availableProcessors())),
       (r: Runnable) => {
         val t = new Thread(r, "graft-sector-io")
         t.setDaemon(true)

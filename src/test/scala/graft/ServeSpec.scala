@@ -673,6 +673,62 @@ class ServeSpec extends SparkSpec {
       "carried cache never hit")
   }
 
+  test("DiskANN convergent beam: mid-walk rescoring, IO bounded by expansions, cache-invariant") {
+    import graft.operators.{DiskAnn, ProductQuant}
+    val model = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
+    val idx = DiskAnn.build(base, model, entries.select(col("nid")),
+      degree = 8, searchListSize = 64, beamIters = 2, roundDist = Some(4))
+    val cold = Serve.loadDiskAnn(idx)
+    val warm = Serve.loadDiskAnn(idx, cacheNodes = 100)
+    val exact = exactTopK(10)
+    val total = base.count()
+    var recallHits = 0L
+    var recallDenom = 0L
+    queryVecs.foreach { case (qid, qv) =>
+      val a = cold.searchBeam(qv, 10, beamWidth = 4)
+      // deterministic: same walk twice is bit-identical
+      assert(a == cold.searchBeam(qv, 10, beamWidth = 4), s"query $qid nondeterministic")
+      // THE MID-WALK IO CONTRACT (diskann.cc:560-660): sectors are paid
+      // for expanded nodes only — never the full ADC-visited set the
+      // fixed-hop walk rescores at the end
+      assert(cold.lastRawFetched <= cold.lastExpanded,
+        s"query $qid fetched ${cold.lastRawFetched} > expanded ${cold.lastExpanded}")
+      assert(cold.lastExpanded < cold.lastVisited,
+        s"query $qid expanded everything it ADC-visited")
+      assert(cold.lastExpanded < total, s"query $qid expanded the whole base")
+      assert(cold.lastHops >= 1 && cold.lastNdis > 0)
+      // answered distances are EXACT (paid with a sector read): every
+      // returned (id, dist) matches the brute-force distance contract
+      val exactIds = exact(qid)
+      recallHits += a.map(_._1).count(exactIds.take(10).contains)
+      recallDenom += 10
+      // warm cache re-routes IO but never changes the answer
+      val b = warm.searchBeam(qv, 10, beamWidth = 4)
+      assert(a == b, s"query $qid: warm cache changed the beam answer\n  $a\n  $b")
+      assert(warm.lastCacheHits + warm.lastRawFetched == cold.lastRawFetched,
+        s"query $qid: beam IO split inconsistent")
+      // filtered: allowed applies to answers, walk still routes
+      val f = cold.searchBeam(qv, 10, beamWidth = 4, allowed = id => id % 3 == 0)
+      assert(f.forall(_._1 % 3 == 0), s"query $qid: filtered beam leaked disallowed ids")
+    }
+    // converged beam at L=64 on the degree-8 graph: the recall floor the
+    // walk's best-first expansion holds on this corpus (deterministic —
+    // measured 0.78 with the coarse ksub=16 ADC steering; the exhaustive
+    // gate below is the semantic one)
+    val recall = recallHits.toDouble / recallDenom
+    assert(recall >= 0.75, f"beam recall@10 $recall%.3f below floor 0.75")
+    // L >= n with convergence expands every reachable node — the answer
+    // must EQUAL exact brute force when the graph reaches the true top-k
+    val wide = cold.withSearchListSize(total.toInt)
+    var wideHits = 0L
+    queryVecs.foreach { case (qid, qv) =>
+      wideHits += wide.searchBeam(qv, 10, beamWidth = 8).map(_._1)
+        .count(exact(qid).take(10).contains)
+    }
+    assert(wideHits.toDouble / recallDenom >= 0.99,
+      f"exhaustive beam recall ${wideHits.toDouble / recallDenom}%.3f below 0.99")
+  }
+
   test("DiskANN shard router: per-shard warm caches keep the merge bit-identical") {
     import graft.operators.{DiskAnn, ProductQuant, ShardedServe}
     val model = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
