@@ -372,6 +372,21 @@ object Protocol {
           val q = qps(v => s8.rangeSearch(v, rangeRadius, 0.0, knob))
           reportRange("ivf_sq8", "nprobe", knob, rec, q)
         }
+
+        // IVF_PQ range (`benchmark_float_range.cpp:277-294` sweeps m at
+        // nbits=8 over the same ivf range path): one arm at m=32 — the
+        // coded tier's decode-inline shell over nprobe lists, knob =
+        // nprobe per range-recall target.
+        val pqR = time("ivf_pq range train (m=32, ksub=256)")(
+          ProductQuant.train(spark, base.sample(0.02, 7), m = 32, ksub = 256))
+        val sPq = time("serve load (IVF_PQ m=32 codes, range)")(
+          Serve.loadIvfPq(index, cents, pqR))
+        targets.foreach { t =>
+          val (knob, rec) = tune(1, nlist, t)(np =>
+            recallRange(v => sPq.rangeSearch(v, rangeRadius, 0.0, np).map(_._1)))
+          val q = qps(v => sPq.rangeSearch(v, rangeRadius, 0.0, knob))
+          reportRange("ivf_pq_m32", "nprobe", knob, rec, q)
+        }
       }
       index.unpersist()
     }
@@ -413,6 +428,10 @@ object Protocol {
     val graphDir = sys.env.get("GRAFT_GRAPH_DIR")
     val graphMeta = s"mode=$buildMode degree=$degree inter=$interDegree " +
       s"rounds=$descentRounds alpha=$alpha nb=$nb dim=$dim noise=$noise centers=$centers"
+    // only the hnsw/diskann/filtered/range arms consult this graph —
+    // a cagra-only re-run must not pay the build
+    val needHnswGraph =
+      families("graph") || families("diskann") || families("filtered") || families("range")
     def cached(d: String): Boolean = new java.io.File(s"$d/_SUCCESS").exists
     def checkMeta(d: String): Unit = {
       val mf = java.nio.file.Paths.get(d, "_GRAFT_META")
@@ -426,7 +445,7 @@ object Protocol {
             "delete the cache dir or match the knobs")
       }
     }
-    val graph = graphDir.filter(cached) match {
+    val graph = if (!needHnswGraph) null else graphDir.filter(cached) match {
       case Some(d) =>
         checkMeta(d)
         time(s"graph load ($d)") {
@@ -486,11 +505,18 @@ object Protocol {
       // ---- RANGE-SEARCH QPS, graph arm: the beam stream's ef-bounded
       // pool filtered to the shell (`faiss_hnsw.cc:1319-1478` range-from-
       // beam contract) — knob = ef tuned to the range-recall target. ----
-      if (families("range")) targets.foreach { t =>
-        val (knob, rec) = tune(k, 4096, t)(ef =>
-          recallRange(v => s.rangeSearch(v, rangeRadius, 0.0, ef).map(_._1)))
-        val q = qps(v => s.rangeSearch(v, rangeRadius, 0.0, knob))
-        reportRange("hnsw_graph", "ef", knob, rec, q)
+      if (families("range")) {
+        targets.foreach { t =>
+          val (knob, rec) = tune(k, 4096, t)(ef =>
+            recallRange(v => s.rangeSearch(v, rangeRadius, 0.0, ef).map(_._1)))
+          val q = qps(v => s.rangeSearch(v, rangeRadius, 0.0, knob))
+          reportRange("hnsw_graph", "ef", knob, rec, q)
+        }
+        // IDMAP (`benchmark_float_range.cpp:235-245`): the range
+        // benchmark's brute-force baseline family — exact scan over the
+        // resident raw tier, recall 1.0 by construction.
+        val qF = qps(v => s.bruteRangeSearch(v, rangeRadius, 0.0))
+        reportRange("flat_idmap", "n", nb, 1.0, qF)
       }
 
       // ---- bitset-filtered QPS on the graph walk
@@ -646,6 +672,40 @@ object Protocol {
           if (rec >= t)
             reportThreads(s"diskann_beam_w$beamWidth", "search_list_size", knob)(
               v => s.searchBeam(v, k, beamWidth))
+        }
+      }
+
+      // ---- RANGE-SEARCH QPS, DiskANN arm (`benchmark_float_range.cpp:
+      // 315-345`; served through the iterator-backed fallback the
+      // reference uses, `index_node.h:170-230`): the convergent beam's
+      // expanded pool filtered to the shell — every answered distance is
+      // exact and sector-paid. Knob = L tuned to the range-recall target
+      // on the tune subset (each eval pages sectors), measured full-nq. ----
+      if (families("range")) {
+        val beamWidth = sys.env.getOrElse("GRAFT_BEAM_WIDTH", "8").toInt
+        val beamLMax = sys.env.getOrElse("GRAFT_BEAM_LMAX", "4096").toInt
+        def recallRangeSub(sub: Seq[(Long, Array[Float])])(
+            search: Array[Float] => Seq[Long]): Double = {
+          var hits = 0L
+          var denom = 0L
+          sub.foreach { case (qid, v) =>
+            val tr = truthRange.getOrElse(qid, Set.empty)
+            denom += tr.size
+            hits += search(v).count(tr.contains)
+          }
+          hits.toDouble / math.max(1L, denom)
+        }
+        val sub = qv.take(tuneNq)
+        targets.foreach { t =>
+          val (knob, rec16) = tune(k, beamLMax, t) { l =>
+            val s = s0.withSearchListSize(l)
+            recallRangeSub(sub)(v => s.rangeSearch(v, rangeRadius, 0.0, beamWidth).map(_._1))
+          }
+          val s = s0.withSearchListSize(knob)
+          val rec = recallRange(v => s.rangeSearch(v, rangeRadius, 0.0, beamWidth).map(_._1))
+          val q = qps(v => s.rangeSearch(v, rangeRadius, 0.0, beamWidth))
+          println(f"  (diskann range tune recall on ${tuneNq}q, target $t: $rec16%.3f)")
+          reportRange("diskann", "search_list_size", knob, rec, q)
         }
       }
     }

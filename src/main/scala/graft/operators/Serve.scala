@@ -338,6 +338,32 @@ object Serve {
           .sortBy { case (id, d) => (key(d), id) }
       }
 
+    /** Exact V5 over the resident raw tier — the serving analog of the
+      * reference's IDMAP range row (`benchmark_float_range.cpp:235-245`:
+      * brute-force is the range benchmark's baseline family). One linear
+      * scan, shell per the metric's direction, (dist, id)-ordered;
+      * recall 1.0 by construction, QPS is the measurement. */
+    def bruteRangeSearch(
+        q: Array[Float], radius: Double, rangeFilter: Double,
+        allowed: Long => Boolean = null): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "range_bf_fallback") {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        val it = (if (packed != null) packed.keySet() else vecs.keySet()).iterator()
+        while (it.hasNext) {
+          val id = it.next()
+          if (allowed == null || allowed(id)) {
+            val d = dist(q, id)
+            val in =
+              if (metric.ascending) d >= rangeFilter && d < radius
+              else d <= rangeFilter && d > radius
+            if (in) out += ((id, d))
+          }
+        }
+        val res = out.toSeq
+        if (metric.ascending) res.sortBy { case (id, d) => (d, id) }
+        else res.sortBy { case (id, d) => (-d, id) }
+      }
+
     /** Per-query range search from the ef-bounded walk — the reference
       * derives graph range results from the beam stream
       * (`faiss_hnsw.cc:1319-1478`), same as the batch
@@ -1776,6 +1802,29 @@ object Serve {
           .sortBy { case (id, d) => (d, id) }
           .take(k)
           .toSeq
+      }
+
+    /** V5 on the SSD tier — the reference ships DiskANN range search
+      * through the generic iterator-backed fallback
+      * (`index_node.h:170-230`: drain an AnnIterator, keep hits inside
+      * the bound, stop when the stream leaves the shell), because
+      * `diskann.cc` defines no native range loop. Same contract here
+      * with the convergent beam as the stream: the walk runs to
+      * convergence at `searchListSize` (the width knob the protocol
+      * tunes), every expanded node's EXACT distance is already paid for
+      * with its sector read, and the answer is the expanded pool's
+      * [rangeFilter, radius) shell — (dist, id) sorted, L2-ascending
+      * semantics like the graph arm. `allowed` applies to answers only
+      * (walk routes through filtered nodes). L ≥ n on a connected graph
+      * recovers the exact shell — ServeSpec-gated against the batch
+      * brute-force range. */
+    def rangeSearch(
+        q: Array[Float], radius: Double, rangeFilter: Double,
+        beamWidth: Int = 8, allowed: Long => Boolean = null): Seq[(Long, Double)] =
+      Telemetry.timed("SERVE", "range_diskann") {
+        val pool = searchBeam(q, searchListSize, beamWidth, allowed)
+        pool.filter { case (_, d) => d >= rangeFilter && d < radius }
+          .sortBy { case (id, d) => (d, id) }
       }
   }
 

@@ -827,6 +827,61 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("brute range serving (IDMAP analog) equals the batch brute-force range, filtered and not") {
+    val searcher = Serve.load(knnGraph(16), base, entries, Metric.L2)
+    val batch = BruteForce
+      .rangeSearch(queries, base, Metric.L2, radius = 0.9, rangeFilter = 0.1,
+        roundDist = Some(4))
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
+      }
+    queryVecs.foreach { case (qid, qv) =>
+      val got = searcher.bruteRangeSearch(qv, radius = 0.9, rangeFilter = 0.1)
+      assert(got == batch.getOrElse(qid, Seq.empty), s"query $qid: $got")
+      val gotF = searcher.bruteRangeSearch(qv, 0.9, 0.1, allowed = (id: Long) => id % 2 == 1)
+      assert(gotF == batch.getOrElse(qid, Seq.empty).filter(_._1 % 2 == 1),
+        s"filtered brute range for $qid: $gotF")
+    }
+  }
+
+  test("DiskANN range serving: exhaustive beam shell equals the batch brute-force range") {
+    import graft.operators.{DiskAnn, ProductQuant}
+    val model = ProductQuant.explicitModel(base, m = 8, ksub = 16, step = 25)
+    val idx = DiskAnn.build(base, model, entries.select(col("nid")),
+      degree = 8, searchListSize = 64, beamIters = 2, roundDist = Some(4))
+    val cold = Serve.loadDiskAnn(idx)
+    val total = base.count().toInt
+    val batch = BruteForce
+      .rangeSearch(queries, base, Metric.L2, radius = 0.9, rangeFilter = 0.0,
+        roundDist = Some(4))
+      .select("qid", "nid", "dist").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(t => (t._2, t._1)).toSeq
+      }
+    val wide = cold.withSearchListSize(total)
+    queryVecs.foreach { case (qid, qv) =>
+      // L >= n with convergence expands every reachable node; every
+      // answered distance is exact (sector-paid), so the shell IS the
+      // exact range answer on a connected graph
+      val got = wide.rangeSearch(qv, radius = 0.9, rangeFilter = 0.0)
+      assert(got == batch.getOrElse(qid, Seq.empty), s"query $qid: $got")
+      // bounded L stays SOUND: a subset of the exact shell, ordered,
+      // and deterministic across repeat walks
+      val bounded = cold.rangeSearch(qv, radius = 0.9, rangeFilter = 0.0)
+      val exactSet = batch.getOrElse(qid, Seq.empty).toSet
+      assert(bounded.forall(exactSet.contains), s"query $qid bounded range unsound")
+      assert(bounded == bounded.sortBy { case (id, d) => (d, id) })
+      assert(bounded == cold.rangeSearch(qv, 0.9, 0.0), s"query $qid nondeterministic")
+      // bitset applies to answers only (the walk routes through)
+      val gotF = wide.rangeSearch(qv, 0.9, 0.0, allowed = (id: Long) => id % 2 == 1)
+      assert(gotF == batch.getOrElse(qid, Seq.empty).filter(_._1 % 2 == 1),
+        s"filtered diskann range for $qid: $gotF")
+    }
+  }
+
   test("sparse range serving equals the batch rangeIP under the static-threshold WAND") {
     import graft.operators.SparseSearch
     val docs = Tables.documents(spark, sf0001)
