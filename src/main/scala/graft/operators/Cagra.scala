@@ -39,6 +39,14 @@ import org.apache.spark.sql.functions._
   */
 object Cagra {
 
+  /** Edge-count ceiling under which [[optimize]] callers hint the
+    * broadcast fast path: ~64M edges ≈ a 3–4 GB hash relation per hop
+    * side — fine for one driver-shared copy in local mode and for
+    * cluster executors in the ≥16 GB class the serving tier assumes;
+    * above it the relational shuffle plan (which scales out with the
+    * cluster's aggregate disk) is the safe default. */
+  val BroadcastEdgeLimit: Long = 1L << 26
+
   /** CAGRA graph optimization: detour-prune the intermediate kNN graph,
     * merge reverse edges, re-cap at `graphDegree` per source.
     *
@@ -67,7 +75,8 @@ object Cagra {
       edges: DataFrame,
       graphDegree: Int,
       alpha: Double = 1.0,
-      metric: Metric = Metric.L2): DataFrame = {
+      metric: Metric = Metric.L2,
+      hintBroadcast: Boolean = false): DataFrame = {
     require(alpha == 1.0 || metric.ascending,
       s"RobustPrune alpha=$alpha is a distance-space slack; " +
         s"similarity metric ${metric.name} supports only alpha=1.0")
@@ -80,19 +89,34 @@ object Cagra {
       if (alpha == 1.0) col("d_md") else col("d_md") * lit(alpha)
     val better: (Column, Column) => Column =
       if (metric.ascending) _ < _ else _ > _
+    // PHYSICAL-PLAN CHOICE, not semantics: the detour test expands e to
+    // |E|·degree rows (4G at degree 64/1M nodes). As a sort-merge join
+    // that whole frame is shuffled on (mid, dst) — ~70 GB of spill at 1M
+    // d64, which exceeds a single local disk (and is the dominant build
+    // cost everywhere). When the edge list itself is bounded — the
+    // per-segment builds the serving tier shards into are ≤ a few M
+    // nodes — broadcasting BOTH hop sides turns the expansion into two
+    // streaming hash probes: the 4G-row frame never materializes, and
+    // the only shuffle left is the map-side-combined distinct over the
+    // detourable (src, dst) keys (≤ |E| rows). `hintBroadcast` is the
+    // caller's promise that |E| fits an executor's broadcast budget
+    // ([[BroadcastEdgeLimit]]); rows out are bit-identical either way.
+    @inline def maybeB(df: DataFrame): DataFrame =
+      if (hintBroadcast) broadcast(df) else df
     // the first-leg test references only (e ⋈ hop1) columns, so it is
     // applied EXPLICITLY between the joins: it halves the |E|·degree
-    // frame before the (mid, dst) shuffle — at degree 32/1M nodes that
-    // shuffle is ~4G rows and the dominant build-disk cost (a conjunct
-    // split of the original post-join filter; bit-identical survivors)
+    // frame before the (mid, dst) join (a conjunct split of the original
+    // post-join filter; bit-identical survivors). `d_sm` is dead after
+    // that filter and is projected away before the (mid, dst) join.
     val detourable = e
-      .join(hop1, Seq("src"))
+      .join(maybeB(hop1), Seq("src"))
       .filter(better(col("d_sm"), col("dist")))
-      .join(hop2, Seq("mid", "dst"))
+      .select(col("src"), col("dst"), col("dist"), col("mid"))
+      .join(maybeB(hop2), Seq("mid", "dst"))
       .filter(better(secondLeg, col("dist")))
       .select(col("src"), col("dst"))
       .distinct()
-    val kept = e.join(detourable, Seq("src", "dst"), "left_anti")
+    val kept = e.join(maybeB(detourable), Seq("src", "dst"), "left_anti")
     // reverse-edge merge (CAGRA keeps the graph navigable after pruning);
     // metric distances/similarities are symmetric so the reverse edge
     // reuses the stored dist, and the (src,dst) group-by dedupes edges
@@ -139,7 +163,10 @@ object Cagra {
         GraphSearch.nnDescent(inter, base, intermediateDegree, descentRounds,
           sampleDegree, metric, roundDist)
       else inter
-    val out = optimize(refined, graphDegree, alpha, metric)
+    // refined is materialized (persist in knnGraphIvfWithDist, checkpoint
+    // in nnDescent), so the count is a cached scan
+    val out = optimize(refined, graphDegree, alpha, metric,
+      hintBroadcast = refined.count() <= BroadcastEdgeLimit)
     if (descentRounds > 0) {
       // force the prune before releasing the descent checkpoint it reads
       out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

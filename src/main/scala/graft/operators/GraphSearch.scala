@@ -229,7 +229,12 @@ object GraphSearch {
         nnDescent(inter, base, intermediateDegree, descentRounds, sampleDegree,
           metric, roundDist)
       else inter
-    val out = Cagra.optimize(refined, degree, alpha, metric).select(col("src"), col("dst"))
+    // refined is materialized (persist/checkpoint upstream) — the count
+    // is a cached scan; under the edge limit the detour prune runs as
+    // streaming broadcast-hash probes instead of a |E|·degree shuffle
+    val out = Cagra.optimize(refined, degree, alpha, metric,
+      hintBroadcast = refined.count() <= Cagra.BroadcastEdgeLimit)
+      .select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     inter.unpersist()
