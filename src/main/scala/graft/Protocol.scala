@@ -758,8 +758,11 @@ object Protocol {
       }
       val s = time("serve load (cagra graph + fp32 vectors)")(
         Serve.load(cagraGraph, base, entries, Metric.L2)).enableCoarseEntries()
+      // GRAFT_CAGRA_ITOPK_MAX lifts the sweep cap: the d32 arm measured
+      // 0.945 AT itopk=4096 — the cap, not the graph, decided that row
+      val itopkMax = sys.env.getOrElse("GRAFT_CAGRA_ITOPK_MAX", "4096").toInt
       targets.foreach { t =>
-        val (knob, rec) = tune(k, 4096, t)(itopk =>
+        val (knob, rec) = tune(k, itopkMax, t)(itopk =>
           recallOf(qv)(v => s.search(v, k, itopk).map(_._1)))
         val q = qps(v => s.search(v, k, knob))
         report(s"cagra_d$cDeg", "itopk", knob, rec, q)
