@@ -8,11 +8,11 @@ object Bench {
     // sub-second scale are JVM-noise-dominated (a 1.3× "regression" in
     // round 3 was unreproducible in isolation)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.streaming(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (job scheduling, codegen infra, parquet footers,

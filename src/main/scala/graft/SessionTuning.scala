@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-level performance defaults shared by every entry point
+  * (Bench/Verify/Protocol/Scale/Explain).
+  *
+  * Streaming checkpoint I/O: Spark 4.1's default checkpoint stack costs two
+  * subprocess forks and a blocking checksum-sidecar write PER CHECKPOINT
+  * FILE — thread dumps of the r13 bench showed every stream-join task
+  * parked in `RawLocalFileSystem.setPermission → Shell.runCommand`
+  * (the FileContext manager chmod's each mkdir/create; no native Hadoop
+  * libs) and in `ChecksumCancellableFSDataOutputStream.close` awaiting the
+  * sidecar writer. With 32 state partitions × 4 join stores × delta+meta
+  * files, that was 2-3 s of pure wait per micro-batch at ~25 ms of CPU
+  * (events_range_join_stream: 8.8 s → 2.2 s once bypassed).
+  *
+  * Both knobs are env-overridable; the defaults pick the rename-based
+  * FileSystem manager (the pre-4.1 default, atomic-rename commit semantics
+  * unchanged) and skip the optional checksum sidecars. On a deployment
+  * whose checkpoint store lacks atomic rename or wants end-to-end checksum
+  * verification, set GRAFT_STREAM_CKPT_MANAGER / GRAFT_STREAM_CKPT_CHECKSUM
+  * to restore the 4.1 stack.
+  */
+object SessionTuning {
+
+  def streaming(b: SparkSession.Builder): SparkSession.Builder = {
+    val manager = sys.env.getOrElse(
+      "GRAFT_STREAM_CKPT_MANAGER",
+      "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+    val checksum = sys.env.getOrElse("GRAFT_STREAM_CKPT_CHECKSUM", "false")
+    b.config("spark.sql.streaming.checkpointFileManagerClass", manager)
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", checksum)
+  }
+}
