@@ -23,22 +23,27 @@ with open(path) as f:
             sid = si["Stage ID"]
             sub = si.get("Submission Time", 0)
             comp = si.get("Completion Time", 0)
-            stages[sid] = dict(
+            st = stages.setdefault(sid, dict(task_ms=0, shuf_read=0, shuf_write=0, input=0))
+            st.update(
                 name=si.get("Stage Name", ""),
                 wall=(comp - sub) / 1000.0 if sub and comp else 0.0,
                 tasks=si.get("Number of Tasks", 0),
                 sub=sub, comp=comp,
-                task_ms=0, shuf_read=0, shuf_write=0, input=0,
                 details=si.get("Details", "")[:400],
             )
         elif ev == "SparkListenerTaskEnd":
             sid = e["Stage ID"]
             tm = e.get("Task Metrics") or {}
-            if sid in stages:
-                st = stages[sid]
-            else:
-                st = stages.setdefault(sid, dict(name="?", wall=0, tasks=0, sub=0,
-                    comp=0, task_ms=0, shuf_read=0, shuf_write=0, input=0, details=""))
+            if not tm:
+                acc = {a["Name"]: a.get("Update") for a in e.get("Task Info", {}).get("Accumulables", [])}
+                g = lambda k: int(acc.get("internal.metrics." + k) or 0)
+                tm = {"Executor Run Time": g("executorRunTime"),
+                      "Shuffle Read Metrics": {"Remote Bytes Read": g("shuffle.read.remoteBytesRead"),
+                                               "Local Bytes Read": g("shuffle.read.localBytesRead")},
+                      "Shuffle Write Metrics": {"Shuffle Bytes Written": g("shuffle.write.bytesWritten")},
+                      "Input Metrics": {"Bytes Read": g("input.bytesRead")}}
+            st = stages.setdefault(sid, dict(name="?", wall=0, tasks=0, sub=0,
+                comp=0, task_ms=0, shuf_read=0, shuf_write=0, input=0, details=""))
             st["task_ms"] += tm.get("Executor Run Time", 0)
             st["shuf_read"] += (tm.get("Shuffle Read Metrics") or {}).get("Remote Bytes Read", 0) + \
                                (tm.get("Shuffle Read Metrics") or {}).get("Local Bytes Read", 0)

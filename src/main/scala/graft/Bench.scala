@@ -15,6 +15,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SessionTuning.install(spark)
     // warm the session (job scheduling, codegen infra, parquet footers,
     // broadcast + aggregate machinery) so the first measured query isn't
     // charged for startup: run one tiny representative of each plan family

@@ -74,6 +74,7 @@ object Protocol {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    SessionTuning.install(spark)
 
     // the Scale generator: clustered data (1000 latent centers + noise) —
     // uniform random is the ANN worst case and measures nothing real

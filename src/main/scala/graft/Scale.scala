@@ -24,6 +24,7 @@ object Scale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    SessionTuning.install(spark)
 
     // deterministic per-row vectors, CLUSTERED: 1000 latent centers plus
     // small noise — uniform random data is the known ANN worst case

@@ -24,12 +24,37 @@ import org.apache.spark.sql.SparkSession
   */
 object SessionTuning {
 
+  /** Idempotently install the graft optimizer rules on a live session:
+    * [[graft.plans.FastRoundRewrite]] (Round-on-double → the codegen'd
+    * FastRound kernel — identical values, no per-row BigDecimal). */
+  def install(spark: SparkSession): Unit = {
+    if (sys.env.get("GRAFT_FASTROUND").contains("off")) return
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(graft.plans.FastRoundRewrite))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.FastRoundRewrite
+  }
+
   def streaming(b: SparkSession.Builder): SparkSession.Builder = {
     val manager = sys.env.getOrElse(
       "GRAFT_STREAM_CKPT_MANAGER",
       "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
     val checksum = sys.env.getOrElse("GRAFT_STREAM_CKPT_CHECKSUM", "false")
-    b.config("spark.sql.streaming.checkpointFileManagerClass", manager)
+    shuffle(b)
+      .config("spark.sql.streaming.checkpointFileManagerClass", manager)
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", checksum)
   }
+
+  /** Shuffle-writer selection. The bypass-merge writer opens one file per
+    * reduce partition per map task — jstack profiling of the sparse/hybrid
+    * family showed 52% of runnable executor samples inside
+    * `FileOutputStream.open0` under `DiskBlockObjectWriter.initialize`
+    * (32×32 = 1,024 file creates per exchange at the bench's partition
+    * count; sparse_bm25_iter_refine_page2 3.4 s vs 4.4 s once bypassed).
+    * At production partition counts (≫ the 200 default threshold) the
+    * bypass writer never fires anyway — forcing the sort-based writer at
+    * low partition counts matches the at-scale plan shape AND removes the
+    * file churn. Env-overridable (GRAFT_SHUFFLE_BYPASS_THRESHOLD). */
+  def shuffle(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.shuffle.sort.bypassMergeThreshold",
+      sys.env.getOrElse("GRAFT_SHUFFLE_BYPASS_THRESHOLD", "8"))
 }

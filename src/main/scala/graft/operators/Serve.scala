@@ -57,25 +57,8 @@ object Serve {
     * half-up choice there) take the exact BigDecimal path. Agreement is
     * re-verified by every ServeSpec equality gate, which compares
     * thousands of serving distances against the batch `round(col, n)`. */
-  private[graft] def sparkRound(x: Double, n: Int): Double = {
-    val scale = n match {
-      case 4 => 10000.0d
-      case 0 => 1.0d
-      case _ => math.pow(10d, n.toDouble)
-    }
-    val y = x * scale
-    // |y| beyond 2^52: the double grid is coarser than integers — defer
-    if (java.lang.Math.abs(y) > 4.503599627370496e15)
-      return java.math.BigDecimal.valueOf(x)
-        .setScale(n, java.math.RoundingMode.HALF_UP).doubleValue
-    val f = math.floor(y)
-    val frac = y - f
-    if (frac > 0.500001d) (f + 1.0d) / scale
-    else if (frac < 0.499999d) f / scale
-    else // boundary band: exact decimal semantics (sign-aware HALF_UP)
-      java.math.BigDecimal.valueOf(x)
-        .setScale(n, java.math.RoundingMode.HALF_UP).doubleValue
-  }
+  private[graft] def sparkRound(x: Double, n: Int): Double =
+    graft.plans.FastRound.round(x, n)
 
   /** Binary metric over packed signatures — the single arithmetic shared
     * by the flat and IVF binary searchers (Hamming = integer popcount of

@@ -57,6 +57,10 @@ object KnnWindowRewrite extends Rule[LogicalPlan] {
             matchDist(r.child).collect { case (m, -1, a, b) => (m, d, a, b) }
           case _ => None
         }
+      // FastRoundRewrite may have already swapped Round for the native
+      // kernel (rule order is not guaranteed) — recognize it too
+      case FastRoundExpr(c, d) =>
+        matchDist(c).collect { case (m, -1, a, b) => (m, d, a, b) }
       case Sqrt(VecL2Sq(a, b)) => Some(("l2", -1, a, b))
       case VecL2Sq(a, b) => Some(("l2sq", -1, a, b))
       case VecDot(a, b) => Some(("ip", -1, a, b))

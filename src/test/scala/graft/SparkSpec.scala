@@ -5,15 +5,19 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for all suites (JVM singleton via getOrCreate). */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SessionTuning.streaming(SparkSession
-    .builder()
-    .master("local[4]")
-    .appName("knowherespark-test")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false"))
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SessionTuning.streaming(SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("knowherespark-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    SessionTuning.install(s)
+    s
+  }
 
   lazy val sf0001 = "/root/testdata/sf0.001"
 
