@@ -433,9 +433,11 @@ object BruteForce {
   private[graft] def selfDot(a: Array[Float]): Double = dotLocal(a, a)
 
   /** Same semantics as Spark's `round(col, r)`: HALF_UP on the BigDecimal
-    * value of the double. */
+    * value of the double — via the guard-banded fast path (RoundingSpec-
+    * gated equal; the BigDecimal allocation per candidate was ~20 jstack
+    * samples in the fused-kNN inner loop of the graph builds). */
   private[graft] def roundHalfUp(d: Double, r: Int): Double =
-    java.math.BigDecimal.valueOf(d).setScale(r, java.math.RoundingMode.HALF_UP).doubleValue()
+    graft.plans.FastRound.round(d, r)
 
   /** Fetch raw vectors for ids — `GetVectorByIds` (`flat.cc:222-256`).
     * Broadcast the id list; base-side stays a pruned scan. */

@@ -2413,9 +2413,9 @@ object Serve {
     def hasRawData: Boolean = false
 
     private def halfUpLong(x: Double): Long =
-      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      graft.plans.FastRound.round(x, 0).toLong
     private def round4(x: Double): Double =
-      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+      graft.plans.FastRound.round(x, 4)
 
     def search(query: Seq[(String, Long)], k: Int): Seq[(Long, Double)] =
       search(query, k, null)
