@@ -30,8 +30,9 @@ object SessionTuning {
   def install(spark: SparkSession): Unit = {
     if (sys.env.get("GRAFT_FASTROUND").contains("off")) return
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
-    if (!exp.extraOptimizations.contains(graft.plans.FastRoundRewrite))
-      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.FastRoundRewrite
+    for (rule <- Seq(graft.plans.FastRoundRewrite, graft.plans.FastSplitRewrite))
+      if (!exp.extraOptimizations.contains(rule))
+        exp.extraOptimizations = exp.extraOptimizations :+ rule
   }
 
   def streaming(b: SparkSession.Builder): SparkSession.Builder = {

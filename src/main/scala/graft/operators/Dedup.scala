@@ -210,16 +210,27 @@ object Dedup {
       bands: Int = Bands
   ): DataFrame = {
     val (pairs, shDf) = lshCandidatesWithShingles(docs, numPerm, bands)
+    // per-DOC signatures once (same fold the LSH front ran: min of perm_i
+    // over the cached shingle frame), broadcast onto the bounded pair set
+    // — the previous shape re-derived both signatures PER PAIR as 2·16
+    // interpreted array transforms (a doc in p pairs paid 16p HOF passes;
+    // this is 16 once). Identical minima, so est_bp is bit-identical.
+    val shRows = shDf.select(col("doc_id"), explode(col("sh")).as("sh"))
+    val mcols = (0 until numPerm).map(i =>
+      min((lit(2L * i + 3L) * col("sh") + lit(97L + 31L * i)) % HashP).as(s"m$i"))
+    val sigDf = shRows.groupBy("doc_id").agg(mcols.head, mcols.tail: _*)
+    val sigA = sigDf.select(col("doc_id").as("doc_a") +:
+      (0 until numPerm).map(i => col(s"m$i").as(s"_a$i")): _*)
+    val sigB = sigDf.select(col("doc_id").as("doc_b") +:
+      (0 until numPerm).map(i => col(s"m$i").as(s"_b$i")): _*)
     val agree = (0 until numPerm)
-      .map { i =>
-        val ma = array_min(transform(col("sha"), x => perm(lit(i.toLong), x)))
-        val mb = array_min(transform(col("shb"), x => perm(lit(i.toLong), x)))
-        when(ma === mb, 1L).otherwise(0L)
-      }
+      .map(i => when(col(s"_a$i") === col(s"_b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
     eager(
       pairs
+        .join(broadcast(sigA), "doc_a")
+        .join(broadcast(sigB), "doc_b")
         .select(
           col("doc_a"),
           col("doc_b"),
