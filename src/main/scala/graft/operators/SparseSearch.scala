@@ -361,17 +361,13 @@ object SparseSearch {
       pruneQueryTermsQuantile(queryPostings, dropRatio),
       model, page * pageSize * refineRatio, roundDist)
       .select(col("qid"), col("nid")))
-    val statsQ = model.termStats
-      .join(broadcast(queryPostings.select(col("term")).distinct()), Seq("term"), "left_semi")
-      .select(col("term"), col("df"))
     // postings pruned to the broadcast window doc set before the term join
     // (superset filter; the (qid, nid) semi-join below remains the gate)
     val winDocs = window.select(col("nid").as("id")).distinct()
-    val scored = broadcast(queryPostings)
+    val scored = broadcast(queryWithIdf(queryPostings, model))
       .join(model.postings.join(broadcast(winDocs), Seq("id"), "left_semi"), "term")
-      .join(broadcast(statsQ), "term")
       .groupBy(col("qid"), col("id").as("nid"))
-      .agg((sum(bm25ContribScaled(model.n, model.avgdl, model.k1, model.b))
+      .agg((sum(bm25ContribScaledPre(model.avgdl, model.k1, model.b))
         .cast("double") / 1e9d).as("raw"))
       .join(broadcast(window), Seq("qid", "nid"), "left_semi")
     val d = roundDist.map(r => round(col("raw"), r)).getOrElse(col("raw"))
@@ -405,6 +401,23 @@ object SparseSearch {
     * One pass: postings already carry `dl`; df arrives via the
     * query-term-restricted slice of termStats (tiny, broadcast) — no
     * corpus-wide df or doc-length join at search time. */
+  /** Query side with the per-term idf folded in: (qid, term, qtf, _idf).
+    * idf depends only on (N, df) — computing it ONCE per query term here
+    * (same `bm25IdfExpr` the inline form evaluated) instead of per
+    * (query-term × posting) joined row drops a log() per row AND halves
+    * the broadcast-hash probes (one joined frame instead of qp + stats).
+    * The contribution expression keeps the exact multiply association
+    * ((qtf·idf)·tfw)·1e9, so the scaled-long sums are bit-identical. */
+  private def queryWithIdf(queryPostings: DataFrame, model: SparseIndexModel): DataFrame =
+    queryPostings.join(
+      model.termStats.select(col("term"), bm25IdfExpr(model.n).as("_idf")),
+      "term")
+
+  /** Scaled-integer BM25 contribution with the idf pre-folded (`_idf`). */
+  private def bm25ContribScaledPre(avgdl: Double, k1: Double, b: Double): Column =
+    round(col("qtf").cast("double") * col("_idf") * bm25TfwExpr(avgdl, k1, b) * 1e9d, 0)
+      .cast("long")
+
   def searchBM25(
       queryPostings: DataFrame, // (qid, term, qtf)
       model: SparseIndexModel,
@@ -413,14 +426,10 @@ object SparseSearch {
       filter: Option[Column] = None
   ): DataFrame = {
     val bp = filter.map(model.postings.filter).getOrElse(model.postings)
-    val statsQ = model.termStats
-      .join(broadcast(queryPostings.select(col("term")).distinct()), Seq("term"), "left_semi")
-      .select(col("term"), col("df"))
-    val scored = broadcast(queryPostings)
+    val scored = broadcast(queryWithIdf(queryPostings, model))
       .join(bp, "term")
-      .join(broadcast(statsQ), "term")
       .groupBy(col("qid"), col("id").as("nid"))
-      .agg((sum(bm25ContribScaled(model.n, model.avgdl, model.k1, model.b)).cast("double") / 1e9d).as("raw"))
+      .agg((sum(bm25ContribScaledPre(model.avgdl, model.k1, model.b)).cast("double") / 1e9d).as("raw"))
     val d = roundDist.map(r => round(col("raw"), r)).getOrElse(col("raw"))
     topK(scored.select(col("qid"), col("nid"), d.as("dist")), k, ascending = false)
   }
@@ -438,14 +447,10 @@ object SparseSearch {
       filter: Option[Column] = None
   ): DataFrame = {
     val bp = filter.map(model.postings.filter).getOrElse(model.postings)
-    val statsQ = model.termStats
-      .join(broadcast(queryPostings.select(col("term")).distinct()), Seq("term"), "left_semi")
-      .select(col("term"), col("df"))
-    val scored = broadcast(queryPostings)
+    val scored = broadcast(queryWithIdf(queryPostings, model))
       .join(bp, "term")
-      .join(broadcast(statsQ), "term")
       .groupBy(col("qid"), col("id").as("nid"))
-      .agg((sum(bm25ContribScaled(model.n, model.avgdl, model.k1, model.b)).cast("double") / 1e9d).as("raw"))
+      .agg((sum(bm25ContribScaledPre(model.avgdl, model.k1, model.b)).cast("double") / 1e9d).as("raw"))
     val d = roundDist.map(r => round(col("raw"), r)).getOrElse(col("raw"))
     scored
       .select(col("qid"), col("nid"), d.as("dist"))
