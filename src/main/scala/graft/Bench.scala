@@ -305,6 +305,44 @@ object Bench {
     // the queries map stays loud without deflating the headline)
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfName"}""")
+    // MEASUREMENT-CONTRACT FIX (r14): at 230 queries the full per-query
+    // line above is ~6 KB, which has overflowed the driver's ~3 KB
+    // stdout-tail capture in EVERY round ("parsed": null in
+    // BENCH_r01..r13) — the 3-dp mitigation stopped being enough ~150
+    // queries ago. The full line stays (the per-query numbers are never
+    // removed), and a COMPACT roll-up line that fits the tail is printed
+    // LAST: total + per-family sums/counts + a pointer to
+    // BENCH_DETAIL.json, which carries every per-query median/rep. The
+    // family keys are prefixed "family_" so they can never collide with
+    // (or be mistaken for) query names.
+    def family(q: String): String =
+      if (q.endsWith("_stream")) "streaming"
+      else if (q.startsWith("dedup_") || q.startsWith("decontaminate") ||
+        q.startsWith("dup_ngram") || q == "corpus_clean_keep" ||
+        q == "pipeline_clean_corpus") "dedup"
+      else if (q.startsWith("sparse_")) "sparse"
+      else if (q.startsWith("hybrid_") || q.startsWith("multivec") ||
+        q.startsWith("mmr_")) "hybrid"
+      else if (q.startsWith("cagra") || q.startsWith("graph_") ||
+        q.startsWith("knn_graph") || q.startsWith("nn_descent") ||
+        q.startsWith("diskann")) "graph"
+      else if (q.startsWith("events_")) "events"
+      else if (q.startsWith("doc_") || q.startsWith("vocab_") ||
+        q.startsWith("source_") || q.startsWith("corpus_")) "text"
+      else if (q.startsWith("media_")) "media"
+      else if (q.startsWith("lineitem") || q.startsWith("orders") ||
+        q == "capability_table" || q == "index_meta") "relational"
+      else "vector" // bf/bin/ivf/pq/sq8/embed/iter/eval/knn/serve tiers
+    val famSums = results.toSeq
+      .filter(_._2 >= 0)
+      .groupBy { case (k, _) => family(k) }
+      .toSeq.sortBy(_._1)
+      .map { case (f, kvs) =>
+        s""""family_$f":{"sec":${f3(kvs.map(_._2).sum)},"n":${kvs.size}}"""
+      }
+      .mkString("{", ",", "}")
+    val nFailed = results.values.count(_ < 0)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$famSums,"n_queries":${results.size},"n_failed":$nFailed,"detail":"BENCH_DETAIL.json","sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -26,11 +26,18 @@ object SessionTuning {
 
   /** Idempotently install the graft optimizer rules on a live session:
     * [[graft.plans.FastRoundRewrite]] (Round-on-double → the codegen'd
-    * FastRound kernel — identical values, no per-row BigDecimal). */
+    * FastRound kernel — identical values, no per-row BigDecimal) and
+    * [[graft.plans.FastSplitRewrite]] (single-space split → byte-scan
+    * kernel). Each rule has its own A/B kill switch (GRAFT_FASTROUND /
+    * GRAFT_FASTSPLIT = off); the flags gate ONLY the Catalyst rewrites —
+    * the scalar delegates (Serve.sparkRound, BruteForce.roundHalfUp)
+    * always use FastRound.round, which is bit-equal by contract. */
   def install(spark: SparkSession): Unit = {
-    if (sys.env.get("GRAFT_FASTROUND").contains("off")) return
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
-    for (rule <- Seq(graft.plans.FastRoundRewrite, graft.plans.FastSplitRewrite))
+    val rules = Seq(
+      "GRAFT_FASTROUND" -> graft.plans.FastRoundRewrite,
+      "GRAFT_FASTSPLIT" -> graft.plans.FastSplitRewrite)
+    for ((flag, rule) <- rules if !sys.env.get(flag).contains("off"))
       if (!exp.extraOptimizations.contains(rule))
         exp.extraOptimizations = exp.extraOptimizations :+ rule
   }
@@ -58,4 +65,16 @@ object SessionTuning {
   def shuffle(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.shuffle.sort.bypassMergeThreshold",
       sys.env.getOrElse("GRAFT_SHUFFLE_BYPASS_THRESHOLD", "8"))
+      // Codegen'd hash-aggregate fast-map capacity (default 2^16 slots).
+      // r13 profiling of the BM25 (qid, nid) scoring aggregate recorded
+      // "avg hash probes per key" = 498 — the structured keys cluster in
+      // the 16-bit slot space and the probe chains defeat the fast map —
+      // while 2^20 slots took probes to ~10 and HALVED the aggregation-
+      // build task time (28.6 → 14.8 s summed over the stage). Wall at
+      // sf0.1 is stage-count-bound so this shows in task_ms, not seconds;
+      // at scale the partial aggregate IS the wall for the scoring
+      // families. 2^20 slots ≈ 8 MB per task — fine for any executor that
+      // runs SQL at all. Env-overridable (GRAFT_AGG_FASTMAP_BITS).
+      .config("spark.sql.codegen.aggregate.fastHashMap.capacityBit",
+        sys.env.getOrElse("GRAFT_AGG_FASTMAP_BITS", "20"))
 }

@@ -81,14 +81,17 @@ object Dedup {
 
   /** LSH band-blocked candidate pairs with both shingle arrays attached:
     * the shared front half of every banded verify stage. Returns the
-    * candidate frame (doc_a < doc_b, sha, shb) and the cached shingle
-    * frame the caller must release (via [[eager]]). The band join carries
-    * only (doc_id, band, key); shingle arrays rejoin candidates only. */
+    * candidate frame (doc_a < doc_b, sha, shb) plus the cached shingle
+    * and signature frames the caller must release (via [[eager]]). The
+    * band join carries only (doc_id, band, key); shingle arrays rejoin
+    * candidates only. The signature frame is cached too: the band
+    * pipeline materializes it anyway, and [[minhashAccuracy]] re-reads
+    * it — previously it re-ran the identical 16-min aggregation. */
   private def lshCandidatesWithShingles(
       docs: DataFrame,
       numPerm: Int,
       bands: Int
-  ): (DataFrame, DataFrame) = {
+  ): (DataFrame, DataFrame, DataFrame) = {
     // shingle ONCE (cached); signatures, band keys and the verify stage
     // all derive from the cached frame.
     val shDf = docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
@@ -97,6 +100,7 @@ object Dedup {
     val mcols = (0 until numPerm).map(i =>
       min((lit(2L * i + 3L) * col("sh") + lit(97L + 31L * i)) % HashP).as(s"m$i"))
     val sigDf = shRows.groupBy("doc_id").agg(mcols.head, mcols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"), bandCol(b).as("bh")))
     val banded = sigDf
       .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
@@ -111,7 +115,7 @@ object Dedup {
     val pairs = cand
       .join(shDf.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(shDf.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-    (pairs, shDf)
+    (pairs, shDf, sigDf)
   }
 
   /** Candidate pairs sharing any LSH band, then exact-Jaccard verified.
@@ -123,14 +127,14 @@ object Dedup {
       numPerm: Int = NumPerm,
       bands: Int = Bands
   ): DataFrame = {
-    val (pairs, shDf) = lshCandidatesWithShingles(docs, numPerm, bands)
+    val (pairs, shDf, sigDf) = lshCandidatesWithShingles(docs, numPerm, bands)
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     val jac = inter / (size(col("sha")) + size(col("shb")) - inter).cast("double")
     eager(
       pairs
         .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
         .filter(col("jaccard") >= threshold),
-      shDf)
+      shDf, sigDf)
   }
 
   /** Per-document shingle NOVELTY — the share of a doc's distinct shingles
@@ -209,19 +213,31 @@ object Dedup {
       numPerm: Int = NumPerm,
       bands: Int = Bands
   ): DataFrame = {
-    val (pairs, shDf) = lshCandidatesWithShingles(docs, numPerm, bands)
-    // per-DOC signatures once (same fold the LSH front ran: min of perm_i
-    // over the cached shingle frame), broadcast onto the bounded pair set
-    // — the previous shape re-derived both signatures PER PAIR as 2·16
-    // interpreted array transforms (a doc in p pairs paid 16p HOF passes;
-    // this is 16 once). Identical minima, so est_bp is bit-identical.
-    val shRows = shDf.select(col("doc_id"), explode(col("sh")).as("sh"))
-    val mcols = (0 until numPerm).map(i =>
-      min((lit(2L * i + 3L) * col("sh") + lit(97L + 31L * i)) % HashP).as(s"m$i"))
-    val sigDf = shRows.groupBy("doc_id").agg(mcols.head, mcols.tail: _*)
-    val sigA = sigDf.select(col("doc_id").as("doc_a") +:
+    val (pairs0, shDf, sigDf) = lshCandidatesWithShingles(docs, numPerm, bands)
+    // per-DOC signatures once (the cached frame the LSH front already
+    // materialized — previously this re-ran the identical 16-min
+    // aggregation), broadcast onto the bounded pair set — the pre-r13
+    // shape re-derived both signatures PER PAIR as 2·16 interpreted array
+    // transforms (a doc in p pairs paid 16p HOF passes; this is 16 once).
+    // Identical minima, so est_bp is bit-identical.
+    //
+    // The pair frame is pinned FIRST: the candidate-doc id projection
+    // below reads it twice more, and unpinned each read would re-run the
+    // whole band join.
+    val pairs = pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    // bound the signature frames by the CANDIDATE docs before the
+    // broadcast: sigDf is corpus-cardinality (one row per doc — a driver
+    // OOM to broadcast at 100 TB); the candidate-pair set is the bounded
+    // thing, and the semi-join only prunes rows the inner equi-joins
+    // below would drop anyway, so every output value is unchanged.
+    val ids = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sigC = sigDf.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val sigA = sigC.select(col("doc_id").as("doc_a") +:
       (0 until numPerm).map(i => col(s"m$i").as(s"_a$i")): _*)
-    val sigB = sigDf.select(col("doc_id").as("doc_b") +:
+    val sigB = sigC.select(col("doc_id").as("doc_b") +:
       (0 until numPerm).map(i => col(s"m$i").as(s"_b$i")): _*)
     val agree = (0 until numPerm)
       .map(i => when(col(s"_a$i") === col(s"_b$i"), 1L).otherwise(0L))
@@ -243,7 +259,7 @@ object Dedup {
           s"CAST(_ag * 10000 DIV $numPerm AS BIGINT) AS est_bp",
           "CAST(_in * 10000 DIV (_ab - _in) AS BIGINT) AS jac_bp")
         .withColumn("err_bp", abs(col("est_bp") - col("jac_bp"))),
-      shDf)
+      shDf, sigDf, pairs)
   }
 
   /** Asymmetric CONTAINMENT dedup — `|A∩B| / |A| ≥ threshold` flags A as
@@ -263,7 +279,7 @@ object Dedup {
       numPerm: Int = NumPerm,
       bands: Int = Bands
   ): DataFrame = {
-    val (pairs, shDf) = lshCandidatesWithShingles(docs, numPerm, bands)
+    val (pairs, shDf, sigDf) = lshCandidatesWithShingles(docs, numPerm, bands)
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     // SINGLE pass over the candidate pipeline: emit both directed rows from
     // one scored row (explode of a 2-struct array), then filter. A union of
@@ -282,7 +298,7 @@ object Dedup {
           round(inter / size(col("shb")).cast("double"), 4).as("containment"))))
         .as("d"))
       .select(col("d.doc_contained"), col("d.doc_container"), col("d.containment"))
-    eager(scored.filter(col("containment") >= threshold), shDf)
+    eager(scored.filter(col("containment") >= threshold), shDf, sigDf)
   }
 
   /** n-gram Jaccard near-dup with 1-permutation min-hash blocking: block on
@@ -407,25 +423,35 @@ object Dedup {
         .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("vlbl")).as("nlbl"))
-      // hop is MATERIALIZED before the doubling self-join: the self-join
-      // reads the checkpointed blocks twice instead of re-executing hop's
-      // 3-shuffle plan twice, and the checkpoint also truncates lineage
-      // (without it the plan doubles per round — exponential
-      // analyzer/codegen cost long before data size matters). `old` rides
-      // along so fixpoint detection below is a filter, not another join.
+      // `old` rides along so fixpoint detection below is a metric on the
+      // same pass, not another join. hop is NOT separately materialized:
+      // the doubling self-join's two hop branches are identical subtrees
+      // up to projection, so ReuseExchange computes hop's shuffles once —
+      // r13 paid a localCheckpoint action + block write per round to get
+      // the same sharing. Lineage still truncates every round via the
+      // single checkpoint of `next` below.
       val hop = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+      // ONE action per round (was 3: hop checkpoint, next checkpoint,
+      // fixpoint count): the fixpoint probe is an `observe` metric
+      // collected DURING the checkpoint materialization — the loop is
+      // action-bound (measured r13: broadcast/lazy-cache variants moved
+      // nothing because per-round driver latency dominates), so dropping
+      // two driver round-trips per round is the remaining lever.
+      val obs = org.apache.spark.sql.Observation()
       val next = hop
         .join(hop.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
         .select(col("id"), col("old"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .observe(obs, sum(when(col("lbl") < col("old"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint(true)
-      checkpointed += hop
       checkpointed += next
-      changed = next.filter(col("lbl") < col("old")).count()
+      changed = obs.get.get("changed") match {
+        case Some(n: Long) => n
+        case _ => 0L // empty label frame: sum over zero rows is null
+      }
       labels.unpersist()
       labels = next.select(col("id"), col("lbl"))
     }

@@ -277,31 +277,47 @@ object GraphSearch {
       metric: Metric,
       roundDist: Option[Int]
   ): (DataFrame, Seq[DataFrame]) = {
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // COLLAPSE the unrolled-walk plan (r14): the frontier is referenced
+    // twice per hop and the graph once per hop, so the single-DAG form
+    // grows the logical plan ~2^iters × |graph-build subtree| —
+    // cagra_knn's explained plan carried 158 Exchange nodes / 124
+    // broadcast nodes, and at reps=3 roughly half its wall was per-rep
+    // Catalyst/codegen on that tree, not task compute. Materializing the
+    // (bounded: |V|×degree) graph once and the (nq×ef) frontier per hop
+    // keeps every hop's plan a constant-size join over LogicalRDD leaves.
+    // Same frames, same rounding, same ties — only where the plan is cut
+    // changes, so every hash-gated result is unchanged.
+    val g =
+      if (iters >= 1 && !org.apache.spark.sql.GraftExpr.isMaterialized(graph)) {
+        val ck = graph.localCheckpoint(true)
+        persisted += ck
+        ck
+      } else graph
     val seed = queries.select(col("qid")).crossJoin(broadcast(entries))
     var frontier = topEf(score(seed, queries, tier, metric, roundDist), ef, metric)
-    // materialize the (nq×ef, tiny) frontier per hop for deep walks —
-    // hop h otherwise re-executes hops 1..h−1 (quadratic in hop count);
-    // at 1-2 hops the extra actions cost more than they save
-    val materializeHops = iters >= 3
-    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to iters) {
-      if (materializeHops) {
-        frontier.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        frontier.count()
-        persisted += frontier
-      }
-      val cands = frontier
-        .join(graph.withColumnRenamed("src", "nid"), "nid")
+      val f0 = frontier.localCheckpoint(true)
+      persisted += f0
+      val cands = f0
+        .join(g.withColumnRenamed("src", "nid"), "nid")
         .select(col("qid"), col("dst").as("nid"))
         .distinct()
       val scored = score(cands, queries, tier, metric, roundDist)
       frontier = topEf(
-        frontier.select(col("qid"), col("nid"), col("dist"))
+        f0.select(col("qid"), col("nid"), col("dist"))
           .union(scored)
           .distinct(),
         ef, metric)
     }
     (frontier, persisted.toSeq)
+  }
+
+  /** Release a hop/graph frame pinned by [[beamLoop]] — checkpointed
+    * blocks (LogicalRDD) or a cached frame, whichever it is. */
+  private[operators] def release(df: DataFrame): Unit = {
+    df.unpersist()
+    org.apache.spark.sql.GraftExpr.unpersistCheckpoint(df)
   }
 
   /** Pin the bounded answer, then release the hop frames — callers own
@@ -310,7 +326,7 @@ object GraphSearch {
     if (persisted.nonEmpty) {
       out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
-      persisted.foreach(_.unpersist())
+      persisted.foreach(release)
     }
     out
   }
@@ -584,7 +600,7 @@ object GraphSearch {
           org.apache.spark.sql.expressions.Window.partitionBy(col("qid")).orderBy(ord: _*)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ranked.count()
-    persisted.foreach(_.unpersist())
+    persisted.foreach(release)
     new AnnIteratorSession(ranked)
   }
 }

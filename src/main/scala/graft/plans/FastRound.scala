@@ -24,30 +24,38 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Fast path: away from the .5 boundary the decimal HALF_UP pick provably
   * equals the plain floor pick — the shortest-repr decimal and the double
-  * product x·10ⁿ differ by O(1e-15·|x·10ⁿ|), far inside the 1e-6 guard
-  * band — so only boundary-band values and |x·10ⁿ| beyond 2^52 take the
-  * exact BigDecimal path (where the double grid is coarser than integers,
-  * or the sign-split HALF_UP choice actually matters). NaN/Infinity fall
-  * through to `BigDecimal.valueOf` and throw exactly like Spark's Round.
-  * `+ 0.0` normalizes a `-0.0` fast-path result to the `+0.0` BigDecimal
-  * always produces (it has no signed zero). Gated by RoundingSpec's
-  * boundary grids and by every hash-gated oracle query.
+  * product x·10ⁿ differ by O(1e-16·|x·10ⁿ|), far inside the guard band —
+  * so only boundary-band values and |x·10ⁿ| beyond 2^52 take the exact
+  * BigDecimal path (where the double grid is coarser than integers, or
+  * the sign-split HALF_UP choice actually matters). The band scales with
+  * the magnitude, max(1e-6, |y|·4e-16): the 4e-16 term covers both the
+  * one-multiply rounding of y = x·10ⁿ (≤ ulp(y)/2 ≈ |y|·1.1e-16) and the
+  * shortest-decimal-vs-binary gap BigDecimal.valueOf sees (≤ ulp(x)/2,
+  * another ≈ |y|·1.1e-16 after scaling), so the fast pick can never sit
+  * on the wrong side of a boundary the exact path would cross.
+  * NaN/Infinity return unchanged, exactly like Spark's RoundBase on
+  * doubles (verified in the 4.1.2 bytecode: isNaN/isInfinite early
+  * return). `+ 0.0` normalizes a `-0.0` fast-path result to the `+0.0`
+  * BigDecimal always produces (it has no signed zero). Gated by
+  * RoundingSpec's boundary grids and by every hash-gated oracle query.
   */
 object FastRound {
   private val Pow10: Array[Double] =
     (0 to 15).map(i => math.pow(10d, i.toDouble)).toArray
 
   def round(x: Double, n: Int): Double = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return x
     val scale = if (n >= 0 && n <= 15) Pow10(n) else math.pow(10d, n.toDouble)
     val y = x * scale
     // |y| beyond 2^52: the double grid is coarser than integers — defer
     if (java.lang.Math.abs(y) > 4.503599627370496e15)
       return java.math.BigDecimal.valueOf(x)
         .setScale(n, java.math.RoundingMode.HALF_UP).doubleValue
+    val band = java.lang.Math.max(1e-6d, java.lang.Math.abs(y) * 4e-16d)
     val f = java.lang.Math.floor(y)
     val frac = y - f
-    if (frac > 0.500001d) (f + 1.0d) / scale + 0.0d
-    else if (frac < 0.499999d) f / scale + 0.0d
+    if (frac > 0.5d + band) (f + 1.0d) / scale + 0.0d
+    else if (frac < 0.5d - band) f / scale + 0.0d
     else // boundary band: exact decimal semantics (sign-aware HALF_UP)
       java.math.BigDecimal.valueOf(x)
         .setScale(n, java.math.RoundingMode.HALF_UP).doubleValue

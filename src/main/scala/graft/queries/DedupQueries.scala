@@ -627,15 +627,17 @@ SELECT u AS vec_id, min(v) AS group_id FROM reach GROUP BY 1""")),
           docs.filter(col("doc_id") <= median),
           docs.filter(col("doc_id") > median)), "graft-dedup-stream")
         val sink = s"dedup_exact_stream_${System.nanoTime()}"
-        val q = graft.streaming.StreamingDedup
-          .dedupUpdates(src)
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = graft.streaming.StreamingDedup
+            .dedupUpdates(src)
+            .writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         // per digest: survivor id only shrinks, copies only grow — the
         // final state is (min doc_id, max n_copies)
         s.table(sink)
@@ -660,15 +662,17 @@ FROM documents GROUP BY md5(text)""")),
           docs.filter(col("doc_id") <= median),
           docs.filter(col("doc_id") > median)), "graft-lsh-stream")
         val sink = s"dedup_lsh_stream_${System.nanoTime()}"
-        val q = graft.streaming.StreamingDedup
-          .lshCollisionUpdates(src)
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = graft.streaming.StreamingDedup
+            .lshCollisionUpdates(src)
+            .writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         // one row per (doc, band) in the sink; a doc is flagged if ANY
         // band collided with history
         s.table(sink)
@@ -740,10 +744,12 @@ GROUP BY tr.doc_id""")),
           corpus.filter(col("doc_id") <= median),
           corpus.filter(col("doc_id") > median)), "graft-decon-stream")
         val sink = s"decontaminate_stream_${System.nanoTime()}"
-        val q = Dedup.decontaminateStream(src, evalDocs)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = Dedup.decontaminateStream(src, evalDocs)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.table(sink)
       },
       Some(s"""WITH $shCte,

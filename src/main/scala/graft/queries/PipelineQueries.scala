@@ -91,15 +91,17 @@ FROM o GROUP BY 1""")),
           ev.filter(unix_micros(col("ts")) <= median),
           ev.filter(unix_micros(col("ts")) > median)), "graft-sess-stream")
         val sink = s"events_sessions_stream_${System.nanoTime()}"
-        val q = graft.streaming.StreamingSessions
-          .sessionUpdates(src, gapMicros = 1800000000L)
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = graft.streaming.StreamingSessions
+            .sessionUpdates(src, gapMicros = 1800000000L)
+            .writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         // running totals are monotone → final state per user is the max
         s.table(sink)
           .groupBy(col("user_id"))
@@ -178,26 +180,28 @@ FROM sid GROUP BY user_id, sid""")),
           case _ => raw
         }
         val sink = s"events_session_window_stream_${System.nanoTime()}"
-        val q = ev
-          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-          .agg(
-            count(lit(1)).as("n_events"),
-            round(
-              sum(round(col("value"), 6).cast("decimal(28,6)")).cast("double"),
-              4).as("value_sum"))
-          .select(
-            col("user_id"),
-            unix_micros(col("sw.start")).as("start_us"),
-            unix_micros(col("sw.end")).as("end_us"),
-            col("n_events"),
-            col("value_sum"))
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = ev
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+            .agg(
+              count(lit(1)).as("n_events"),
+              round(
+                sum(round(col("value"), 6).cast("decimal(28,6)")).cast("double"),
+                4).as("value_sum"))
+            .select(
+              col("user_id"),
+              unix_micros(col("sw.start")).as("start_us"),
+              unix_micros(col("sw.end")).as("end_us"),
+              col("n_events"),
+              col("value_sum"))
+            .writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(sink)
       },
       Some("""WITH o AS (
@@ -232,15 +236,17 @@ FROM sid GROUP BY user_id, sid""")),
           ev.filter(unix_micros(col("ts")) <= median),
           ev.filter(unix_micros(col("ts")) > median)), "graft-attrl-stream")
         val sink = s"events_attr_last_stream_${System.nanoTime()}"
-        val q = graft.streaming.StreamingCohort
-          .lastTouchUpdates(src)
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = graft.streaming.StreamingCohort
+            .lastTouchUpdates(src)
+            .writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         graft.streaming.StreamingCohort.renderAttribution(s.table(sink))
       },
       Some("""WITH t AS (
@@ -448,15 +454,17 @@ GROUP BY v.user_id, v.v0""")),
           ev.filter(unix_micros(col("ts")) <= median),
           ev.filter(unix_micros(col("ts")) > median)), "graft-ttc-stream")
         val sink = s"events_ttc_stream_${System.nanoTime()}"
-        val q = graft.streaming.StreamingCohort
-          .timeToConvertUpdates(src)
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = graft.streaming.StreamingCohort
+            .timeToConvertUpdates(src)
+            .writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(sink)
       },
       Some("""WITH v AS (
@@ -509,15 +517,17 @@ FROM c CROSS JOIN b""")),
           ev.filter(unix_micros(col("ts")) > median)), "graft-funnel-stream")
         val steps = Seq("view", "click", "purchase")
         val sink = s"events_funnel_stream_${System.nanoTime()}"
-        val q = graft.streaming.StreamingFunnel
-          .funnelUpdates(src, steps)
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = graft.streaming.StreamingFunnel
+            .funnelUpdates(src, steps)
+            .writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         graft.streaming.StreamingFunnel.renderFinal(s.table(sink), steps)
       },
       Some("""WITH s1 AS (
@@ -579,15 +589,17 @@ GROUP BY 1, 2, 4""")),
           ev.filter(unix_micros(col("ts")) <= median),
           ev.filter(unix_micros(col("ts")) > median)), "graft-ret-stream")
         val sink = s"events_retention_stream_${System.nanoTime()}"
-        val q = graft.streaming.StreamingCohort
-          .retentionUpdates(src)
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = graft.streaming.StreamingCohort
+            .retentionUpdates(src)
+            .writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         graft.streaming.StreamingCohort.renderFinal(s.table(sink))
       },
       Some("""WITH d AS (
@@ -648,15 +660,17 @@ FROM cr GROUP BY 1""")),
           ev.filter(unix_micros(col("ts")) <= median),
           ev.filter(unix_micros(col("ts")) > median)), "graft-attr-stream")
         val sink = s"events_attr_first_stream_${System.nanoTime()}"
-        val q = graft.streaming.StreamingCohort
-          .firstTouchUpdates(src)
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = graft.streaming.StreamingCohort
+            .firstTouchUpdates(src)
+            .writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         graft.streaming.StreamingCohort.renderAttribution(s.table(sink))
       },
       Some("""WITH t AS (

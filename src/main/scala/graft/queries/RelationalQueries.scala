@@ -82,13 +82,15 @@ FROM events GROUP BY 1, 2"""
           case _ => raw
         }
         val sink = s"events_hourly_stream_${System.nanoTime()}"
-        val q = hourlyAgg(ev).writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = hourlyAgg(ev).writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(sink)
       },
       Some(hourlySql)),
@@ -119,13 +121,15 @@ FROM events GROUP BY 1, 2"""
           case _ => raw
         }
         val sink = s"events_sliding_stream_${System.nanoTime()}"
-        val q = slidingAgg(ev).writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = slidingAgg(ev).writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(sink)
       },
       Some(slidingSql)),
@@ -184,18 +188,20 @@ FROM events GROUP BY 1""")),
           stage.resolve("events.parquet"))
         val ev = s.readStream.schema(schema).parquet(stage.toString)
         val sink = s"events_distinct_users_stream_${System.nanoTime()}"
-        val q = ev
-          .select(col("event_type"), col("user_id"))
-          .dropDuplicates("event_type", "user_id")
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_users"))
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = ev
+            .select(col("event_type"), col("user_id"))
+            .dropDuplicates("event_type", "user_id")
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_users"))
+            .writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(sink)
       },
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
@@ -258,18 +264,20 @@ GROUP BY 1""")),
           stage.resolve("events.parquet"))
         val ev = s.readStream.schema(schema).parquet(stage.toString)
         val sink = s"events_hll_users_stream_${System.nanoTime()}"
-        val q = ev
-          .groupBy(col("event_type"))
-          .agg(
-            round(graft.plans.HllAgg.hllDistinct(col("user_id")), 4).as("hll_users"),
-            round(graft.plans.HllAgg.hllDistinct(col("event_id")), 4).as("hll_events"))
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = ev
+            .groupBy(col("event_type"))
+            .agg(
+              round(graft.plans.HllAgg.hllDistinct(col("user_id")), 4).as("hll_users"),
+              round(graft.plans.HllAgg.hllDistinct(col("event_id")), 4).as("hll_events"))
+            .writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(sink)
       },
       Some(HllOracle.sql)),
@@ -403,22 +411,24 @@ GROUP BY ROLLUP(r_name, n_name)""")),
           stage.resolve("events.parquet"))
         val ev = s.readStream.schema(schema).parquet(stage.toString)
         val sink = s"events_sketch_quantiles_stream_${System.nanoTime()}"
-        val q = ev
-          .groupBy(col("event_type"))
-          .agg(graft.plans.HistogramQuantileAgg
-            .histQuantiles(round(col("value"), 6)).as("q"))
-          .select(
-            col("event_type"),
-            col("q.p50").as("p50"),
-            col("q.p95").as("p95"),
-            col("q.p99").as("p99"))
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = ev
+            .groupBy(col("event_type"))
+            .agg(graft.plans.HistogramQuantileAgg
+              .histQuantiles(round(col("value"), 6)).as("q"))
+            .select(
+              col("event_type"),
+              col("q.p50").as("p50"),
+              col("q.p95").as("p95"),
+              col("q.p99").as("p99"))
+            .writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(sink)
       },
       Some("""WITH b AS (

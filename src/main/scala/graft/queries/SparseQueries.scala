@@ -410,9 +410,11 @@ FROM tf WHERE doc_id % 97 = 0 GROUP BY 1""")),
           .write.mode("overwrite").parquet(stage.toString)
         val grow = StreamStage.dir("graft-sparse-cc-grow")
         val ckpt = StreamStage.dir("graft-sparse-cc-ckpt")
-        StreamingIndex
-          .startAppend(s, stage.toString, docs.schema, grow.toString, ckpt.toString)
-          .awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          StreamingIndex
+            .startAppend(s, stage.toString, docs.schema, grow.toString, ckpt.toString)
+            .awaitTermination()
+        }
         val snap = StreamingIndex.snapshot(s, sealedDf, grow.toString)
         SparseSearch.searchIP(
           queryPostings(s, dir),

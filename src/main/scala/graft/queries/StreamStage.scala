@@ -34,6 +34,30 @@ private[graft] object StreamStage {
     p
   }
 
+  /** Run a streaming twin's start→awaitTermination block with
+    * `spark.sql.shuffle.partitions` sized for STATE, not for the local
+    * core count. A stream fixes its state-partition count from this conf
+    * at first-batch planning and every micro-batch then touches every
+    * state partition (delta + metadata files per store per batch) — the
+    * r13 driver runs measured events_range_join_stream 1.5× FASTER at 8
+    * cores than 32 purely because state partitions tracked `local[n]`.
+    * State-partition count should track state volume; the twins' per-rep
+    * state is tiny, so the default caps at 8 (env-overridable
+    * GRAFT_STREAM_SHUFFLE_PARTITIONS for deployments with real state).
+    * Partitioning never changes aggregation/join results — the twins stay
+    * hash-equal to their batch oracles. The conf is restored after the
+    * block; batch queries keep the session's cpus-sized partitioning. */
+  def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    val n = sys.env.getOrElse(
+      "GRAFT_STREAM_SHUFFLE_PARTITIONS",
+      math.min(scala.util.Try(old.toInt).getOrElse(8), 8).toString)
+    spark.conf.set(key, n)
+    try body
+    finally spark.conf.set(key, old)
+  }
+
   private def touch(p: Path, t: Long): Unit =
     Files.walk(p).forEach(f => Files.setLastModifiedTime(f, FileTime.fromMillis(t)))
 

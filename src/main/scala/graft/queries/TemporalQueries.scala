@@ -147,13 +147,15 @@ GROUP BY 1, 2""")),
             unix_micros(col("c_ts")).as("c_us"),
             col("click_value"))
         val sink = s"events_range_join_stream_${System.nanoTime()}"
-        val q = joined.writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = joined.writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(sink)
       },
       Some("""WITH e AS (

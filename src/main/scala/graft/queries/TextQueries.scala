@@ -404,15 +404,17 @@ FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id""")),
           docs.filter(col("doc_id") <= median),
           docs.filter(col("doc_id") > median)), "graft-srcstats-stream")
         val sink = s"corpus_source_stats_stream_${System.nanoTime()}"
-        val q = graft.streaming.StreamingCorpusStats
-          .sourceStatsUpdates(src)
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = graft.streaming.StreamingCorpusStats
+            .sourceStatsUpdates(src)
+            .writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         graft.streaming.StreamingCorpusStats.renderFinal(s.table(sink))
       },
       Some(sourceStatsSql)),
@@ -534,15 +536,17 @@ FROM st""")),
           .option("maxFilesPerTrigger", 1)
           .parquet(s"$stage/b*")
         val sink = s"chunk_overlap_stream_${System.nanoTime()}"
-        val q = Packing
-          .chunkOverlap(src, window = 32, stride = 24)
-          .writeStream
-          .format("memory")
-          .queryName(sink)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        StreamStage.withStatePartitions(s) {
+          val q = Packing
+            .chunkOverlap(src, window = 32, stride = 24)
+            .writeStream
+            .format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(sink)
       },
       Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

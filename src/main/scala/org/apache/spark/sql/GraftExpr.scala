@@ -33,6 +33,17 @@ object GraftExpr {
       case _ => ()
     }
 
+  /** Whether a frame is already backed by materialized blocks — a
+    * localCheckpoint's LogicalRDD or a CacheManager entry. Iterative
+    * consumers use this to skip re-materializing an input the caller
+    * already pinned. */
+  def isMaterialized(df: Dataset[_]): Boolean = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    df.queryExecution.analyzed.isInstanceOf[execution.LogicalRDD] ||
+      spark.sharedState.cacheManager
+        .lookupCachedData(spark, df.queryExecution.analyzed).isDefined
+  }
+
   /** Rebuild a `localCheckpoint`ed Dataset's LogicalRDD without its origin
     * stats/constraints. The checkpoint copies the source plan's constraint
     * set verbatim; when the checkpointed frame is then self-unioned (an

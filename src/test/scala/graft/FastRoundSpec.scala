@@ -41,6 +41,58 @@ class FastRoundSpec extends SparkSpec {
     }
   }
 
+  test("NaN and infinities pass through unchanged, like Spark's RoundBase") {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Round}
+    // pin the Spark contract itself: RoundBase on doubles early-returns
+    // NaN/±Inf (4.1.2 bytecode) — if an upgrade changes that, this fails
+    // before the kernel comparison below can mislead
+    for (x <- Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)) {
+      val sparkV = Round(Literal(x), Literal(4)).eval().asInstanceOf[Double]
+      val fastV = graft.plans.FastRound.round(x, 4)
+      assert(
+        java.lang.Double.doubleToLongBits(sparkV) ==
+          java.lang.Double.doubleToLongBits(fastV),
+        s"x=$x spark=$sparkV fast=$fastV")
+    }
+    // and through the rewritten DataFrame path (zero-norm cosine regime);
+    // the specials ride a non-foldable `when` so nothing constant-folds
+    // (ANSI mode forbids the x/0 construction)
+    val df = spark.range(3)
+      .select(
+        when(col("id") === 0, lit(Double.NaN))
+          .when(col("id") === 1, lit(Double.PositiveInfinity))
+          .otherwise(lit(Double.NegativeInfinity)).as("x"))
+      .select(col("x"), round(col("x"), 4).as("r"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("fast_round"))
+    df.collect().foreach { r =>
+      assert(
+        java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"x=${r.getDouble(0)} r=${r.getDouble(1)}")
+    }
+  }
+
+  test("large magnitudes: |x*10^n| in (1e9, 2^52) matches decimal HALF_UP") {
+    // the scaled guard band's regime: the double-multiply error exceeds a
+    // FIXED 1e-6 band past |y| ~ 1e10, so sweep magnitudes up to the 2^52
+    // deferral with boundary-adjacent fractions (k + 0.5 ± tiny)
+    val df = spark.range(1, 60001)
+      .select(
+        (col("id").cast("double") * 7.4999e8d + lit(0.5d) +
+          (pmod(hash(col("id")), lit(2001)).cast("double") - 1000.0d) * 1e-7d).as("x"),
+        (col("id").cast("double") * 7.4999e4d +
+          pmod(hash(col("id") + 7), lit(100000)).cast("double") * 1e-5d).as("y"))
+      .select(
+        col("x"), col("y"),
+        round(col("x"), 0).as("rx0"),
+        round(col("y"), 4).as("ry4"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("fast_round"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(2) == reference(r.getDouble(0), 0), s"rx0 x=${r.getDouble(0)}")
+      assert(r.getDouble(3) == reference(r.getDouble(1), 4), s"ry4 y=${r.getDouble(1)}")
+    }
+  }
+
   test("non-double and exotic-scale rounds keep Spark's Round") {
     val dec = spark.range(1)
       .select((col("id").cast("decimal(10,5)") + lit(BigDecimal("1.23456"))).as("d"))
