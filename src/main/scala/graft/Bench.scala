@@ -291,11 +291,15 @@ object Bench {
       s"""{\n  "_committed_baseline": {"loaded":${committed.nonEmpty},"entries":${committed.size},"cpus":${jstr(cpus)},"sf":${jstr(sfName)},"reps":$reps},\n""",
       ",\n", "\n}")
     // FULL runs only: a SPARK_GRAFT_BENCH_ONLY iteration run must not
-    // clobber the committed full-inventory snapshot
-    if (only.isEmpty)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_DETAIL.json"), detailJson)
+    // clobber the committed full-inventory snapshot. For subset A/Bs that
+    // need the per-rep exec counters (task_ms etc.), an explicit
+    // SPARK_GRAFT_BENCH_DETAIL_OUT path receives the same artifact.
+    val detailOut = sys.env.get("SPARK_GRAFT_BENCH_DETAIL_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH_DETAIL.json") else None)
+    detailOut.foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), detailJson)
       catch { case _: Throwable => () }
+    }
     // keep the line SHORT (3-dp medians, basename sf): the driver captures
     // only a bounded tail of the process output, and a full-precision line
     // over ~70 queries overflowed it in round 2 → "parsed": null

@@ -423,35 +423,49 @@ object Dedup {
         .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("vlbl")).as("nlbl"))
-      // `old` rides along so fixpoint detection below is a metric on the
-      // same pass, not another join. hop is NOT separately materialized:
-      // the doubling self-join's two hop branches are identical subtrees
-      // up to projection, so ReuseExchange computes hop's shuffles once —
-      // r13 paid a localCheckpoint action + block write per round to get
-      // the same sharing. Lineage still truncates every round via the
-      // single checkpoint of `next` below.
+      // hop is MATERIALIZED before the doubling self-join: the self-join
+      // reads the checkpointed blocks twice instead of re-executing hop's
+      // 3-shuffle plan twice, and the checkpoint also truncates lineage.
+      // Measured r14 (same-subset 2×2 A/B over the six CC queries):
+      // dropping this checkpoint and relying on ReuseExchange to share
+      // the two hop branches is 14% SLOWER (19.99 s vs 17.50 s) — the
+      // branches' differing projections defeat full reuse. `old` rides
+      // along so fixpoint detection is a metric on the same pass.
       val hop = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // ONE action per round (was 3: hop checkpoint, next checkpoint,
-      // fixpoint count): the fixpoint probe is an `observe` metric
-      // collected DURING the checkpoint materialization — the loop is
-      // action-bound (measured r13: broadcast/lazy-cache variants moved
-      // nothing because per-round driver latency dominates), so dropping
-      // two driver round-trips per round is the remaining lever.
-      val obs = org.apache.spark.sql.Observation()
-      val next = hop
+        .localCheckpoint(true)
+      checkpointed += hop
+      // TWO actions per round (was 3): the fixpoint probe rides an
+      // `observe` metric collected DURING the `next` checkpoint
+      // materialization instead of a separate count job. Wall-neutral at
+      // sf0.1 (the count over checkpointed blocks was already cheap) but
+      // one fewer driver round-trip per round — on a real cluster each
+      // action is a scheduler/network round-trip, not a local call.
+      // GRAFT_CC_OBSERVE=off restores the r13 count-action shape (A/B).
+      val doubled = hop
         .join(hop.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
         .select(col("id"), col("old"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .observe(obs, sum(when(col("lbl") < col("old"), 1L).otherwise(0L)).as("changed"))
-        .localCheckpoint(true)
+      val next =
+        if (sys.env.get("GRAFT_CC_OBSERVE").contains("off")) {
+          val n = doubled.localCheckpoint(true)
+          changed = n.filter(col("lbl") < col("old")).count()
+          n
+        } else {
+          val obs = org.apache.spark.sql.Observation()
+          val n = doubled
+            .observe(obs,
+              sum(when(col("lbl") < col("old"), 1L).otherwise(0L)).as("changed"))
+            .localCheckpoint(true)
+          changed = obs.get.get("changed") match {
+            case Some(c: Long) => c
+            case _ => 0L // empty label frame: sum over zero rows is null
+          }
+          n
+        }
       checkpointed += next
-      changed = obs.get.get("changed") match {
-        case Some(n: Long) => n
-        case _ => 0L // empty label frame: sum over zero rows is null
-      }
       labels.unpersist()
       labels = next.select(col("id"), col("lbl"))
     }

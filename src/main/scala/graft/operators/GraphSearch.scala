@@ -278,34 +278,49 @@ object GraphSearch {
       roundDist: Option[Int]
   ): (DataFrame, Seq[DataFrame]) = {
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    // COLLAPSE the unrolled-walk plan (r14): the frontier is referenced
-    // twice per hop and the graph once per hop, so the single-DAG form
-    // grows the logical plan ~2^iters × |graph-build subtree| —
-    // cagra_knn's explained plan carried 158 Exchange nodes / 124
-    // broadcast nodes, and at reps=3 roughly half its wall was per-rep
-    // Catalyst/codegen on that tree, not task compute. Materializing the
-    // (bounded: |V|×degree) graph once and the (nq×ef) frontier per hop
-    // keeps every hop's plan a constant-size join over LogicalRDD leaves.
-    // Same frames, same rounding, same ties — only where the plan is cut
-    // changes, so every hash-gated result is unchanged.
+    // COLLAPSE a heavyweight graph-build subtree (r14): a prune/optimize
+    // chain (Cagra detour prune) references its input edge frame on
+    // DIFFERENT join keys (src / mid / (mid,dst)), so ReuseExchange can
+    // never share them and each hop's plan re-executes the whole build —
+    // cagra_knn's explained plan carried 158 Exchange / 124 broadcast
+    // nodes and re-ran the fused all-pairs scan per reference
+    // (checkpointing the graph: 2.52 → 1.97 s, same-subset A/B). Only
+    // large lazy builds are cut: for a plain fused-scan graph both hops
+    // join on the SAME key, exchange reuse already shares it, and the
+    // A/B showed the checkpoint costs more in extra actions than it
+    // saves (knn_graph_search 1.27 → 1.48 s when force-checkpointed —
+    // hence the node-count gate, default 20, above knnFused+select and
+    // below any prune chain). Same frames, same rounding, same ties —
+    // only where the plan is cut changes, so hash-gated results are
+    // unchanged.
+    val ckptNodes =
+      sys.env.getOrElse("GRAFT_BEAM_GRAPH_CKPT_NODES", "20").toInt
     val g =
-      if (iters >= 1 && !org.apache.spark.sql.GraftExpr.isMaterialized(graph)) {
+      if (iters >= 1 && !org.apache.spark.sql.GraftExpr.isMaterialized(graph) &&
+        graph.queryExecution.analyzed.collect { case n => n }.size > ckptNodes) {
         val ck = graph.localCheckpoint(true)
         persisted += ck
         ck
       } else graph
     val seed = queries.select(col("qid")).crossJoin(broadcast(entries))
     var frontier = topEf(score(seed, queries, tier, metric, roundDist), ef, metric)
+    // materialize the (nq×ef, tiny) frontier per hop for deep walks —
+    // hop h otherwise re-executes hops 1..h−1 (quadratic in hop count);
+    // at 1-2 hops the extra actions cost more than they save
+    val materializeHops = iters >= 3
     for (_ <- 1 to iters) {
-      val f0 = frontier.localCheckpoint(true)
-      persisted += f0
-      val cands = f0
+      if (materializeHops) {
+        frontier.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        frontier.count()
+        persisted += frontier
+      }
+      val cands = frontier
         .join(g.withColumnRenamed("src", "nid"), "nid")
         .select(col("qid"), col("dst").as("nid"))
         .distinct()
       val scored = score(cands, queries, tier, metric, roundDist)
       frontier = topEf(
-        f0.select(col("qid"), col("nid"), col("dist"))
+        frontier.select(col("qid"), col("nid"), col("dist"))
           .union(scored)
           .distinct(),
         ef, metric)
