@@ -337,16 +337,20 @@ object Bench {
       else if (q.startsWith("lineitem") || q.startsWith("orders") ||
         q == "capability_table" || q == "index_meta") "relational"
       else "vector" // bf/bin/ivf/pq/sq8/embed/iter/eval/knn/serve tiers
-    val famSums = results.toSeq
+    // family values are PLAIN seconds (same shape as the per-query map —
+    // name → number) so any parser of the original format still applies
+    val fams = results.toSeq
       .filter(_._2 >= 0)
       .groupBy { case (k, _) => family(k) }
       .toSeq.sortBy(_._1)
-      .map { case (f, kvs) =>
-        s""""family_$f":{"sec":${f3(kvs.map(_._2).sum)},"n":${kvs.size}}"""
-      }
+    val famSums = fams
+      .map { case (f, kvs) => s""""family_$f":${f3(kvs.map(_._2).sum)}""" }
+      .mkString("{", ",", "}")
+    val famNs = fams
+      .map { case (f, kvs) => s""""family_$f":${kvs.size}""" }
       .mkString("{", ",", "}")
     val nFailed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$famSums,"n_queries":${results.size},"n_failed":$nFailed,"detail":"BENCH_DETAIL.json","sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$famSums,"family_n":$famNs,"n_queries":${results.size},"n_failed":$nFailed,"detail":"BENCH_DETAIL.json","sf":"$sfName"}""")
     spark.stop()
   }
 }

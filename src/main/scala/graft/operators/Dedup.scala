@@ -112,6 +112,19 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+      // PIN the candidate frame's parallelism (r14): the pair set is tiny
+      // in BYTES (two longs per row), so AQE coalesces the dropDuplicates
+      // exchange to ONE partition — and the downstream exact verify
+      // (array_intersect over ~hundreds-of-element shingle arrays, the
+      // pipeline's densest per-row compute) then runs serial: stageprof
+      // showed a 1-task 1.5 s stage per rep under corpus_clean_keep /
+      // dedup_group_sizes. An explicit hash repartition on the NEXT join
+      // key at the session's shuffle parallelism keeps the verify wide;
+      // at scale the shingle joins shuffle on doc_a anyway, so this
+      // exchange replaces one the planner would insert, not adds one.
+      .repartition(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_a"))
     val pairs = cand
       .join(shDf.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(shDf.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
