@@ -400,8 +400,14 @@ object Dedup {
     * [[connectedComponents]] output (doc_id, group_id); `quality` any
     * deterministic per-doc score. Survivor = max quality, ties to the
     * SMALLER id. Shape: one max_by aggregate per group (map-side
-    * partials; groups ≪ corpus) + a broadcast join back — no per-group
-    * window over the corpus. */
+    * partials) + a group-keyed join back — no per-group window over the
+    * corpus. The join is NOT broadcast-hinted (r14): `best` is one row
+    * per duplicate GROUP, which scales with the corpus — the same
+    * unbounded-broadcast hazard class as the r13 minhash-calibration
+    * frame. Both join sides are already hash-partitioned by group_id
+    * (scored feeds the aggregate), so the planner's shuffle join adds no
+    * exchange at scale, and AQE still picks a broadcast locally when
+    * `best` is actually small. */
   def keepBestInGroup(
       groups: DataFrame, // (doc_id, group_id)
       quality: DataFrame // (doc_id, q) — any orderable numeric
@@ -412,7 +418,7 @@ object Dedup {
       .groupBy(col("group_id"))
       .agg(max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("survivor"))
     scored
-      .join(broadcast(best), "group_id")
+      .join(best, "group_id")
       .select(
         col("doc_id"),
         col("group_id"),
